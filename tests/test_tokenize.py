@@ -1,0 +1,75 @@
+"""Tokenizer correctness: exact char offsets, multi-whitespace, regex vs
+whitespace agreement on simple text."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from text_extensions_for_pandas_spark.functions import spans as S
+from text_extensions_for_pandas_spark.functions.text import (
+    tokenize_regex,
+    tokenize_whitespace,
+)
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "This is a test"),
+            (1, "double  space\tand\nnewline"),
+            (2, "x"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _offsets_ok(tokens_df, docs_df):
+    joined = tokens_df.join(docs_df, "doc_id").select(
+        "doc_id", "token_idx", "token",
+        S.covered_text("text", "span").alias("cut"),
+    )
+    for r in joined.collect():
+        assert r.cut == r.token, r
+
+
+def test_whitespace_offsets_exact(toy_docs):
+    toks = tokenize_whitespace(toy_docs)
+    _offsets_ok(toks, toy_docs)
+    got = {(r.doc_id, r.token_idx): r.token for r in toks.collect()}
+    assert got[(0, 0)] == "This" and got[(0, 3)] == "test"
+    assert got[(1, 1)] == "space" and got[(1, 2)] == "and" and got[(1, 3)] == "newline"
+    assert (3, 0) not in got  # empty doc yields no tokens
+
+
+def test_whitespace_token_idx_dense(toy_docs):
+    toks = tokenize_whitespace(toy_docs)
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(F.collect_list("token_idx").alias("idxs"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_doc:
+        assert sorted(r.idxs) == list(range(r.n))
+
+
+def test_regex_offsets_exact(toy_docs, spark):
+    docs = spark.createDataFrame(
+        [(0, "Hello, world! It's 42."), (1, "a-b c")], "doc_id long, text string"
+    )
+    toks = tokenize_regex(docs)
+    _offsets_ok(toks, docs)
+    got = [r.token for r in toks.filter("doc_id = 0").orderBy("token_idx").collect()]
+    assert got == ["Hello", ",", "world", "!", "It", "'", "s", "42", "."]
+
+
+def test_tokenizers_agree_on_simple_text(toy_docs):
+    ws = tokenize_whitespace(toy_docs.filter("doc_id = 0"))
+    rx = tokenize_regex(toy_docs.filter("doc_id = 0"))
+    assert sorted((r.token_idx, r.token, r.span.begin, r.span.end) for r in ws.collect()) == \
+           sorted((r.token_idx, r.token, r.span.begin, r.span.end) for r in rx.collect())
+
+
+def test_tokenize_real_documents(docs):
+    toks = tokenize_whitespace(docs.limit(20))
+    _offsets_ok(toks, docs.limit(20))

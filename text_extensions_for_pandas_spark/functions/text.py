@@ -1,0 +1,260 @@
+"""Tokenization + text-analysis column functions.
+
+Tokenizers are the "make_tokens" surface of the reference
+(``io/spacy.py:75-90``, ``io/bert.py:51-120``) re-expressed Spark-first:
+
+* ``tokenize_whitespace`` — 100% JVM-side (split + posexplode + window
+  cumsum); exact char offsets with no Python in the loop.  This is the
+  default tokenizer for the engine and for dictionary matching
+  (tokenizer determinism requirement: reference ``spanner/extract.py:80-83``).
+* ``tokenize_regex`` — Arrow-batched pandas UDF wrapping ``re.finditer``
+  (the general path for spaCy-like punctuation splitting,
+  reference ``io/spacy.py:48-72``); one UDF call per document row,
+  vectorized over batches.
+
+Text-analysis functions (language-id, quality scoring, token counting,
+fingerprinting) are the beyond-reference training-data-pipeline surface; all
+of them are built-in-function compositions that stay inside whole-stage
+codegen — no UDFs — so they hold up on 100 TB scans.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from text_extensions_for_pandas_spark.functions.spans import make_span
+
+# Word-or-single-punctuation token pattern (spaCy-ish, reference
+# ``io/spacy.py:48-72``).
+DEFAULT_TOKEN_PATTERN = r"\w+|[^\w\s]"
+
+# Tiny per-language marker-word profiles for the n-gram/stopword language-ID
+# heuristic.  Real deployments would swap in fastText/CLD3 via a pandas UDF;
+# the heuristic keeps the hot path JVM-side.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+    "de": ["der", "die", "und", "das", "von", "ein", "ist", "zu"],
+    "zh": ["de", "le", "shi", "wo", "zai", "you", "he", "ren"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_PROFILES.values() for w in ws})
+
+
+# ---------------------------------------------------------------------------
+# Tokenizers
+# ---------------------------------------------------------------------------
+
+def tokenize_whitespace(
+    documents: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Whitespace tokenizer with exact char offsets, fully JVM-side.
+
+    Returns one row per token: ``(doc_id, token_idx, span, token)`` — the
+    canonical tokens table (reference ``make_tokens``, ``io/spacy.py:75-90``).
+
+    Algorithm: map tabs/newlines to spaces (offset-preserving), split on
+    single spaces keeping empty segments, ``posexplode``, recover each
+    segment's begin offset as the running sum of previous segment lengths + 1
+    separator each, then drop empty segments and re-number surviving tokens.
+    Exact for any run of whitespace.  The only wide operation is a window
+    partitioned by ``doc_id`` — documents are the parallelism unit, so this
+    scales with the corpus.
+    """
+    segs = documents.select(
+        F.col(doc_col),
+        F.posexplode(F.split(F.translate(F.col(text_col), "\t\n\r", "   "), " ")).alias(
+            "__seg_idx", "token"
+        ),
+    )
+    w = (
+        Window.partitionBy(doc_col)
+        .orderBy("__seg_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_idx = Window.partitionBy(doc_col).orderBy("__seg_idx")
+    return (
+        segs.withColumn(
+            "__begin",
+            F.coalesce(F.sum(F.length("token") + 1).over(w), F.lit(0)).cast("int"),
+        )
+        .filter(F.length("token") > 0)
+        .withColumn("token_idx", (F.row_number().over(w_idx) - 1).cast("int"))
+        .select(
+            F.col(doc_col),
+            "token_idx",
+            make_span(F.col("__begin"), F.col("__begin") + F.length("token")).alias(
+                "span"
+            ),
+            "token",
+        )
+    )
+
+
+def tokenize_regex(
+    documents: DataFrame,
+    pattern: str = DEFAULT_TOKEN_PATTERN,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Regex tokenizer via Arrow-batched pandas UDF (``re.finditer`` offsets).
+
+    Output schema matches :func:`tokenize_whitespace`.  The UDF returns
+    ``array<struct<begin,end,token>>`` per document which is then
+    ``posexplode``d — one Python call per Arrow batch of documents, never per
+    token (reference eager loop: ``io/spacy.py:75-90``).
+    """
+    import re
+
+    compiled_flags = 0
+
+    @F.pandas_udf("array<struct<begin:int,end:int,token:string>>")
+    def _tok(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        rex = re.compile(pattern, compiled_flags)
+        for texts in it:
+            yield texts.map(
+                lambda t: [
+                    (m.start(), m.end(), m.group(0)) for m in rex.finditer(t or "")
+                ]
+            )
+
+    return documents.select(
+        F.col(doc_col),
+        F.posexplode(_tok(F.col(text_col))).alias("token_idx", "__m"),
+    ).select(
+        doc_col,
+        F.col("token_idx").cast("int").alias("token_idx"),
+        make_span(F.col("__m.begin"), F.col("__m.end")).alias("span"),
+        F.col("__m.token").alias("token"),
+    )
+
+
+def add_neighbor_tokens(tokens: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Add ``left``/``right`` neighbor token ids
+    (reference ``io/spacy.py:144-151``) via lag/lead."""
+    w = Window.partitionBy(doc_col).orderBy("token_idx")
+    return tokens.withColumn("left", F.lag("token_idx").over(w)).withColumn(
+        "right", F.lead("token_idx").over(w)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline surface)
+# ---------------------------------------------------------------------------
+
+def word_tokens(text: Column | str) -> Column:
+    """Array of word tokens (lowercased), JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(text: Column | str, pattern: str = r"\w+|[^\w\s]") -> Column:
+    """Token count under a BPE-ish regex, via ``regexp_extract_all`` —
+    JVM-side, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def quality_metrics(text: Column | str) -> Column:
+    """Struct of document quality signals: char/token counts, mean token
+    length, stopword ratio, punctuation ratio, digit ratio.
+
+    Everything is built-in-function arithmetic — survives whole-stage codegen
+    on a full-corpus scan.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = word_tokens(c)
+    n_tok = F.size(toks)
+    n_char = F.length(c)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = n_char - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_digit = n_char - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.struct(
+        n_char.cast("int").alias("n_chars"),
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(n_char / F.greatest(n_tok, F.lit(1)), 4).alias("mean_token_len"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(n_punct / F.greatest(n_char, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_digit / F.greatest(n_char, F.lit(1)), 4).alias("digit_ratio"),
+    )
+
+
+def lang_scores(text: Column | str) -> Column:
+    """Per-language marker-word hit ratios as a struct — the language-ID
+    heuristic's feature vector."""
+    toks = word_tokens(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    fields = []
+    for lang, words in sorted(LANG_PROFILES.items()):
+        marker = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker, t)))
+        fields.append(F.round(hits / n_tok, 6).alias(lang))
+    return F.struct(*fields)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax marker ratio, ties broken by language code
+    order; 'und' when no marker hits at all."""
+    scores = lang_scores(text)
+    langs = sorted(LANG_PROFILES.items())
+    best_lang, best_score = F.lit("und"), F.lit(0.0)
+    # Left-to-right scan keeps first-wins tie-breaking deterministic.
+    for lang, _ in langs:
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Array of character k-gram shingles (JVM-side ``transform`` over an
+    offset ``sequence``).  Empty array for texts shorter than ``k``."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.substring(c, i + 1, k),
+        )
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram shingles (space-joined), for MinHash / Jaccard."""
+    toks = word_tokens(text)
+    cnt = F.size(toks)
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def fingerprint(text: Column | str, k: int = 8, window: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash all
+    char k-grams (md5 — deterministic across engines), then keep the minimum
+    hash of every ``window`` consecutive k-grams, deduplicated.
+
+    Returns ``array<string>`` of selected hashes.  All higher-order built-in
+    functions — scans stay JVM-side.
+    """
+    hashes = F.transform(char_shingles(text, k), F.md5)
+    n_h = F.size(hashes)
+    return F.when(n_h <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_h - window, F.lit(0))),
+                lambda j: F.array_min(F.slice(hashes, j + 1, window)),
+            )
+        )
+    )
