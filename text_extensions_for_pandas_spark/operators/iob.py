@@ -1,0 +1,137 @@
+"""IOB tag machinery as window functions (reference ``io/conll.py``),
+per SURVEY.md §2.6.
+
+The reference implements these as sequential pandas loops; here they are
+pure window-function plans over ``Window.partitionBy(doc_id).orderBy(
+token_idx)`` — shuffle once by doc, then everything is local and
+codegen-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from text_extensions_for_pandas_spark.functions.spans import make_span, make_token_span
+
+
+def iob_to_iob2(
+    tokens: DataFrame,
+    iob_col: str = "ent_iob",
+    type_col: str = "ent_type",
+    doc_col: str = "doc_id",
+    sentence_col: str | None = "sentence_id",
+) -> DataFrame:
+    """Repair IOB1 tags to IOB2: an ``I`` becomes ``B`` when it starts an
+    entity — previous tag is ``O``, entity type changes, or a sentence
+    boundary intervenes (reference ``_iob_to_iob2``, ``io/conll.py:590-646``).
+    """
+    w = Window.partitionBy(doc_col).orderBy("token_idx")
+    prev_iob = F.lag(F.col(iob_col)).over(w)
+    prev_type = F.lag(F.col(type_col)).over(w)
+    boundary = (
+        F.lag(F.col(sentence_col)).over(w) != F.col(sentence_col)
+        if sentence_col
+        else F.lit(False)
+    )
+    starts_entity = (
+        (F.col(iob_col) == "I")
+        & (
+            prev_iob.isNull()
+            | (prev_iob == "O")
+            | (prev_type != F.col(type_col))
+            | F.coalesce(boundary, F.lit(True))
+        )
+    )
+    return tokens.withColumn(
+        iob_col, F.when(starts_entity, F.lit("B")).otherwise(F.col(iob_col))
+    )
+
+
+def iob_to_spans(
+    tokens: DataFrame,
+    iob_col: str = "ent_iob",
+    type_col: str = "ent_type",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """IOB2 tags → entity span table (reference ``iob_to_spans``,
+    ``io/conll.py:856-938``, an iterative prefix-extension loop).
+
+    Spark-first: classic sessionization — ``entity_id = running count of 'B'
+    tags``, then group non-O runs.  Output: ``(doc_id, token_span, span,
+    ent_type)`` with char spans covering first..last token.
+
+    An ``I`` token whose predecessor is ``O`` (malformed IOB2) starts its own
+    entity, matching the reference's repair-first behavior.
+    """
+    w = Window.partitionBy(doc_col).orderBy("token_idx")
+    prev_iob = F.lag(F.col(iob_col), 1, "O").over(w)
+    # run starts at B, or at malformed I following O / doc start
+    is_start = (F.col(iob_col) == "B") | (
+        (F.col(iob_col) == "I") & (prev_iob == "O")
+    )
+    tagged = tokens.withColumn(
+        "__entity_id",
+        F.sum(F.when(is_start, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ents = (
+        tagged.filter(F.col(iob_col) != "O")
+        .groupBy(doc_col, "__entity_id")
+        .agg(
+            F.min("token_idx").alias("__first_tok"),
+            F.max("token_idx").alias("__last_tok"),
+            F.min(F.col("span")["begin"]).alias("__char_b"),
+            F.max(F.col("span")["end"]).alias("__char_e"),
+            F.first(F.col(type_col)).alias(type_col),
+        )
+    )
+    return ents.select(
+        F.col(doc_col),
+        make_token_span(F.col("__first_tok"), F.col("__last_tok") + 1).alias(
+            "token_span"
+        ),
+        make_span(F.col("__char_b"), F.col("__char_e")).alias("span"),
+        type_col,
+    )
+
+
+def spans_to_iob(
+    tokens: DataFrame,
+    entities: DataFrame,
+    type_col: str = "ent_type",
+    doc_col: str = "doc_id",
+    iob_col: str = "ent_iob",
+) -> DataFrame:
+    """Entity token-spans → per-token IOB2 + type columns (reference
+    ``spans_to_iob``, ``io/conll.py:941-1021``).
+
+    Spark-first: explode each entity into its token indices
+    (``sequence(begin_token, end_token - 1)``) so the token↔entity
+    association is a pure equijoin on ``(doc_id, token_idx)`` — no band
+    join.  Tokens outside any entity get ``O`` / NULL type.
+    """
+    ent_toks = entities.select(
+        F.col(doc_col).alias("__ent_doc"),
+        F.col(type_col).alias("__ent_type"),
+        F.col("token_span")["begin_token"].alias("__b"),
+        F.explode(
+            F.sequence(
+                F.col("token_span")["begin_token"],
+                F.col("token_span")["end_token"] - 1,
+            )
+        ).alias("__tok_idx"),
+    )
+    joined = tokens.join(
+        ent_toks,
+        (F.col(doc_col) == F.col("__ent_doc"))
+        & (F.col("token_idx") == F.col("__tok_idx")),
+        "left",
+    ).drop("__ent_doc")
+    return joined.withColumn(
+        iob_col,
+        F.when(F.col("__ent_type").isNull(), "O")
+        .when(F.col("token_idx") == F.col("__b"), "B")
+        .otherwise("I"),
+    ).withColumn(type_col, F.col("__ent_type")).drop("__ent_type", "__b", "__tok_idx")
