@@ -245,8 +245,13 @@ def fingerprint(text: Column | str, k: int = 8, window: int = 4) -> Column:
     char k-grams (md5 — deterministic across engines), then keep the minimum
     hash of every ``window`` consecutive k-grams, deduplicated.
 
-    Returns ``array<string>`` of selected hashes.  All higher-order built-in
-    functions — scans stay JVM-side.
+    Returns ``array<string>`` of selected hashes.
+
+    CAUTION: as a single column expression the inner hash array is re-inlined
+    into every window slice by projection collapse — O(n·w) md5 evaluations
+    per document.  For corpus-scale winnowing use
+    :func:`fingerprint_rows`, which computes each hash once and takes window
+    minima with an ordered window frame.
     """
     hashes = F.transform(char_shingles(text, k), F.md5)
     n_h = F.size(hashes)
@@ -257,4 +262,45 @@ def fingerprint(text: Column | str, k: int = 8, window: int = 4) -> Column:
                 lambda j: F.array_min(F.slice(hashes, j + 1, window)),
             )
         )
+    )
+
+
+def fingerprint_rows(
+    documents: "DataFrame",
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> "DataFrame":
+    """Corpus-scale winnowing fingerprints: one row per selected fingerprint
+    ``(doc_id, fp)``.
+
+    Plan shape: explode char k-gram hashes to rows (narrow), take
+    ``min(hash)`` over a per-doc ordered window of ``window`` rows, dedup.
+    Every md5 is computed exactly once; the only wide op is the per-doc sort
+    window — this is the form that survives 100 TB.
+    """
+    from pyspark.sql import Window
+
+    hashed = documents.select(
+        F.col(doc_col),
+        F.posexplode(F.transform(char_shingles(F.col(text_col), k), F.md5)).alias(
+            "__i", "__h"
+        ),
+    )
+    n = documents.select(
+        F.col(doc_col),
+        (F.greatest(F.length(text_col) - k + 1, F.lit(0))).alias("__n_h"),
+    )
+    w = (
+        Window.partitionBy(doc_col)
+        .orderBy("__i")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        hashed.withColumn("__wmin", F.min("__h").over(w))
+        .join(n, doc_col)
+        .filter(F.col("__i") <= F.greatest(F.col("__n_h") - window, F.lit(0)))
+        .select(F.col(doc_col), F.col("__wmin").alias("fp"))
+        .distinct()
     )

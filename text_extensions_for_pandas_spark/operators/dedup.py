@@ -1,0 +1,283 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup candidate generation, n-gram Jaccard verification,
+SimHash.  Everything except SimHash is pure built-in-function SQL — the
+hashes are ``md5`` so results are deterministic and engine-independent
+(verified against a DuckDB oracle).
+
+Scale design:
+
+* Exact dedup = one hash-groupBy on ``md5(text)`` — map-side partial agg,
+  one shuffle of (hash, doc_id) pairs only.
+* MinHash = explode (doc × n_hashes) with per-seed min-aggregation; the
+  shuffle carries ``n_hashes`` rows per doc, never the shingle sets.
+* LSH banding turns all-pairs similarity into an equijoin on
+  ``(band, band_hash)`` — the only pairs materialized are hash-bucket
+  collisions, which is the point of LSH at 100 TB.
+* Jaccard verification joins shingle sets **only for candidate pairs**
+  (broadcast the candidate list when small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from text_extensions_for_pandas_spark.functions.text import word_shingles
+
+
+def exact_dedup(
+    documents: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical texts by md5: ``(text_hash, keep_doc_id, n_docs)``.
+    ``keep_doc_id`` = min doc id (deterministic representative)."""
+    return (
+        documents.select(
+            F.md5(F.col(text_col)).alias("text_hash"), F.col(doc_col)
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(doc_col).alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def doc_shingles(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct word-``n``-gram shingles per document:
+    ``(doc_id, shingle)``."""
+    return (
+        documents.select(
+            F.col(doc_col),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    n_hashes: int = 8,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(doc, seed) MinHash values: ``(doc_id, seed, minhash)``.
+
+    ``minhash = min(md5(seed || ':' || shingle))`` — min over lowercase-hex
+    strings is lexicographic and deterministic in any engine.  Docs with no
+    shingles (shorter than the shingle width) have no signature and never
+    become candidates.
+    """
+    seeded = shingles.select(
+        F.col(doc_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    return (
+        seeded.select(
+            doc_col,
+            "seed",
+            F.md5(
+                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy(doc_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    rows_per_band: int = 4,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature: ``(doc_id, band, band_hash)`` where ``band_hash``
+    = md5 of the band's minhash values concatenated in seed order."""
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    return (
+        banded.groupBy(doc_col, "band")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("seed", "minhash"))
+            ).alias("__parts")
+        )
+        .select(
+            doc_col,
+            "band",
+            F.md5(
+                F.concat_ws("", F.transform("__parts", lambda s: s["minhash"]))
+            ).alias("band_hash"),
+        )
+    )
+
+
+def minhash_candidates(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    n_hashes: int = 8,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs ``(doc_a, doc_b)`` (doc_a < doc_b): documents
+    whose MinHash signatures collide in at least one band."""
+    sh = doc_shingles(documents, shingle_n, text_col, doc_col)
+    bands = lsh_bands(minhash_signatures(sh, n_hashes, doc_col), rows_per_band, doc_col)
+    a = bands.select(
+        F.col(doc_col).alias("doc_a"), "band", "band_hash"
+    )
+    b = bands.select(
+        F.col(doc_col).alias("doc_b"),
+        F.col("band").alias("__band_b"),
+        F.col("band_hash").alias("__bh_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("__band_b"))
+            & (F.col("band_hash") == F.col("__bh_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+            "inner",
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for given ``(doc_a, doc_b)`` pairs:
+    ``|A ∩ B| / |A ∪ B|`` over distinct shingles, rounded to 6 decimals."""
+    counts = shingles.groupBy(doc_col).agg(F.count("*").alias("__cnt"))
+    sa = shingles.select(F.col(doc_col).alias("doc_a"), "shingle")
+    sb = shingles.select(
+        F.col(doc_col).alias("__doc_b"), F.col("shingle").alias("__sh_b")
+    )
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("__doc_b")) & (F.col("shingle") == F.col("__sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("__n_inter"))
+    )
+    ca = counts.select(F.col(doc_col).alias("doc_a"), F.col("__cnt").alias("__ca"))
+    cb = counts.select(F.col(doc_col).alias("doc_b"), F.col("__cnt").alias("__cb"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("__n_inter"), F.lit(0))
+                / (F.col("__ca") + F.col("__cb") - F.coalesce(F.col("__n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    n_hashes: int = 8,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard ≥ ``threshold`` —
+    the standard two-stage near-dup pipeline."""
+    sh = doc_shingles(documents, shingle_n, text_col, doc_col)
+    cands = minhash_candidates(
+        documents, shingle_n, n_hashes, rows_per_band, text_col, doc_col
+    )
+    return jaccard_for_pairs(cands, sh, doc_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    bits: int = 64,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash over word shingles: bit j of the result is 1 iff the
+    sum over shingles of ±1 (bit j of md5(shingle)) is positive.
+
+    Pure higher-order built-ins: per doc, fold the shingle array into a
+    64-long counts array with ``aggregate``/``transform`` — no UDF, no
+    shuffle beyond the document scan.  Returns ``(doc_id, simhash)`` as a
+    16-hex-char string.
+    """
+    assert bits == 64, "only 64-bit simhash supported"
+    sh = word_shingles(F.col(text_col), shingle_n)
+    # per-shingle 64 bits from the first 16 hex chars of md5
+    hex16 = lambda s: F.substring(F.md5(s), 1, 16)  # noqa: E731
+    bits_of = lambda s: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.when(
+            (
+                F.conv(F.substring(hex16(s), (b / 4).cast("int") + 1, 1), 16, 10)
+                .cast("int")
+                .bitwiseAND(F.shiftleft(F.lit(1), 3 - (b % 4).cast("int")))
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    counts = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, s: F.zip_with(acc, bits_of(s), lambda a, b: a + b),
+    )
+    nibbles = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda n: F.conv(
+            (
+                F.when(F.element_at(counts, n * 4 + 1) > 0, F.lit(8)).otherwise(F.lit(0))
+                + F.when(F.element_at(counts, n * 4 + 2) > 0, F.lit(4)).otherwise(F.lit(0))
+                + F.when(F.element_at(counts, n * 4 + 3) > 0, F.lit(2)).otherwise(F.lit(0))
+                + F.when(F.element_at(counts, n * 4 + 4) > 0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("string"),
+            10,
+            16,
+        ),
+    )
+    return documents.select(
+        F.col(doc_col),
+        F.lower(F.concat_ws("", nibbles)).alias("simhash"),
+    )
+
+
+def hamming_distance_hex(a, b):
+    """Column fn: Hamming distance between two 16-hex-char simhashes,
+    computed nibble-wise via popcount of XOR (JVM-side, no UDF)."""
+    idx = F.sequence(F.lit(1), F.lit(16))
+    return F.aggregate(
+        F.transform(
+            idx,
+            lambda i: F.bit_count(
+                F.conv(F.substring(a, i, 1), 16, 10)
+                .cast("int")
+                .bitwiseXOR(F.conv(F.substring(b, i, 1), 16, 10).cast("int"))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (``ARRAY<FLOAT>``).
+
+Beyond-reference surface (BASELINE.json north star).  Two tiers:
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set, score every corpus vector with JVM-side higher-order functions
+  (``zip_with`` + ``aggregate``; no Python, no shuffle until the final
+  per-query top-k window), then ``row_number`` per query.
+* ``ivf_assign`` / ``ivf_topk`` — IVF-style scale path: assign each vector
+  to its nearest centroid once (an O(n·k) narrow map), then restrict query
+  scoring to the ``nprobe`` nearest clusters — at 100 TB this turns a full
+  scan per query into a pruned partition read (pair it with
+  ``partitionBy(cluster_id)`` at write time).
+
+All arithmetic is double-precision sequential fold over the array — the
+same order DuckDB's ``list_sum(list_transform(...))`` uses, so results are
+oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is a (query_id, embedding) DataFrame — broadcast.  Output:
+    ``(query_id, neighbor_id, score, rank)``; self-matches excluded;
+    deterministic tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vec")
+    ).crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qvec"), F.col("__vec")).alias("__score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__score", 6).alias("score"),
+            "rank",
+        )
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (ties → lowest
+    centroid id).  Centroids are broadcast; assignment is a narrow map +
+    per-vector argmax — no shuffle."""
+    c = centroids.select(
+        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(c)).select(
+        "*",
+        cosine(F.col(vec_col), F.col("__cvec")).alias("__score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col("__cid").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__score", "__cvec")
+        .withColumnRenamed("__cid", "cluster_id")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in each query's ``nprobe``
+    nearest clusters.  ``assigned`` is the output of :func:`ivf_assign`."""
+    c = centroids.select(
+        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    # per query: nprobe nearest centroids
+    qc = q.crossJoin(F.broadcast(c)).select(
+        "query_id", "__qvec", "__cid",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("__cscore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__cscore").desc(), F.col("__cid").asc()
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qvec", F.col("__cid").alias("cluster_id"))
+    )
+    scored = assigned.join(F.broadcast(probes), "cluster_id").filter(
+        F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("__qvec"), F.col(vec_col)).alias("__score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("__score", 6).alias("score"), "rank")
+    )

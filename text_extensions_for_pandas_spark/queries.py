@@ -1,0 +1,940 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2 +
+beyond-reference scale ops), each with a Spark implementation and an
+equivalent DuckDB oracle SQL for the driver's correctness gate.
+
+Cross-engine determinism rules used throughout (see also BASELINE.md):
+
+* Money/measure aggregates go through exact DECIMAL arithmetic (inputs are
+  2-decimal doubles) and are cast to DOUBLE at the end — bit-identical
+  across engines, immune to FP summation order.
+* Averages are expressed as sum/count of exact values, never engine ``avg``.
+* Hashes are ``md5`` (lowercase hex in both engines); minima over hashes
+  are lexicographic string minima.
+* Timestamps are never output raw (parquet is ns, Spark truncates to µs):
+  they are bucketed (``date_trunc`` → epoch seconds) or cast to DATE.
+* Every computed column is aliased identically in both implementations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from text_extensions_for_pandas_spark.functions import spans as S
+from text_extensions_for_pandas_spark.functions import text as T
+from text_extensions_for_pandas_spark.operators import dedup as D
+from text_extensions_for_pandas_spark.operators import similarity as SIM
+from text_extensions_for_pandas_spark.operators.consolidate import consolidate
+from text_extensions_for_pandas_spark.operators.extract import (
+    create_dict,
+    extract_dict,
+    extract_regex,
+)
+from text_extensions_for_pandas_spark.operators.iob import iob_to_spans, spans_to_iob
+from text_extensions_for_pandas_spark.operators.join import adjacent_join
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (see session.py); truncate to µs.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+DEC = "decimal(18,2)"
+PCT = "decimal(4,2)"
+
+# Fixed gazetteer used by the dictionary/consolidate/IOB queries (vocabulary
+# of the synthetic documents corpus).
+DICT_ENTRIES = ["hash join", "sort merge", "table scan", "stream", "spark"]
+OVERLAP_ENTRIES = ["table scan", "scan", "table", "sort merge", "merge"]
+
+# DuckDB tokens CTE — the oracle twin of functions.text.tokenize_whitespace.
+TOKS_CTE = """
+segs AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS seg,
+         unnest(range(len(string_split(text, ' ')))) AS seg_idx
+  FROM documents
+), pos AS (
+  SELECT doc_id, seg, seg_idx,
+         CAST(coalesce(sum(length(seg) + 1) OVER (
+              PARTITION BY doc_id ORDER BY seg_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS b
+  FROM segs
+), toks AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY seg_idx) - 1 AS INTEGER) AS token_idx,
+         b AS "begin",
+         CAST(b + length(seg) AS INTEGER) AS "end",
+         seg AS token
+  FROM pos
+  WHERE length(seg) > 0
+)
+"""
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tokenize_whitespace(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Relational queries (TPC-H-ish; prove scan/filter/join/agg/window + bench)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    ext = F.expr(f"CAST(l_extendedprice AS {DEC})")
+    disc = F.expr(f"CAST(l_discount AS {PCT})")
+    tax = F.expr(f"CAST(l_tax AS {PCT})")
+    qty = F.expr(f"CAST(l_quantity AS {DEC})")
+    one = F.expr(f"CAST(1 AS {PCT})")
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ext).cast("double").alias("sum_base_price"),
+            F.sum(ext * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ext * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    rev = F.expr(
+        f"CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {PCT}) - CAST(l_discount AS {PCT}))"
+    )
+    out = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+    return out
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    rev = F.expr(
+        f"CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {PCT}) - CAST(l_discount AS {PCT}))"
+    )
+    out = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(cust["c_nationkey"] == supp["s_nationkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+    return out
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.expr(
+        f"CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {PCT}) - CAST(l_discount AS {PCT}))"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+Q_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    val = F.expr(f"CAST(value AS {DEC})")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("hour_epoch"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(val).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, hour_epoch
+ORDER BY event_type, hour_epoch
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return (
+        ev.withColumn("__new_session", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            F.sum("__new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800.0
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.sum(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & F.col("first_purchase").isNotNull()
+                & (F.col("first_signup") < F.col("first_purchase")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+        F.count("*").alias("n_users"),
+    )
+
+
+Q_EVENTS_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                      AND first_signup < first_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       count(*) AS n_users
+FROM per_user
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spanner queries over documents
+# ---------------------------------------------------------------------------
+
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokens(spark, sf_dir).select(
+        "doc_id",
+        "token_idx",
+        F.col("span")["begin"].alias("begin"),
+        F.col("span")["end"].alias("end"),
+        "token",
+    )
+
+
+Q_TOKENIZE_SQL = f"""
+WITH {TOKS_CTE}
+SELECT doc_id, token_idx, "begin", "end", token FROM toks
+"""
+
+
+def q_extract_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = extract_regex(docs, r"\bsp\w+")
+    return out.select(
+        "doc_id",
+        F.col("span")["begin"].alias("begin"),
+        F.col("span")["end"].alias("end"),
+        F.col("match"),
+    )
+
+
+Q_EXTRACT_REGEX_SQL = f"""
+WITH {TOKS_CTE}
+SELECT doc_id, "begin", "end", token AS match
+FROM toks WHERE token LIKE 'sp%'
+"""
+
+
+def _dict_sql(entries: list[str]) -> str:
+    """Build the oracle SQL arm for a fixed dictionary: per-entry token
+    equijoins over the toks CTE, unioned."""
+    arms = []
+    for eid, entry in enumerate(entries):
+        parts = entry.lower().split()
+        if len(parts) == 1:
+            arms.append(
+                f"SELECT doc_id, \"begin\", \"end\", {eid} AS entry_id "
+                f"FROM toks WHERE token = '{parts[0]}'"
+            )
+        else:
+            joins = " ".join(
+                f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.token_idx = t0.token_idx + {i} "
+                f"AND t{i}.token = '{parts[i]}'"
+                for i in range(1, len(parts))
+            )
+            last = len(parts) - 1
+            arms.append(
+                f"SELECT t0.doc_id, t0.\"begin\" AS \"begin\", "
+                f"t{last}.\"end\" AS \"end\", {eid} AS entry_id "
+                f"FROM toks t0 {joins} WHERE t0.token = '{parts[0]}'"
+            )
+    return " UNION ALL ".join(arms)
+
+
+def q_extract_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    d = create_dict(spark, DICT_ENTRIES)
+    out = extract_dict(toks, d)
+    return out.select(
+        "doc_id",
+        F.col("span")["begin"].alias("begin"),
+        F.col("span")["end"].alias("end"),
+        F.col("entry_id").cast("int").alias("entry_id"),
+    )
+
+
+Q_EXTRACT_DICT_SQL = f"""
+WITH {TOKS_CTE}
+SELECT * FROM ({_dict_sql(DICT_ENTRIES)})
+"""
+
+
+def q_adjacent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    mk = lambda tok: toks.filter(F.col("token") == tok).select(  # noqa: E731
+        "doc_id",
+        S.make_token_span(F.col("token_idx"), F.col("token_idx") + 1).alias(
+            "token_span"
+        ),
+    )
+    out = adjacent_join(
+        mk("sort"), mk("join"), first_name="first", second_name="second",
+        min_gap=0, max_gap=2,
+    )
+    return out.select(
+        "doc_id",
+        F.col("first")["begin_token"].alias("first_tok"),
+        F.col("second")["begin_token"].alias("second_tok"),
+    ).orderBy("doc_id", "first_tok", "second_tok")
+
+
+Q_ADJACENT_SQL = f"""
+WITH {TOKS_CTE}
+SELECT t1.doc_id, t1.token_idx AS first_tok, t2.token_idx AS second_tok
+FROM toks t1
+JOIN toks t2 ON t2.doc_id = t1.doc_id
+ AND t2.token_idx BETWEEN t1.token_idx + 1 AND t1.token_idx + 3
+WHERE t1.token = 'sort' AND t2.token = 'join'
+ORDER BY t1.doc_id, first_tok, second_tok
+"""
+
+
+def _dict_spans(spark: SparkSession, sf_dir: str, entries: list[str]) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    d = create_dict(spark, entries)
+    return extract_dict(toks, d).select("doc_id", "span", "entry_id")
+
+
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.join import overlap_join
+
+    bigrams = _dict_spans(spark, sf_dir, ["hash join", "sort merge"])
+    unigrams = _dict_spans(spark, sf_dir, ["join", "sort"])
+    out = overlap_join(bigrams, unigrams, first_name="big", second_name="small")
+    return out.select(
+        "doc_id",
+        F.col("big")["begin"].alias("big_begin"),
+        F.col("big")["end"].alias("big_end"),
+        F.col("small")["begin"].alias("small_begin"),
+        F.col("small")["end"].alias("small_end"),
+    )
+
+
+_BIGRAM_ARM = _dict_sql(["hash join", "sort merge"])
+_UNIGRAM_ARM = _dict_sql(["join", "sort"])
+
+Q_OVERLAP_SQL = f"""
+WITH {TOKS_CTE},
+big AS (SELECT * FROM ({_BIGRAM_ARM})),
+small AS (SELECT * FROM ({_UNIGRAM_ARM}))
+SELECT b.doc_id,
+       b."begin" AS big_begin, b."end" AS big_end,
+       s."begin" AS small_begin, s."end" AS small_end
+FROM big b JOIN small s ON s.doc_id = b.doc_id
+WHERE (b."begin" = s."begin" AND b."end" = s."end")
+   OR NOT (s."begin" >= b."end" OR s."end" <= b."begin")
+"""
+
+
+def q_contain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.join import contain_join
+
+    bigrams = _dict_spans(spark, sf_dir, ["hash join", "sort merge"])
+    unigrams = _dict_spans(spark, sf_dir, ["join", "sort"])
+    out = contain_join(bigrams, unigrams, first_name="big", second_name="small")
+    return out.select(
+        "doc_id",
+        F.col("big")["begin"].alias("big_begin"),
+        F.col("small")["begin"].alias("small_begin"),
+        F.col("small")["end"].alias("small_end"),
+    )
+
+
+Q_CONTAIN_SQL = f"""
+WITH {TOKS_CTE},
+big AS (SELECT * FROM ({_BIGRAM_ARM})),
+small AS (SELECT * FROM ({_UNIGRAM_ARM}))
+SELECT b.doc_id,
+       b."begin" AS big_begin,
+       s."begin" AS small_begin, s."end" AS small_end
+FROM big b JOIN small s ON s.doc_id = b.doc_id
+WHERE s."begin" >= b."begin" AND s."end" <= b."end"
+"""
+
+
+def q_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = _dict_spans(spark, sf_dir, OVERLAP_ENTRIES)
+    out = consolidate(spans, on="span")
+    return out.select(
+        "doc_id",
+        F.col("span")["begin"].alias("begin"),
+        F.col("span")["end"].alias("end"),
+    ).orderBy("doc_id", "begin")
+
+
+Q_CONSOLIDATE_SQL = f"""
+WITH RECURSIVE {TOKS_CTE},
+matches AS (SELECT * FROM ({_dict_sql(OVERLAP_ENTRIES)})),
+spans AS (
+  SELECT doc_id, "begin", "end",
+         row_number() OVER (PARTITION BY doc_id ORDER BY "begin" ASC, "end" DESC) AS rn
+  FROM matches
+),
+kept AS (
+  SELECT doc_id, "begin", "end", rn FROM spans WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s."begin", s."end", s.rn
+  FROM kept k JOIN spans s
+    ON s.doc_id = k.doc_id
+   AND s.rn = (SELECT min(s2.rn) FROM spans s2
+               WHERE s2.doc_id = k.doc_id AND s2.rn > k.rn
+                 AND s2."begin" >= k."end")
+)
+SELECT doc_id, "begin", "end" FROM kept ORDER BY doc_id, "begin"
+"""
+
+
+# Synthetic IOB rule shared by q_iob_spans / q_spans_to_iob: 'spark' starts an
+# entity (B), an immediately following run of 'window' continues it (I).
+def _synthetic_iob(toks: DataFrame) -> DataFrame:
+    return toks.select(
+        "doc_id",
+        "token_idx",
+        "span",
+        "token",
+        F.when(F.col("token") == "spark", "B")
+        .when(F.col("token") == "window", "I")
+        .otherwise("O")
+        .alias("ent_iob"),
+        F.when(F.col("token").isin("spark", "window"), "TECH").alias("ent_type"),
+    )
+
+
+def q_iob_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _synthetic_iob(_tokens(spark, sf_dir))
+    out = iob_to_spans(toks)
+    return out.select(
+        "doc_id",
+        F.col("token_span")["begin_token"].alias("begin_token"),
+        F.col("token_span")["end_token"].alias("end_token"),
+        F.col("span")["begin"].alias("begin"),
+        F.col("span")["end"].alias("end"),
+        "ent_type",
+    )
+
+
+Q_IOB_SPANS_SQL = f"""
+WITH {TOKS_CTE},
+tagged AS (
+  SELECT doc_id, token_idx, "begin", "end",
+         CASE WHEN token = 'spark' THEN 'B'
+              WHEN token = 'window' THEN 'I'
+              ELSE 'O' END AS iob
+  FROM toks
+),
+lagged AS (
+  SELECT *,
+         coalesce(lag(iob) OVER (PARTITION BY doc_id ORDER BY token_idx), 'O') AS prev_iob
+  FROM tagged
+),
+sess AS (
+  SELECT *,
+         sum(CASE WHEN iob = 'B' OR (iob = 'I' AND prev_iob = 'O')
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY token_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entity_id
+  FROM lagged
+)
+SELECT doc_id,
+       CAST(min(token_idx) AS INTEGER) AS begin_token,
+       CAST(max(token_idx) + 1 AS INTEGER) AS end_token,
+       min("begin") AS "begin",
+       max("end") AS "end",
+       'TECH' AS ent_type
+FROM sess WHERE iob <> 'O'
+GROUP BY doc_id, entity_id
+"""
+
+
+def q_spans_to_iob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _synthetic_iob(_tokens(spark, sf_dir))
+    ents = iob_to_spans(toks)
+    back = spans_to_iob(toks.select("doc_id", "token_idx", "span", "token"), ents)
+    return back.select("doc_id", "token_idx", "ent_iob", "ent_type")
+
+
+Q_SPANS_TO_IOB_SQL = f"""
+WITH {TOKS_CTE}
+SELECT doc_id, token_idx,
+       CASE WHEN token = 'spark' THEN 'B'
+            WHEN token = 'window' AND
+                 coalesce(lag(token) OVER (PARTITION BY doc_id ORDER BY token_idx), '')
+                   IN ('spark', 'window') THEN 'I'
+            WHEN token = 'window' THEN 'B'
+            ELSE 'O' END AS ent_iob,
+       CASE WHEN token IN ('spark', 'window') THEN 'TECH' END AS ent_type
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scale ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load(spark, sf_dir, "documents")).orderBy("text_hash")
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_docs
+FROM documents GROUP BY md5(text) ORDER BY text_hash
+"""
+
+# DuckDB twin of functions.text.word_shingles(n=3) over lowercase text
+SHINGLES_CTE = """
+dtoks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tl FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(tl[i + 1 : i + 3], ' ') AS shingle
+  FROM dtoks, unnest(range(len(tl) - 2)) AS t(i)
+  WHERE len(tl) >= 3
+),
+mh AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM shingles, unnest(range(8)) AS s(seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, '' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_candidates(docs).orderBy("doc_a", "doc_b")
+
+
+Q_DEDUP_MINHASH_SQL = f"""
+WITH {SHINGLES_CTE}
+SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
+"""
+
+
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs)
+    cands = D.minhash_candidates(docs)
+    return D.jaccard_for_pairs(cands, sh).orderBy("doc_a", "doc_b")
+
+
+Q_NEAR_DUP_SQL = f"""
+WITH {SHINGLES_CTE},
+cnt AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM cand p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (ca.c + cb.c - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM cand p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN cnt ca ON ca.doc_id = p.doc_a
+JOIN cnt cb ON cb.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+Q_ANN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_DOT.format(a='q.qe', b='e.embedding')}
+         / (sqrt({_DOT.format(a='q.qe', b='q.qe')}) * sqrt({_DOT.format(a='e.embedding', b='e.embedding')}))
+           AS score
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = SIM.ivf_assign(emb, centroids)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cluster_id")
+    )
+
+
+Q_IVF_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_DOT.format(a='e.embedding', b='c.ce')}
+         / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) * sqrt({_DOT.format(a='c.ce', b='c.ce')}))
+           AS score
+  FROM embeddings e, c
+),
+assigned AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+  FROM scored
+)
+SELECT centroid_id AS cluster_id, count(*) AS n_vectors
+FROM assigned WHERE rn = 1 GROUP BY centroid_id ORDER BY cluster_id
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    q = T.quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+_STOPS_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+Q_DOC_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS tl FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(tl) AS INTEGER) AS n_tokens,
+       round(CAST(length(text) AS DOUBLE) / greatest(len(tl), 1), 4) AS mean_token_len,
+       round(CAST(len(list_filter(tl, x -> x IN ({_STOPS_SQL}))) AS DOUBLE)
+             / greatest(len(tl), 1), 4) AS stopword_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+Q_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(T.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_PROFILES[lang])
+    return (
+        f"round(CAST(len(list_filter(tl, x -> x IN ({words}))) AS DOUBLE)"
+        f" / greatest(len(tl), 1), 6)"
+    )
+
+
+_LANGS = sorted(T.LANG_PROFILES)
+_SCORE_COLS = ",\n       ".join(f"{_lang_score_sql(l)} AS s_{l}" for l in _LANGS)
+_M = "greatest(" + ", ".join(f"s_{l}" for l in _LANGS) + ")"
+_PRED_CASE = (
+    f"CASE WHEN {_M} <= 0 THEN 'und' "
+    + " ".join(f"WHEN s_{l} = {_M} THEN '{l}'" for l in _LANGS)
+    + " END"
+)
+
+Q_LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tl FROM documents),
+s AS (SELECT doc_id,
+       {_SCORE_COLS}
+      FROM t)
+SELECT {_PRED_CASE} AS pred_lang, count(*) AS n_docs
+FROM s GROUP BY pred_lang ORDER BY pred_lang
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fps = (
+        T.fingerprint_rows(docs, k=8, window=4)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("__n"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(fps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("int").alias("n_fingerprints"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_FINGERPRINT_SQL = """
+WITH g AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) < 8 THEN []
+              ELSE list_transform(range(0, length(text) - 8 + 1),
+                                  i -> md5(substring(text, i + 1, 8))) END AS hashes
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN len(hashes) = 0 THEN 0
+            ELSE len(list_distinct(list_transform(
+                   range(0, greatest(len(hashes) - 4, 0) + 1),
+                   j -> list_min(hashes[j + 1 : j + 4])))) END AS INTEGER) AS n_fingerprints
+FROM g ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "q_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
+    "q_order_priority": (q_order_priority, Q_ORDER_PRIORITY_SQL),
+    "q_events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
+    "q_events_sessionize": (q_events_sessionize, Q_EVENTS_SESSIONIZE_SQL),
+    "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
+    "tokenize": (q_tokenize, Q_TOKENIZE_SQL),
+    "extract_regex": (q_extract_regex, Q_EXTRACT_REGEX_SQL),
+    "extract_dict": (q_extract_dict, Q_EXTRACT_DICT_SQL),
+    "adjacent_join": (q_adjacent_join, Q_ADJACENT_SQL),
+    "overlap_join": (q_overlap_join, Q_OVERLAP_SQL),
+    "contain_join": (q_contain_join, Q_CONTAIN_SQL),
+    "consolidate": (q_consolidate, Q_CONSOLIDATE_SQL),
+    "iob_to_spans": (q_iob_spans, Q_IOB_SPANS_SQL),
+    "spans_to_iob": (q_spans_to_iob, Q_SPANS_TO_IOB_SQL),
+    "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
+    "near_dup_jaccard": (q_near_dup_jaccard, Q_NEAR_DUP_SQL),
+    "ann_cosine_topk": (q_ann_topk, Q_ANN_SQL),
+    "ivf_clusters": (q_ivf_clusters, Q_IVF_SQL),
+    "doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
+    "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
+    "lang_id": (q_lang_id, Q_LANG_ID_SQL),
+    "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
