@@ -202,17 +202,24 @@ def lang_scores(text: Column | str) -> Column:
 
 def lang_id(text: Column | str) -> Column:
     """Predicted language = argmax marker ratio, ties broken by language code
-    order; 'und' when no marker hits at all."""
+    order; 'und' when no marker hits at all.
+
+    Implemented as ``array_max`` over (score, -rank, lang) structs: a chained
+    ``when`` scan would nest each score expression inside every later branch
+    (exponential expression growth under projection collapse); the array form
+    references each score exactly once.
+    """
     scores = lang_scores(text)
-    langs = sorted(LANG_PROFILES.items())
-    best_lang, best_score = F.lit("und"), F.lit(0.0)
-    # Left-to-right scan keeps first-wins tie-breaking deterministic.
-    for lang, _ in langs:
-        s = scores[lang]
-        take = s > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best_lang
+    entries = [
+        F.struct(
+            scores[lang].alias("s"),
+            F.lit(-i).alias("nr"),  # earlier language wins ties under max()
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(sorted(LANG_PROFILES))
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] <= 0, F.lit("und")).otherwise(best["lang"])
 
 
 def char_shingles(text: Column | str, k: int = 5) -> Column:

@@ -59,6 +59,6 @@ def consolidate(
         )
         return pdf.iloc[np.sort(keep)]
 
-    return df.repartition(doc_col).groupBy(doc_col).applyInPandas(
-        _consolidate_doc, schema=schema
-    )
+    # groupBy supplies the doc_id exchange; an explicit repartition here
+    # would add a second, redundant shuffle.
+    return df.groupBy(doc_col).applyInPandas(_consolidate_doc, schema=schema)

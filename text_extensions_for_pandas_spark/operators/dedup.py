@@ -66,28 +66,24 @@ def minhash_signatures(
     n_hashes: int = 8,
     doc_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-(doc, seed) MinHash values: ``(doc_id, seed, minhash)``.
+    """Per-doc MinHash signature as ``n_hashes`` columns ``mh_0..mh_{n-1}``.
 
-    ``minhash = min(md5(seed || ':' || shingle))`` — min over lowercase-hex
-    strings is lexicographic and deterministic in any engine.  Docs with no
-    shingles (shorter than the shingle width) have no signature and never
+    ``mh_i = min(md5(i || ':' || shingle))`` — min over lowercase-hex strings
+    is lexicographic and deterministic in any engine.  All hashes are
+    computed in one pass over the shingles and reduced by a single groupBy
+    (map-side partial min), so the shuffle carries one row per doc — no
+    seed explosion.  Docs with no shingles have no signature and never
     become candidates.
     """
-    seeded = shingles.select(
+    hashed = shingles.select(
         F.col(doc_col),
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        "shingle",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"__h{i}")
+            for i in range(n_hashes)
+        ],
     )
-    return (
-        seeded.select(
-            doc_col,
-            "seed",
-            F.md5(
-                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy(doc_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+    return hashed.groupBy(doc_col).agg(
+        *[F.min(f"__h{i}").alias(f"mh_{i}") for i in range(n_hashes)]
     )
 
 
@@ -98,24 +94,23 @@ def lsh_bands(
 ) -> DataFrame:
     """Band the signature: ``(doc_id, band, band_hash)`` where ``band_hash``
     = md5 of the band's minhash values concatenated in seed order."""
-    banded = signatures.withColumn(
-        "band", (F.col("seed") / rows_per_band).cast("int")
-    )
-    return (
-        banded.groupBy(doc_col, "band")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("seed", "minhash"))
-            ).alias("__parts")
+    n_hashes = sum(1 for c in signatures.columns if c.startswith("mh_"))
+    bands = []
+    for band in range(n_hashes // rows_per_band):
+        cols = [
+            F.col(f"mh_{i}")
+            for i in range(band * rows_per_band, (band + 1) * rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat(*cols)).alias("band_hash"),
+            )
         )
-        .select(
-            doc_col,
-            "band",
-            F.md5(
-                F.concat_ws("", F.transform("__parts", lambda s: s["minhash"]))
-            ).alias("band_hash"),
-        )
-    )
+    return signatures.select(
+        F.col(doc_col),
+        F.explode(F.array(*bands)).alias("__b"),
+    ).select(doc_col, F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("band_hash"))
 
 
 def minhash_candidates(

@@ -898,6 +898,183 @@ FROM g ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# More spanner coverage: regex_tok, split, alignment, projection
+# ---------------------------------------------------------------------------
+
+def q_extract_regex_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.extract import extract_regex_tok
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(spark, sf_dir).join(docs.select("doc_id", "text"), "doc_id")
+    out = extract_regex_tok(toks, r"sort( \w+)?", min_len=1, max_len=2)
+    return out.select(
+        "doc_id",
+        F.col("token_span")["begin_token"].alias("begin_token"),
+        F.col("token_span")["end_token"].alias("end_token"),
+        F.col("match"),
+    )
+
+
+Q_EXTRACT_REGEX_TOK_SQL = f"""
+WITH {TOKS_CTE}
+SELECT doc_id, token_idx AS begin_token,
+       CAST(token_idx + 1 AS INTEGER) AS end_token, token AS match
+FROM toks WHERE token = 'sort'
+UNION ALL
+SELECT t0.doc_id, t0.token_idx AS begin_token,
+       CAST(t0.token_idx + 2 AS INTEGER) AS end_token,
+       t0.token || ' ' || t1.token AS match
+FROM toks t0 JOIN toks t1
+  ON t1.doc_id = t0.doc_id AND t1.token_idx = t0.token_idx + 1
+WHERE t0.token = 'sort'
+"""
+
+
+def q_extract_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.extract import extract_split
+
+    docs = load(spark, sf_dir, "documents")
+    points = extract_regex(docs, r"\bthe\b").select("doc_id", "span")
+    out = extract_split(docs, points)
+    return out.select(
+        "doc_id",
+        F.col("span")["begin"].alias("begin"),
+        F.col("span")["end"].alias("end"),
+    ).orderBy("doc_id", "begin")
+
+
+Q_EXTRACT_SPLIT_SQL = f"""
+WITH {TOKS_CTE},
+pts AS (SELECT doc_id, "begin", "end" FROM toks WHERE token = 'the'),
+between_chunks AS (
+  SELECT doc_id,
+         coalesce(lag("end") OVER (PARTITION BY doc_id ORDER BY "begin", "end"), 0) AS cb,
+         "begin" AS ce
+  FROM pts
+),
+tail_chunks AS (
+  SELECT p.doc_id, max(p."end") AS cb, CAST(length(d.text) AS INTEGER) AS ce
+  FROM pts p JOIN documents d ON d.doc_id = p.doc_id
+  GROUP BY p.doc_id, length(d.text)
+),
+unsplit AS (
+  SELECT d.doc_id, 0 AS cb, CAST(length(d.text) AS INTEGER) AS ce
+  FROM documents d WHERE NOT EXISTS (SELECT 1 FROM pts WHERE pts.doc_id = d.doc_id)
+),
+chunks AS (
+  SELECT * FROM between_chunks UNION ALL SELECT * FROM tail_chunks UNION ALL SELECT * FROM unsplit
+)
+SELECT doc_id, CAST(cb AS INTEGER) AS "begin", CAST(ce AS INTEGER) AS "end"
+FROM chunks WHERE ce > cb ORDER BY doc_id, "begin"
+"""
+
+
+def q_align_to_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.align import align_to_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(spark, sf_dir)
+    spans = extract_regex(docs, r"\bsp\w+").select("doc_id", "span")
+    out = align_to_tokens(toks, spans)
+    return out.select(
+        "doc_id",
+        F.col("span")["begin"].alias("begin"),
+        F.col("token_span")["begin_token"].alias("begin_token"),
+        F.col("token_span")["end_token"].alias("end_token"),
+        F.col("aligned"),
+    ).orderBy("doc_id", "begin")
+
+
+Q_ALIGN_SQL = f"""
+WITH {TOKS_CTE}
+SELECT doc_id, "begin", token_idx AS begin_token,
+       CAST(token_idx + 1 AS INTEGER) AS end_token, TRUE AS aligned
+FROM toks WHERE token LIKE 'sp%'
+ORDER BY doc_id, "begin"
+"""
+
+
+def q_lemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.align import lemmatize
+
+    toks = _tokens(spark, sf_dir).withColumn("lemma", F.upper("token"))
+    d = create_dict(spark, ["hash join", "sort merge"])
+    matches = extract_dict(toks.drop("lemma"), d).select(
+        "doc_id", "token_span", "entry_id"
+    )
+    out = lemmatize(matches, toks)
+    return out.select(
+        "doc_id",
+        F.col("token_span")["begin_token"].alias("begin_token"),
+        F.col("entry_id").cast("int").alias("entry_id"),
+        "lemma",
+    ).orderBy("doc_id", "begin_token")
+
+
+Q_LEMMATIZE_SQL = f"""
+WITH {TOKS_CTE}
+SELECT t0.doc_id, t0.token_idx AS begin_token,
+       CASE WHEN t0.token = 'hash' THEN 0 ELSE 1 END AS entry_id,
+       upper(t0.token) || ' ' || upper(t1.token) AS lemma
+FROM toks t0 JOIN toks t1
+  ON t1.doc_id = t0.doc_id AND t1.token_idx = t0.token_idx + 1
+WHERE (t0.token = 'hash' AND t1.token = 'join')
+   OR (t0.token = 'sort' AND t1.token = 'merge')
+ORDER BY t0.doc_id, begin_token
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tensor queries over embeddings
+# ---------------------------------------------------------------------------
+
+def q_tensor_rowstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.functions import tensor as TN
+
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(TN.vsum("embedding"), 6).alias("vsum"),
+        F.round(TN.l2_norm("embedding"), 6).alias("l2_norm"),
+        F.round(TN.vmax("embedding").cast("double"), 6).alias("vmax"),
+        TN.argmax("embedding").alias("argmax"),
+    ).orderBy("vec_id")
+
+
+Q_TENSOR_ROWSTATS_SQL = """
+SELECT vec_id,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vsum,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+       CAST(list_position(embedding, list_max(embedding)) - 1 AS INTEGER) AS argmax
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def q_tensor_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.functions import tensor as TN
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = TN.reduce_rows(emb, "embedding", ["label"], "mean")
+    return out.select(
+        "label", "dim", F.round("value", 6).alias("mean_val")
+    ).orderBy("label", "dim")
+
+
+Q_TENSOR_MEAN_SQL = """
+WITH e AS (
+  SELECT label,
+         unnest(embedding) AS v,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       round(CAST(sum(CAST(v AS DECIMAL(38,18))) / count(*) AS DOUBLE), 6) AS mean_val
+FROM e GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -925,6 +1102,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "near_dup_jaccard": (q_near_dup_jaccard, Q_NEAR_DUP_SQL),
     "ann_cosine_topk": (q_ann_topk, Q_ANN_SQL),
     "ivf_clusters": (q_ivf_clusters, Q_IVF_SQL),
+    "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
+    "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
+    "align_to_tokens": (q_align_to_tokens, Q_ALIGN_SQL),
+    "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
+    "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
+    "tensor_mean_by_label": (q_tensor_mean_by_label, Q_TENSOR_MEAN_SQL),
     "doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
     "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
