@@ -1,0 +1,115 @@
+"""CoNLL reader tests — offsets must reconstruct exactly
+(SURVEY.md §7 "known-hard items": whitespace-exact reconstruction)."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from text_extensions_for_pandas_spark.functions import spans as S
+from text_extensions_for_pandas_spark.operators.iob import iob_to_iob2, iob_to_spans
+from text_extensions_for_pandas_spark.sources.conll import (
+    conll_2003_to_dataframe,
+    conll_documents,
+    conll_output_to_dataframe,
+    conll_u_to_dataframe,
+)
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module")
+def conll(spark):
+    return conll_2003_to_dataframe(spark, f"{DATA}/sample.conll", fold="test").cache()
+
+
+def test_doc_and_token_counts(conll):
+    assert conll.select("doc_id").distinct().count() == 2
+    assert conll.filter("doc_id = 0").count() == 16
+    assert conll.filter("doc_id = 1").count() == 5
+
+
+def test_offsets_cover_tokens(conll):
+    bad = conll.filter(
+        S.covered_text("doc_text", "span") != F.col("token")
+    ).count()
+    assert bad == 0
+
+
+def test_whitespace_rules(conll):
+    docs = conll_documents(conll)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    # no space before ')' '.' ; no space after '('; clitic 's attaches
+    assert texts[0] == (
+        "Alice Jones visited Acme Corp (last week). "
+        "She bought shares of Acme."
+    )
+    assert texts[1] == "Bob's dog barked."
+
+
+def test_sentence_ids(conll):
+    sents = {
+        (r.doc_id, r.sentence_id)
+        for r in conll.select("doc_id", "sentence_id").distinct().collect()
+    }
+    assert sents == {(0, 0), (0, 1), (1, 0)}
+
+
+def test_iob_columns_and_repair(conll):
+    # raw fixture uses IOB1 ('I-PER' starts); repair turns run starts into B
+    repaired = iob_to_iob2(conll, iob_col="ent_iob", type_col="ent_type")
+    ents = iob_to_spans(repaired, iob_col="ent_iob", type_col="ent_type")
+    got = sorted(
+        (r.doc_id, r.token_span.begin_token, r.token_span.end_token, r.ent_type)
+        for r in ents.collect()
+    )
+    assert got == [
+        (0, 0, 2, "PER"),    # Alice Jones
+        (0, 3, 5, "ORG"),    # Acme Corp
+        (0, 14, 15, "ORG"),  # Acme
+        (1, 0, 1, "PER"),    # Bob
+    ]
+
+
+def test_pos_chunk_passthrough(conll):
+    r = conll.filter("doc_id = 0 AND token_idx = 0").collect()[0]
+    assert r.pos == "NNP" and r.chunk_iob == "B" and r.chunk_type == "NP"
+
+
+def test_conll_u_text_from_comments(spark):
+    df = conll_u_to_dataframe(spark, f"{DATA}/sample.conllu", fold="dev").cache()
+    texts = {r.doc_id: r.doc_text for r in df.select("doc_id", "doc_text").distinct().collect()}
+    assert texts[0] == "I can't see it. It was small."
+    assert texts[1] == "Dogs bark."
+    bad = df.filter(S.covered_text("doc_text", "span") != F.col("token")).count()
+    assert bad == 0
+
+
+def test_conll_u_multiword_and_heads(spark):
+    df = conll_u_to_dataframe(spark, f"{DATA}/sample.conllu", fold="dev")
+    d0 = {r.token_idx: r for r in df.filter("doc_id = 0").collect()}
+    # "can't" is one surface token, merged from subtokens, lemma of first
+    mw = [r for r in d0.values() if r.is_multiword]
+    assert len(mw) == 1 and mw[0].token == "can't" and mw[0].lemma == "can"
+    # head renumbering: token 0 'I' heads to doc-level index of 'see'
+    see_idx = next(i for i, r in d0.items() if r.token == "see")
+    # 'I' had head=3 (sentence-relative); in surface tokens 'see' is idx 2
+    assert d0[0].head == see_idx
+    # second sentence heads offset by sentence start
+    was_row = next(r for r in d0.values() if r.token == "was")
+    small_idx = next(i for i, r in d0.items() if r.token == "small")
+    assert was_row.head == small_idx
+    # root has NULL head
+    assert d0[see_idx].head is None
+
+
+def test_conll_output_reader(spark, conll):
+    tags = conll_output_to_dataframe(
+        spark, f"{DATA}/sample_output.conll", fold="test"
+    ).withColumnRenamed("ent_iob", "pred_iob").withColumnRenamed(
+        "ent_type", "pred_type"
+    )
+    assert tags.count() == conll.count()
+    joined = conll.join(tags, ["fold", "doc_id", "token_idx"])
+    first = joined.filter("doc_id = 0 AND token_idx = 0").collect()[0]
+    assert first.token == "Alice" and first.pred_iob == "B" and first.pred_type == "PER"

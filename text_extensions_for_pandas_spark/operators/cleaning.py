@@ -1,0 +1,205 @@
+"""Model-quality + label-cleaning operators (reference ``cleaning/analysis.py``
+and the accuracy machinery in ``io/conll.py:1461-1542``), as pure
+aggregation plans.
+
+Entity tables have the FIXTURES.md §5 shape: ``(fold, doc_id, span,
+ent_type[, model])``; spans compare by exact (begin, end) equality, entity
+match = same doc + same span + same type (the CoNLL-2003 criterion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _match(gold: DataFrame, predicted: DataFrame, keys: list[str]) -> DataFrame:
+    """Inner join on (keys, span, ent_type) = true positives."""
+    on = keys + ["span", "ent_type"]
+    return gold.select(*on).join(predicted.select(*on), on, "inner")
+
+
+def compute_accuracy_by_document(
+    gold: DataFrame,
+    predicted: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-document TP/FP/FN + precision/recall/F1
+    (reference ``compute_accuracy_by_document``, ``io/conll.py:1461-1516``).
+
+    Documents with zero gold or predicted entities get zero counts (the
+    reference's edge case, ``cleaning/analysis.py:107-119``).
+    """
+    keys = keys or ["fold", "doc_id"]
+    n_gold = gold.groupBy(*keys).agg(F.count("*").alias("num_true_entities"))
+    n_pred = predicted.groupBy(*keys).agg(F.count("*").alias("num_extracted_entities"))
+    tp = _match(gold, predicted, keys).groupBy(*keys).agg(
+        F.count("*").alias("num_entities_in_common")
+    )
+    out = (
+        n_gold.join(n_pred, keys, "full")
+        .join(tp, keys, "left")
+        .fillna(0, ["num_true_entities", "num_extracted_entities", "num_entities_in_common"])
+    )
+    prec = F.col("num_entities_in_common") / F.greatest(
+        F.col("num_extracted_entities"), F.lit(1)
+    )
+    rec = F.col("num_entities_in_common") / F.greatest(
+        F.col("num_true_entities"), F.lit(1)
+    )
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    return (
+        out.withColumn("precision", F.round(prec, 6))
+        .withColumn("recall", F.round(rec, 6))
+        .withColumn("F1", F.round(f1, 6))
+    )
+
+
+def compute_global_accuracy(stats_by_document: DataFrame) -> DataFrame:
+    """Corpus-level accuracy from the per-document stats
+    (reference ``compute_global_accuracy``, ``io/conll.py:1519-1542``)."""
+    tot = stats_by_document.agg(
+        F.sum("num_true_entities").alias("num_true_entities"),
+        F.sum("num_extracted_entities").alias("num_extracted_entities"),
+        F.sum("num_entities_in_common").alias("num_entities_in_common"),
+    )
+    prec = F.col("num_entities_in_common") / F.greatest(
+        F.col("num_extracted_entities"), F.lit(1)
+    )
+    rec = F.col("num_entities_in_common") / F.greatest(
+        F.col("num_true_entities"), F.lit(1)
+    )
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    return (
+        tot.withColumn("precision", F.round(prec, 6))
+        .withColumn("recall", F.round(rec, 6))
+        .withColumn("F1", F.round(f1, 6))
+    )
+
+
+def create_f1_report(
+    gold: DataFrame,
+    predicted: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-entity-class precision/recall/F1 + micro/macro average rows
+    (reference ``create_f1_score_report``, ``cleaning/analysis.py:34-207``).
+
+    Output: ``(ent_type, tp, fp, fn, precision, recall, f1)`` with extra
+    rows ``__micro__`` / ``__macro__``.
+    """
+    keys = keys or ["fold", "doc_id"]
+    tp = _match(gold, predicted, keys).groupBy("ent_type").agg(
+        F.count("*").alias("tp")
+    )
+    n_gold = gold.groupBy("ent_type").agg(F.count("*").alias("n_gold"))
+    n_pred = predicted.groupBy("ent_type").agg(F.count("*").alias("n_pred"))
+    per_class = (
+        n_gold.join(n_pred, "ent_type", "full")
+        .join(tp, "ent_type", "left")
+        .fillna(0, ["n_gold", "n_pred", "tp"])
+        .select(
+            "ent_type",
+            F.col("tp").alias("tp"),
+            (F.col("n_pred") - F.col("tp")).alias("fp"),
+            (F.col("n_gold") - F.col("tp")).alias("fn"),
+        )
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    per_class = (
+        per_class.withColumn("precision", F.round(prec, 6))
+        .withColumn("recall", F.round(rec, 6))
+        .withColumn("f1", F.round(f1, 6))
+    )
+    micro = per_class.agg(
+        F.lit("__micro__").alias("ent_type"),
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+    )
+    micro = (
+        micro.withColumn("precision", F.round(prec, 6))
+        .withColumn("recall", F.round(rec, 6))
+        .withColumn("f1", F.round(f1, 6))
+    )
+    macro = per_class.agg(
+        F.lit("__macro__").alias("ent_type"),
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+        F.round(F.sum("precision") / F.count("*"), 6).alias("precision"),
+        F.round(F.sum("recall") / F.count("*"), 6).alias("recall"),
+        F.round(F.sum("f1") / F.count("*"), 6).alias("f1"),
+    )
+    return per_class.unionByName(micro).unionByName(macro)
+
+
+def flag_suspicious_labels(
+    model_outputs: DataFrame,
+    gold_model_name: str = "GOLD",
+    align_cols: list[str] | None = None,
+    label_col: str = "ent_type",
+    min_agreement: float = 0.5,
+) -> DataFrame:
+    """Find likely label errors by model voting
+    (reference ``flag_suspicious_labels``, ``cleaning/analysis.py:210-284``):
+    union of gold + N model outputs, vote-count per (span, label), then flag
+
+    * ``in_gold_low_agreement`` — in the gold standard but few models agree;
+    * ``not_in_gold_high_agreement`` — not in gold but most models found it.
+
+    ``model_outputs`` = entity table with a ``model`` column; output adds
+    ``models ARRAY<STRING>``, ``num_models``, ``frac_models``, ``in_gold``,
+    ``category``.
+    """
+    align_cols = align_cols or ["fold", "doc_id"]
+    n_models = (
+        model_outputs.filter(F.col("model") != gold_model_name)
+        .select("model")
+        .distinct()
+        .count()
+    )
+    votes = (
+        model_outputs.groupBy(*align_cols, "span", label_col)
+        .agg(
+            F.array_sort(F.collect_set("model")).alias("models"),
+            F.max(F.when(F.col("model") == gold_model_name, 1).otherwise(0)).alias(
+                "__in_gold"
+            ),
+            F.sum(F.when(F.col("model") != gold_model_name, 1).otherwise(0)).alias(
+                "num_models"
+            ),
+        )
+        .withColumn("in_gold", F.col("__in_gold") == 1)
+        .withColumn(
+            "frac_models",
+            F.round(F.col("num_models") / F.lit(max(n_models, 1)), 6),
+        )
+        .drop("__in_gold")
+    )
+    return votes.withColumn(
+        "category",
+        F.when(
+            F.col("in_gold") & (F.col("frac_models") < min_agreement),
+            "in_gold_low_agreement",
+        )
+        .when(
+            ~F.col("in_gold") & (F.col("frac_models") >= min_agreement),
+            "not_in_gold_high_agreement",
+        )
+        .otherwise("ok"),
+    )
+
+
+def align_model_outputs_to_tokens(
+    model_output: DataFrame,
+    tokens: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Re-join corpus-wide model output spans onto the token table
+    (reference ``align_model_outputs_to_tokens``,
+    ``cleaning/analysis.py:288-328``): equijoin on keys + exact span."""
+    keys = keys or ["fold", "doc_id"]
+    return tokens.join(model_output, keys + ["span"], "left")

@@ -2,9 +2,13 @@
 per SURVEY.md §2.6.
 
 The reference implements these as sequential pandas loops; here they are
-pure window-function plans over ``Window.partitionBy(doc_id).orderBy(
+pure window-function plans over ``Window.partitionBy(doc keys).orderBy(
 token_idx)`` — shuffle once by doc, then everything is local and
 codegen-friendly.
+
+``doc_col`` may be a single column name or a list (e.g. ``["fold",
+"doc_id"]`` for multi-fold corpora, FIXTURES.md §2) — all key columns are
+carried through the output.
 """
 
 from __future__ import annotations
@@ -15,18 +19,23 @@ from pyspark.sql import functions as F
 from text_extensions_for_pandas_spark.functions.spans import make_span, make_token_span
 
 
+def _keys(doc_col: str | list[str]) -> list[str]:
+    return [doc_col] if isinstance(doc_col, str) else list(doc_col)
+
+
 def iob_to_iob2(
     tokens: DataFrame,
     iob_col: str = "ent_iob",
     type_col: str = "ent_type",
-    doc_col: str = "doc_id",
+    doc_col: str | list[str] = "doc_id",
     sentence_col: str | None = "sentence_id",
 ) -> DataFrame:
     """Repair IOB1 tags to IOB2: an ``I`` becomes ``B`` when it starts an
     entity — previous tag is ``O``, entity type changes, or a sentence
     boundary intervenes (reference ``_iob_to_iob2``, ``io/conll.py:590-646``).
     """
-    w = Window.partitionBy(doc_col).orderBy("token_idx")
+    keys = _keys(doc_col)
+    w = Window.partitionBy(*keys).orderBy("token_idx")
     prev_iob = F.lag(F.col(iob_col)).over(w)
     prev_type = F.lag(F.col(type_col)).over(w)
     boundary = (
@@ -52,19 +61,22 @@ def iob_to_spans(
     tokens: DataFrame,
     iob_col: str = "ent_iob",
     type_col: str = "ent_type",
-    doc_col: str = "doc_id",
+    doc_col: str | list[str] = "doc_id",
 ) -> DataFrame:
     """IOB2 tags → entity span table (reference ``iob_to_spans``,
     ``io/conll.py:856-938``, an iterative prefix-extension loop).
 
     Spark-first: classic sessionization — ``entity_id = running count of 'B'
-    tags``, then group non-O runs.  Output: ``(doc_id, token_span, span,
-    ent_type)`` with char spans covering first..last token.
+    tags``, then group non-O runs.  Output: ``(doc keys..., token_span, span,
+    ent_type)`` with char spans covering first..last token; entity type taken
+    from the run's first token (``min_by`` — deterministic, unlike ``first``
+    after a shuffle).
 
     An ``I`` token whose predecessor is ``O`` (malformed IOB2) starts its own
     entity, matching the reference's repair-first behavior.
     """
-    w = Window.partitionBy(doc_col).orderBy("token_idx")
+    keys = _keys(doc_col)
+    w = Window.partitionBy(*keys).orderBy("token_idx")
     prev_iob = F.lag(F.col(iob_col), 1, "O").over(w)
     # run starts at B, or at malformed I following O / doc start
     is_start = (F.col(iob_col) == "B") | (
@@ -78,17 +90,17 @@ def iob_to_spans(
     )
     ents = (
         tagged.filter(F.col(iob_col) != "O")
-        .groupBy(doc_col, "__entity_id")
+        .groupBy(*keys, "__entity_id")
         .agg(
             F.min("token_idx").alias("__first_tok"),
             F.max("token_idx").alias("__last_tok"),
             F.min(F.col("span")["begin"]).alias("__char_b"),
             F.max(F.col("span")["end"]).alias("__char_e"),
-            F.first(F.col(type_col)).alias(type_col),
+            F.min_by(F.col(type_col), F.col("token_idx")).alias(type_col),
         )
     )
     return ents.select(
-        F.col(doc_col),
+        *keys,
         make_token_span(F.col("__first_tok"), F.col("__last_tok") + 1).alias(
             "token_span"
         ),
@@ -101,7 +113,7 @@ def spans_to_iob(
     tokens: DataFrame,
     entities: DataFrame,
     type_col: str = "ent_type",
-    doc_col: str = "doc_id",
+    doc_col: str | list[str] = "doc_id",
     iob_col: str = "ent_iob",
 ) -> DataFrame:
     """Entity token-spans → per-token IOB2 + type columns (reference
@@ -109,11 +121,12 @@ def spans_to_iob(
 
     Spark-first: explode each entity into its token indices
     (``sequence(begin_token, end_token - 1)``) so the token↔entity
-    association is a pure equijoin on ``(doc_id, token_idx)`` — no band
+    association is a pure equijoin on ``(doc keys, token_idx)`` — no band
     join.  Tokens outside any entity get ``O`` / NULL type.
     """
+    keys = _keys(doc_col)
     ent_toks = entities.select(
-        F.col(doc_col).alias("__ent_doc"),
+        *[F.col(k).alias(f"__ent_{k}") for k in keys],
         F.col(type_col).alias("__ent_type"),
         F.col("token_span")["begin_token"].alias("__b"),
         F.explode(
@@ -123,12 +136,12 @@ def spans_to_iob(
             )
         ).alias("__tok_idx"),
     )
-    joined = tokens.join(
-        ent_toks,
-        (F.col(doc_col) == F.col("__ent_doc"))
-        & (F.col("token_idx") == F.col("__tok_idx")),
-        "left",
-    ).drop("__ent_doc")
+    cond = F.col("token_idx") == F.col("__tok_idx")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__ent_{k}"))
+    joined = tokens.join(ent_toks, cond, "left").drop(
+        *[f"__ent_{k}" for k in keys]
+    )
     return joined.withColumn(
         iob_col,
         F.when(F.col("__ent_type").isNull(), "O")

@@ -1,0 +1,114 @@
+"""Model-ensemble operators (reference ``cleaning/ensemble.py``), built on
+Spark MLlib instead of sklearn+Ray.
+
+The reference trains a grid of (feature-subset-size × random-seed) logistic
+models over BERT embeddings, shipping data to Ray workers
+(``cleaning/ensemble.py:82-161``).  Spark replaces Ray outright: every
+``fit`` is a distributed job over the embeddings DataFrame, and the grid
+loop runs on the driver (SURVEY.md §2.9).
+
+Pipeline per model: Gaussian random projection (seeded, deterministic) →
+LogisticRegression.  Projection is an Arrow-batched pandas UDF doing one
+matmul per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    seed: int,
+    vec_col: str = "embedding",
+    out_col: str = "features",
+) -> DataFrame:
+    """Gaussian random projection to ``out_dim`` dims
+    (reference ``train_reduced_model``'s GaussianRandomProjection,
+    ``cleaning/ensemble.py:34-79``).  The projection matrix is derived
+    deterministically from ``seed`` and applied as a per-batch matmul."""
+    in_dim = len(df.select(vec_col).first()[0])
+    mat = (
+        np.random.RandomState(seed)
+        .normal(0.0, 1.0 / np.sqrt(out_dim), size=(in_dim, out_dim))
+        .astype(np.float64)
+    )
+
+    @F.pandas_udf("array<double>")
+    def _proj(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            stacked = np.vstack(vecs.to_numpy())
+            out = stacked @ mat
+            yield pd.Series(list(out))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def train_reduced_model(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 0,
+    max_iter: int = 50,
+):
+    """Train one (projection, logistic-regression) model; returns a dict
+    with the fitted model and its projection parameters."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    projected = random_projection(df, out_dim, seed, vec_col).withColumn(
+        "__features", array_to_vector(F.col("features"))
+    )
+    lr = LogisticRegression(
+        featuresCol="__features", labelCol=label_col, maxIter=max_iter, regParam=0.01
+    )
+    model = lr.fit(projected)
+    return {"model": model, "out_dim": out_dim, "seed": seed}
+
+
+def train_model_ensemble(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    out_dims: list[int] | None = None,
+    seeds: list[int] | None = None,
+):
+    """Train the size×seed grid (reference ``train_model_ensemble``,
+    ``cleaning/ensemble.py:82-161``).  Each fit is a distributed Spark job;
+    the grid loop is driver-side — no external runtime needed."""
+    out_dims = out_dims or [8, 16]
+    seeds = seeds or [0, 1]
+    df = df.cache()
+    return [
+        train_reduced_model(df, label_col, vec_col, d, s)
+        for d in out_dims
+        for s in seeds
+    ]
+
+
+def infer_on_df(
+    trained: dict,
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run one trained model over a DataFrame
+    (reference ``infer_on_df``, ``cleaning/ensemble.py:164-204``): adds
+    ``predicted_id`` and ``raw_output`` (probability vector)."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    projected = random_projection(
+        df, trained["out_dim"], trained["seed"], vec_col
+    ).withColumn("__features", array_to_vector(F.col("features")))
+    out = trained["model"].transform(projected)
+    return out.select(
+        *df.columns,
+        F.col("prediction").cast("int").alias("predicted_id"),
+        vector_to_array(F.col("probability")).alias("raw_output"),
+    )

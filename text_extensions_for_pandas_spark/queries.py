@@ -1025,6 +1025,187 @@ ORDER BY t0.doc_id, begin_token
 
 
 # ---------------------------------------------------------------------------
+# Cleaning / model-quality queries (synthetic gold + model rules over tokens)
+# ---------------------------------------------------------------------------
+# gold:      spark→TECH, data→DATA
+# model m1:  spark→TECH, stream→TECH (false positives on stream)
+# model m2:  spark at even token_idx→TECH (false negatives on odd), data→DATA
+# model m3:  spark→TECH, data→DATA, row→DATA (false positives on row)
+
+def _entity_rules(toks: DataFrame) -> dict[str, DataFrame]:
+    span1 = S.make_span(
+        F.col("span")["begin"], F.col("span")["end"]
+    )
+    base = toks.select(
+        F.lit("t").alias("fold"), "doc_id", span1.alias("span"), "token", "token_idx"
+    )
+    def pick(cond, typ):
+        return base.filter(cond).select(
+            "fold", "doc_id", "span", F.lit(typ).alias("ent_type")
+        )
+    gold = pick(F.col("token") == "spark", "TECH").unionByName(
+        pick(F.col("token") == "data", "DATA")
+    )
+    m1 = pick(F.col("token").isin("spark", "stream"), "TECH")
+    m2 = pick(
+        (F.col("token") == "spark") & (F.col("token_idx") % 2 == 0), "TECH"
+    ).unionByName(pick(F.col("token") == "data", "DATA"))
+    m3 = pick(F.col("token") == "spark", "TECH").unionByName(
+        pick(F.col("token").isin("data", "row"), "DATA")
+    )
+    return {"GOLD": gold, "m1": m1, "m2": m2, "m3": m3}
+
+
+def q_f1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.cleaning import create_f1_report
+
+    ents = _entity_rules(_tokens(spark, sf_dir))
+    out = create_f1_report(ents["GOLD"], ents["m2"])
+    return out.select(
+        "ent_type",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        "precision", "recall", "f1",
+    ).orderBy("ent_type")
+
+
+Q_F1_SQL = f"""
+WITH {TOKS_CTE},
+gold AS (
+  SELECT doc_id, "begin", "end",
+         CASE WHEN token = 'spark' THEN 'TECH' ELSE 'DATA' END AS ent_type
+  FROM toks WHERE token IN ('spark', 'data')
+),
+pred AS (
+  SELECT doc_id, "begin", "end",
+         CASE WHEN token = 'spark' THEN 'TECH' ELSE 'DATA' END AS ent_type
+  FROM toks WHERE (token = 'spark' AND token_idx % 2 = 0) OR token = 'data'
+),
+tp AS (
+  SELECT g.ent_type, count(*) AS tp
+  FROM gold g JOIN pred p
+    ON p.doc_id = g.doc_id AND p."begin" = g."begin" AND p."end" = g."end"
+   AND p.ent_type = g.ent_type
+  GROUP BY g.ent_type
+),
+cls AS (
+  SELECT coalesce(ng.ent_type, np.ent_type) AS ent_type,
+         coalesce(tp.tp, 0) AS tp,
+         coalesce(np.n, 0) - coalesce(tp.tp, 0) AS fp,
+         coalesce(ng.n, 0) - coalesce(tp.tp, 0) AS fn
+  FROM (SELECT ent_type, count(*) AS n FROM gold GROUP BY ent_type) ng
+  FULL JOIN (SELECT ent_type, count(*) AS n FROM pred GROUP BY ent_type) np
+    ON np.ent_type = ng.ent_type
+  LEFT JOIN tp ON tp.ent_type = coalesce(ng.ent_type, np.ent_type)
+),
+scored AS (
+  SELECT ent_type, tp, fp, fn,
+         round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision,
+         round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall,
+         CASE WHEN CAST(tp AS DOUBLE) / greatest(tp + fp, 1)
+                   + CAST(tp AS DOUBLE) / greatest(tp + fn, 1) > 0
+              THEN round(2 * (CAST(tp AS DOUBLE) / greatest(tp + fp, 1))
+                           * (CAST(tp AS DOUBLE) / greatest(tp + fn, 1))
+                         / (CAST(tp AS DOUBLE) / greatest(tp + fp, 1)
+                            + CAST(tp AS DOUBLE) / greatest(tp + fn, 1)), 6)
+              ELSE 0.0 END AS f1
+  FROM cls
+),
+micro AS (
+  SELECT '__micro__' AS ent_type, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn
+  FROM scored
+),
+micro_scored AS (
+  SELECT ent_type, tp, fp, fn,
+         round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision,
+         round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall,
+         CASE WHEN CAST(tp AS DOUBLE) / greatest(tp + fp, 1)
+                   + CAST(tp AS DOUBLE) / greatest(tp + fn, 1) > 0
+              THEN round(2 * (CAST(tp AS DOUBLE) / greatest(tp + fp, 1))
+                           * (CAST(tp AS DOUBLE) / greatest(tp + fn, 1))
+                         / (CAST(tp AS DOUBLE) / greatest(tp + fp, 1)
+                            + CAST(tp AS DOUBLE) / greatest(tp + fn, 1)), 6)
+              ELSE 0.0 END AS f1
+  FROM micro
+),
+macro AS (
+  SELECT '__macro__' AS ent_type, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn,
+         round(sum(precision) / count(*), 6) AS precision,
+         round(sum(recall) / count(*), 6) AS recall,
+         round(sum(f1) / count(*), 6) AS f1
+  FROM scored
+)
+SELECT * FROM scored
+UNION ALL SELECT * FROM micro_scored
+UNION ALL SELECT * FROM macro
+ORDER BY ent_type
+"""
+
+
+def q_flag_suspicious(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.cleaning import (
+        flag_suspicious_labels,
+    )
+
+    ents = _entity_rules(_tokens(spark, sf_dir))
+    stacked = None
+    for model, df in ents.items():
+        tagged = df.withColumn("model", F.lit(model))
+        stacked = tagged if stacked is None else stacked.unionByName(tagged)
+    out = flag_suspicious_labels(stacked, min_agreement=0.5)
+    return out.select(
+        "doc_id",
+        F.col("span")["begin"].alias("begin"),
+        F.col("span")["end"].alias("end"),
+        "ent_type",
+        F.concat_ws(",", "models").alias("models_csv"),
+        F.col("num_models").cast("bigint").alias("num_models"),
+        "frac_models",
+        "in_gold",
+        "category",
+    ).orderBy("doc_id", "begin", "ent_type")
+
+
+Q_FLAG_SQL = f"""
+WITH {TOKS_CTE},
+m AS (
+  SELECT 'GOLD' AS model, doc_id, "begin", "end",
+         CASE WHEN token = 'spark' THEN 'TECH' ELSE 'DATA' END AS ent_type
+  FROM toks WHERE token IN ('spark', 'data')
+  UNION ALL
+  SELECT 'm1', doc_id, "begin", "end", 'TECH'
+  FROM toks WHERE token IN ('spark', 'stream')
+  UNION ALL
+  SELECT 'm2', doc_id, "begin", "end",
+         CASE WHEN token = 'spark' THEN 'TECH' ELSE 'DATA' END
+  FROM toks WHERE (token = 'spark' AND token_idx % 2 = 0) OR token = 'data'
+  UNION ALL
+  SELECT 'm3', doc_id, "begin", "end",
+         CASE WHEN token = 'spark' THEN 'TECH' ELSE 'DATA' END
+  FROM toks WHERE token IN ('spark', 'data', 'row')
+),
+votes AS (
+  SELECT doc_id, "begin", "end", ent_type,
+         array_to_string(list_sort(list(DISTINCT model)), ',') AS models_csv,
+         CAST(max(CASE WHEN model = 'GOLD' THEN 1 ELSE 0 END) AS INTEGER) AS ig,
+         CAST(sum(CASE WHEN model <> 'GOLD' THEN 1 ELSE 0 END) AS BIGINT) AS num_models
+  FROM m GROUP BY doc_id, "begin", "end", ent_type
+)
+SELECT doc_id, "begin", "end", ent_type, models_csv, num_models,
+       round(CAST(num_models AS DOUBLE) / 3, 6) AS frac_models,
+       ig = 1 AS in_gold,
+       CASE WHEN ig = 1 AND CAST(num_models AS DOUBLE) / 3 < 0.5
+              THEN 'in_gold_low_agreement'
+            WHEN ig = 0 AND CAST(num_models AS DOUBLE) / 3 >= 0.5
+              THEN 'not_in_gold_high_agreement'
+            ELSE 'ok' END AS category
+FROM votes
+ORDER BY doc_id, "begin", ent_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Tensor queries over embeddings
 # ---------------------------------------------------------------------------
 
@@ -1106,6 +1287,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
     "align_to_tokens": (q_align_to_tokens, Q_ALIGN_SQL),
     "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
+    "f1_report": (q_f1_report, Q_F1_SQL),
+    "flag_suspicious": (q_flag_suspicious, Q_FLAG_SQL),
     "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
     "tensor_mean_by_label": (q_tensor_mean_by_label, Q_TENSOR_MEAN_SQL),
     "doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),

@@ -1,0 +1,445 @@
+"""CoNLL-2003 / CoNLL-U corpus readers, Spark-first.
+
+Reference behavior reimplemented (NOT ported line-by-line):
+``conll_2003_to_dataframes`` (``io/conll.py:1024-1075``), the line parser
+(``io/conll.py:315-377``), document-text reconstruction with
+punctuation-aware spacing (``io/conll.py:45-60, 716-770``), CoNLL-U parsing
+with comment metadata and head renumbering (``io/conll.py:380-505,
+773-781``), and the tags-only output-format reader
+(``io/conll.py:508-587``).
+
+Plan shape: ``spark.read.text(path, wholetext=True)`` yields one row per
+file; a ``mapInPandas`` parser explodes each file into token rows — parsing
+is per-file-parallel across executors and the rest of the pipeline is
+ordinary DataFrame ops.  The sequential whitespace-reconstruction walk lives
+inside the parser, which is exactly the applyInPandas-island rule from
+SURVEY.md §7.
+
+IOB1→IOB2 repair is *not* done in the parser: compose with
+``operators.iob.iob_to_iob2`` (a lag-window plan) to match the reference's
+repair-on-ingest behavior.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_extensions_for_pandas_spark.functions.spans import make_span
+
+# Spacing rules for document-text reconstruction (reference
+# ``io/conll.py:45-60``): no space *before* closing punctuation / clitics,
+# no space *after* opening brackets and '$'.
+_NO_SPACE_BEFORE = re.compile(r"[!#%)*+,\-./:;=>?@\]^_`|}~]+$|^'[a-zA-Z]{1,2}$")
+_NO_SPACE_AFTER = re.compile(r"^[(<\[{$]+$")
+
+DOC_SEPARATOR = "-DOCSTART-"
+
+TOKENS_SCHEMA = (
+    "fold string, doc_id long, token_idx int, begin int, end int, "
+    "token string, sentence_id int, line_num long"
+)
+
+
+def _reconstruct(tokens: list[str]) -> list[tuple[int, int]]:
+    """Char offsets for each token under the spacing rules; returns
+    [(begin, end)] and implies the document text (see :func:`_doc_text`)."""
+    offsets: list[tuple[int, int]] = []
+    pos = 0
+    prev: str | None = None
+    for tok in tokens:
+        if prev is not None:
+            need_space = not (
+                _NO_SPACE_BEFORE.match(tok) or _NO_SPACE_AFTER.match(prev)
+            )
+            if need_space:
+                pos += 1
+        offsets.append((pos, pos + len(tok)))
+        pos += len(tok)
+        prev = tok
+    return offsets
+
+
+def _doc_text(tokens: list[str], offsets: list[tuple[int, int]]) -> str:
+    if not tokens:
+        return ""
+    out = []
+    cursor = 0
+    for tok, (b, e) in zip(tokens, offsets):
+        out.append(" " * (b - cursor))
+        out.append(tok)
+        cursor = e
+    return "".join(out)
+
+
+def _split_iob(tag: str) -> tuple[str, str | None]:
+    """'I-PER' → ('I', 'PER'); 'O'/'' → ('O', None)."""
+    if not tag or tag == "O":
+        return "O", None
+    if tag[0] in ("I", "B") and len(tag) > 2 and tag[1] == "-":
+        return tag[0], tag[2:]
+    return "O", None
+
+
+def conll_2003_to_dataframe(
+    spark: SparkSession,
+    path: str,
+    column_names: list[str] | None = None,
+    iob_columns: list[bool] | None = None,
+    fold: str | None = None,
+) -> DataFrame:
+    """Read CoNLL-2003-format file(s) into the canonical corpus DataFrame.
+
+    One row per token with columns ``fold, doc_id, token_idx, span,
+    sentence_id, line_num, token`` plus, for each extra input column, either
+    ``<name>`` or (if flagged IOB) ``<name>_iob`` / ``<name>_type``.
+    ``doc_id`` is dense per fold in file order (documents delimited by
+    ``-DOCSTART-`` lines); tags are left as-is (IOB1) — compose with
+    ``iob_to_iob2`` for repair.
+    """
+    column_names = column_names if column_names is not None else ["pos", "chunk", "ent"]
+    iob_columns = iob_columns if iob_columns is not None else [False, True, True]
+
+    extra_fields = []
+    for name, is_iob in zip(column_names, iob_columns):
+        if is_iob:
+            extra_fields.append(f"{name}_iob string")
+            extra_fields.append(f"{name}_type string")
+        else:
+            extra_fields.append(f"{name} string")
+    schema = TOKENS_SCHEMA + ", doc_text string" + (
+        (", " + ", ".join(extra_fields)) if extra_fields else ""
+    )
+
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, frow in pdf.iterrows():
+                fold_name = fold or frow["file"].rsplit("/", 1)[-1].split(".")[0]
+                doc_id = -1
+                sent_id = 0
+                tok_lines: list[tuple] = []  # (token, extras, line_num)
+
+                def flush(doc_id=None):
+                    if not tok_lines:
+                        return
+                    toks = [t[0] for t in tok_lines]
+                    offsets = _reconstruct(toks)
+                    text = _doc_text(toks, offsets)
+                    for idx, ((tok, extras, line_num, s_id), (b, e)) in enumerate(
+                        zip(tok_lines, offsets)
+                    ):
+                        rows.append(
+                            (fold_name, doc_id, idx, b, e, tok, s_id, line_num, text)
+                            + extras
+                        )
+                    tok_lines.clear()
+
+                saw_sep = False
+                for line_num, line in enumerate(frow["value"].splitlines()):
+                    line = line.strip()
+                    if line.startswith(DOC_SEPARATOR):
+                        flush(doc_id)
+                        doc_id += 1
+                        sent_id = 0
+                        saw_sep = True
+                        continue
+                    if not line:
+                        if tok_lines and tok_lines[-1][3] == sent_id:
+                            sent_id += 1
+                        continue
+                    parts = line.split()
+                    if doc_id < 0:  # file without -DOCSTART- separators
+                        doc_id = 0
+                    tok = parts[0]
+                    extras: list = []
+                    for i, (name, is_iob) in enumerate(zip(column_names, iob_columns)):
+                        val = parts[i + 1] if len(parts) > i + 1 else None
+                        if is_iob:
+                            iob, typ = _split_iob(val or "")
+                            extras.extend([iob, typ])
+                        else:
+                            extras.append(val)
+                    tok_lines.append((tok, tuple(extras), line_num, sent_id))
+                flush(doc_id)
+                del saw_sep
+            cols = [f.split(" ")[0] for f in schema.split(", ")]
+            yield pd.DataFrame(rows, columns=cols)
+
+    parsed = files.mapInPandas(_parse, schema=schema)
+    return parsed.select(
+        "fold",
+        "doc_id",
+        "token_idx",
+        make_span(F.col("begin"), F.col("end")).alias("span"),
+        *[c for c in parsed.columns if c not in
+          ("fold", "doc_id", "token_idx", "begin", "end")],
+    )
+
+
+def conll_documents(tokens: DataFrame) -> DataFrame:
+    """Project the documents dimension table (fold, doc_id, text) out of a
+    parsed corpus DataFrame."""
+    return tokens.select("fold", "doc_id", F.col("doc_text").alias("text")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# CoNLL-U
+# ---------------------------------------------------------------------------
+
+CONLL_U_SCHEMA = (
+    "fold string, doc_id long, token_idx int, begin int, end int, token string, "
+    "sentence_id int, line_num long, doc_text string, lemma string, upos string, "
+    "xpos string, features string, head int, deprel string, deps string, "
+    "misc string, is_multiword boolean, sent_key string, paragraph_id string, "
+    "doc_key string"
+)
+
+
+def conll_u_to_dataframe(
+    spark: SparkSession,
+    path: str,
+    fold: str | None = None,
+) -> DataFrame:
+    """Read CoNLL-U file(s): 10 tab-separated fields, ``#`` comment metadata
+    (``sent_id`` / ``newpar id`` / ``newdoc id``), multiword ``a-b`` ranges.
+
+    Semantics (reference ``io/conll.py:380-505``):
+
+    * documents delimited by ``# newdoc id`` comments (whole file = one doc
+      if absent);
+    * multiword range lines supply the surface token; their subtoken lines
+      are merged into it (first subtoken's lemma/upos kept,
+      ``is_multiword=True``);
+    * ``head`` is renumbered from sentence-relative 1-based to doc-level
+      token index (root/absent → NULL) — reference ``io/conll.py:773-781``;
+    * document text: the ``# text =`` comments joined when present (token
+      offsets located by forward search), else spacing-rule reconstruction.
+    """
+
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, frow in pdf.iterrows():
+                fold_name = fold or frow["file"].rsplit("/", 1)[-1].split(".")[0]
+                docs: list[dict] = []
+                cur: dict | None = None
+
+                def new_doc(key: str | None):
+                    nonlocal cur
+                    cur = {
+                        "key": key,
+                        "sents": [],  # list of (sent_key, text, tokens)
+                        "par": None,
+                    }
+                    docs.append(cur)
+
+                sent_meta: dict = {}
+                sent_toks: list[dict] = []
+                pending_range: tuple[int, int] | None = None
+
+                def flush_sent():
+                    nonlocal sent_meta, sent_toks, pending_range
+                    if sent_toks:
+                        if cur is None:
+                            new_doc(None)
+                        cur["sents"].append(
+                            (sent_meta.get("sent_id"), sent_meta.get("text"),
+                             sent_toks, cur["par"])
+                        )
+                    sent_meta, sent_toks, pending_range = {}, [], None
+
+                for line_num, raw in enumerate(frow["value"].splitlines()):
+                    line = raw.rstrip("\n")
+                    if not line.strip():
+                        flush_sent()
+                        continue
+                    if line.startswith("#"):
+                        body = line[1:].strip()
+                        if body.startswith("newdoc id"):
+                            flush_sent()
+                            new_doc(body.split("=", 1)[-1].strip())
+                        elif body.startswith("newpar id"):
+                            if cur is None:
+                                new_doc(None)
+                            cur["par"] = body.split("=", 1)[-1].strip()
+                        elif "=" in body:
+                            k, v = body.split("=", 1)
+                            sent_meta[k.strip()] = v.strip()
+                        continue
+                    fields = line.split("\t")
+                    if len(fields) < 2:
+                        continue
+                    tid = fields[0]
+                    form = fields[1]
+                    get = lambda i: (  # noqa: E731
+                        fields[i] if len(fields) > i and fields[i] != "_" else None
+                    )
+                    if "-" in tid:  # multiword range line
+                        a, b = tid.split("-")
+                        pending_range = (int(a), int(b))
+                        sent_toks.append(
+                            {
+                                "form": form, "lemma": None, "upos": None,
+                                "xpos": None, "feats": None, "head": None,
+                                "deprel": None, "deps": None, "misc": get(9),
+                                "line": line_num, "mw": True,
+                            }
+                        )
+                        continue
+                    if "." in tid:  # empty node (enhanced deps) — skip
+                        continue
+                    idx = int(tid)
+                    if pending_range and pending_range[0] <= idx <= pending_range[1]:
+                        # subtoken of the multiword range: merge first
+                        # subtoken's annotations into the surface token
+                        mw_tok = sent_toks[-1]
+                        if idx == pending_range[0]:
+                            mw_tok.update(
+                                lemma=get(2), upos=get(3), xpos=get(4),
+                                feats=get(5),
+                                head=int(fields[6]) if get(6) and fields[6].isdigit() else None,
+                                deprel=get(7), deps=get(8),
+                            )
+                        continue
+                    sent_toks.append(
+                        {
+                            "form": form, "lemma": get(2), "upos": get(3),
+                            "xpos": get(4), "feats": get(5),
+                            "head": int(fields[6]) if get(6) and fields[6].isdigit() else None,
+                            "deprel": get(7), "deps": get(8), "misc": get(9),
+                            "line": line_num, "mw": False,
+                        }
+                    )
+                flush_sent()
+
+                for doc_id, doc in enumerate(docs):
+                    # assemble doc text + offsets
+                    toks_flat: list[dict] = []
+                    sent_starts: list[int] = []
+                    texts: list[str | None] = []
+                    for (skey, stext, stoks, par) in doc["sents"]:
+                        sent_starts.append(len(toks_flat))
+                        for t in stoks:
+                            t["sent_key"] = skey
+                            t["par"] = par
+                        toks_flat.extend(stoks)
+                        texts.append(stext)
+                    forms = [t["form"] for t in toks_flat]
+                    if all(t is not None for t in texts) and texts:
+                        doc_text = " ".join(texts)  # sentence texts joined by one space
+                        offsets = []
+                        cursor = 0
+                        ok = True
+                        for form in forms:
+                            found = doc_text.find(form, cursor)
+                            if found < 0:
+                                ok = False
+                                break
+                            offsets.append((found, found + len(form)))
+                            cursor = found + len(form)
+                        if not ok:
+                            offsets = _reconstruct(forms)
+                            doc_text = _doc_text(forms, offsets)
+                    else:
+                        offsets = _reconstruct(forms)
+                        doc_text = _doc_text(forms, offsets)
+
+                    # sentence ids + head renumbering (doc-level)
+                    sent_id_of = {}
+                    for s_idx, start in enumerate(sent_starts):
+                        end = (
+                            sent_starts[s_idx + 1]
+                            if s_idx + 1 < len(sent_starts)
+                            else len(toks_flat)
+                        )
+                        for i in range(start, end):
+                            sent_id_of[i] = (s_idx, start)
+
+                    for idx, (t, (b, e)) in enumerate(zip(toks_flat, offsets)):
+                        s_idx, s_start = sent_id_of[idx]
+                        head = t["head"]
+                        head_doc = (
+                            s_start + head - 1 if head is not None and head > 0 else None
+                        )
+                        rows.append(
+                            (
+                                fold_name, doc_id, idx, b, e, t["form"], s_idx,
+                                t["line"], doc_text, t["lemma"], t["upos"],
+                                t["xpos"], t["feats"], head_doc, t["deprel"],
+                                t["deps"], t["misc"], t["mw"], t.get("sent_key"),
+                                t.get("par"), doc["key"],
+                            )
+                        )
+            cols = [f.split(" ")[0] for f in CONLL_U_SCHEMA.split(", ")]
+            yield pd.DataFrame(rows, columns=cols)
+
+    parsed = files.mapInPandas(_parse, schema=CONLL_U_SCHEMA)
+    return parsed.select(
+        "fold",
+        "doc_id",
+        "token_idx",
+        make_span(F.col("begin"), F.col("end")).alias("span"),
+        *[c for c in parsed.columns if c not in
+          ("fold", "doc_id", "token_idx", "begin", "end")],
+    )
+
+
+def conll_output_to_dataframe(
+    spark: SparkSession,
+    path: str,
+    column_name: str = "ent",
+    fold: str | None = None,
+) -> DataFrame:
+    """Read a tags-only CoNLL output-format file (one IOB tag per line,
+    blank-line sentence separators, ``-DOCSTART-`` doc separators) aligned
+    by position to an existing corpus (reference ``io/conll.py:508-587``;
+    the reference infers doc boundaries from the corpus — we require the
+    ``-DOCSTART-`` separators the standard eval files carry).
+
+    Output: ``(fold, doc_id, token_idx, <name>_iob, <name>_type)``.
+    """
+    schema = (
+        f"fold string, doc_id long, token_idx int, "
+        f"{column_name}_iob string, {column_name}_type string"
+    )
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, frow in pdf.iterrows():
+                fold_name = fold or frow["file"].rsplit("/", 1)[-1].split(".")[0]
+                doc_id = -1
+                tok_idx = 0
+                for line in frow["value"].splitlines():
+                    line = line.strip()
+                    if line.startswith(DOC_SEPARATOR):
+                        doc_id += 1
+                        tok_idx = 0
+                        continue
+                    if not line:
+                        continue
+                    if doc_id < 0:
+                        doc_id = 0
+                    iob, typ = _split_iob(line)
+                    rows.append((fold_name, doc_id, tok_idx, iob, typ))
+                    tok_idx += 1
+            cols = [f.split(" ")[0] for f in schema.split(", ")]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(_parse, schema=schema)
