@@ -22,12 +22,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _greedy_left_to_right(begins: np.ndarray, ends: np.ndarray) -> np.ndarray:
-    """Return positional indices retained by the left-to-right policy."""
-    order = np.lexsort((-ends, begins))
+def _greedy_left_to_right(
+    docs: np.ndarray, begins: np.ndarray, ends: np.ndarray
+) -> np.ndarray:
+    """Positional indices retained by the left-to-right policy, applied
+    independently per document (``docs`` are dense int codes).  One pass over
+    (doc, begin asc, end desc) order with the threshold reset at doc
+    boundaries."""
+    order = np.lexsort((-ends, begins, docs))
     keep: list[int] = []
     threshold = -1 << 62
+    cur_doc = -1
     for i in order:
+        if docs[i] != cur_doc:
+            cur_doc = docs[i]
+            threshold = -1 << 62
         if begins[i] >= threshold:
             keep.append(i)
             threshold = ends[i]
@@ -39,11 +48,20 @@ def consolidate(
     on: str = "span",
     how: str = "left_to_right",
     doc_col: str = "doc_id",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Rows of ``df`` that survive overlap elimination on span column ``on``.
 
     All non-span columns pass through unchanged, like the reference's
     ``df.iloc[ix_to_retain]``.
+
+    Scale shape: one ``applyInPandas`` call per *document* would pay pandas
+    setup cost per doc (ruinous for corpora of millions of small docs), so
+    docs are hashed into ``num_buckets`` groups (default: ~32× the shuffle
+    parallelism) and each UDF call consolidates a whole bucket of documents
+    with a single vectorized scan.  Every document lands entirely in one
+    bucket, so semantics are unchanged; bucket count scales the shuffle
+    without any per-doc overhead.
     """
     if how != "left_to_right":
         raise ValueError(
@@ -51,14 +69,27 @@ def consolidate(
             f"'left_to_right' is supported"
         )
     schema = df.schema
+    if num_buckets is None:
+        # 8 buckets per shuffle partition: few enough that pandas per-call
+        # setup amortizes, many enough that one bucket (≈ rows/num_buckets)
+        # stays well inside executor memory and AQE can rebalance.  For very
+        # large corpora pass num_buckets explicitly to cap bucket size.
+        shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        num_buckets = shuffle * 8
 
-    def _consolidate_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _consolidate_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pdf.drop(columns=["__bucket"])
+        docs = pd.factorize(pdf[doc_col])[0]
         spans = pd.DataFrame(pdf[on].tolist(), columns=["begin", "end"])
         keep = _greedy_left_to_right(
-            spans["begin"].to_numpy(), spans["end"].to_numpy()
+            docs, spans["begin"].to_numpy(), spans["end"].to_numpy()
         )
-        return pdf.iloc[np.sort(keep)]
+        return pdf.iloc[np.sort(keep)].drop(columns=["__bucket"])
 
-    # groupBy supplies the doc_id exchange; an explicit repartition here
-    # would add a second, redundant shuffle.
-    return df.groupBy(doc_col).applyInPandas(_consolidate_doc, schema=schema)
+    bucketed = df.withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(doc_col)), F.lit(num_buckets))
+    )
+    return bucketed.groupBy("__bucket").applyInPandas(
+        _consolidate_bucket, schema=schema
+    )

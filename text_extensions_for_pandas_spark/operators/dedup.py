@@ -49,16 +49,19 @@ def doc_shingles(
     shingle_n: int = 3,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word-``n``-gram shingles per document:
-    ``(doc_id, shingle)``."""
-    return (
-        documents.select(
-            F.col(doc_col),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-        )
-        .distinct()
+    """Word-``n``-gram shingles per document: ``(doc_id, shingle)``.
+
+    ``distinct=True`` (needed for set-Jaccard) costs a full shuffle of every
+    (doc, shingle) row.  MinHash doesn't need it — min is insensitive to
+    duplicates — so candidate generation alone passes ``distinct=False`` and
+    the only wide op left is the map-side-combined per-doc min."""
+    out = documents.select(
+        F.col(doc_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -68,22 +71,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature as ``n_hashes`` columns ``mh_0..mh_{n-1}``.
 
-    ``mh_i = min(md5(i || ':' || shingle))`` — min over lowercase-hex strings
-    is lexicographic and deterministic in any engine.  All hashes are
-    computed in one pass over the shingles and reduced by a single groupBy
-    (map-side partial min), so the shuffle carries one row per doc — no
-    seed explosion.  Docs with no shingles have no signature and never
-    become candidates.
+    Hash scheme: four 32-bit hash functions are carved out of every md5 as
+    8-hex-char slices, so ``n_hashes`` functions cost only ``ceil(n/4)`` md5
+    evaluations per shingle — hashing is the dominant compute of
+    corpus-scale MinHash, so this is a 4× saving at 100 TB.
+    ``mh_i = min(substr(md5((i//4) || ':' || shingle), (i%4)*8+1, 8))``;
+    min over lowercase-hex strings is lexicographic and deterministic in any
+    engine.  All hashes are computed in one pass over the shingles and
+    reduced by a single groupBy (map-side partial min), so the shuffle
+    carries one row per doc — no seed explosion.  Docs with no shingles have
+    no signature and never become candidates.
     """
+    n_seeds = (n_hashes + 3) // 4
     hashed = shingles.select(
         F.col(doc_col),
         *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"__h{i}")
-            for i in range(n_hashes)
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"__m{s}")
+            for s in range(n_seeds)
         ],
     )
     return hashed.groupBy(doc_col).agg(
-        *[F.min(f"__h{i}").alias(f"mh_{i}") for i in range(n_hashes)]
+        *[
+            F.min(
+                F.substring(F.col(f"__m{i // 4}"), (i % 4) * 8 + 1, 8)
+            ).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
     )
 
 
@@ -120,10 +133,18 @@ def minhash_candidates(
     rows_per_band: int = 4,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs ``(doc_a, doc_b)`` (doc_a < doc_b): documents
-    whose MinHash signatures collide in at least one band."""
-    sh = doc_shingles(documents, shingle_n, text_col, doc_col)
+    whose MinHash signatures collide in at least one band.
+
+    Pass a precomputed (possibly persisted) ``shingles`` frame to share the
+    shingle scan with a downstream exact-Jaccard verification."""
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(documents, shingle_n, text_col, doc_col)
+    )
     bands = lsh_bands(minhash_signatures(sh, n_hashes, doc_col), rows_per_band, doc_col)
     a = bands.select(
         F.col(doc_col).alias("doc_a"), "band", "band_hash"
@@ -196,9 +217,10 @@ def near_dup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ ``threshold`` —
     the standard two-stage near-dup pipeline."""
-    sh = doc_shingles(documents, shingle_n, text_col, doc_col)
+    sh = doc_shingles(documents, shingle_n, text_col, doc_col).persist()
     cands = minhash_candidates(
-        documents, shingle_n, n_hashes, rows_per_band, text_col, doc_col
+        documents, shingle_n, n_hashes, rows_per_band, text_col, doc_col,
+        shingles=sh,
     )
     return jaccard_for_pairs(cands, sh, doc_col).filter(
         F.col("jaccard") >= threshold

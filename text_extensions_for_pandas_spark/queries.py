@@ -667,7 +667,9 @@ shingles AS (
   WHERE len(tl) >= 3
 ),
 mh AS (
-  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+  SELECT doc_id, seed,
+         min(substr(md5(CAST(seed // 4 AS VARCHAR) || ':' || shingle),
+                    CAST((seed % 4) * 8 + 1 AS INTEGER), 8)) AS minhash
   FROM shingles, unnest(range(8)) AS s(seed)
   GROUP BY doc_id, seed
 ),
@@ -697,8 +699,8 @@ SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = D.doc_shingles(docs)
-    cands = D.minhash_candidates(docs)
+    sh = D.doc_shingles(docs).persist()
+    cands = D.minhash_candidates(docs, shingles=sh)
     return D.jaccard_for_pairs(cands, sh).orderBy("doc_a", "doc_b")
 
 
