@@ -1,0 +1,163 @@
+"""Structured Streaming tests: file source + availableNow trigger + memory
+sink, asserting streaming results equal the batch equivalents on the same
+data (streams and batches share one plan representation, so equality here
+is the meaningful invariant)."""
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from text_extensions_for_pandas_spark import streaming as STR
+from text_extensions_for_pandas_spark.operators.extract import create_dict
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run_to_memory(stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _batch_events(spark):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def test_stateless_extract_on_stream(spark):
+    docs = STR.read_documents_stream(spark, SF_DIR)
+    out = STR.streaming_extract_regex(docs, r"[a-z]+ scan")
+    _run_to_memory(out, "t_extract")
+    got = spark.table("t_extract")
+
+    batch_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from text_extensions_for_pandas_spark.operators.extract import extract_regex
+
+    want = extract_regex(batch_docs, r"[a-z]+ scan")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_stream_static_dict_join(spark):
+    docs = STR.read_documents_stream(spark, SF_DIR)
+    d = create_dict(spark, ["table scan", "spark"])
+    out = STR.streaming_extract_dict(docs, d)
+    _run_to_memory(out, "t_dict")
+    got = spark.table("t_dict")
+    assert got.count() > 0
+    # spans refer to real text positions
+    joined = got.join(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), "doc_id"
+    ).withColumn(
+        "covered",
+        F.expr("lower(substring(text, span.begin + 1, span.end - span.begin))"),
+    )
+    bad = joined.filter(~F.col("covered").isin("table scan", "spark")).count()
+    assert bad == 0
+
+
+def test_hourly_counts_match_batch(spark):
+    ev = STR.read_events_stream(spark, SF_DIR)
+    out = STR.streaming_hourly_counts(ev)
+    _run_to_memory(out, "t_hourly")
+    got = spark.table("t_hourly")
+
+    want = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    # availableNow drains everything; the final watermark still holds back
+    # windows newer than (max ts - watermark), so streaming output must be a
+    # subset of batch output and cover everything older than the horizon.
+    assert got.exceptAll(want).count() == 0
+    horizon = want.agg(
+        F.max("hour_start") - F.expr("INTERVAL 2 HOURS")
+    ).collect()[0][0]
+    missed = want.filter(F.col("hour_start") < horizon).exceptAll(got).count()
+    assert missed == 0
+    assert got.count() > 0
+
+
+def test_session_window_stream(spark):
+    ev = STR.read_events_stream(spark, SF_DIR)
+    out = STR.streaming_session_stats(ev, gap="30 minutes")
+    _run_to_memory(out, "t_sessions")
+    got = spark.table("t_sessions")
+    assert got.count() > 0
+    # session invariant: no two sessions of one user overlap
+    b = got.select(
+        F.col("user_id").alias("b_user_id"),
+        F.col("session_start").alias("b_start"),
+        F.col("session_end").alias("b_end"),
+    )
+    overlaps = got.join(
+        b,
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("session_start") < F.col("b_start"))
+        & (F.col("b_start") < F.col("session_end")),
+    ).count()
+    assert overlaps == 0
+
+
+def test_streaming_dedup(spark):
+    docs = STR.read_documents_stream(spark, SF_DIR)
+    out = STR.streaming_dedup_exact(docs)
+    _run_to_memory(out, "t_dedup")
+    got = spark.table("t_dedup")
+    n_hashes = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.md5("text")).distinct().count()
+    )
+    assert got.count() == n_hashes
+    assert got.select("text_hash").distinct().count() == n_hashes
+
+
+def test_stateful_running_stats(spark):
+    ev = STR.read_events_stream(spark, SF_DIR)
+    out = STR.streaming_user_running_stats(ev)
+    _run_to_memory(out, "t_running", mode="update")
+    got = spark.table("t_running")
+    # with availableNow + one input file this is one micro-batch: the final
+    # row per user equals the batch aggregate
+    want = (
+        _batch_events(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    assert final.count() == want.count()
+    assert (
+        final.exceptAll(
+            want.select("user_id", "n_events", "total_value", "max_value")
+        ).count()
+        == 0
+    )

@@ -227,6 +227,85 @@ def extract_dict(
     )
 
 
+def extract_dict_rowwise(
+    documents: DataFrame,
+    dictionary: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Gazetteer matching computed entirely *within each document row* —
+    no explode-to-token-rows, no window, no aggregation.
+
+    Per row: build the token array (offsets via an ``aggregate`` fold), join
+    the (broadcast) dictionary, and test every candidate start position with
+    nested higher-order functions.  Because the plan is stateless row logic
+    + a broadcast join, it runs unchanged on Structured Streaming (where
+    :func:`extract_dict`'s groupBy would need a watermark) and on 100 TB
+    batch scans it trades :func:`extract_dict`'s shuffle for per-row compute
+    — the better plan when dictionaries are small and documents are short.
+
+    Same output contract as :func:`extract_dict`:
+    ``(doc_id, token_span, span, entry_id)``.
+    """
+    segs = F.split(F.translate(F.col(text_col), "\t\n\r", "   "), " ")
+    # fold segments into (cursor, tokens[]) — exact offsets, empty segs
+    # advance the cursor but emit nothing
+    toks_acc = F.aggregate(
+        segs,
+        F.struct(
+            F.lit(0).alias("cur"),
+            F.array().cast(
+                "array<struct<idx:int,begin:int,end:int,token:string>>"
+            ).alias("toks"),
+        ),
+        lambda acc, seg: F.struct(
+            (acc["cur"] + F.length(seg) + 1).alias("cur"),
+            F.when(F.length(seg) > 0, F.array_append(
+                acc["toks"],
+                F.struct(
+                    F.size(acc["toks"]).alias("idx"),
+                    acc["cur"].cast("int").alias("begin"),
+                    (acc["cur"] + F.length(seg)).cast("int").alias("end"),
+                    seg.alias("token"),
+                ),
+            )).otherwise(acc["toks"]).alias("toks"),
+        ),
+        lambda acc: acc["toks"],
+    )
+    docs = documents.select(F.col(doc_col), toks_acc.alias("__toks"))
+    with_dict = docs.join(
+        F.broadcast(dictionary.select("entry_id", "toks", "n_toks")),
+        F.size("__toks") >= F.col("n_toks"),
+        "inner",
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size("__toks") - F.col("n_toks")),
+        lambda i: F.forall(
+            F.sequence(F.lit(0), F.col("n_toks") - 1),
+            lambda j: F.lower(F.element_at(F.col("__toks"), i + j + 1)["token"])
+            == F.element_at(F.col("toks"), j + 1),
+        ),
+    )
+    matched = with_dict.select(
+        F.col(doc_col),
+        "entry_id",
+        "n_toks",
+        "__toks",
+        F.explode(starts).alias("__start"),
+    )
+    return matched.select(
+        F.col(doc_col),
+        make_token_span(
+            F.col("__start"), F.col("__start") + F.col("n_toks")
+        ).alias("token_span"),
+        make_span(
+            F.element_at(F.col("__toks"), F.col("__start") + 1)["begin"],
+            F.element_at(F.col("__toks"), F.col("__start") + F.col("n_toks"))["end"],
+        ).alias("span"),
+        F.col("entry_id"),
+    )
+
+
 def extract_split(
     documents: DataFrame,
     split_points: DataFrame,

@@ -426,6 +426,24 @@ def q_extract_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_dict_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise (stream-safe) gazetteer matcher — same results as
+    ``extract_dict``, hence the shared oracle."""
+    from text_extensions_for_pandas_spark.operators.extract import (
+        extract_dict_rowwise,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    d = create_dict(spark, DICT_ENTRIES)
+    out = extract_dict_rowwise(docs, d)
+    return out.select(
+        "doc_id",
+        F.col("span")["begin"].alias("begin"),
+        F.col("span")["end"].alias("end"),
+        F.col("entry_id").cast("int").alias("entry_id"),
+    )
+
+
 Q_EXTRACT_DICT_SQL = f"""
 WITH {TOKS_CTE}
 SELECT * FROM ({_dict_sql(DICT_ENTRIES)})
@@ -1274,6 +1292,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tokenize": (q_tokenize, Q_TOKENIZE_SQL),
     "extract_regex": (q_extract_regex, Q_EXTRACT_REGEX_SQL),
     "extract_dict": (q_extract_dict, Q_EXTRACT_DICT_SQL),
+    "extract_dict_rowwise": (q_extract_dict_rowwise, Q_EXTRACT_DICT_SQL),
     "adjacent_join": (q_adjacent_join, Q_ADJACENT_SQL),
     "overlap_join": (q_overlap_join, Q_OVERLAP_SQL),
     "contain_join": (q_contain_join, Q_CONTAIN_SQL),

@@ -1,0 +1,231 @@
+"""Structured Streaming surface.
+
+The reference library has no streaming story at all (SURVEY.md §2.6): every
+operator is an eager batch function.  This module shows that the engine's
+operators are *stream-transparent* — the span/extract expression layer is
+stateless column logic, so the exact same functions run unchanged under
+``readStream``; only aggregations need watermarks and only genuinely
+stateful per-key logic needs ``applyInPandasWithState``.
+
+Scale notes:
+
+* Stateless extract (regex/dict over a document stream) is embarrassingly
+  parallel — no state store, no shuffle beyond the source's own
+  partitioning.
+* Windowed aggregations declare ``withWatermark`` so the state store evicts
+  closed windows — without it, state grows unboundedly at 100 TB/day.
+* ``session_window`` is Spark's native session support (dynamic gap merge
+  in the state store) — far cheaper than the batch lag/cumsum
+  sessionization when the input is unbounded.
+* Streaming dedup uses ``dropDuplicatesWithinWatermark`` so the seen-key
+  state is bounded by the watermark horizon, not corpus size.
+
+Every transformation here takes and returns DataFrames, so each can be unit
+tested by applying it to a *batch* frame (Spark treats the plan
+identically) and end-to-end tested with a file source + ``availableNow``
+trigger (see ``tests/test_streaming.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_DDL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+DOCUMENTS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the synthetic events table.
+
+    The parquet stores TIMESTAMP(NANOS), which Spark reads as long under
+    ``spark.sql.legacy.parquet.nanosAsLong`` (session.py) — converted here
+    to a proper µs timestamp, same as the batch loader.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENTS_DDL)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateless: the batch extract operators run unchanged on streams
+# ---------------------------------------------------------------------------
+
+def streaming_extract_regex(documents: DataFrame, pattern: str) -> DataFrame:
+    """Regex span extraction over a document stream — the *batch* operator
+    applied verbatim; stateless, so no watermark needed."""
+    from text_extensions_for_pandas_spark.operators.extract import extract_regex
+
+    return extract_regex(documents, pattern)
+
+
+def streaming_extract_dict(documents: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Gazetteer extraction over a document stream.  Uses the *row-wise*
+    matcher: the batch ``extract_dict`` aggregates match positions across
+    token rows (a groupBy — needs a watermark on a stream), while
+    ``extract_dict_rowwise`` is stateless per-document logic + a broadcast
+    stream-static join, which streams without state."""
+    from text_extensions_for_pandas_spark.operators.extract import (
+        extract_dict_rowwise,
+    )
+
+    return extract_dict_rowwise(documents, dictionary)
+
+
+# ---------------------------------------------------------------------------
+# Watermarked window aggregations
+# ---------------------------------------------------------------------------
+
+def streaming_hourly_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windows: event counts + exact value sum per
+    (window, event_type); late rows beyond the watermark are dropped and
+    closed windows leave the state store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_sliding_value(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window mean value per event_type (overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                / F.count("*")
+            ).cast("double").alias("mean_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "mean_value",
+            "n_events",
+        )
+    )
+
+
+def streaming_session_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user sessions via native ``session_window`` (gap-merge handled in
+    the state store)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup_exact(
+    documents: DataFrame, ts_col: str | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup on ``md5(text)``.
+
+    With an event-time column the seen-hash state is bounded by
+    ``dropDuplicatesWithinWatermark``; without one (pure corpus replay) it
+    falls back to unbounded ``dropDuplicates`` — fine for bounded backfills,
+    not for true unbounded streams.
+    """
+    hashed = documents.withColumn("text_hash", F.md5("text"))
+    if ts_col is not None:
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["text_hash"]
+        )
+    return hashed.dropDuplicates(["text_hash"])
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator
+# ---------------------------------------------------------------------------
+
+_RUNNING_SCHEMA = (
+    "user_id long, n_events long, total_value double, max_value double"
+)
+_STATE_SCHEMA = "n long, total double, mx double"
+
+
+def _running_stats_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user running aggregate kept in the state store across
+    micro-batches — the shape any custom streaming accumulator takes
+    (counts here; a real pipeline would track e.g. per-source token budgets
+    or rolling quality scores)."""
+    (n, total, mx) = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "n_events": n,
+                "total_value": round(total, 2),
+                "max_value": mx,
+            }
+        ]
+    )
+
+
+def streaming_user_running_stats(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful per-user stats via ``applyInPandasWithState`` —
+    emits the updated running aggregate for every user seen in each
+    micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_stats_fn,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
