@@ -1,0 +1,291 @@
+"""Multimodal (image/audio/video) columns for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star).  Media assets are
+opaque ``binary`` columns plus a typed metadata struct — the same
+out-of-band-shape idea as the reference's Arrow tensor metadata
+(``array/arrow_conversion.py:304-425``), generalized to media:
+
+    assets(asset_id long, kind string, content binary,
+           meta struct<width:int, height:int, channels:int,
+                       sample_rate:int, n_frames:int, format:string>)
+
+All operators are iterator-style ``mapInPandas`` stages: one Python call
+per Arrow batch, bytes never pass through a Python row loop.  The decode
+kernels themselves are **stubbed** — this container has no image/audio
+codecs — behind ``_decode_image_bytes`` / ``_decode_audio_bytes``:
+
+* if Pillow / a codec is importable, the real decode runs;
+* otherwise a clearly-marked DETERMINISTIC FAKE synthesizes pixel/sample
+  arrays from ``md5(content)``, so every piece of Spark-side plumbing
+  (schema, batch shape, partitioning, downstream numpy math) is exercised
+  for real and reproducibly in tests.
+
+Scale notes: decode is CPU-heavy and embarrassingly parallel — the only
+knobs that matter are input split size (``spark.sql.files.maxPartitionBytes``
+for binary-file sources) and Arrow batch size (``spark.sql.execution.arrow.
+maxRecordsPerBatch``) to bound executor memory at (batch rows × decoded
+size).  ``repartition_for_decode`` salts by asset id so a few huge videos
+don't serialize one task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_META_DDL = (
+    "width int, height int, channels int, sample_rate int, "
+    "n_frames int, format string"
+)
+ASSETS_DDL = f"asset_id long, kind string, content binary, meta struct<{ASSET_META_DDL}>"
+
+DECODED_IMAGE_DDL = (
+    "asset_id long, height int, width int, channels int, pixels binary"
+)
+IMAGE_FEATURES_DDL = (
+    "asset_id long, mean_r double, mean_g double, mean_b double, "
+    "std_gray double, phash string"
+)
+AUDIO_FEATURES_DDL = (
+    "asset_id long, n_samples int, sample_rate int, rms double, "
+    "zero_crossings int"
+)
+FRAME_DDL = "asset_id long, frame_idx int, height int, width int, pixels binary"
+
+
+def _fake_pixels(content: bytes, height: int, width: int, channels: int) -> np.ndarray:
+    """DETERMINISTIC FAKE image decode — synthesizes an (h, w, c) uint8 array
+    from md5(content).  Replace with Pillow decode where codecs exist."""
+    seed = int.from_bytes(hashlib.md5(content or b"").digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+
+
+def _decode_image_bytes(content: bytes, meta) -> np.ndarray:
+    """Decode one image to an (h, w, c) uint8 array.  Real path via Pillow
+    when available; otherwise the deterministic fake (see module docstring).
+    """
+    try:
+        import io
+
+        from PIL import Image  # codecs absent in this container
+
+        return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+    except ImportError:
+        h = int(meta["height"]) if meta is not None and meta["height"] else 16
+        w = int(meta["width"]) if meta is not None and meta["width"] else 16
+        c = int(meta["channels"]) if meta is not None and meta["channels"] else 3
+        return _fake_pixels(content, h, w, c)
+
+
+def _decode_audio_bytes(content: bytes, meta) -> tuple[np.ndarray, int]:
+    """Decode one audio clip to (float32 samples in [-1, 1], sample_rate).
+    DETERMINISTIC FAKE (md5-seeded noise) — no audio codec in container."""
+    sr = int(meta["sample_rate"]) if meta is not None and meta["sample_rate"] else 8000
+    n = max(1, len(content or b""))
+    seed = int.from_bytes(hashlib.md5(content or b"").digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1, 1, size=n).astype(np.float32), sr
+
+
+def repartition_for_decode(assets: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Spread assets evenly before a decode stage (hash of asset_id, not
+    file order — media files arrive heavily size-skewed)."""
+    n = partitions or int(
+        assets.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return assets.repartition(n, F.xxhash64("asset_id"))
+
+
+def decode_images(assets: DataFrame) -> DataFrame:
+    """binary → decoded pixel rows ``(asset_id, height, width, channels,
+    pixels)``; ``pixels`` is the raw C-order uint8 buffer (h·w·c bytes) —
+    kept as ``binary`` so a 100 TB decode's output stays columnar and
+    compact instead of exploding into ``array<int>`` boxing."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content, meta, aid in zip(
+                pdf["content"], pdf["meta"], pdf["asset_id"]
+            ):
+                px = _decode_image_bytes(content, meta)
+                rows.append(
+                    (int(aid), px.shape[0], px.shape[1], px.shape[2], px.tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "height", "width", "channels", "pixels"]
+            )
+
+    return assets.filter(F.col("kind") == "image").mapInPandas(
+        _decode, schema=DECODED_IMAGE_DDL
+    )
+
+
+def resize_images(decoded: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Nearest-neighbor resize on decoded pixel buffers (real numpy math —
+    index-gather per batch)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, h, w, c, buf in zip(
+                pdf["asset_id"], pdf["height"], pdf["width"], pdf["channels"],
+                pdf["pixels"],
+            ):
+                px = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
+                rs = px[yi][:, xi]
+                out.append((int(aid), out_h, out_w, int(c), rs.tobytes()))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "height", "width", "channels", "pixels"]
+            )
+
+    return decoded.mapInPandas(_resize, schema=DECODED_IMAGE_DDL)
+
+
+def image_features(decoded: DataFrame) -> DataFrame:
+    """Per-image features: channel means, gray stddev, and an 8x8
+    average-hash perceptual fingerprint (hex string) — the dedup key for
+    near-duplicate *images*."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, h, w, c, buf in zip(
+                pdf["asset_id"], pdf["height"], pdf["width"], pdf["channels"],
+                pdf["pixels"],
+            ):
+                px = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c).astype(np.float64)
+                means = px.mean(axis=(0, 1))
+                gray = px.mean(axis=2)
+                # 8x8 average hash: downsample, threshold at mean
+                yi = (np.arange(8) * h // 8)
+                xi = (np.arange(8) * w // 8)
+                small = gray[yi][:, xi]
+                bits = (small > small.mean()).flatten()
+                phash = int("".join("1" if b else "0" for b in bits), 2)
+                rows.append(
+                    (
+                        int(aid),
+                        float(means[0]),
+                        float(means[1] if c > 1 else means[0]),
+                        float(means[2] if c > 2 else means[0]),
+                        float(gray.std()),
+                        f"{phash:016x}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "mean_r", "mean_g", "mean_b", "std_gray", "phash"],
+            )
+
+    return decoded.mapInPandas(_feat, schema=IMAGE_FEATURES_DDL)
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Per-clip audio features over decoded samples: RMS energy and
+    zero-crossing count."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
+                samples, sr = _decode_audio_bytes(content, meta)
+                rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+                zc = int(np.count_nonzero(np.diff(np.signbit(samples))))
+                rows.append((int(aid), len(samples), sr, rms, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_samples", "sample_rate", "rms", "zero_crossings"],
+            )
+
+    return assets.filter(F.col("kind") == "audio").mapInPandas(
+        _feat, schema=AUDIO_FEATURES_DDL
+    )
+
+
+def sample_video_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling for video assets: emit every ``every_n``-th frame as a
+    decoded image row.  Frame decode is the stubbed image decode salted with
+    the frame index (a real build would seek the container format)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
+                n_frames = int(meta["n_frames"]) if meta is not None and meta["n_frames"] else 0
+                for fi in range(0, n_frames, every_n):
+                    px = _decode_image_bytes(
+                        (content or b"") + fi.to_bytes(4, "big"), meta
+                    )
+                    rows.append(
+                        (int(aid), fi, px.shape[0], px.shape[1], px.tobytes())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "height", "width", "pixels"]
+            )
+
+    return assets.filter(F.col("kind") == "video").mapInPandas(
+        _frames, schema=FRAME_DDL
+    )
+
+
+def phash_near_dups(features: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance.
+
+    LSH-style blocking: split the 64-bit phash into 4 × 16-bit bands and
+    equijoin on (band, value), so only bucket collisions become candidates
+    and the exact Hamming check never sees all pairs.  Recall is guaranteed
+    for distance < 4 (pigeonhole: 4 differing bands needs ≥ 4 differing
+    bits) and probabilistic above — the standard multi-band LSH trade; add
+    bands (8 × 8-bit) to push the guarantee higher at more shuffle cost.
+    """
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        hamming_distance_hex,
+    )
+
+    bands = features.select(
+        F.col("asset_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring("phash", i * 4 + 1, 4).alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("asset_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    other = bands.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("phash").alias("phash_b"),
+        F.col("band").alias("band_b"),
+        F.col("val").alias("val_b"),
+    )
+    cands = (
+        bands.join(
+            other,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("val") == F.col("val_b"))
+            & (F.col("asset_id") < F.col("asset_b")),
+        )
+        .select("asset_id", "asset_b", "phash", "phash_b")
+        .distinct()
+    )
+    return cands.select(
+        F.col("asset_id").alias("asset_a"),
+        F.col("asset_b"),
+        hamming_distance_hex(F.col("phash"), F.col("phash_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

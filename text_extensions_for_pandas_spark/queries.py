@@ -1275,6 +1275,35 @@ FROM e GROUP BY label, dim ORDER BY label, dim
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: synthesize binary image assets from
+    document bytes (deterministic fake decode — no codecs in container),
+    decode → resize → per-image features.  No oracle: the decode stub is
+    not SQL-expressible; the driver records the rows-only check."""
+    from text_extensions_for_pandas_spark.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit(24).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("fake/rgb").alias("format"),
+        ).alias("meta"),
+    )
+    decoded = MM.resize_images(MM.decode_images(assets), 8, 8)
+    return (
+        MM.image_features(decoded)
+        .select("asset_id", "phash")
+        .orderBy("asset_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1316,6 +1345,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
+    # non-SQL-expressible (stubbed binary decode inside mapInPandas):
+    # rows-only check, no oracle by design
+    "multimodal_image_features": (q_multimodal_features, None),
 }
 
 
