@@ -1,0 +1,103 @@
+"""Watson NLU + Tables parser tests over synthetic fixture responses."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from text_extensions_for_pandas_spark.sources import watson as W
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "watson")
+
+
+@pytest.fixture(scope="module")
+def nlu(spark):
+    return W.parse_nlu_response(spark, f"{DATA}/nlu_doc1.json")
+
+
+def test_nlu_views_present(nlu):
+    assert set(nlu) == {
+        "syntax", "syntax_sentences", "entities", "entity_mentions",
+        "keywords", "relations", "semantic_roles",
+    }
+
+
+def test_syntax_tokens(nlu):
+    toks = nlu["syntax"].orderBy("token_idx").collect()
+    assert len(toks) == 11
+    assert toks[0].text == "Ada" and toks[0].span.begin == 0 and toks[0].span.end == 3
+    assert toks[2].lemma == "write"
+    sents = nlu["syntax_sentences"].collect()
+    assert len(sents) == 2 and sents[1].span.begin == 29
+
+
+def test_entities_and_mentions(nlu):
+    ents = {r.text: r for r in nlu["entities"].collect()}
+    assert ents["Ada Lovelace"].type == "Person"
+    assert ents["Ada Lovelace"].disambiguation_name == "Ada_Lovelace"
+    assert ents["London"].confidence == 0.95
+    mentions = {r.text: r for r in nlu["entity_mentions"].collect()}
+    assert mentions["London"].span.begin == 54 and mentions["London"].span.end == 60
+
+
+def test_keywords(nlu):
+    kws = {r.text: r for r in nlu["keywords"].collect()}
+    assert kws["engines"].sentiment_label == "positive"
+
+
+def test_relations_widened(nlu):
+    rels = nlu["relations"].collect()
+    assert len(rels) == 1
+    r = rels[0]
+    assert r.type == "locatedAt"
+    assert r.arg0_text == "Babbage" and r.arg0_entity_type == "Person"
+    assert r.arg1_span.begin == 54 and r.arg1_entity_type == "Location"
+
+
+def test_semantic_roles(nlu):
+    sr = nlu["semantic_roles"].collect()[0]
+    assert sr.subject_text == "Ada Lovelace" and sr.action_verb_tense == "past"
+
+
+def test_make_span_from_entities(spark, nlu):
+    # tokens from the syntax view double as the corpus tokenization
+    toks = nlu["syntax"].select(
+        "doc_id", "token_idx", "span", F.col("text").alias("token")
+    )
+    ents = nlu["entities"].select("doc_id", "text", "type")
+    out = W.make_span_from_entities(toks, ents).collect()
+    found = {(r.span.begin, r.span.end, r.ent_type) for r in out}
+    assert (0, 12, "Person") in found        # Ada Lovelace (two tokens)
+    assert (29, 36, "Person") in found       # Babbage
+    assert (54, 60, "Location") in found     # London
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return W.read_tables_responses(spark, f"{DATA}/tables_doc1.json").cache()
+
+
+def test_table_cell_frames(tables):
+    rh = W.tables_row_headers(tables).collect()
+    ch = W.tables_col_headers(tables).collect()
+    cells = W.tables_body_cells(tables).collect()
+    assert {r.text for r in rh} == {"Paris", "Lyon"}
+    assert {c.text for c in ch} == {"2020", "2021"}
+    assert len(cells) == 4
+    assert all(c.span.end > c.span.begin for c in cells)
+
+
+def test_table_reconstruction(tables):
+    cells = W.tables_body_cells(tables)
+    table = W.make_table(cells, max_header_levels=1)
+    rows = {r.row_header_texts_0: r for r in table.collect()}
+    assert rows["Paris"]["2020"] == "10" and rows["Paris"]["2021"] == "11"
+    assert rows["Lyon"]["2020"] == "(5)" and rows["Lyon"]["2021"] == "6.5"
+
+
+def test_numeric_coercion(spark):
+    df = spark.createDataFrame(
+        [("(5)",), ("1,234.5",), ("$10",), ("6.5",), ("n/a",)], "v string"
+    ).select(W.coerce_numeric(F.col("v")).alias("n"))
+    got = [r.n for r in df.collect()]
+    assert got == [-5.0, 1234.5, 10.0, 6.5, None]
