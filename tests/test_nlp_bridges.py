@@ -1,0 +1,109 @@
+"""spaCy/BERT bridge tests — deterministic fallbacks in this container;
+schemas and composition plumbing are what's under test."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from text_extensions_for_pandas_spark.sources import nlp_bridges as B
+from text_extensions_for_pandas_spark.sources.conll import conll_2003_to_dataframe
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50).cache()
+
+
+def test_make_tokens(docs):
+    toks = B.make_tokens(docs)
+    joined = toks.join(docs, "doc_id").filter(
+        F.expr("substring(text, span.begin + 1, span.end - span.begin)")
+        != F.col("token")
+    )
+    assert joined.count() == 0
+
+
+def test_tokens_and_features_schema(docs):
+    feats = B.make_tokens_and_features(docs)
+    rows = feats.filter("doc_id = 0").orderBy("token_idx").collect()
+    assert rows, "no tokens"
+    r = rows[0]
+    assert r.span.end > r.span.begin and r.lemma and r.pos in (
+        "NOUN", "PROPN", "NUM", "PUNCT"
+    )
+    assert isinstance(r.is_alpha, bool) and isinstance(r.is_stop, bool)
+    assert all(rr.sentence_id >= 0 for rr in rows)
+
+
+def test_bert_tokens_fallback(docs):
+    bt = B.make_bert_tokens(docs).cache()
+    one = bt.filter("doc_id = 0").orderBy("token_idx").collect()
+    assert one[0].token == "[CLS]" and one[0].special_tokens_mask
+    assert one[0].span.begin == one[0].span.end == 0  # zero-length special
+    assert one[-1].token == "[SEP]" and one[-1].special_tokens_mask
+    # wordpieces reconstruct words: '##' pieces directly follow their head
+    body = [r for r in one if not r.special_tokens_mask]
+    assert all(r.input_id >= 1000 for r in body)
+    assert any(r.token.startswith("##") for r in body) or all(
+        len(r.token) <= 4 for r in body
+    )
+
+
+def test_add_embeddings_deterministic(docs):
+    bt = B.make_bert_tokens(docs.limit(5))
+    e1 = B.add_embeddings(bt, dim=8)
+    rows = e1.select("token", "embedding").collect()
+    by_tok = {}
+    for r in rows:
+        assert len(r.embedding) == 8
+        if r.token in by_tok:
+            assert by_tok[r.token] == r.embedding  # same token -> same vector
+        by_tok[r.token] = r.embedding
+
+
+def test_align_bert_tokens_to_corpus_tokens(spark):
+    conll = conll_2003_to_dataframe(spark, f"{DATA}/sample.conll", fold="test")
+    from text_extensions_for_pandas_spark.operators.iob import (
+        iob_to_iob2,
+        iob_to_spans,
+    )
+
+    repaired = iob_to_iob2(conll, doc_col=["fold", "doc_id"])
+    gold = iob_to_spans(repaired, doc_col=["fold", "doc_id"]).filter("doc_id = 0")
+    docs = conll.filter("doc_id = 0").select("doc_id", "doc_text").distinct()
+    bert = B.make_bert_tokens(docs.select("doc_id", F.col("doc_text").alias("text")))
+    aligned = B.align_bert_tokens_to_corpus_tokens(
+        gold.select("doc_id", "span", "ent_type"), bert
+    )
+    got = {
+        (r.span.begin, r.span.end, r.ent_type)
+        for r in aligned.filter("aligned").collect()
+    }
+    # char spans of Alice Jones (0,11) PER; Acme Corp (20,29) ORG; Acme (64,68)
+    assert (0, 11, "PER") in got
+    assert (20, 29, "ORG") in got
+    assert (64, 68, "ORG") in got
+
+
+def test_conll_to_bert_composite(spark):
+    conll = conll_2003_to_dataframe(spark, f"{DATA}/sample.conll", fold="test")
+    from text_extensions_for_pandas_spark.operators.iob import iob_to_iob2
+
+    repaired = iob_to_iob2(conll)
+    docs = conll.select("doc_id", F.col("doc_text").alias("text")).distinct()
+    out = B.conll_to_bert(repaired, docs).cache()
+    assert out.filter("ent_iob = 'B'").count() >= 3
+    emb = out.select("embedding").first()[0]
+    assert len(emb) == 32
+    # every B/I token's covered text belongs to a gold entity word
+    ent_toks = out.filter("ent_iob != 'O'").join(
+        docs, "doc_id"
+    ).select(
+        F.expr("substring(text, span.begin + 1, span.end - span.begin)").alias("t")
+    ).collect()
+    # fallback wordpieces: entity "Bob" expands to its covering piece "bob'"
+    words = {"alic", "e", "jone", "s", "acme", "corp", "bob'"}
+    assert all(r.t.lower() in words for r in ent_toks)
