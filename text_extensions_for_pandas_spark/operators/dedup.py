@@ -237,48 +237,54 @@ def simhash(
     """64-bit SimHash over word shingles: bit j of the result is 1 iff the
     sum over shingles of ±1 (bit j of md5(shingle)) is positive.
 
-    Pure higher-order built-ins: per doc, fold the shingle array into a
-    64-long counts array with ``aggregate``/``transform`` — no UDF, no
-    shuffle beyond the document scan.  Returns ``(doc_id, simhash)`` as a
-    16-hex-char string.
+    Plan shape: explode shingles to rows, hash each ONCE (md5 → two 32-bit
+    ints via ``conv``), then one hash-aggregate per document with 64 flat
+    conditional sums — partial aggregation happens map-side, the shuffle
+    carries 65 longs per doc, and everything stays in whole-stage codegen.
+    (A previous formulation folded a 64-array per shingle with nested
+    higher-order functions — same result, ~100× slower: array HOFs don't
+    codegen.)  Returns ``(doc_id, simhash)`` as a 16-hex-char string.
     """
     assert bits == 64, "only 64-bit simhash supported"
-    sh = word_shingles(F.col(text_col), shingle_n)
-    # per-shingle 64 bits from the first 16 hex chars of md5
-    hex16 = lambda s: F.substring(F.md5(s), 1, 16)  # noqa: E731
-    bits_of = lambda s: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.when(
-            (
-                F.conv(F.substring(hex16(s), (b / 4).cast("int") + 1, 1), 16, 10)
-                .cast("int")
-                .bitwiseAND(F.shiftleft(F.lit(1), 3 - (b % 4).cast("int")))
+    sh = documents.select(
+        F.col(doc_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    h = F.md5("__sh")
+    hashed = sh.select(
+        doc_col,
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("__hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("__lo"),
+    )
+    # bit b of the scheme = bit (31 - b%32) of __hi (b<32) / __lo (b>=32)
+    aggs = [F.count("*").alias("__n")]
+    for b in range(64):
+        src = "__hi" if b < 32 else "__lo"
+        shift = 31 - (b % 32)
+        aggs.append(
+            F.sum(F.shiftright(F.col(src), shift).bitwiseAND(F.lit(1))).alias(
+                f"__b{b}"
             )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(-1)),
-    )
-    counts = F.aggregate(
-        sh,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, s: F.zip_with(acc, bits_of(s), lambda a, b: a + b),
-    )
-    nibbles = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda n: F.conv(
+        )
+    counts = hashed.groupBy(doc_col).agg(*aggs)
+    # majority rule: +1s outnumber -1s  ⟺  2*ones > n
+    bit = lambda b: F.when(  # noqa: E731
+        2 * F.col(f"__b{b}") > F.col("__n"), 1
+    ).otherwise(0)
+    nibble_chars = [
+        F.conv(
             (
-                F.when(F.element_at(counts, n * 4 + 1) > 0, F.lit(8)).otherwise(F.lit(0))
-                + F.when(F.element_at(counts, n * 4 + 2) > 0, F.lit(4)).otherwise(F.lit(0))
-                + F.when(F.element_at(counts, n * 4 + 3) > 0, F.lit(2)).otherwise(F.lit(0))
-                + F.when(F.element_at(counts, n * 4 + 4) > 0, F.lit(1)).otherwise(F.lit(0))
+                bit(4 * k) * 8 + bit(4 * k + 1) * 4 + bit(4 * k + 2) * 2
+                + bit(4 * k + 3)
             ).cast("string"),
             10,
             16,
-        ),
-    )
-    return documents.select(
+        )
+        for k in range(16)
+    ]
+    return counts.select(
         F.col(doc_col),
-        F.lower(F.concat_ws("", nibbles)).alias("simhash"),
+        F.lower(F.concat(*nibble_chars)).alias("simhash"),
     )
 
 

@@ -108,6 +108,41 @@ def ivf_assign(
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, cluster-bucketed.
+
+    All-pairs cosine is O(n²) — ruinous at corpus scale.  Bucketing by
+    nearest centroid (IVF-style) turns it into a self-equijoin *within
+    clusters*: pairs in different clusters are never scored.  Recall is
+    approximate at cluster borders (standard IVF trade — raise the cluster
+    count for precision, or probe neighbors).  Returns
+    ``(vec_a, vec_b, cosine)`` with ``vec_a < vec_b``, cosine ≥ threshold.
+    """
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        "cluster_id", F.col(id_col), F.col(vec_col)
+    )
+    rhs = assigned.select(
+        F.col("cluster_id").alias("__rc"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    pairs = assigned.join(
+        rhs,
+        (F.col("cluster_id") == F.col("__rc")) & (F.col(id_col) < F.col("vec_b")),
+    )
+    return pairs.select(
+        F.col(id_col).alias("vec_a"),
+        "vec_b",
+        cosine(F.col(vec_col), F.col("__vb")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,

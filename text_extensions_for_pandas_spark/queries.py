@@ -1275,6 +1275,88 @@ FROM e GROUP BY label, dim ORDER BY label, dim
 """
 
 
+def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = SIM.embedding_near_dups(emb, centroids, threshold=0.3)
+    return out.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("vec_a", "vec_b")
+
+
+Q_NEAR_DUP_EMB_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_DOT.format(a='e.embedding', b='c.ce')}
+         / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) * sqrt({_DOT.format(a='c.ce', b='c.ce')}))
+           AS score
+  FROM embeddings e, c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+  FROM scored
+),
+clustered AS (SELECT vec_id, embedding, centroid_id FROM assigned WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_DOT.format(a='a.embedding', b='b.embedding')}
+         / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) * sqrt({_DOT.format(a='b.embedding', b='b.embedding')}))
+           AS cosine
+  FROM clustered a JOIN clustered b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= 0.3 ORDER BY vec_a, vec_b
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # docs with < 3 words have no shingles: excluded on both sides
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(T.word_tokens(F.col("text"))) >= 3
+    )
+    return D.simhash(docs).orderBy("doc_id")
+
+
+# DuckDB twin of operators.dedup.simhash: word 3-gram shingles (duplicates
+# kept — the Spark side folds the raw shingle array), 64 bits from the first
+# 16 hex chars of md5, sign-summed per bit, re-packed into nibbles.
+Q_SIMHASH_SQL = """
+WITH dtoks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tl FROM documents
+),
+hashed AS (
+  SELECT doc_id, substr(md5(array_to_string(tl[i + 1 : i + 3], ' ')), 1, 16) AS h
+  FROM dtoks, unnest(range(len(tl) - 2)) AS t(i)
+  WHERE len(tl) >= 3
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN
+               (strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INTEGER) + 1, 1)) - 1)
+               & (1 << (3 - CAST(b % 4 AS INTEGER))) > 0
+             THEN 1 ELSE -1 END) AS cnt
+  FROM hashed, unnest(range(64)) AS t(b)
+  GROUP BY doc_id, b
+),
+nibbles AS (
+  SELECT doc_id, CAST(b // 4 AS INTEGER) AS n,
+         substr('0123456789abcdef',
+                CAST(sum(CASE WHEN cnt > 0
+                         THEN 1 << (3 - CAST(b % 4 AS INTEGER)) ELSE 0 END) AS INTEGER) + 1,
+                1) AS hexchar
+  FROM bits
+  GROUP BY doc_id, CAST(b // 4 AS INTEGER)
+)
+SELECT doc_id, string_agg(hexchar, '' ORDER BY n) AS simhash
+FROM nibbles GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary image assets from
     document bytes (deterministic fake decode — no codecs in container),
@@ -1331,6 +1413,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
     "near_dup_jaccard": (q_near_dup_jaccard, Q_NEAR_DUP_SQL),
+    "near_dup_embedding": (q_near_dup_embedding, Q_NEAR_DUP_EMB_SQL),
+    "simhash": (q_simhash, Q_SIMHASH_SQL),
     "ann_cosine_topk": (q_ann_topk, Q_ANN_SQL),
     "ivf_clusters": (q_ivf_clusters, Q_IVF_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
