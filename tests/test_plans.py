@@ -1,0 +1,97 @@
+"""Physical-plan shape audits: the scale properties the operators claim
+(broadcast joins, filter pushdown, column pruning, bounded shuffle counts)
+asserted against ``explain`` output, so a plan regression fails CI rather
+than surfacing as a 100 TB incident."""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+from text_extensions_for_pandas_spark.functions import text as T
+from text_extensions_for_pandas_spark.operators.extract import (
+    create_dict,
+    extract_dict,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_dictionary_join_is_broadcast(spark, docs):
+    d = create_dict(spark, ["table scan", "spark"])
+    plan = plan_of(extract_dict(T.tokenize_whitespace(docs), d))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_parquet(docs):
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+
+
+def test_column_pruning(docs):
+    q = docs.select(T.token_count(F.col("text")).alias("n"))
+    plan = plan_of(q)
+    # the scan must read only `text`, not the whole row
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" in read_schema[0]
+    assert "lang" not in read_schema[0] and "source" not in read_schema[0]
+
+
+def test_tokenizer_single_shuffle(docs):
+    plan = plan_of(T.tokenize_whitespace(docs), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_quality_metrics_no_shuffle_no_udf(docs):
+    q = docs.select("doc_id", T.quality_metrics(F.col("text")).alias("m"))
+    plan = plan_of(q, "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_dedup_partial_aggregation(docs):
+    from text_extensions_for_pandas_spark.operators.dedup import exact_dedup
+
+    plan = plan_of(exact_dedup(docs), "simple")
+    # map-side combine: HashAggregate both below and above the exchange
+    before_exchange = plan.split("Exchange")[-1]
+    assert "HashAggregate" in before_exchange, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_events_agg_single_shuffle(spark):
+    from text_extensions_for_pandas_spark.queries import load
+
+    ev = load(spark, SF_DIR, "events")
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    plan = plan_of(agg, "simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_ivf_assign_broadcasts_centroids(spark):
+    from text_extensions_for_pandas_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    plan = plan_of(ivf_assign(emb, centroids))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # argmax is an aggregate, not a window sort
+    assert "Window" not in plan

@@ -88,8 +88,10 @@ def ivf_assign(
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (ties → lowest
-    centroid id).  Centroids are broadcast; assignment is a narrow map +
-    per-vector argmax — no shuffle."""
+    centroid id).  Centroids are broadcast; the per-vector argmax is a
+    ``max_by`` hash aggregate (map-side combinable) rather than a window
+    ``row_number`` — no per-vector sort, one narrow shuffle of
+    (vec, best) pairs."""
     c = centroids.select(
         F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
     )
@@ -97,15 +99,15 @@ def ivf_assign(
         "*",
         cosine(F.col(vec_col), F.col("__cvec")).alias("__score"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__score").desc(), F.col("__cid").asc()
+    others = [col for col in embeddings.columns if col != id_col]
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(*others, F.col("__cid").alias("cluster_id")),
+            # highest score wins; ties -> lowest centroid id
+            F.struct(F.col("__score"), -F.col("__cid")),
+        ).alias("__best")
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__score", "__cvec")
-        .withColumnRenamed("__cid", "cluster_id")
-    )
+    return best.select(id_col, "__best.*")
 
 
 def embedding_near_dups(
@@ -124,13 +126,18 @@ def embedding_near_dups(
     count for precision, or probe neighbors).  Returns
     ``(vec_a, vec_b, cosine)`` with ``vec_a < vec_b``, cosine ≥ threshold.
     """
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
-        "cluster_id", F.col(id_col), F.col(vec_col)
+    # precompute each vector's norm once — cosine per pair then needs a
+    # single dot, not dot + two norms (array folds are the expensive part)
+    assigned = (
+        ivf_assign(embeddings, centroids, id_col, vec_col)
+        .select("cluster_id", F.col(id_col), F.col(vec_col))
+        .withColumn("__norm", norm(F.col(vec_col)))
     )
     rhs = assigned.select(
         F.col("cluster_id").alias("__rc"),
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
     )
     pairs = assigned.join(
         rhs,
@@ -139,7 +146,9 @@ def embedding_near_dups(
     return pairs.select(
         F.col(id_col).alias("vec_a"),
         "vec_b",
-        cosine(F.col(vec_col), F.col("__vb")).alias("cosine"),
+        (dot(F.col(vec_col), F.col("__vb")) / (F.col("__norm") * F.col("__nb"))).alias(
+            "cosine"
+        ),
     ).filter(F.col("cosine") >= threshold)
 
 
