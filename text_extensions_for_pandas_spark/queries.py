@@ -1357,6 +1357,192 @@ FROM nibbles GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_unpack_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-a-model-on-a-region unpack: the first 'sp…' token of each doc is
+    the model's target region; region-relative prediction spans shift back
+    to document offsets."""
+    from text_extensions_for_pandas_spark.operators.join import unpack_semijoin
+
+    docs = load(spark, sf_dir, "documents")
+    regions = (
+        extract_regex(docs, r"\bsp\w+")
+        .groupBy("doc_id")
+        .agg(F.min("span").alias("region"))
+    )
+    model = regions.select(
+        "doc_id",
+        S.make_span(F.lit(0), F.lit(2)).alias("pred"),
+    )
+    out = unpack_semijoin(regions, model, ["pred"])
+    return out.select(
+        "doc_id",
+        F.col("pred")["begin"].alias("begin"),
+        F.col("pred")["end"].alias("end"),
+    ).orderBy("doc_id")
+
+
+Q_UNPACK_SQL = f"""
+WITH {TOKS_CTE},
+regions AS (
+  SELECT doc_id, min("begin") AS rb
+  FROM toks WHERE token LIKE 'sp%' GROUP BY doc_id
+)
+SELECT doc_id, CAST(rb + 0 AS INTEGER) AS "begin", CAST(rb + 2 AS INTEGER) AS "end"
+FROM regions ORDER BY doc_id
+"""
+
+
+def q_seq_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style fixed-length overlapping windows over the token sequence
+    (window 8, overlap 2): padded index list + real-token count."""
+    from text_extensions_for_pandas_spark.operators.windows import seq_to_windows
+
+    toks = _tokens(spark, sf_dir)
+    wins = seq_to_windows(toks, window_size=8, overlap=2)
+    return wins.select(
+        "doc_id",
+        F.col("window_id").cast("int").alias("window_id"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "token_idxs",
+                lambda x: F.coalesce(x.cast("string"), F.lit("_")),
+            ),
+        ).alias("idxs"),
+        F.aggregate(
+            "attention_mask", F.lit(0), lambda a, x: a + x
+        ).cast("int").alias("n_real"),
+    ).orderBy("doc_id", "window_id")
+
+
+Q_SEQ_WINDOWS_SQL = f"""
+WITH {TOKS_CTE},
+exploded AS (
+  SELECT doc_id, token_idx,
+         unnest(range(CAST(greatest(ceil((token_idx - 8 + 1) / 6.0), 0) AS BIGINT),
+                      CAST(floor(token_idx / 6.0) AS BIGINT) + 1)) AS w
+  FROM toks
+),
+grouped AS (
+  SELECT doc_id, CAST(w AS INTEGER) AS window_id,
+         string_agg(CAST(token_idx AS VARCHAR), ',' ORDER BY token_idx) AS real_idxs,
+         CAST(count(*) AS INTEGER) AS n_real
+  FROM exploded GROUP BY doc_id, w
+)
+SELECT doc_id, window_id,
+       real_idxs || repeat(',_', 8 - n_real) AS idxs, n_real
+FROM grouped ORDER BY doc_id, window_id
+"""
+
+
+def q_accuracy_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document entity P/R/F1 of model m3 against gold."""
+    from text_extensions_for_pandas_spark.operators.cleaning import (
+        compute_accuracy_by_document,
+    )
+
+    ents = _entity_rules(_tokens(spark, sf_dir))
+    out = compute_accuracy_by_document(ents["GOLD"], ents["m3"], keys=["doc_id"])
+    return out.select(
+        "doc_id",
+        F.col("num_true_entities").cast("bigint").alias("n_gold"),
+        F.col("num_extracted_entities").cast("bigint").alias("n_pred"),
+        F.col("num_entities_in_common").cast("bigint").alias("n_tp"),
+        "precision",
+        "recall",
+        F.col("F1").alias("f1"),
+    ).orderBy("doc_id")
+
+
+Q_ACCURACY_SQL = f"""
+WITH {TOKS_CTE},
+gold AS (
+  SELECT doc_id, "begin", "end",
+         CASE WHEN token = 'spark' THEN 'TECH' ELSE 'DATA' END AS ent_type
+  FROM toks WHERE token IN ('spark', 'data')
+),
+pred AS (
+  SELECT doc_id, "begin", "end",
+         CASE WHEN token = 'spark' THEN 'TECH' ELSE 'DATA' END AS ent_type
+  FROM toks WHERE token = 'spark' OR token IN ('data', 'row')
+),
+ng AS (SELECT doc_id, count(*) AS n_gold FROM gold GROUP BY doc_id),
+np AS (SELECT doc_id, count(*) AS n_pred FROM pred GROUP BY doc_id),
+tp AS (
+  SELECT g.doc_id, count(*) AS n_tp
+  FROM gold g JOIN pred p
+    ON p.doc_id = g.doc_id AND p."begin" = g."begin"
+   AND p."end" = g."end" AND p.ent_type = g.ent_type
+  GROUP BY g.doc_id
+),
+stats AS (
+  SELECT coalesce(ng.doc_id, np.doc_id) AS doc_id,
+         coalesce(n_gold, 0) AS n_gold,
+         coalesce(n_pred, 0) AS n_pred,
+         coalesce(n_tp, 0) AS n_tp
+  FROM ng FULL JOIN np ON np.doc_id = ng.doc_id
+  LEFT JOIN tp ON tp.doc_id = coalesce(ng.doc_id, np.doc_id)
+),
+scored AS (
+  SELECT doc_id, n_gold, n_pred, n_tp,
+         CAST(n_tp AS DOUBLE) / greatest(n_pred, 1) AS p,
+         CAST(n_tp AS DOUBLE) / greatest(n_gold, 1) AS r
+  FROM stats
+)
+SELECT doc_id, n_gold, n_pred, n_tp,
+       round(p, 6) AS precision, round(r, 6) AS recall,
+       CASE WHEN p + r > 0 THEN round(2 * p * r / (p + r), 6) ELSE 0.0 END AS f1
+FROM scored ORDER BY doc_id
+"""
+
+
+def q_iob_to_iob2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IOB1→IOB2 repair over synthetic tags: every entity token carries 'I';
+    runs must be split/started with 'B' where appropriate."""
+    from text_extensions_for_pandas_spark.operators.iob import iob_to_iob2
+
+    toks = _tokens(spark, sf_dir).withColumn(
+        "ent_iob",
+        F.when(F.col("token").isin("spark", "stream", "data"), "I").otherwise("O"),
+    ).withColumn(
+        "ent_type",
+        F.when(F.col("token").isin("spark", "stream"), "TECH")
+        .when(F.col("token") == "data", "DATA"),
+    ).withColumn("sentence_id", (F.col("token_idx") / 10).cast("int"))
+    out = iob_to_iob2(toks)
+    return out.filter(F.col("ent_iob") != "O").select(
+        "doc_id", "token_idx", "ent_iob", "ent_type"
+    ).orderBy("doc_id", "token_idx")
+
+
+Q_IOB2_SQL = f"""
+WITH {TOKS_CTE},
+tagged AS (
+  SELECT doc_id, token_idx,
+         CASE WHEN token IN ('spark', 'stream', 'data') THEN 'I' ELSE 'O' END AS iob,
+         CASE WHEN token IN ('spark', 'stream') THEN 'TECH'
+              WHEN token = 'data' THEN 'DATA' END AS ent_type,
+         CAST(token_idx // 10 AS INTEGER) AS sentence_id
+  FROM toks
+),
+ctx AS (
+  SELECT doc_id, token_idx, iob, ent_type, sentence_id,
+         lag(iob) OVER w AS prev_iob,
+         lag(ent_type) OVER w AS prev_type,
+         lag(sentence_id) OVER w AS prev_sent
+  FROM tagged
+  WINDOW w AS (PARTITION BY doc_id ORDER BY token_idx)
+)
+SELECT doc_id, token_idx,
+       CASE WHEN iob = 'I' AND (prev_iob IS NULL OR prev_iob = 'O'
+                 OR prev_type IS DISTINCT FROM ent_type
+                 OR prev_sent IS DISTINCT FROM sentence_id)
+            THEN 'B' ELSE iob END AS ent_iob,
+       ent_type
+FROM ctx WHERE iob != 'O' ORDER BY doc_id, token_idx
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary image assets from
     document bytes (deterministic fake decode — no codecs in container),
@@ -1409,6 +1595,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "contain_join": (q_contain_join, Q_CONTAIN_SQL),
     "consolidate": (q_consolidate, Q_CONSOLIDATE_SQL),
     "iob_to_spans": (q_iob_spans, Q_IOB_SPANS_SQL),
+    "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
+    "unpack_semijoin": (q_unpack_semijoin, Q_UNPACK_SQL),
+    "seq_windows": (q_seq_windows, Q_SEQ_WINDOWS_SQL),
+    "accuracy_by_doc": (q_accuracy_by_doc, Q_ACCURACY_SQL),
     "spans_to_iob": (q_spans_to_iob, Q_SPANS_TO_IOB_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
