@@ -73,3 +73,69 @@ def test_windows_roundtrip(token_seq):
     got = {(r.doc_id, r.token_idx): r.vals for r in back.collect()}
     orig = {(r.doc_id, r.token_idx): r.val for r in token_seq.collect()}
     assert got == orig  # every token recovered exactly once with its value
+
+
+def test_token_classes_round_trip(spark):
+    from text_extensions_for_pandas_spark.operators.iob import (
+        add_token_classes,
+        decode_class_labels,
+        make_iob_tag_categories,
+    )
+
+    labels, ids = make_iob_tag_categories(["PER", "ORG"])
+    assert labels == ["O", "B-ORG", "I-ORG", "B-PER", "I-PER"]
+    toks = spark.createDataFrame(
+        [(0, 0, "B", "PER"), (0, 1, "I", "PER"), (0, 2, "O", None), (0, 3, "B", "ORG")],
+        "doc_id long, token_idx int, ent_iob string, ent_type string",
+    )
+    classed = add_token_classes(toks, ids)
+    got = {r.token_idx: (r.token_class, r.token_class_id) for r in classed.collect()}
+    assert got[0] == ("B-PER", 3) and got[2] == ("O", 0) and got[3] == ("B-ORG", 1)
+
+    decoded = decode_class_labels(
+        classed.withColumnRenamed("token_class_id", "predicted_id"), labels
+    )
+    back = {r.token_idx: (r.predicted_iob, r.predicted_type) for r in decoded.collect()}
+    assert back[0] == ("B", "PER") and back[2] == ("O", None) and back[3] == ("B", "ORG")
+
+
+def test_infer_and_extract_entities_iob(spark):
+    """End-to-end §2.9: train on separable per-token embeddings, infer,
+    decode IOB, extract entity spans."""
+    import numpy as np
+
+    from text_extensions_for_pandas_spark.operators.iob import (
+        make_iob_tag_categories,
+    )
+    from text_extensions_for_pandas_spark.operators.ml import (
+        infer_and_extract_entities_iob,
+        train_reduced_model,
+    )
+
+    labels, ids = make_iob_tag_categories(["PER"])
+    # tokens: B-PER I-PER O O B-PER O per doc, embeddings cluster by class
+    rng = np.random.default_rng(7)
+    rows = []
+    pattern = [1, 2, 0, 0, 1, 0]  # class ids: 1=B-PER, 2=I-PER under ["O","B-PER","I-PER"]
+    cls_of = {0: 0, 1: ids["B-PER"], 2: ids["I-PER"]}
+    for doc in range(30):
+        for i, p in enumerate(pattern):
+            center = {0: [0, 0, 8], 1: [8, 0, 0], 2: [0, 8, 0]}[p]
+            vec = (rng.normal(0, 0.3, 3) + center).tolist()
+            begin = i * 4
+            rows.append(
+                (doc, i, (begin, begin + 3), float(cls_of[p]), vec)
+            )
+    toks = spark.createDataFrame(
+        rows,
+        "doc_id long, token_idx int, span struct<begin:int,end:int>, "
+        "label double, embedding array<double>",
+    )
+    trained = train_reduced_model(toks, out_dim=3, seed=0, max_iter=40)
+    ents = infer_and_extract_entities_iob(trained, toks.drop("label"), labels)
+    per_doc = ents.groupBy("doc_id").count().collect()
+    # pattern has 2 PER entities per doc; model is near-separable
+    assert all(r["count"] == 2 for r in per_doc)
+    one = ents.filter("doc_id = 0").orderBy("span.begin").collect()
+    assert [(r.span.begin, r.span.end) for r in one] == [(0, 7), (16, 19)]
+    assert all(r.ent_type == "PER" for r in one)

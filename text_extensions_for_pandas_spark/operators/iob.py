@@ -109,6 +109,67 @@ def iob_to_spans(
     )
 
 
+def make_iob_tag_categories(entity_types: list[str]) -> tuple[list[str], dict[str, int]]:
+    """Class-label list + id mapping for IOB2 token classification
+    (reference ``make_iob_tag_categories``, ``io/conll.py:1238-1260``):
+    ``O`` is class 0, then ``B-<type>``/``I-<type>`` per type."""
+    labels = ["O"]
+    for t in sorted(entity_types):
+        labels.extend([f"B-{t}", f"I-{t}"])
+    return labels, {lbl: i for i, lbl in enumerate(labels)}
+
+
+def add_token_classes(
+    tokens: DataFrame,
+    class_ids: dict[str, int],
+    iob_col: str = "ent_iob",
+    type_col: str = "ent_type",
+) -> DataFrame:
+    """Add ``token_class`` ('B-PER', …) and ``token_class_id`` columns
+    (reference ``add_token_classes``, ``io/conll.py:1263-1310``) — a literal
+    map lookup, no join."""
+    label = F.when(
+        F.col(iob_col) == "O", F.lit("O")
+    ).otherwise(F.concat_ws("-", F.col(iob_col), F.col(type_col)))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in class_ids.items() for x in kv]
+    )
+    return tokens.withColumn("token_class", label).withColumn(
+        "token_class_id", mapping[F.col("token_class")].cast("int")
+    )
+
+
+def decode_class_labels(
+    df: DataFrame,
+    class_labels: list[str],
+    id_col: str = "predicted_id",
+    iob_col: str = "predicted_iob",
+    type_col: str = "predicted_type",
+) -> DataFrame:
+    """Inverse of :func:`add_token_classes` for model predictions
+    (reference ``decode_class_labels``, ``io/conll.py:1313-1323``):
+    class id → IOB tag + entity type columns."""
+    labels = F.array(*[F.lit(lbl) for lbl in class_labels])
+    return (
+        df.withColumn(
+            "__lbl", F.element_at(labels, F.col(id_col).cast("int") + 1)
+        )
+        .withColumn(
+            iob_col,
+            F.when(F.col("__lbl") == "O", "O").otherwise(
+                F.substring("__lbl", 1, 1)
+            ),
+        )
+        .withColumn(
+            type_col,
+            F.when(F.col("__lbl") == "O", F.lit(None).cast("string")).otherwise(
+                F.expr("substring(__lbl, 3)")
+            ),
+        )
+        .drop("__lbl")
+    )
+
+
 def spans_to_iob(
     tokens: DataFrame,
     entities: DataFrame,

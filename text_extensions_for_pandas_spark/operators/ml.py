@@ -112,3 +112,59 @@ def infer_on_df(
         F.col("prediction").cast("int").alias("predicted_id"),
         vector_to_array(F.col("probability")).alias("raw_output"),
     )
+
+
+def extract_entities_iob(
+    tokens_with_iob: DataFrame,
+    iob_col: str = "predicted_iob",
+    type_col: str = "predicted_type",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Predicted IOB tags → entity span table (reference
+    ``extract_entities_iob``, ``cleaning/ensemble.py:301-360`` — a per-doc
+    Python loop there; one sessionization plan here)."""
+    from text_extensions_for_pandas_spark.operators.iob import (
+        iob_to_iob2,
+        iob_to_spans,
+    )
+
+    repaired = iob_to_iob2(
+        tokens_with_iob, iob_col=iob_col, type_col=type_col, doc_col=doc_col,
+        sentence_col=None,
+    )
+    return iob_to_spans(
+        repaired, iob_col=iob_col, type_col=type_col, doc_col=doc_col
+    )
+
+
+def infer_and_extract_entities_iob(
+    trained: dict,
+    tokens: DataFrame,
+    class_labels: list[str],
+    corpus_tokens: DataFrame | None = None,
+    vec_col: str = "embedding",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Full inference pipeline (reference ``infer_and_extract_entities_iob``,
+    ``cleaning/ensemble.py:363-422``): model → class ids → IOB tags →
+    entity spans, optionally re-aligned to a different corpus tokenization.
+
+    ``tokens`` must carry ``doc_col``, ``token_idx``, ``span`` and the
+    embedding column; alignment (when ``corpus_tokens`` given) uses the
+    overlap-join/consolidate path of the BERT bridge.
+    """
+    from text_extensions_for_pandas_spark.operators.iob import decode_class_labels
+
+    preds = infer_on_df(trained, tokens, vec_col=vec_col)
+    tagged = decode_class_labels(preds, class_labels)
+    ents = extract_entities_iob(tagged, doc_col=doc_col)
+    ents = ents.withColumnRenamed("predicted_type", "ent_type")
+    if corpus_tokens is None:
+        return ents
+    from text_extensions_for_pandas_spark.sources.nlp_bridges import (
+        align_bert_tokens_to_corpus_tokens,
+    )
+
+    return align_bert_tokens_to_corpus_tokens(
+        ents.select(doc_col, "span", "ent_type"), corpus_tokens, doc_col=doc_col
+    )
