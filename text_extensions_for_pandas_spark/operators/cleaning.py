@@ -203,3 +203,41 @@ def align_model_outputs_to_tokens(
     ``cleaning/analysis.py:288-328``): equijoin on keys + exact span."""
     keys = keys or ["fold", "doc_id"]
     return tokens.join(model_output, keys + ["span"], "left")
+
+
+def csv_prep(
+    flagged: DataFrame,
+    documents: DataFrame,
+    output_dir: str | None = None,
+    doc_col: str = "doc_id",
+    label_col: str = "ent_type",
+) -> DataFrame:
+    """Format flagged-label rows for hand-labeling CSVs (reference
+    ``csv_prep``, ``cleaning/analysis.py:331-396``): flat columns —
+    doc keys, char offsets, covered text, label, vote stats, an empty
+    ``correct?`` column for the annotator — sorted for review.  Pass
+    ``output_dir`` to also write one CSV per category.
+    """
+    docs = documents.select(
+        F.col(doc_col), F.col("text").alias("__text")
+    )
+    out = (
+        flagged.join(docs, doc_col)
+        .select(
+            *[c for c in flagged.columns if c not in ("span", "models")],
+            F.col("span")["begin"].alias("begin"),
+            F.col("span")["end"].alias("end"),
+            F.expr(
+                "substring(__text, span.begin + 1, span.end - span.begin)"
+            ).alias("covered_text"),
+            F.concat_ws(";", "models").alias("models"),
+            F.lit("").alias("correct?"),
+        )
+        .orderBy(doc_col, "begin")
+    )
+    if output_dir is not None:
+        for row in out.select("category").distinct().collect():
+            out.filter(F.col("category") == row.category).coalesce(1).write.mode(
+                "overwrite"
+            ).option("header", "true").csv(f"{output_dir}/{row.category}")
+    return out
