@@ -1,0 +1,185 @@
+"""Property-based differential tests (hypothesis): Spark operators vs
+brute-force Python oracles on randomized inputs.  The reference has no
+property tests (SURVEY.md §5) — these close the gap where fixture tests
+can't reach (overlap edge cases, zero-length spans, greedy tie-breaks)."""
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from text_extensions_for_pandas_spark.operators.consolidate import (
+    _greedy_left_to_right,
+)
+
+# -- strategies -------------------------------------------------------------
+
+span = st.tuples(st.integers(0, 40), st.integers(0, 12)).map(
+    lambda t: (t[0], t[0] + t[1])
+)
+spans_list = st.lists(span, min_size=0, max_size=25)
+
+
+# -- pure-python oracles (straight transcriptions of the semantics) ---------
+
+def overlaps_ref(a, b):
+    if a[0] == b[0] and a[1] == b[1]:
+        return True  # identical (incl. zero-length) spans overlap
+    return not (b[0] >= a[1] or b[1] <= a[0])
+
+
+def contains_ref(a, b):
+    return b[0] >= a[0] and b[1] <= a[1]
+
+
+def consolidate_ref(spans):
+    """Reference greedy left-to-right: sort (begin asc, end desc), keep when
+    begin >= end of last kept."""
+    order = sorted(range(len(spans)), key=lambda i: (spans[i][0], -spans[i][1]))
+    keep, thr = [], -(1 << 62)
+    for i in order:
+        if spans[i][0] >= thr:
+            keep.append(i)
+            thr = spans[i][1]
+    return sorted(keep)
+
+
+# -- properties -------------------------------------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(spans_list)
+def test_consolidate_scan_matches_reference(spans):
+    import numpy as np
+
+    if not spans:
+        return
+    begins = np.array([s[0] for s in spans])
+    ends = np.array([s[1] for s in spans])
+    docs = np.zeros(len(spans), dtype=int)
+    got = sorted(_greedy_left_to_right(docs, begins, ends).tolist())
+    assert got == consolidate_ref(spans)
+
+
+@settings(max_examples=200, deadline=None)
+@given(spans_list)
+def test_consolidate_output_is_overlap_free(spans):
+    import numpy as np
+
+    if not spans:
+        return
+    begins = np.array([s[0] for s in spans])
+    ends = np.array([s[1] for s in spans])
+    docs = np.zeros(len(spans), dtype=int)
+    kept = [spans[i] for i in _greedy_left_to_right(docs, begins, ends)]
+    nonzero = [s for s in kept if s[1] > s[0]]
+    for i, a in enumerate(nonzero):
+        for b in nonzero[i + 1:]:
+            assert not overlaps_ref(a, b), (a, b, kept)
+
+
+# Spark-involving properties use ONE example set drawn ahead of time — a
+# Spark job per hypothesis example would be minutes per test.  Randomness
+# still explores the space across seeds; failures shrink in the pure oracle.
+
+@pytest.fixture(scope="module")
+def random_span_tables(spark):
+    import random
+
+    rng = random.Random(42)
+    rows1, rows2 = [], []
+    for doc in range(6):
+        for _ in range(rng.randint(0, 18)):
+            b = rng.randint(0, 40)
+            rows1.append((doc, (b, b + rng.randint(0, 12))))
+        for _ in range(rng.randint(0, 18)):
+            b = rng.randint(0, 40)
+            rows2.append((doc, (b, b + rng.randint(0, 12))))
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, span struct<begin:int,end:int>"
+    )
+    return mk(rows1), mk(rows2), rows1, rows2
+
+
+def test_overlap_join_matches_bruteforce(random_span_tables):
+    from text_extensions_for_pandas_spark.operators.join import overlap_join
+
+    df1, df2, rows1, rows2 = random_span_tables
+    got = {
+        (r.doc_id, r.first.begin, r.first.end, r.second.begin, r.second.end)
+        for r in overlap_join(df1, df2).collect()
+    }
+    want = {
+        (d1, a[0], a[1], b[0], b[1])
+        for (d1, a) in rows1
+        for (d2, b) in rows2
+        if d1 == d2 and overlaps_ref(a, b)
+    }
+    assert got == want
+
+
+def test_contain_join_matches_bruteforce(random_span_tables):
+    from text_extensions_for_pandas_spark.operators.join import contain_join
+
+    df1, df2, rows1, rows2 = random_span_tables
+    got = {
+        (r.doc_id, r.first.begin, r.first.end, r.second.begin, r.second.end)
+        for r in contain_join(df1, df2).collect()
+    }
+    want = {
+        (d1, a[0], a[1], b[0], b[1])
+        for (d1, a) in rows1
+        for (d2, b) in rows2
+        if d1 == d2 and contains_ref(a, b)
+    }
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.text(alphabet=" ab\tc\n", min_size=0, max_size=60))
+def test_whitespace_tokenizer_offsets_exact(text):
+    """Offsets from the reconstruction arithmetic must slice the original
+    text back out, for any whitespace pattern (pure-python mirror of the
+    tokenize_whitespace window plan)."""
+    translated = text.replace("\t", " ").replace("\n", " ").replace("\r", " ")
+    segs = translated.split(" ")
+    pos, toks = 0, []
+    for seg in segs:
+        if len(seg) > 0:
+            toks.append((pos, pos + len(seg), seg))
+        pos += len(seg) + 1
+    for b, e, tok in toks:
+        assert translated[b:e] == tok
+        assert text[b:e].replace("\t", " ").replace("\n", " ") == tok.replace(
+            "\t", " "
+        )
+
+
+def test_tokenizer_spark_matches_python(spark):
+    """The Spark window plan agrees with the pure-python mirror on a corpus
+    of tricky whitespace shapes."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        tokenize_whitespace,
+    )
+
+    cases = [
+        "", " ", "  ", "a", " a", "a ", "a  b", "\ta\n b ", "ab\tcd\nef",
+        "   x   ", "a b  c   d", "\n\n\n", "word",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(cases)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.token_idx, r.span.begin, r.span.end, r.token)
+        for r in tokenize_whitespace(docs).collect()
+    }
+    want = set()
+    for doc_id, text in enumerate(cases):
+        translated = text.replace("\t", " ").replace("\n", " ").replace("\r", " ")
+        idx = 0
+        pos = 0
+        for seg in translated.split(" "):
+            if len(seg) > 0:
+                want.add((doc_id, idx, pos, pos + len(seg), seg))
+                idx += 1
+            pos += len(seg) + 1
+    assert got == want
