@@ -1,0 +1,98 @@
+"""Scale utilities: skew-salting and bucketed co-located joins.
+
+Span workloads skew naturally — one giant document produces millions of
+token/span rows under a single ``doc_id`` key, and popular dictionary
+entries hot-spot join keys.  Two standing remedies beyond AQE's runtime
+skew-join splitting (enabled in ``session.get_spark``):
+
+* **Salting** — split each hot key into ``n`` subkeys: the big side gets a
+  deterministic salt derived from a row-level column, the small side is
+  replicated across all salts, and the join key becomes (key, salt).  The
+  shuffle then spreads a hot key over ``n`` reducers.
+* **Bucketing** — pre-shuffle both tables into the same bucket layout on
+  the join key at write time; subsequent joins read co-located buckets and
+  skip the exchange entirely (the right call for corpus tables that are
+  joined on ``doc_id`` by every query, e.g. tokens ⋈ documents ⋈ spans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def add_salt(
+    df: DataFrame,
+    n_salts: int,
+    salt_source: str | None = None,
+    salt_col: str = "__salt",
+) -> DataFrame:
+    """Deterministic row salt in ``[0, n_salts)``.
+
+    ``salt_source``: column whose hash spreads rows (e.g. ``token_idx``);
+    default uses every column — stable for identical rows, uniform enough
+    for skew relief, and reproducible across retries (no ``rand()``, which
+    breaks retried tasks / speculative execution).
+    """
+    src = (
+        [F.col(salt_source)]
+        if salt_source
+        else [F.col(c) for c in df.columns]
+    )
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*src), F.lit(n_salts)).cast("int")
+    )
+
+
+def replicate_salts(
+    df: DataFrame, n_salts: int, salt_col: str = "__salt"
+) -> DataFrame:
+    """Replicate every row once per salt value (the small side of a salted
+    join)."""
+    return df.withColumn(
+        salt_col,
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(n_salts - 1).cast("int"))
+        ),
+    )
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Equijoin with the key space salted ``n_salts`` ways.
+
+    Use when the *small* side is still too big to broadcast and the key
+    distribution is skewed; the small side pays ``n_salts``× replication,
+    the hot keys of the large side spread over ``n_salts`` reducers.
+    """
+    lhs = add_salt(large, n_salts, salt_source)
+    rhs = replicate_salts(small, n_salts)
+    return lhs.join(rhs, on + ["__salt"], how).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "doc_id",
+    num_buckets: int = 32,
+    path: str | None = None,
+    sort_col: str | None = "token_idx",
+) -> None:
+    """Persist a corpus table bucketed (and optionally sorted) by its join
+    key.  Joins and groupBys on ``bucket_col`` between tables written with
+    the same bucket count then run exchange-free (verified in
+    tests/test_scale.py)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, bucket_col
+    )
+    if sort_col and sort_col in df.columns:
+        w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
