@@ -133,6 +133,33 @@ def test_streaming_dedup(spark):
     assert got.select("text_hash").distinct().count() == n_hashes
 
 
+def test_stream_stream_join(spark):
+    ev = STR.read_events_stream(spark, SF_DIR)
+    out = STR.streaming_error_followups(ev)
+    _run_to_memory(out, "t_followups")
+    got = spark.table("t_followups")
+
+    batch = _batch_events(spark)
+    a = batch.filter("event_type = 'error'").select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_event"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = batch.filter("event_type = 'click'").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_event"),
+        F.col("ts").alias("b_ts"),
+    )
+    want = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    # single availableNow batch over one file: full equality with batch join
+    assert got.count() == want.count() > 0
+
+
 def test_stateful_running_stats(spark):
     ev = STR.read_events_stream(spark, SF_DIR)
     out = STR.streaming_user_running_stats(ev)

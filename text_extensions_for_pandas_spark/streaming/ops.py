@@ -182,6 +182,50 @@ def streaming_dedup_exact(
     return hashed.dropDuplicates(["text_hash"])
 
 
+def streaming_error_followups(
+    events: DataFrame,
+    first_type: str = "error",
+    second_type: str = "click",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream self-join: for every ``first_type`` event, the same
+    user's ``second_type`` events in the following ``within`` interval.
+
+    Both sides carry watermarks and the join condition bounds the time
+    range, so the state store can evict rows once the other side's
+    watermark passes — the required shape for an unbounded stream-stream
+    join (unbounded conditions would accumulate state forever).
+    """
+    a = (
+        events.filter(F.col("event_type") == first_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("a_event"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        events.filter(F.col("event_type") == second_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("b_event"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(
+        F.col("a_user").alias("user_id"), "a_event", "b_event", "a_ts", "b_ts"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator
 # ---------------------------------------------------------------------------
