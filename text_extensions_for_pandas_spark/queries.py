@@ -1357,6 +1357,77 @@ FROM nibbles GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with a positive balance and no big-ticket order
+    (> 400k) — the filter is pushed into the build-side scan before the
+    left_anti join."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        cust.filter(F.col("c_acctbal") > 0)
+        .join(big, cust["c_custkey"] == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q_IDLE_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE c_acctbal > 0
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+def q_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-per-group: top-3 customers by total order value within each
+    nation — the groupBy feeds a partitioned rank window, both sharing one
+    shuffle on the aggregate keys."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    totals = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr(f"CAST(o_totalprice AS {DEC})"))
+            .cast("double")
+            .alias("total_value")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("total_value").desc(), F.col("c_custkey")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "rank", "c_custkey", F.round("total_value", 2).alias("total_value"))
+        .orderBy("n_name", "rank")
+    )
+
+
+Q_TOP3_PER_NATION_SQL = """
+WITH totals AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT n.n_name, c.c_custkey, t.total_value,
+         CAST(row_number() OVER (PARTITION BY n.n_name
+              ORDER BY t.total_value DESC, c.c_custkey) AS INTEGER) AS rank
+  FROM totals t
+  JOIN customer c ON c.c_custkey = t.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT n_name, rank, c_custkey, round(total_value, 2) AS total_value
+FROM ranked WHERE rank <= 3 ORDER BY n_name, rank
+"""
+
+
 def q_unpack_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-a-model-on-a-region unpack: the first 'sp…' token of each doc is
     the model's target region; region-relative prediction spans shift back
@@ -1583,6 +1654,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "q_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
     "q_order_priority": (q_order_priority, Q_ORDER_PRIORITY_SQL),
+    "q_idle_customers": (q_idle_customers, Q_IDLE_CUSTOMERS_SQL),
+    "q_top3_per_nation": (q_top3_customers_per_nation, Q_TOP3_PER_NATION_SQL),
     "q_events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
     "q_events_sessionize": (q_events_sessionize, Q_EVENTS_SESSIONIZE_SQL),
     "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
