@@ -1,0 +1,132 @@
+"""Keyword search & corpus-statistics operators (beyond-reference surface).
+
+A training-data engine needs keyword retrieval next to embedding ANN: BM25
+over an inverted term-statistics table, built entirely from built-in
+functions so the whole pipeline — term stats, document frequencies, query
+scoring — is one Catalyst plan.
+
+Scale shape: the term-frequency table (one row per distinct (doc, term)) is
+the inverted index; scoring a query touches only the posting rows of the
+query's terms (filter pushdown on ``term``), never the corpus.  The df/idf
+side is tiny (vocabulary-sized) and broadcasts.
+"""
+
+from __future__ import annotations
+
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from text_extensions_for_pandas_spark.functions.text import word_tokens
+
+
+def term_frequencies(
+    documents: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted term-stats table ``(doc_id, term, tf, doc_len)``."""
+    toks = documents.select(
+        F.col(doc_col),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy(doc_col, "term").agg(F.count("*").alias("tf"))
+    lens = toks.groupBy(doc_col).agg(F.count("*").alias("doc_len"))
+    return tf.join(lens, doc_col)
+
+
+def document_frequencies(term_freqs: DataFrame) -> DataFrame:
+    """``(term, df)`` — number of documents containing each term."""
+    return term_freqs.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def vocabulary(
+    documents: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary with collection frequency and document frequency —
+    the Zipf table every corpus audit starts from."""
+    tf = term_frequencies(documents, text_col, doc_col)
+    return tf.groupBy("term").agg(
+        F.sum("tf").alias("collection_freq"),
+        F.count("*").alias("doc_freq"),
+    )
+
+
+def bm25_search(
+    documents: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k document retrieval for a query string.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1) (Lucene's non-negative form);
+    score = Σ_terms idf · tf·(k1+1) / (tf + k1·(1 - b + b·len/avglen)).
+
+    The plan: posting rows of the query terms (selective filter on the
+    term-stats table) ⋈ broadcast df table → per-doc sum → top-k.  Ties
+    break on doc id for determinism.
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("empty query")
+    stats = term_frequencies(documents, text_col, doc_col).persist()
+    tf = stats.filter(F.col("term").isin(terms))
+    n_docs = documents.count()
+    avg_len = (
+        stats.select(doc_col, "doc_len")
+        .distinct()
+        .agg(F.avg("doc_len"))
+        .collect()[0][0]
+        or 1.0
+    )
+    dfs = document_frequencies(stats).filter(F.col("term").isin(terms))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = tf.join(F.broadcast(dfs), "term").withColumn(
+        "__s",
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("doc_len") / F.lit(float(avg_len)))),
+    )
+    return (
+        scored.groupBy(doc_col)
+        .agg(
+            F.sum("__s").alias("score"),
+            F.count("*").alias("n_matched_terms"),
+        )
+        .orderBy(F.col("score").desc(), F.col(doc_col))
+        .limit(k)
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    split_col: str = "split",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash.
+
+    Unlike ``randomSplit`` the assignment is a pure function of the key —
+    stable across runs, executors, retries, and data order, which is what a
+    reproducible 100 TB pipeline actually needs.  ``weights`` need not be
+    normalized.
+    """
+    total = sum(weights.values())
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = bucket < int(acc * buckets)
+        expr = (
+            F.when(cond, name) if expr is None else expr.when(cond, name)
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -1614,6 +1614,87 @@ FROM ctx WHERE iob != 'O' ORDER BY doc_id, token_idx
 """
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.search import bm25_search
+
+    docs = load(spark, sf_dir, "documents")
+    out = bm25_search(docs, "spark table scan", k=20)
+    return out.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.col("n_matched_terms").cast("int").alias("n_matched_terms"),
+    ).orderBy(F.col("score").desc(), "doc_id")
+
+
+Q_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+lens AS (SELECT doc_id, count(*) AS doc_len FROM toks2 GROUP BY doc_id),
+n AS (SELECT count(*) AS n_docs FROM documents),
+avglen AS (SELECT avg(doc_len) AS avg_len FROM lens),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN ('scan', 'spark', 'table') GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (t.tf * (1.2 + 1))
+           / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.doc_len / a.avg_len)) AS s
+  FROM tf t
+  JOIN dfs d ON d.term = t.term
+  JOIN lens l ON l.doc_id = t.doc_id
+  CROSS JOIN n CROSS JOIN avglen a
+  WHERE t.term IN ('scan', 'spark', 'table')
+)
+SELECT doc_id, round(sum(s), 6) AS score, CAST(count(*) AS INTEGER) AS n_matched_terms
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.search import vocabulary
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        vocabulary(docs)
+        .orderBy(F.col("collection_freq").desc(), "term")
+        .limit(50)
+    )
+
+
+Q_VOCABULARY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term)
+SELECT term, sum(tf) AS collection_freq, count(*) AS doc_freq
+FROM tf GROUP BY term
+ORDER BY collection_freq DESC, term LIMIT 50
+"""
+
+
+def q_split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split sizes — xxhash64 is available in
+    both engines' SQL surfaces? It is not in DuckDB, so the oracle checks
+    the *invariants* instead: Spark-side counts per split, stable across
+    runs, covering every doc exactly once."""
+    from text_extensions_for_pandas_spark.operators.search import split_by_hash
+
+    docs = load(spark, sf_dir, "documents")
+    out = split_by_hash(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary image assets from
     document bytes (deterministic fake decode — no codecs in container),
@@ -1692,9 +1773,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
-    # non-SQL-expressible (stubbed binary decode inside mapInPandas):
-    # rows-only check, no oracle by design
+    "bm25_search": (q_bm25, Q_BM25_SQL),
+    "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
+    # non-SQL-expressible (stubbed binary decode inside mapInPandas / no
+    # xxhash64 in DuckDB): rows-only checks, no oracle by design
     "multimodal_image_features": (q_multimodal_features, None),
+    "split_by_hash": (q_split_by_hash, None),
 }
 
 
