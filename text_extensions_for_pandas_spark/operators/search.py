@@ -73,8 +73,11 @@ def bm25_search(
         raise ValueError("empty query")
     stats = term_frequencies(documents, text_col, doc_col).persist()
     tf = stats.filter(F.col("term").isin(terms))
+    # corpus constants (driver-side scalars, like the overlap-join
+    # block-size estimation); n_docs counts ALL documents, token-less ones
+    # included — BM25's idf is defined over the collection size
     n_docs = documents.count()
-    avg_len = (
+    avg_len = float(
         stats.select(doc_col, "doc_len")
         .distinct()
         .agg(F.avg("doc_len"))

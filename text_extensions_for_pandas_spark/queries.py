@@ -1614,6 +1614,62 @@ FROM ctx WHERE iob != 'O' ORDER BY doc_id, token_idx
 """
 
 
+def q_prob_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtoken probability-product merge (reference
+    ``cleaning/ensemble.py:248-289``): synthetic per-token 3-class
+    probability vectors, aggregated per 4-token word group by product +
+    renormalization (log-space)."""
+    from text_extensions_for_pandas_spark.functions.tensor import (
+        prob_product_renorm,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    raw = F.array(
+        (1 + F.col("doc_id") % 3).cast("double"),
+        (1 + F.col("token_idx") % 5).cast("double"),
+        F.lit(2.0),
+    )
+    total = F.aggregate(raw, F.lit(0.0), lambda a, x: a + x)
+    probs = toks.select(
+        "doc_id",
+        F.floor(F.col("token_idx") / 4).cast("int").alias("word_id"),
+        F.transform(raw, lambda x: x / total).alias("p"),
+    )
+    merged = prob_product_renorm(probs, ["doc_id", "word_id"], "p")
+    return merged.select(
+        "doc_id",
+        "word_id",
+        F.posexplode("probs").alias("dim", "__p"),
+    ).select(
+        "doc_id", "word_id", "dim", F.round("__p", 6).alias("prob")
+    ).orderBy("doc_id", "word_id", "dim")
+
+
+Q_PROB_PRODUCT_SQL = f"""
+WITH {TOKS_CTE},
+vecs AS (
+  SELECT doc_id, CAST(token_idx // 4 AS INTEGER) AS word_id, dim,
+         CASE dim WHEN 0 THEN 1 + doc_id % 3
+                  WHEN 1 THEN 1 + token_idx % 5
+                  ELSE 2 END
+         / CAST((1 + doc_id % 3) + (1 + token_idx % 5) + 2 AS DOUBLE) AS p
+  FROM toks, unnest([0, 1, 2]) AS d(dim)
+),
+logs AS (
+  SELECT doc_id, word_id, dim, exp(sum(ln(p))) AS prod
+  FROM vecs GROUP BY doc_id, word_id, dim
+),
+norm AS (
+  SELECT doc_id, word_id, sum(prod) AS total FROM logs
+  GROUP BY doc_id, word_id
+)
+SELECT l.doc_id, l.word_id, CAST(l.dim AS INTEGER) AS dim,
+       round(l.prod / n.total, 6) AS prob
+FROM logs l JOIN norm n ON n.doc_id = l.doc_id AND n.word_id = l.word_id
+ORDER BY l.doc_id, l.word_id, l.dim
+"""
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_extensions_for_pandas_spark.operators.search import bm25_search
 
@@ -1774,6 +1830,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
+    "prob_product": (q_prob_product, Q_PROB_PRODUCT_SQL),
     "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
     # non-SQL-expressible (stubbed binary decode inside mapInPandas / no
     # xxhash64 in DuckDB): rows-only checks, no oracle by design
