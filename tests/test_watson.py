@@ -101,3 +101,14 @@ def test_numeric_coercion(spark):
     ).select(W.coerce_numeric(F.col("v")).alias("n"))
     got = [r.n for r in df.collect()]
     assert got == [-5.0, 1234.5, 10.0, 6.5, None]
+
+
+def test_double_header_reconstruction(spark):
+    t2 = W.read_tables_responses(spark, f"{DATA}/tables_doc2.json")
+    cells = W.tables_body_cells(t2)
+    table = W.make_table(cells, max_header_levels=2)
+    rows = {r.row_header_texts_0: r.asDict() for r in table.collect()}
+    assert rows["Paris"]["H1 / 2020"] == "1"
+    assert rows["Paris"]["H2 / 2021"] == "4"
+    assert rows["Lyon"]["H1 / 2021"] == "6"
+    assert rows["Lyon"]["H2 / 2020"] == "7"

@@ -327,10 +327,12 @@ def make_exploded_df(
         fallback_c = (
             F.col("column_index_begin").cast("string") if i == 0 else F.lit("")
         )
+        # F.get (0-based) returns NULL out of bounds — element_at would
+        # throw under Spark 4's default ANSI mode for short header arrays
         out = out.withColumn(
-            rc, F.coalesce(F.element_at("row_header_texts", i + 1), fallback_r)
+            rc, F.coalesce(F.get("row_header_texts", i), fallback_r)
         ).withColumn(
-            cc, F.coalesce(F.element_at("column_header_texts", i + 1), fallback_c)
+            cc, F.coalesce(F.get("column_header_texts", i), fallback_c)
         )
         row_cols.append(rc)
         col_cols.append(cc)
