@@ -152,7 +152,8 @@ def decode_class_labels(
     labels = F.array(*[F.lit(lbl) for lbl in class_labels])
     return (
         df.withColumn(
-            "__lbl", F.element_at(labels, F.col(id_col).cast("int") + 1)
+            # F.get: NULL (not an ANSI error) for ids outside the label list
+            "__lbl", F.get(labels, F.col(id_col).cast("int"))
         )
         .withColumn(
             iob_col,
