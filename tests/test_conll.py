@@ -113,3 +113,32 @@ def test_conll_output_reader(spark, conll):
     joined = conll.join(tags, ["fold", "doc_id", "token_idx"])
     first = joined.filter("doc_id = 0 AND token_idx = 0").collect()[0]
     assert first.token == "Alice" and first.pred_iob == "B" and first.pred_type == "PER"
+
+
+def test_combine_folds_and_corpus_reader(spark):
+    from text_extensions_for_pandas_spark.sources.conll import read_conll_corpus
+
+    corpus = read_conll_corpus(
+        spark, {"train": f"{DATA}/sample.conll", "test": f"{DATA}/sample.conll"}
+    )
+    assert {r.fold for r in corpus.select("fold").distinct().collect()} == {
+        "train", "test"
+    }
+    assert corpus.count() == 2 * 21
+
+
+def test_render_spans_html(spark, conll):
+    from text_extensions_for_pandas_spark.display import render_spans_html
+    from text_extensions_for_pandas_spark.operators.iob import (
+        iob_to_iob2,
+        iob_to_spans,
+    )
+    from text_extensions_for_pandas_spark.sources.conll import conll_documents
+
+    ents = iob_to_spans(iob_to_iob2(conll))
+    docs = conll_documents(conll).withColumnRenamed("text", "text")
+    html_out = render_spans_html(
+        ents, docs, label_col="ent_type", max_docs=5
+    )
+    assert "<mark title='PER'>Alice Jones</mark>" in html_out
+    assert "<mark title='ORG'>Acme Corp</mark>" in html_out

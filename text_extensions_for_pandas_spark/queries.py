@@ -1567,6 +1567,61 @@ FROM scored ORDER BY doc_id
 """
 
 
+def q_global_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level accuracy rollup of the per-document stats."""
+    from text_extensions_for_pandas_spark.operators.cleaning import (
+        compute_accuracy_by_document,
+        compute_global_accuracy,
+    )
+
+    ents = _entity_rules(_tokens(spark, sf_dir))
+    per_doc = compute_accuracy_by_document(ents["GOLD"], ents["m2"], keys=["doc_id"])
+    return compute_global_accuracy(per_doc).select(
+        F.col("num_true_entities").cast("bigint").alias("n_gold"),
+        F.col("num_extracted_entities").cast("bigint").alias("n_pred"),
+        F.col("num_entities_in_common").cast("bigint").alias("n_tp"),
+        "precision",
+        "recall",
+        F.col("F1").alias("f1"),
+    )
+
+
+Q_GLOBAL_ACCURACY_SQL = f"""
+WITH {TOKS_CTE},
+gold AS (
+  SELECT doc_id, "begin", "end",
+         CASE WHEN token = 'spark' THEN 'TECH' ELSE 'DATA' END AS ent_type
+  FROM toks WHERE token IN ('spark', 'data')
+),
+pred AS (
+  SELECT doc_id, "begin", "end",
+         CASE WHEN token = 'spark' THEN 'TECH' ELSE 'DATA' END AS ent_type
+  FROM toks WHERE (token = 'spark' AND token_idx % 2 = 0) OR token = 'data'
+),
+tp AS (
+  SELECT count(*) AS n_tp
+  FROM gold g JOIN pred p
+    ON p.doc_id = g.doc_id AND p."begin" = g."begin"
+   AND p."end" = g."end" AND p.ent_type = g.ent_type
+),
+stats AS (
+  SELECT (SELECT count(*) FROM gold) AS n_gold,
+         (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT n_tp FROM tp) AS n_tp
+),
+scored AS (
+  SELECT n_gold, n_pred, n_tp,
+         CAST(n_tp AS DOUBLE) / greatest(n_pred, 1) AS p,
+         CAST(n_tp AS DOUBLE) / greatest(n_gold, 1) AS r
+  FROM stats
+)
+SELECT n_gold, n_pred, n_tp,
+       round(p, 6) AS precision, round(r, 6) AS recall,
+       CASE WHEN p + r > 0 THEN round(2 * p * r / (p + r), 6) ELSE 0.0 END AS f1
+FROM scored
+"""
+
+
 def q_iob_to_iob2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IOB1→IOB2 repair over synthetic tags: every entity token carries 'I';
     runs must be split/started with 'B' where appropriate."""
@@ -1809,6 +1864,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "unpack_semijoin": (q_unpack_semijoin, Q_UNPACK_SQL),
     "seq_windows": (q_seq_windows, Q_SEQ_WINDOWS_SQL),
     "accuracy_by_doc": (q_accuracy_by_doc, Q_ACCURACY_SQL),
+    "global_accuracy": (q_global_accuracy, Q_GLOBAL_ACCURACY_SQL),
     "spans_to_iob": (q_spans_to_iob, Q_SPANS_TO_IOB_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),

@@ -185,6 +185,39 @@ def conll_2003_to_dataframe(
     )
 
 
+def combine_folds(folds: dict[str, DataFrame]) -> DataFrame:
+    """Stack per-fold corpus DataFrames with their fold keys (reference
+    ``combine_folds``, ``io/conll.py:1424-1458`` — there a list-of-lists
+    concat; here one ``unionByName`` chain, allowing missing columns so
+    folds parsed with different extra columns still stack)."""
+    out = None
+    for fold_name, df in folds.items():
+        tagged = df.withColumn("fold", F.lit(fold_name))
+        out = (
+            tagged
+            if out is None
+            else out.unionByName(tagged, allowMissingColumns=True)
+        )
+    if out is None:
+        raise ValueError("no folds given")
+    return out
+
+
+def read_conll_corpus(
+    spark: SparkSession,
+    fold_paths: dict[str, str],
+    **reader_kwargs,
+) -> DataFrame:
+    """Read a multi-fold CoNLL-2003 corpus (train/dev/test files) into one
+    stacked DataFrame keyed by (fold, doc_id)."""
+    return combine_folds(
+        {
+            fold: conll_2003_to_dataframe(spark, path, fold=fold, **reader_kwargs)
+            for fold, path in fold_paths.items()
+        }
+    )
+
+
 def conll_documents(tokens: DataFrame) -> DataFrame:
     """Project the documents dimension table (fold, doc_id, text) out of a
     parsed corpus DataFrame."""
