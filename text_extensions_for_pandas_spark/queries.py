@@ -1275,9 +1275,74 @@ FROM e GROUP BY label, dim ORDER BY label, dim
 """
 
 
-def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: per query, score only vectors in its nprobe=4
+    nearest of 16 clusters (the IVF scale path; brute force is the
+    ``ann_cosine_topk`` baseline)."""
     emb = load(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = SIM.ivf_assign(emb, centroids)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = SIM.ivf_topk(assigned, centroids, queries_df, k=10, nprobe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+Q_IVF_TOPK_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+ascore AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_DOT.format(a='e.embedding', b='c.ce')}
+         / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) * sqrt({_DOT.format(a='c.ce', b='c.ce')}))
+           AS score
+  FROM embeddings e, c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+  FROM ascore
+),
+clustered AS (SELECT vec_id, embedding, centroid_id FROM assigned WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.query_id, q.qe, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_DOT.format(a='q.qe', b='c.ce')}
+             / (sqrt({_DOT.format(a='q.qe', b='q.qe')}) * sqrt({_DOT.format(a='c.ce', b='c.ce')})) DESC,
+             c.centroid_id) AS prn
+    FROM q, c
+  ) WHERE prn <= 4
+),
+scored AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id,
+         {_DOT.format(a='p.qe', b='v.embedding')}
+         / (sqrt({_DOT.format(a='p.qe', b='p.qe')}) * sqrt({_DOT.format(a='v.embedding', b='v.embedding')}))
+           AS score
+  FROM probes p JOIN clustered v ON v.centroid_id = p.centroid_id
+  WHERE v.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 64 clusters: within-cluster pair count (the quadratic term) shrinks
+    # ~clusters×, which is the whole point of IVF bucketing
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 64).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     out = SIM.embedding_near_dups(emb, centroids, threshold=0.3)
@@ -1287,7 +1352,7 @@ def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_NEAR_DUP_EMB_SQL = f"""
-WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 64),
 scored AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,
          {_DOT.format(a='e.embedding', b='c.ce')}
@@ -1873,6 +1938,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "ann_cosine_topk": (q_ann_topk, Q_ANN_SQL),
     "ivf_clusters": (q_ivf_clusters, Q_IVF_SQL),
+    "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
     "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
     "align_to_tokens": (q_align_to_tokens, Q_ALIGN_SQL),
