@@ -133,6 +133,36 @@ def test_streaming_dedup(spark):
     assert got.select("text_hash").distinct().count() == n_hashes
 
 
+def test_streaming_extract_consolidated_matches_batch(spark):
+    """The stateless rowwise extract+consolidate on a STREAM equals the
+    batch extract_dict -> consolidate pipeline on the same data."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        tokenize_whitespace,
+    )
+    from text_extensions_for_pandas_spark.operators.consolidate import consolidate
+    from text_extensions_for_pandas_spark.operators.extract import extract_dict
+
+    entries = ["table scan", "scan", "table", "sort merge", "merge"]
+    docs_stream = STR.read_documents_stream(spark, SF_DIR)
+    out = STR.streaming_extract_consolidated(docs_stream, entries)
+    _run_to_memory(out, "t_consolidated")
+    got = {
+        (r.doc_id, r.span.begin, r.span.end, r.entry_id)
+        for r in spark.table("t_consolidated").collect()
+    }
+
+    batch_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d = create_dict(spark, entries)
+    matches = extract_dict(tokenize_whitespace(batch_docs), d).select(
+        "doc_id", "span", "entry_id"
+    )
+    want = {
+        (r.doc_id, r.span.begin, r.span.end, r.entry_id)
+        for r in consolidate(matches, on="span").collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_stream_join(spark):
     ev = STR.read_events_stream(spark, SF_DIR)
     out = STR.streaming_error_followups(ev)

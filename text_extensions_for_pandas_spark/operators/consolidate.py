@@ -43,6 +43,41 @@ def _greedy_left_to_right(
     return np.asarray(keep, dtype=np.int64)
 
 
+def consolidate_array(spans_col, element_type: str = "struct<begin:int,end:int>"):
+    """Column-level left-to-right consolidation over an array of span
+    structs — same policy as :func:`consolidate`, for plans where one row
+    already holds a whole document's spans (the streaming shape: no
+    shuffle, no state).  ``element_type`` is the array element's DDL (extra
+    fields beyond begin/end ride along untouched).
+
+    A per-row fold over a short match array is fine here — unlike the
+    corpus-wide hot paths, the array is as long as one document's match
+    list, so the non-codegen HOF cost is bounded.
+    """
+    ordered = F.array_sort(
+        spans_col,
+        lambda a, b: F.when(
+            a["begin"] != b["begin"], a["begin"] - b["begin"]
+        ).otherwise(b["end"] - a["end"]),
+    )
+    folded = F.aggregate(
+        ordered,
+        F.struct(
+            F.lit(-(1 << 62)).cast("long").alias("thr"),
+            F.array().cast(f"array<{element_type}>").alias("keep"),
+        ),
+        lambda acc, s: F.when(
+            s["begin"] >= acc["thr"],
+            F.struct(
+                s["end"].cast("long").alias("thr"),
+                F.array_append(acc["keep"], s).alias("keep"),
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["keep"],
+    )
+    return folded
+
+
 def consolidate(
     df: DataFrame,
     on: str = "span",

@@ -227,30 +227,13 @@ def extract_dict(
     )
 
 
-def extract_dict_rowwise(
-    documents: DataFrame,
-    dictionary: DataFrame,
-    text_col: str = "text",
-    doc_col: str = "doc_id",
-) -> DataFrame:
-    """Gazetteer matching computed entirely *within each document row* —
-    no explode-to-token-rows, no window, no aggregation.
-
-    Per row: build the token array (offsets via an ``aggregate`` fold), join
-    the (broadcast) dictionary, and test every candidate start position with
-    nested higher-order functions.  Because the plan is stateless row logic
-    + a broadcast join, it runs unchanged on Structured Streaming (where
-    :func:`extract_dict`'s groupBy would need a watermark) and on 100 TB
-    batch scans it trades :func:`extract_dict`'s shuffle for per-row compute
-    — the better plan when dictionaries are small and documents are short.
-
-    Same output contract as :func:`extract_dict`:
-    ``(doc_id, token_span, span, entry_id)``.
-    """
-    segs = F.split(F.translate(F.col(text_col), "\t\n\r", "   "), " ")
-    # fold segments into (cursor, tokens[]) — exact offsets, empty segs
-    # advance the cursor but emit nothing
-    toks_acc = F.aggregate(
+def token_array(text_col):
+    """Whitespace token array with exact char offsets as a pure column
+    expression: ``array<struct<idx,begin,end,token>>`` — the row-local twin
+    of :func:`~text_extensions_for_pandas_spark.functions.text.tokenize_whitespace`
+    (empty segments advance the cursor but emit nothing)."""
+    segs = F.split(F.translate(text_col, "\t\n\r", "   "), " ")
+    return F.aggregate(
         segs,
         F.struct(
             F.lit(0).alias("cur"),
@@ -272,7 +255,102 @@ def extract_dict_rowwise(
         ),
         lambda acc: acc["toks"],
     )
-    docs = documents.select(F.col(doc_col), toks_acc.alias("__toks"))
+
+
+def extract_dict_consolidated_rowwise(
+    documents: DataFrame,
+    entries: list[str],
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Gazetteer extraction + left-to-right consolidation as ONE pure
+    column expression per document row — zero joins, zero shuffles, zero
+    state: the fully stream-transparent pipeline (batch ``extract_dict`` →
+    ``consolidate`` produces the same rows; verified in tests).
+
+    The dictionary rides in the plan as literals (gazetteers are small by
+    contract, reference ``spanner/extract.py:93-109``).  Output:
+    ``(doc_id, span, entry_id)``.
+    """
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    from text_extensions_for_pandas_spark.operators.consolidate import (
+        consolidate_array,
+    )
+
+    toks = F.col("__toks")
+
+    def entry_matches(parts: list[str], eid: int):
+        # factory so each closure binds its own parts/eid (and the lambdas
+        # keep arity 1 — pyspark inspects lambda signatures)
+        n = len(parts)
+
+        def pred(i):
+            return _reduce(
+                _and,
+                [
+                    F.lower(F.element_at(toks, i + j + 1)["token"])
+                    == F.lit(parts[j])
+                    for j in range(n)
+                ],
+            )
+
+        def to_match(i):
+            return F.struct(
+                F.element_at(toks, i + 1)["begin"].alias("begin"),
+                F.element_at(toks, i + n)["end"].alias("end"),
+                F.lit(eid).alias("entry_id"),
+            )
+
+        starts = F.when(
+            F.size(toks) >= n,
+            F.filter(F.sequence(F.lit(0), F.size(toks) - n), pred),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(starts, to_match)
+
+    per_entry = [
+        entry_matches(entry.lower().split(), eid)
+        for eid, entry in enumerate(entries)
+    ]
+    matches = F.flatten(F.array(*per_entry))
+    kept = consolidate_array(
+        matches, element_type="struct<begin:int,end:int,entry_id:int>"
+    )
+    return (
+        documents.withColumn("__toks", token_array(F.col(text_col)))
+        .select(F.col(doc_col), F.explode(kept).alias("__m"))
+        .select(
+            doc_col,
+            make_span(F.col("__m.begin"), F.col("__m.end")).alias("span"),
+            F.col("__m.entry_id").alias("entry_id"),
+        )
+    )
+
+
+def extract_dict_rowwise(
+    documents: DataFrame,
+    dictionary: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Gazetteer matching computed entirely *within each document row* —
+    no explode-to-token-rows, no window, no aggregation.
+
+    Per row: build the token array (offsets via an ``aggregate`` fold), join
+    the (broadcast) dictionary, and test every candidate start position with
+    nested higher-order functions.  Because the plan is stateless row logic
+    + a broadcast join, it runs unchanged on Structured Streaming (where
+    :func:`extract_dict`'s groupBy would need a watermark) and on 100 TB
+    batch scans it trades :func:`extract_dict`'s shuffle for per-row compute
+    — the better plan when dictionaries are small and documents are short.
+
+    Same output contract as :func:`extract_dict`:
+    ``(doc_id, token_span, span, entry_id)``.
+    """
+    docs = documents.select(
+        F.col(doc_col), token_array(F.col(text_col)).alias("__toks")
+    )
     with_dict = docs.join(
         F.broadcast(dictionary.select("entry_id", "toks", "n_toks")),
         F.size("__toks") >= F.col("n_toks"),

@@ -553,6 +553,22 @@ def q_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "begin")
 
 
+def q_consolidate_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-safe per-row extract+consolidate — same results as the
+    shuffle-based extract_dict → consolidate pipeline (shared oracle)."""
+    from text_extensions_for_pandas_spark.operators.extract import (
+        extract_dict_consolidated_rowwise,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = extract_dict_consolidated_rowwise(docs, OVERLAP_ENTRIES)
+    return out.select(
+        "doc_id",
+        F.col("span")["begin"].alias("begin"),
+        F.col("span")["end"].alias("end"),
+    ).orderBy("doc_id", "begin")
+
+
 Q_CONSOLIDATE_SQL = f"""
 WITH RECURSIVE {TOKS_CTE},
 matches AS (SELECT * FROM ({_dict_sql(OVERLAP_ENTRIES)})),
@@ -1924,6 +1940,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "overlap_join": (q_overlap_join, Q_OVERLAP_SQL),
     "contain_join": (q_contain_join, Q_CONTAIN_SQL),
     "consolidate": (q_consolidate, Q_CONSOLIDATE_SQL),
+    "consolidate_rowwise": (q_consolidate_rowwise, Q_CONSOLIDATE_SQL),
     "iob_to_spans": (q_iob_spans, Q_IOB_SPANS_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "unpack_semijoin": (q_unpack_semijoin, Q_UNPACK_SQL),

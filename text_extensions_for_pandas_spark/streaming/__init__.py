@@ -3,6 +3,7 @@ from text_extensions_for_pandas_spark.streaming.ops import (  # noqa: F401
     read_events_stream,
     streaming_dedup_exact,
     streaming_error_followups,
+    streaming_extract_consolidated,
     streaming_extract_dict,
     streaming_extract_regex,
     streaming_hourly_counts,

@@ -182,6 +182,20 @@ def streaming_dedup_exact(
     return hashed.dropDuplicates(["text_hash"])
 
 
+def streaming_extract_consolidated(
+    documents: DataFrame, entries: list[str]
+) -> DataFrame:
+    """Gazetteer extract + left-to-right consolidate on a document stream —
+    the whole spanner pipeline as stateless per-row column logic
+    (``extract_dict_consolidated_rowwise``), so it runs identically on
+    batch and stream with no watermark and no state store."""
+    from text_extensions_for_pandas_spark.operators.extract import (
+        extract_dict_consolidated_rowwise,
+    )
+
+    return extract_dict_consolidated_rowwise(documents, entries)
+
+
 def streaming_error_followups(
     events: DataFrame,
     first_type: str = "error",
