@@ -218,3 +218,41 @@ def test_stateful_running_stats(spark):
         ).count()
         == 0
     )
+
+
+def test_rowwise_minhash_signature_matches_batch(spark):
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        doc_shingles,
+        minhash_signature_col,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rowwise = {
+        r.doc_id: list(r.sig)
+        for r in docs.select(
+            "doc_id", minhash_signature_col(F.col("text")).alias("sig")
+        ).collect()
+    }
+    batch = {
+        r.doc_id: [r[f"mh_{i}"] for i in range(8)]
+        for r in minhash_signatures(doc_shingles(docs)).collect()
+    }
+    # batch drops shingle-less docs; rowwise gives them the init sentinel
+    for d, sig in batch.items():
+        assert rowwise[d] == sig
+
+
+def test_streaming_dedup_minhash(spark):
+    docs = STR.read_documents_stream(spark, SF_DIR)
+    out = STR.streaming_dedup_minhash(docs)
+    _run_to_memory(out, "t_mh_dedup")
+    got = spark.table("t_mh_dedup")
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        minhash_signature_col,
+    )
+
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.concat_ws("", minhash_signature_col(F.col("text"))).alias("s")
+    )
+    assert got.count() == batch.distinct().count()

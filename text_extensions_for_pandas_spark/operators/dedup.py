@@ -304,3 +304,34 @@ def hamming_distance_hex(a, b):
         F.lit(0),
         lambda acc, x: acc + x,
     )
+
+
+def minhash_signature_col(text_col, shingle_n: int = 3, n_hashes: int = 8):
+    """Per-row MinHash signature as an ``array<string>`` column — the
+    row-local twin of :func:`minhash_signatures` (same hash scheme, same
+    values), for streams where a groupBy would need state.  The fold is a
+    bounded per-document HOF (shingles × 2 md5) — fine per row; corpus-scale
+    batch jobs should keep using the explode + groupBy form.
+    """
+    sh = word_shingles(text_col, shingle_n)
+    n_seeds = (n_hashes + 3) // 4
+
+    def slices_of(s):
+        seeds = F.array(
+            *[F.md5(F.concat(F.lit(f"{seed}:"), s)) for seed in range(n_seeds)]
+        )
+        return F.array(
+            *[
+                F.substring(
+                    F.element_at(seeds, i // 4 + 1), (i % 4) * 8 + 1, 8
+                )
+                for i in range(n_hashes)
+            ]
+        )
+
+    # '~' sorts after every hex char, so it is the identity for string-min
+    return F.aggregate(
+        sh,
+        F.array_repeat(F.lit("~~~~~~~~"), n_hashes),
+        lambda acc, s: F.zip_with(acc, slices_of(s), lambda a, b: F.least(a, b)),
+    )

@@ -2,6 +2,7 @@ from text_extensions_for_pandas_spark.streaming.ops import (  # noqa: F401
     read_documents_stream,
     read_events_stream,
     streaming_dedup_exact,
+    streaming_dedup_minhash,
     streaming_error_followups,
     streaming_extract_consolidated,
     streaming_extract_dict,

@@ -287,3 +287,26 @@ def streaming_user_running_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_minhash(
+    documents: DataFrame, ts_col: str | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming near-duplicate filter: drop documents whose full MinHash
+    signature was already seen (catches boilerplate/near-identical docs
+    that exact-hash dedup misses).  Signature computed per row (no
+    groupBy); with an event-time column the seen-signature state is
+    bounded by the watermark.
+    """
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        minhash_signature_col,
+    )
+
+    sig = documents.withColumn(
+        "__sig", F.concat_ws("", minhash_signature_col(F.col("text")))
+    )
+    if ts_col is not None:
+        return sig.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__sig"]
+        )
+    return sig.dropDuplicates(["__sig"])
