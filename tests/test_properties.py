@@ -183,3 +183,69 @@ def test_tokenizer_spark_matches_python(spark):
                 idx += 1
             pos += len(seg) + 1
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def random_corpus(spark):
+    """Random texts over a small vocabulary so dictionary entries hit often,
+    including multi-token entries, repeated words, and empty docs."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["table", "scan", "sort", "merge", "spark", "a", "the", "row"]
+    texts = [""] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for _ in range(40)
+    ]
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).cache()
+
+
+def test_dict_extractors_agree(spark, random_corpus):
+    """extract_dict (join+groupBy), extract_dict_rowwise (HOF+join) and the
+    literal-dictionary variant must produce identical match sets."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        tokenize_whitespace,
+    )
+    from text_extensions_for_pandas_spark.operators.extract import (
+        create_dict,
+        extract_dict,
+        extract_dict_rowwise,
+    )
+
+    entries = ["table scan", "scan", "sort merge", "spark", "the row"]
+    d = create_dict(spark, entries)
+    key = lambda r: (r.doc_id, r.span.begin, r.span.end, r.entry_id)  # noqa: E731
+    a = {key(r) for r in extract_dict(
+        tokenize_whitespace(random_corpus), d).collect()}
+    b = {key(r) for r in extract_dict_rowwise(random_corpus, d).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_consolidated_rowwise_matches_batch_pipeline(spark, random_corpus):
+    from text_extensions_for_pandas_spark.functions.text import (
+        tokenize_whitespace,
+    )
+    from text_extensions_for_pandas_spark.operators.consolidate import consolidate
+    from text_extensions_for_pandas_spark.operators.extract import (
+        create_dict,
+        extract_dict,
+        extract_dict_consolidated_rowwise,
+    )
+
+    entries = ["table scan", "scan", "sort merge", "spark", "the row"]
+    got = {
+        (r.doc_id, r.span.begin, r.span.end)
+        for r in extract_dict_consolidated_rowwise(
+            random_corpus, entries
+        ).collect()
+    }
+    matches = extract_dict(
+        tokenize_whitespace(random_corpus), create_dict(spark, entries)
+    ).select("doc_id", "span", "entry_id")
+    want = {
+        (r.doc_id, r.span.begin, r.span.end)
+        for r in consolidate(matches, on="span").collect()
+    }
+    assert got == want and len(got) > 0
