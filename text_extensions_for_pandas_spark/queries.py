@@ -1648,6 +1648,46 @@ FROM scored ORDER BY doc_id
 """
 
 
+def q_covering_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span "sum" aggregate: the minimal covering span of each document's
+    dictionary matches (reference ``array/span.py:816-842``)."""
+    matches = _dict_spans(spark, sf_dir, DICT_ENTRIES)
+    out = matches.groupBy("doc_id").agg(S.covering_span("span").alias("cover"))
+    return out.select(
+        "doc_id",
+        F.col("cover")["begin"].alias("begin"),
+        F.col("cover")["end"].alias("end"),
+    ).orderBy("doc_id")
+
+
+Q_COVERING_SPAN_SQL = f"""
+WITH {TOKS_CTE},
+matches AS ({_dict_sql(DICT_ENTRIES)})
+SELECT doc_id, min("begin") AS "begin", max("end") AS "end"
+FROM matches GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_neighbor_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left/right neighbor token ids via lag/lead
+    (reference ``io/spacy.py:144-151``)."""
+    out = T.add_neighbor_tokens(_tokens(spark, sf_dir))
+    return out.select(
+        "doc_id", "token_idx", "left", "right"
+    ).orderBy("doc_id", "token_idx")
+
+
+Q_NEIGHBOR_SQL = f"""
+WITH {TOKS_CTE}
+SELECT doc_id, token_idx,
+       lag(token_idx) OVER w AS "left",
+       lead(token_idx) OVER w AS "right"
+FROM toks
+WINDOW w AS (PARTITION BY doc_id ORDER BY token_idx)
+ORDER BY doc_id, token_idx
+"""
+
+
 def q_global_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level accuracy rollup of the per-document stats."""
     from text_extensions_for_pandas_spark.operators.cleaning import (
@@ -1947,6 +1987,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "seq_windows": (q_seq_windows, Q_SEQ_WINDOWS_SQL),
     "accuracy_by_doc": (q_accuracy_by_doc, Q_ACCURACY_SQL),
     "global_accuracy": (q_global_accuracy, Q_GLOBAL_ACCURACY_SQL),
+    "covering_span": (q_covering_span, Q_COVERING_SPAN_SQL),
+    "neighbor_tokens": (q_neighbor_tokens, Q_NEIGHBOR_SQL),
     "spans_to_iob": (q_spans_to_iob, Q_SPANS_TO_IOB_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
