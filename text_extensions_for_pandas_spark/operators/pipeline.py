@@ -1,0 +1,116 @@
+"""End-to-end training-corpus preparation — the composition the engine
+exists for: language filter → quality filter → exact dedup → MinHash
+near-dup removal → deterministic split.
+
+Each stage is an existing operator; the value here is the composition
+discipline at 100 TB:
+
+* every stage is a lazy plan — one pass over the corpus when executed;
+* dedup keeps the *lowest doc_id* representative (deterministic, so reruns
+  and retries converge);
+* near-dup removal drops the higher-id side of each verified pair
+  (greedy-by-id: order-independent and idempotent);
+* the final split is a pure hash function of the key
+  (:func:`~text_extensions_for_pandas_spark.operators.search.split_by_hash`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from text_extensions_for_pandas_spark.functions.text import lang_id, quality_metrics
+from text_extensions_for_pandas_spark.operators import dedup as D
+
+
+def prepare_training_corpus(
+    documents: DataFrame,
+    languages: list[str] | None = None,
+    min_words: int = 10,
+    max_word_len: float = 12.0,
+    near_dup_threshold: float = 0.8,
+    split_weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """The cleaned, deduplicated, split corpus: input columns + ``split``.
+
+    Stages: language-ID filter → quality filter (word count, mean word
+    length) → exact dedup (keep min doc id) → MinHash-LSH + Jaccard
+    near-dup removal (drop the higher id of each pair ≥ threshold) →
+    hash split.
+    """
+    from text_extensions_for_pandas_spark.operators.search import split_by_hash
+
+    languages = languages or ["en"]
+    split_weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+
+    m = quality_metrics(F.col(text_col))
+    qualified = (
+        documents.withColumn("__lang", lang_id(F.col(text_col)))
+        .filter(F.col("__lang").isin(languages))
+        .withColumn("__m", m)
+        .filter(
+            (F.col("__m.n_tokens") >= min_words)
+            & (F.col("__m.mean_token_len") <= max_word_len)
+        )
+        .drop("__lang", "__m")
+    )
+    exact_keep = D.exact_dedup(qualified, text_col, doc_col).select(
+        F.col("keep_doc_id").alias(doc_col)
+    )
+    uniq = qualified.join(exact_keep, doc_col, "left_semi")
+    drop = (
+        D.near_dup_pairs(
+            uniq, threshold=near_dup_threshold, text_col=text_col, doc_col=doc_col
+        )
+        .select(F.col("doc_b").alias(doc_col))
+        .distinct()
+    )
+    kept = uniq.join(drop, doc_col, "left_anti")
+    return split_by_hash(kept, split_weights, key_col=doc_col)
+
+
+def corpus_funnel(
+    documents: DataFrame,
+    languages: list[str] | None = None,
+    min_words: int = 10,
+    max_word_len: float = 12.0,
+    near_dup_threshold: float = 0.8,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Stage-by-stage survivor counts of the preparation pipeline — the
+    audit table a data-curation run reports.  One row per stage."""
+    languages = languages or ["en"]
+    m = quality_metrics(F.col(text_col))
+    lang_ok = documents.withColumn("__lang", lang_id(F.col(text_col))).filter(
+        F.col("__lang").isin(languages)
+    )
+    quality_ok = lang_ok.withColumn("__m", m).filter(
+        (F.col("__m.n_tokens") >= min_words)
+        & (F.col("__m.mean_token_len") <= max_word_len)
+    ).drop("__m")
+    exact_keep = D.exact_dedup(quality_ok, text_col, doc_col).select(
+        F.col("keep_doc_id").alias(doc_col)
+    )
+    uniq = quality_ok.join(exact_keep, doc_col, "left_semi")
+    drop = (
+        D.near_dup_pairs(
+            uniq, threshold=near_dup_threshold, text_col=text_col, doc_col=doc_col
+        )
+        .select(F.col("doc_b").alias(doc_col))
+        .distinct()
+    )
+    final = uniq.join(drop, doc_col, "left_anti")
+
+    spark = documents.sparkSession
+    stages = [
+        ("0_total", documents),
+        ("1_lang", lang_ok),
+        ("2_quality", quality_ok),
+        ("3_exact_dedup", uniq),
+        ("4_near_dedup", final),
+    ]
+    rows = [(name, df.count()) for name, df in stages]
+    return spark.createDataFrame(rows, "stage string, n_docs long")

@@ -1846,6 +1846,77 @@ ORDER BY l.doc_id, l.word_id, l.dim
 """
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data preparation funnel: language filter →
+    quality filter → exact dedup → MinHash near-dup removal, reported as
+    per-stage survivor counts."""
+    from text_extensions_for_pandas_spark.operators.pipeline import corpus_funnel
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_funnel(
+        docs, languages=["en"], min_words=10, max_word_len=12.0,
+        near_dup_threshold=0.8,
+    ).orderBy("stage")
+
+
+Q_CORPUS_FUNNEL_SQL = f"""
+WITH t AS (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS tl FROM documents),
+s AS (SELECT doc_id, text, tl, {_SCORE_COLS} FROM t),
+lang_ok AS (SELECT doc_id, text, tl FROM s WHERE {_PRED_CASE} = 'en'),
+quality_ok AS (
+  SELECT doc_id, text, tl FROM lang_ok
+  WHERE len(tl) >= 10
+    AND round(CAST(length(text) AS DOUBLE) / greatest(len(tl), 1), 4) <= 12.0
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM quality_ok GROUP BY md5(text)),
+uniq AS (SELECT q.* FROM quality_ok q JOIN keepers k ON k.doc_id = q.doc_id),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(tl[i + 1 : i + 3], ' ') AS shingle
+  FROM uniq, unnest(range(len(tl) - 2)) AS x(i) WHERE len(tl) >= 3
+),
+mh AS (
+  SELECT doc_id, seed,
+         min(substr(md5(CAST(seed // 4 AS VARCHAR) || ':' || shingle),
+                    CAST((seed % 4) * 8 + 1 AS INTEGER), 8)) AS minhash
+  FROM shingles, unnest(range(8)) AS s2(seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, '' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n
+  FROM cand p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+drops AS (
+  SELECT DISTINCT p.doc_b FROM cand p
+  JOIN cnt ca ON ca.doc_id = p.doc_a
+  JOIN cnt cb ON cb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  WHERE round(CAST(coalesce(i.n, 0) AS DOUBLE)
+              / (ca.c + cb.c - coalesce(i.n, 0)), 6) >= 0.8
+),
+final AS (SELECT doc_id FROM uniq WHERE doc_id NOT IN (SELECT doc_b FROM drops))
+SELECT '0_total' AS stage, count(*) AS n_docs FROM documents
+UNION ALL SELECT '1_lang', count(*) FROM lang_ok
+UNION ALL SELECT '2_quality', count(*) FROM quality_ok
+UNION ALL SELECT '3_exact_dedup', count(*) FROM uniq
+UNION ALL SELECT '4_near_dedup', count(*) FROM final
+ORDER BY stage
+"""
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_extensions_for_pandas_spark.operators.search import bm25_search
 
@@ -2011,6 +2082,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
+    "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
     "prob_product": (q_prob_product, Q_PROB_PRODUCT_SQL),
     "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
     # non-SQL-expressible (stubbed binary decode inside mapInPandas / no
