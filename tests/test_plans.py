@@ -27,6 +27,9 @@ def plan_of(df, mode="formatted") -> str:
 
 @pytest.fixture(scope="module")
 def docs(spark):
+    # other test modules cache this same parquet read; a cache hit would
+    # replace the FileScan (and its PushedFilters) with InMemoryTableScan
+    spark.catalog.clearCache()
     return spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
 
