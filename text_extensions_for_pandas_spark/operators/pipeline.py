@@ -81,36 +81,59 @@ def corpus_funnel(
     doc_col: str = "doc_id",
 ) -> DataFrame:
     """Stage-by-stage survivor counts of the preparation pipeline — the
-    audit table a data-curation run reports.  One row per stage."""
+    audit table a data-curation run reports.  One row per stage.
+
+    Computed as ONE plan: per-doc stage flags (joins supply the dedup
+    memberships), a single conditional-sum aggregate, then an unpivot —
+    one corpus pass instead of one job per stage."""
     languages = languages or ["en"]
     m = quality_metrics(F.col(text_col))
-    lang_ok = documents.withColumn("__lang", lang_id(F.col(text_col))).filter(
-        F.col("__lang").isin(languages)
+    flagged = (
+        documents.withColumn(
+            "__lang_ok", lang_id(F.col(text_col)).isin(languages)
+        )
+        .withColumn("__m", m)
+        .withColumn(
+            "__quality_ok",
+            F.col("__lang_ok")
+            & (F.col("__m.n_tokens") >= min_words)
+            & (F.col("__m.mean_token_len") <= max_word_len),
+        )
+        .drop("__m")
     )
-    quality_ok = lang_ok.withColumn("__m", m).filter(
-        (F.col("__m.n_tokens") >= min_words)
-        & (F.col("__m.mean_token_len") <= max_word_len)
-    ).drop("__m")
+    quality_ok = flagged.filter(F.col("__quality_ok"))
     exact_keep = D.exact_dedup(quality_ok, text_col, doc_col).select(
-        F.col("keep_doc_id").alias(doc_col)
+        F.col("keep_doc_id").alias(doc_col), F.lit(True).alias("__uniq")
     )
     uniq = quality_ok.join(exact_keep, doc_col, "left_semi")
     drop = (
         D.near_dup_pairs(
             uniq, threshold=near_dup_threshold, text_col=text_col, doc_col=doc_col
         )
-        .select(F.col("doc_b").alias(doc_col))
+        .select(F.col("doc_b").alias(doc_col), F.lit(True).alias("__dropped"))
         .distinct()
     )
-    final = uniq.join(drop, doc_col, "left_anti")
-
-    spark = documents.sparkSession
-    stages = [
-        ("0_total", documents),
-        ("1_lang", lang_ok),
-        ("2_quality", quality_ok),
-        ("3_exact_dedup", uniq),
-        ("4_near_dedup", final),
-    ]
-    rows = [(name, df.count()) for name, df in stages]
-    return spark.createDataFrame(rows, "stage string, n_docs long")
+    annotated = (
+        flagged.join(exact_keep, doc_col, "left")
+        .join(drop, doc_col, "left")
+        .select(
+            F.col("__lang_ok"),
+            F.col("__quality_ok"),
+            F.coalesce("__uniq", F.lit(False)).alias("__uniq_ok"),
+            F.coalesce("__dropped", F.lit(False)).alias("__dropped"),
+        )
+    )
+    one = annotated.agg(
+        F.count("*").alias("0_total"),
+        F.sum(F.col("__lang_ok").cast("long")).alias("1_lang"),
+        F.sum(F.col("__quality_ok").cast("long")).alias("2_quality"),
+        F.sum(F.col("__uniq_ok").cast("long")).alias("3_exact_dedup"),
+        F.sum((F.col("__uniq_ok") & ~F.col("__dropped")).cast("long")).alias(
+            "4_near_dedup"
+        ),
+    )
+    stack = ", ".join(
+        f"'{s}', `{s}`"
+        for s in ["0_total", "1_lang", "2_quality", "3_exact_dedup", "4_near_dedup"]
+    )
+    return one.selectExpr(f"stack(5, {stack}) AS (stage, n_docs)")
