@@ -99,3 +99,21 @@ def test_extract_split(spark):
     got = sorted((r.doc_id, r.cut) for r in out.collect())
     assert got == [(0, "aaa "), (0, " bbb "), (0, " ccc"), (1, "no split points")] or \
            got == sorted([(0, "aaa "), (0, " bbb "), (0, " ccc"), (1, "no split points")])
+
+
+def test_person_names_example(spark):
+    """The examples/ walkthrough (reference Market Intelligence tutorial
+    shape) end-to-end: full names beat their component matches."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "examples")
+    )
+    from person_names import person_names
+
+    out = person_names(
+        spark, os.path.join(os.path.dirname(__file__), "data", "sample.conll")
+    ).collect()
+    got = {(r.doc_id, r.person) for r in out}
+    assert got == {(0, "Alice Jones"), (1, "Bob")}
