@@ -1,0 +1,89 @@
+"""Tests for connected components, repetition metrics, decontamination,
+and TF-IDF top terms (beyond-reference training-pipeline surface)."""
+
+import pyspark.sql.functions as F
+
+from tests.conftest import rows_to_tuples
+from text_extensions_for_pandas_spark.functions.text import repetition_metrics
+from text_extensions_for_pandas_spark.operators.dedup import (
+    contamination_overlap,
+)
+from text_extensions_for_pandas_spark.operators.graph import (
+    connected_components,
+)
+from text_extensions_for_pandas_spark.operators.search import tfidf_top_terms
+
+
+def test_connected_components_two_clusters_and_chain(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds)
+    # plus a separate pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = rows_to_tuples(connected_components(edges), "node", "component")
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)]
+
+
+def test_connected_components_self_loop_and_duplicate_edges(spark):
+    edges = spark.createDataFrame(
+        [(5, 5), (7, 8), (8, 7), (7, 8)], ["doc_a", "doc_b"]
+    )
+    got = rows_to_tuples(connected_components(edges), "node", "component")
+    assert got == [(5, 5), (7, 7), (8, 7)]
+
+
+def test_repetition_metrics_hand_computed(spark):
+    # bigrams of "a b a b a": [a b, b a, a b, b a] -> counts {a b:2, b a:2}
+    # top fraction 2/4, duplicate fraction 4/4
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "solo")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["top_ngram_frac"], r["dup_ngram_frac"])
+        for r in repetition_metrics(docs, n=2).collect()
+    }
+    assert got[1] == (4, 0.5, 1.0)
+    assert got[2] == (2, 0.5, 0.0)
+    assert 3 not in got  # single word: no bigrams, no row
+
+
+def test_contamination_overlap_flags_leaked_ngrams(spark):
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "preamble the quick brown fox jumps afterwards"),
+            (2, "totally unrelated content with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = rows_to_tuples(
+        contamination_overlap(train, eval_docs, shingle_n=5),
+        "doc_id",
+        "n_shared_ngrams",
+        "n_eval_docs",
+    )
+    # doc 1 shares exactly one 5-gram: "the quick brown fox jumps"
+    assert got == [(1, 1, 1)]
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common yak"),
+            (3, "common common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, top_k=2)
+    top = {
+        r["doc_id"]: r["term"]
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    # the doc-unique term must outrank the corpus-wide one
+    assert top[1] == "zebra" and top[2] == "yak"
+    # doc 3 has only "common" (idf = ln(1) = 0) -> still emitted, rank 1
+    assert top[3] == "common"

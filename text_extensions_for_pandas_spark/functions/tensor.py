@@ -118,11 +118,19 @@ def reduce_rows(
     exploded = df.select(
         *group_cols, F.posexplode(F.col(vec_col)).alias("dim", "__v")
     )
-    dec = F.col("__v").cast("decimal(38,18)")
+    # float -> string -> decimal: the shortest round-trip decimal string of
+    # a float is engine-independent (Ryu in both Spark and DuckDB), while
+    # direct float->decimal casts differ (Spark rounds the exact binary
+    # value, DuckDB scales in floating point and drifts ulps)
+    dec = F.col("__v").cast("string").cast("decimal(38,18)")
     if stat == "sum":
         agg = F.sum(dec).cast("double")
     elif stat == "mean":
-        agg = (F.sum(dec) / F.count("*")).cast("double")
+        # cast the exact decimal sum to DOUBLE *before* dividing: decimal
+        # division rounding rules differ across engines (Spark truncates the
+        # quotient to a derived scale, DuckDB doesn't), while double/int64
+        # division is IEEE-identical everywhere
+        agg = F.sum(dec).cast("double") / F.count("*")
     elif stat == "min":
         agg = F.min("__v").cast("double")
     elif stat == "max":

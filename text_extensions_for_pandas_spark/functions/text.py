@@ -311,3 +311,36 @@ def fingerprint_rows(
         .select(F.col(doc_col), F.col("__wmin").alias("fp"))
         .distinct()
     )
+
+
+def repetition_metrics(
+    documents: "DataFrame",
+    n: int = 2,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> "DataFrame":
+    """Gopher-style repetition quality signals per document (Rae et al. 2021
+    §A1.1 use duplicate-n-gram fractions to drop boilerplate/spam): for word
+    ``n``-grams, the fraction held by the single most frequent n-gram
+    (``top_ngram_frac``) and the fraction occurring more than once
+    (``dup_ngram_frac``).
+
+    One narrow explode + two map-side-combined aggregations, both keyed on
+    ``doc_id`` — the second reuses the first's partitioning, so the whole
+    metric costs one shuffle of (doc, ngram) rows at 100 TB.
+    Documents with fewer than ``n`` words produce no row (no n-grams exist).
+    """
+    ng = documents.select(
+        F.col(doc_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__ng"),
+    )
+    counts = ng.groupBy(doc_col, "__ng").agg(F.count("*").alias("__c"))
+    return counts.groupBy(doc_col).agg(
+        F.sum("__c").alias("n_ngrams"),
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_ngram_frac"),
+        F.round(
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
+            / F.sum("__c"),
+            6,
+        ).alias("dup_ngram_frac"),
+    )

@@ -335,3 +335,42 @@ def minhash_signature_col(text_col, shingle_n: int = 3, n_hashes: int = 8):
         F.array_repeat(F.lit("~~~~~~~~"), n_hashes),
         lambda acc, s: F.zip_with(acc, slices_of(s), lambda a, b: F.least(a, b)),
     )
+
+
+def contamination_overlap(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    shingle_n: int = 5,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, count the
+    distinct word ``n``-grams it shares with an evaluation/benchmark corpus,
+    and how many distinct eval documents it collides with.
+
+    Training pipelines must drop (or flag) corpus documents that leak
+    benchmark content; the standard check is 'shares any 8-to-13-gram with
+    an eval example' (GPT-3 appendix C, PaLM §7).  Output:
+    ``(doc_id, n_shared_ngrams, n_eval_docs)`` for contaminated docs only.
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs vs the
+    corpus' billions), so its shingle set is broadcast — the corpus is
+    scanned once, never shuffled; the only wide op is the per-doc distinct
+    count, partitioned on ``doc_id``.
+    """
+    ev = eval_docs.select(
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        F.col(doc_col).alias("__eval_doc"),
+    ).distinct()
+    tr = documents.select(
+        F.col(doc_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).distinct()
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(doc_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("__eval_doc").alias("n_eval_docs"),
+        )
+    )

@@ -133,3 +133,43 @@ def split_by_hash(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def tfidf_top_terms(
+    documents: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF:
+    ``tf/doc_len * ln(N/df)``, ties broken by term for determinism.
+
+    Scale shape: the df table is vocabulary-sized and broadcasts; the corpus
+    count enters as a 1-row cross join (also broadcast), so the only wide ops
+    are the two term-stat aggregations and the per-doc top-k window — all
+    map-side combined / partitioned on ``doc_id``.
+    """
+    tf = term_frequencies(documents, text_col, doc_col)
+    df = document_frequencies(tf)
+    n_docs = documents.agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") / F.col("doc_len"))
+            * F.log(F.col("__n") / F.col("df")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(doc_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            doc_col, "term", F.round("tfidf", 6).alias("tfidf"), "rank"
+        )
+    )

@@ -1286,7 +1286,8 @@ WITH e AS (
   FROM embeddings
 )
 SELECT label, CAST(dim AS INTEGER) AS dim,
-       round(CAST(sum(CAST(v AS DECIMAL(38,18))) / count(*) AS DOUBLE), 6) AS mean_val
+       round(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*), 6) AS mean_val
 FROM e GROUP BY label, dim ORDER BY label, dim
 """
 
@@ -2028,6 +2029,159 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup clustering / quality filters / decontamination / TF-IDF
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters (connected components by
+    min-label propagation; DuckDB twin is a recursive CTE)."""
+    from text_extensions_for_pandas_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs(docs, threshold=0.8)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "component", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+cnt AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM cand p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.doc_a
+  JOIN cnt cb ON cb.doc_id = i.doc_b
+  WHERE round(CAST(i.n_inter AS DOUBLE) / (ca.c + cb.c - i.n_inter), 6) >= 0.8
+),
+sym AS (
+  SELECT doc_a AS node, doc_b AS peer FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT node, node FROM (SELECT DISTINCT node FROM sym) n
+  UNION
+  SELECT s.node, re.r FROM sym s JOIN reach re ON re.node = s.peer
+),
+comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT c.doc_id, c.component, s.cluster_size
+FROM comp c JOIN sizes s ON s.component = c.component
+ORDER BY c.doc_id
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_metrics(load(spark, sf_dir, "documents"), n=2).orderBy(
+        "doc_id"
+    )
+
+
+Q_DOC_REPETITION_SQL = """
+WITH dtoks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tl FROM documents
+),
+bg AS (
+  SELECT doc_id, array_to_string(tl[i + 1 : i + 2], ' ') AS ngram
+  FROM dtoks, unnest(range(len(tl) - 1)) AS t(i)
+  WHERE len(tl) >= 2
+),
+c AS (SELECT doc_id, ngram, count(*) AS c FROM bg GROUP BY doc_id, ngram)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_ngrams,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+         AS top_ngram_frac,
+       round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(c) AS DOUBLE), 6) AS dup_ngram_frac
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing any word 5-gram with the eval subset
+    (every 50th doc plays the benchmark)."""
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return D.contamination_overlap(tr, ev, shingle_n=5).orderBy("doc_id")
+
+
+Q_DECONTAM_SQL = """
+WITH dtoks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tl FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tl[i + 1 : i + 5], ' ') AS shingle
+  FROM dtoks, unnest(range(len(tl) - 4)) AS t(i)
+  WHERE len(tl) >= 5
+),
+ev AS (SELECT DISTINCT shingle, doc_id AS eval_doc FROM sh WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_shared_ngrams,
+       CAST(count(DISTINCT e.eval_doc) AS BIGINT) AS n_eval_docs
+FROM tr t JOIN ev e ON e.shingle = t.shingle
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.search import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), top_k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+Q_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+lens AS (SELECT doc_id, count(*) AS doc_len FROM toks2 GROUP BY doc_id),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         (CAST(t.tf AS DOUBLE) / l.doc_len)
+           * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS tfidf
+  FROM tf t
+  JOIN lens l ON l.doc_id = t.doc_id
+  JOIN dfs d ON d.term = t.term
+  CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2085,6 +2239,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
     "prob_product": (q_prob_product, Q_PROB_PRODUCT_SQL),
     "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
+    "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
+    "doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
+    "decontam_overlap": (q_decontam_overlap, Q_DECONTAM_SQL),
+    "tfidf_top_terms": (q_tfidf_top_terms, Q_TFIDF_SQL),
     # non-SQL-expressible (stubbed binary decode inside mapInPandas / no
     # xxhash64 in DuckDB): rows-only checks, no oracle by design
     "multimodal_image_features": (q_multimodal_features, None),
