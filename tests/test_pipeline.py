@@ -33,3 +33,33 @@ def test_prepare_training_corpus(docs):
     assert a == b
     # no exact duplicates survive
     assert out.select("text").distinct().count() == out.count()
+
+
+def test_cluster_strategy_drops_transitive_duplicates(spark):
+    # docs 1, 2, 5 are near-identical; 1-5 and 2-5 pair up via LSH, and
+    # (with identical texts) 1-2 does too, but the synthetic case that
+    # matters is: cluster strategy keeps ONLY the component minimum,
+    # pairwise keeps every doc that never shows up as the higher id.
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, base + "tail one"),
+        (2, base + "tail two"),
+        (5, base + "tail tre"),
+        (9, "the totally different content of another and unrelated story is here " * 3),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept_pairs = {
+        r.doc_id
+        for r in prepare_training_corpus(
+            docs, min_words=5, near_dup_strategy="pairs"
+        ).collect()
+    }
+    kept_clusters = {
+        r.doc_id
+        for r in prepare_training_corpus(
+            docs, min_words=5, near_dup_strategy="clusters"
+        ).collect()
+    }
+    assert kept_clusters <= kept_pairs
+    assert 1 in kept_clusters and 9 in kept_clusters
+    assert kept_clusters == {1, 9}

@@ -23,6 +23,14 @@ from text_extensions_for_pandas_spark.functions.text import lang_id, quality_met
 from text_extensions_for_pandas_spark.operators import dedup as D
 
 
+# NB: both pipeline entry points evaluate the lang/quality flag expressions
+# in more than one branch of their DAG.  That recomputation is deliberate:
+# the flags are cheap per-row scan-local expressions, so re-deriving them in
+# each scan branch keeps the plan shuffle-free, whereas factoring them into a
+# shared (doc_id, flags) table would force a corpus-sized join/shuffle to get
+# them back next to the text — the wrong trade at 100 TB.
+
+
 def prepare_training_corpus(
     documents: DataFrame,
     languages: list[str] | None = None,
@@ -32,13 +40,24 @@ def prepare_training_corpus(
     split_weights: dict[str, float] | None = None,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    near_dup_strategy: str = "pairs",
 ) -> DataFrame:
     """The cleaned, deduplicated, split corpus: input columns + ``split``.
 
     Stages: language-ID filter → quality filter (word count, mean word
     length) → exact dedup (keep min doc id) → MinHash-LSH + Jaccard
-    near-dup removal (drop the higher id of each pair ≥ threshold) →
-    hash split.
+    near-dup removal → hash split.
+
+    ``near_dup_strategy``:
+
+    * ``"pairs"`` (default): drop the higher id of each verified pair —
+      one pass, order-independent, idempotent; but a duplicate connected
+      to the cluster only through a middle document can survive (for
+      pairs (1,5),(2,5) it keeps both 1 and 2).
+    * ``"clusters"``: connected components over the pair graph, keep only
+      each component's minimum id — transitive-closure-correct at the
+      cost of the iterative label-propagation rounds
+      (:func:`~text_extensions_for_pandas_spark.operators.graph.connected_components`).
     """
     from text_extensions_for_pandas_spark.operators.search import split_by_hash
 
@@ -60,13 +79,22 @@ def prepare_training_corpus(
         F.col("keep_doc_id").alias(doc_col)
     )
     uniq = qualified.join(exact_keep, doc_col, "left_semi")
-    drop = (
-        D.near_dup_pairs(
-            uniq, threshold=near_dup_threshold, text_col=text_col, doc_col=doc_col
-        )
-        .select(F.col("doc_b").alias(doc_col))
-        .distinct()
+    pairs = D.near_dup_pairs(
+        uniq, threshold=near_dup_threshold, text_col=text_col, doc_col=doc_col
     )
+    if near_dup_strategy == "clusters":
+        from text_extensions_for_pandas_spark.operators.graph import (
+            connected_components,
+        )
+
+        cc = connected_components(pairs)
+        drop = cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(doc_col)
+        )
+    elif near_dup_strategy == "pairs":
+        drop = pairs.select(F.col("doc_b").alias(doc_col)).distinct()
+    else:
+        raise ValueError(f"unknown near_dup_strategy: {near_dup_strategy!r}")
     kept = uniq.join(drop, doc_col, "left_anti")
     return split_by_hash(kept, split_weights, key_col=doc_col)
 
