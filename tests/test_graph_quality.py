@@ -87,3 +87,29 @@ def test_tfidf_top_terms_ranks_distinctive_terms_first(spark):
     assert top[1] == "zebra" and top[2] == "yak"
     # doc 3 has only "common" (idf = ln(1) = 0) -> still emitted, rank 1
     assert top[3] == "common"
+
+
+def test_read_text_and_jsonl_corpus(spark, tmp_path):
+    from text_extensions_for_pandas_spark.sources import corpus as docs
+
+    p = tmp_path / "shard1.txt"
+    p.write_text("hello world\n\nsecond doc here\nhello world\n")
+    out = docs.read_text_corpus(spark, str(p)).collect()
+    texts = sorted(r.text for r in out)
+    assert texts == ["hello world", "hello world", "second doc here"]
+    # content-hash ids: identical lines share an id, all non-negative
+    assert all(r.doc_id >= 0 for r in out)
+    assert len({r.doc_id for r in out}) == 2
+    # unique_ids salts with in-file position
+    uniq = docs.read_text_corpus(spark, str(p), unique_ids=True).collect()
+    assert len({r.doc_id for r in uniq}) == 3
+    # reruns are deterministic
+    again = {r.doc_id for r in docs.read_text_corpus(spark, str(p), unique_ids=True).collect()}
+    assert {r.doc_id for r in uniq} == again
+
+    j = tmp_path / "shard2.jsonl"
+    j.write_text('{"text": "json doc one", "lang": "en"}\n{"text": "json doc two", "lang": "de"}\n')
+    jout = docs.read_jsonl_corpus(spark, str(j), keep_fields=["lang"]).collect()
+    assert sorted(r.text for r in jout) == ["json doc one", "json doc two"]
+    assert sorted(r.lang for r in jout) == ["de", "en"]
+    assert all(r.n_chars == len(r.text) for r in jout)

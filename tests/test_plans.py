@@ -98,3 +98,37 @@ def test_ivf_assign_broadcasts_centroids(spark):
     assert "SortMergeJoin" not in plan
     # argmax is an aggregate, not a window sort
     assert "Window" not in plan
+
+
+def test_contamination_eval_side_is_broadcast(docs):
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        contamination_overlap,
+    )
+
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = plan_of(contamination_overlap(tr, ev))
+    # the benchmark side must broadcast: the corpus is never shuffled to
+    # meet it
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_metrics_two_stage_agg_one_wide_ngram_shuffle(docs):
+    plan = plan_of(T.repetition_metrics(docs), "simple")
+    # (doc, ngram) count then per-doc rollup: both hash aggregates with
+    # map-side partials; only the two agg exchanges, no join, no UDF
+    assert plan.count("Exchange") <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_stats_joins_are_broadcast(docs):
+    from text_extensions_for_pandas_spark.operators.search import (
+        tfidf_top_terms,
+    )
+
+    plan = plan_of(tfidf_top_terms(docs))
+    # df table (vocabulary-sized) and the 1-row corpus count broadcast;
+    # the only sort-merge-free wide ops are aggs + the per-doc window
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
