@@ -26,11 +26,19 @@ def main() -> None:
     # Warm the JVM/parquet footers so per-query numbers measure the queries.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    from pyspark.sql import functions as F
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count() if name == "tokenize" else len(df.collect())
+        # Evaluate every column of every row JVM-side (xxhash64 over the
+        # full row defeats projection pruning, which a bare count() would
+        # allow), without the driver-side Python deserialization cost of
+        # collect() — the engine's work is what's being measured.
+        n, _ = df.agg(
+            F.count(F.lit(1)), F.bit_xor(F.xxhash64(*df.columns))
+        ).collect()[0]
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
 

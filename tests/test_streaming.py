@@ -256,3 +256,34 @@ def test_streaming_dedup_minhash(spark):
         F.concat_ws("", minhash_signature_col(F.col("text"))).alias("s")
     )
     assert got.count() == batch.distinct().count()
+
+
+def test_bloom_decontamination_stream_matches_exact(spark):
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        contaminated,
+        contamination_overlap,
+        eval_shingle_bloom,
+    )
+
+    batch_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = batch_docs.filter(F.col("doc_id") % 50 == 0)
+    tr = batch_docs.filter(F.col("doc_id") % 50 != 0)
+    bloom = eval_shingle_bloom(ev, shingle_n=5)
+
+    exact = {
+        r.doc_id for r in contamination_overlap(tr, ev, shingle_n=5).collect()
+    }
+    flagged = {
+        r.doc_id
+        for r in tr.filter(contaminated(F.col("text"), bloom, 5)).collect()
+    }
+    # Bloom has no false negatives; false positives are bounded by fpp
+    assert exact <= flagged
+    assert len(flagged - exact) <= max(2, len(exact))
+
+    stream = STR.read_documents_stream(spark, SF_DIR).filter(
+        F.col("doc_id") % 50 != 0
+    )
+    _run_to_memory(STR.streaming_decontaminate(stream, bloom, 5), "t_decon")
+    kept = {r.doc_id for r in spark.table("t_decon").select("doc_id").collect()}
+    assert kept == {r.doc_id for r in tr.collect()} - flagged

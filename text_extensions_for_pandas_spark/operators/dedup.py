@@ -362,10 +362,13 @@ def contamination_overlap(
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
         F.col(doc_col).alias("__eval_doc"),
     ).distinct()
+    # no .distinct() on the corpus side: countDistinct dedups during the
+    # aggregation anyway, and a pre-join distinct would shuffle every
+    # (doc, shingle) row of the corpus just to shrink a broadcast-join probe
     tr = documents.select(
         F.col(doc_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    ).distinct()
+    )
     return (
         tr.join(F.broadcast(ev), "shingle")
         .groupBy(doc_col)
@@ -374,3 +377,86 @@ def contamination_overlap(
             F.countDistinct("__eval_doc").alias("n_eval_docs"),
         )
     )
+
+
+def eval_shingle_bloom(
+    eval_docs: DataFrame,
+    shingle_n: int = 5,
+    fpp: float = 1e-6,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> dict:
+    """Build a Bloom filter over the eval corpus' word-``n``-gram hashes.
+
+    ``fpp`` is PER SHINGLE; a document is flagged if ANY of its n-grams
+    hits, so document-level false positives compound to roughly
+    ``n_grams_per_doc × fpp``.  The default 1e-6 keeps doc-level FPs under
+    ~0.1% for thousand-word documents at ~3.4 bytes per eval n-gram.
+
+    This is the **stream-safe** form of decontamination
+    (:func:`contamination_overlap` needs a join + aggregation; a Bloom
+    membership probe is a stateless per-row expression — see
+    :func:`contaminated`).  The filter is benchmark-sized — ~1.2 MB per
+    million eval n-grams at 1% false positives — so it ships to executors
+    as a plan literal.  False positives drop a bounded fraction of clean
+    documents (harmless); false negatives are impossible, so no leaked
+    benchmark text survives.  The n-gram hashes are computed BY SPARK (``xxhash64``) and collected,
+    so build and probe agree bit-for-bit by construction; probe positions
+    use Kirsch-Mitzenmacher double hashing (``h1 + i·h2 mod m``).
+    Returns ``{"words": [int64 ...], "m": bits, "k": probes}``.
+    """
+    import math
+
+    rows = (
+        eval_docs.select(
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+        )
+        .distinct()
+        .select(
+            F.xxhash64("s").alias("h1"),
+            F.xxhash64(F.concat(F.col("s"), F.lit("#"))).alias("h2"),
+        )
+        .collect()
+    )
+    n = max(len(rows), 1)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m += (-m) % 64  # whole 64-bit words
+    k = max(1, round(m / n * math.log(2)))
+    words = [0] * (m // 64)
+    for r in rows:
+        h1 = r.h1 % m  # python % is non-negative, same as Spark pmod
+        step = r.h2 % (m - 1) + 1
+        for i in range(k):
+            idx = (h1 + i * step) % m
+            words[idx // 64] |= 1 << (idx % 64)
+    # pack to signed int64 for the Spark array<long> literal
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return {"words": words, "m": m, "k": k}
+
+
+def contaminated(
+    text_col,
+    bloom: dict,
+    shingle_n: int = 5,
+):
+    """Boolean column: does any word ``n``-gram of ``text_col`` hit the
+    eval-corpus Bloom filter from :func:`eval_shingle_bloom`?  Pure
+    row-local expression (``getbit`` probes into an ``array<long>``
+    literal) — usable in ``readStream`` pipelines, ``filter``, or as an
+    audit flag."""
+    arr = F.lit(bloom["words"])
+    m, k = bloom["m"], bloom["k"]
+
+    def probe(s):
+        h1 = F.pmod(F.xxhash64(s), F.lit(m))
+        step = F.pmod(F.xxhash64(F.concat(s, F.lit("#"))), F.lit(m - 1)) + 1
+        hit = None
+        for i in range(k):
+            idx = F.pmod(h1 + F.lit(i) * step, F.lit(m))
+            word = F.get(arr, F.floor(idx / 64).cast("int"))
+            bit = F.call_function("getbit", word, F.pmod(idx, F.lit(64)))
+            cond = bit == 1
+            hit = cond if hit is None else (hit & cond)
+        return hit
+
+    return F.exists(word_shingles(text_col, shingle_n), probe)

@@ -310,3 +310,20 @@ def streaming_dedup_minhash(
             ["__sig"]
         )
     return sig.dropDuplicates(["__sig"])
+
+
+def streaming_decontaminate(
+    documents: DataFrame, bloom: dict, shingle_n: int = 5
+) -> DataFrame:
+    """Drop stream documents that share any word n-gram with the eval
+    corpus captured in ``bloom``
+    (:func:`~text_extensions_for_pandas_spark.operators.dedup.eval_shingle_bloom`).
+
+    The Bloom probe is a pure row-local expression — no join, no state
+    store, no watermark — so decontamination costs the same as any scalar
+    filter on an unbounded stream; the filter bitset rides along as a
+    literal in the plan (benchmark-sized, ~1 MB per million eval n-grams).
+    """
+    from text_extensions_for_pandas_spark.operators.dedup import contaminated
+
+    return documents.filter(~contaminated(F.col("text"), bloom, shingle_n))
