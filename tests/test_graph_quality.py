@@ -113,3 +113,38 @@ def test_read_text_and_jsonl_corpus(spark, tmp_path):
     assert sorted(r.text for r in jout) == ["json doc one", "json doc two"]
     assert sorted(r.lang for r in jout) == ["de", "en"]
     assert all(r.n_chars == len(r.text) for r in jout)
+
+
+def test_incremental_candidates_match_full_recompute(spark, tmp_path):
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        doc_shingles,
+        incremental_candidates,
+        lsh_bands,
+        minhash_candidates,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # build + persist the index for the existing half, as an append
+    # pipeline would
+    idx_path = str(tmp_path / "band_index")
+    lsh_bands(
+        minhash_signatures(doc_shingles(existing, distinct=False))
+    ).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    got = {
+        (r.new_doc, r.existing_doc)
+        for r in incremental_candidates(new, idx).collect()
+    }
+    # ground truth: full-corpus LSH candidates restricted to cross pairs
+    full = minhash_candidates(docs)
+    want = {
+        (r.doc_a, r.doc_b) if r.doc_a % 2 == 1 else (r.doc_b, r.doc_a)
+        for r in full.collect()
+        if (r.doc_a % 2) != (r.doc_b % 2)
+    }
+    assert got == want and len(got) > 0

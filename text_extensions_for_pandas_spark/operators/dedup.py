@@ -460,3 +460,52 @@ def contaminated(
         return hit
 
     return F.exists(word_shingles(text_col, shingle_n), probe)
+
+
+def incremental_candidates(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    shingle_n: int = 3,
+    n_hashes: int = 8,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against an EXISTING corpus via a
+    persisted LSH band index — the append workflow at corpus scale: the
+    existing corpus' signatures are computed once and stored
+    (``lsh_bands`` output written as parquet, ideally bucketed by
+    ``band_hash``), and each incoming batch only hashes itself and probes
+    the index.  Re-sig-ing 100 TB per append is the naive alternative.
+
+    ``band_index``: ``(doc_id, band, band_hash)`` rows for the existing
+    corpus (parameters must match ``n_hashes``/``rows_per_band``/
+    ``shingle_n`` used to build it).  Returns ``(new_doc, existing_doc)``
+    distinct pairs; verify with :func:`jaccard_for_pairs` against the
+    union's shingles if exact Jaccard is needed.
+    """
+    new_bands = lsh_bands(
+        minhash_signatures(
+            doc_shingles(new_docs, shingle_n, text_col, doc_col, distinct=False),
+            n_hashes,
+            doc_col,
+        ),
+        rows_per_band,
+        doc_col,
+    ).select(
+        F.col(doc_col).alias("new_doc"),
+        F.col("band").alias("__band_n"),
+        F.col("band_hash").alias("__bh_n"),
+    )
+    idx = band_index.select(
+        F.col(doc_col).alias("existing_doc"), "band", "band_hash"
+    )
+    return (
+        new_bands.join(
+            idx,
+            (F.col("band") == F.col("__band_n"))
+            & (F.col("band_hash") == F.col("__bh_n")),
+        )
+        .select("new_doc", "existing_doc")
+        .distinct()
+    )
