@@ -1,0 +1,89 @@
+"""Training-corpus preparation — the engine's scale showcase: raw text
+shards in, cleaned/deduplicated/split corpus out, with a full audit trail.
+
+    raw shards → documents table (content-hash ids)
+               → language + quality filters
+               → exact dedup → near-dup clusters (connected components)
+               → exact-substring repeated-passage spans (report)
+               → benchmark decontamination (Bloom filter)
+               → deterministic train/val/test split
+               → stage-by-stage funnel audit
+
+Every stage is a lazy Catalyst plan; at 100 TB the same code runs with the
+shards on object storage and the splits written back as parquet.
+
+Run:  python examples/corpus_prep.py [docs_parquet_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import text_extensions_for_pandas_spark as tep  # noqa: E402
+from text_extensions_for_pandas_spark.operators.dedup import (  # noqa: E402
+    contaminated,
+    eval_shingle_bloom,
+    repeated_ngram_spans,
+)
+from text_extensions_for_pandas_spark.operators.pipeline import (  # noqa: E402
+    corpus_funnel,
+    prepare_training_corpus,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = tep.get_spark("corpus-prep-example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. Clean + dedup (cluster-correct) + split, as one lazy plan.
+    corpus = prepare_training_corpus(
+        docs,
+        near_dup_strategy="clusters",
+        split_weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+
+    # 2. Decontaminate against a benchmark (here: every 50th doc stands in
+    #    for the eval set).  The Bloom probe is a stateless row filter, so
+    #    the same expression decontaminates a readStream.
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    bloom = eval_shingle_bloom(eval_docs, shingle_n=5)
+    clean = corpus.filter(~contaminated(F.col("text"), bloom, 5))
+
+    print("\n=== split sizes after cleaning ===")
+    clean.groupBy("split").count().orderBy("split").show()
+
+    # 3. Audit funnel: survivors per pipeline stage.
+    print("=== preparation funnel ===")
+    corpus_funnel(docs).show()
+
+    # 4. Repeated-passage report: maximal cross-document repeated spans
+    #    (cut candidates for passage-level dedup).
+    print("=== largest repeated passages (top 5) ===")
+    spans = repeated_ngram_spans(docs, k=20, min_docs=2)
+    (
+        spans.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "begin",
+            "end",
+            F.expr("substring(text, begin + 1, least(end - begin, 60))").alias(
+                "passage_prefix"
+            ),
+        )
+        .orderBy((F.col("end") - F.col("begin")).desc(), "doc_id")
+        .show(5, truncate=False)
+    )
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -148,3 +148,50 @@ def test_incremental_candidates_match_full_recompute(spark, tmp_path):
         if (r.doc_a % 2) != (r.doc_b % 2)
     }
     assert got == want and len(got) > 0
+
+
+def test_repeated_ngram_spans_merge_and_boundaries(spark):
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    shared = "0123456789abcdefghij"  # exactly k=20 chars, shared by 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, "XX" + shared + "YYY"),
+            (2, "AAAA" + shared + "B" + shared),
+            (3, "completely unique text with nothing repeated at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = rows_to_tuples(
+        repeated_ngram_spans(docs, k=20, min_docs=2),
+        "doc_id",
+        "begin",
+        "end",
+        "n_grams",
+    )
+    # doc 1: one hit at pos 2 -> [2, 22); doc 2: hits at 4 and 25 — the
+    # second starts after end(4+20=24)? no: 25 > 24 so two islands
+    assert got == [(1, 2, 22, 1), (2, 4, 24, 1), (2, 25, 45, 1)]
+
+
+def test_repeated_ngram_spans_overlapping_hits_union(spark):
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    # 21-char shared substring -> two overlapping 20-gram hits (pos 0, 1)
+    # in each doc, merging into one span of length 21
+    shared = "0123456789abcdefghijK"
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared + "zz")], ["doc_id", "text"]
+    )
+    got = rows_to_tuples(
+        repeated_ngram_spans(docs, k=20, min_docs=2),
+        "doc_id",
+        "begin",
+        "end",
+        "n_grams",
+    )
+    assert got == [(1, 0, 21, 2), (2, 0, 21, 2)]

@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from text_extensions_for_pandas_spark.functions.text import word_shingles
+from text_extensions_for_pandas_spark.functions.text import (
+    char_shingles,
+    word_shingles,
+)
 
 
 def exact_dedup(
@@ -509,3 +512,78 @@ def incremental_candidates(
         .select("new_doc", "existing_doc")
         .distinct()
     )
+
+
+def repeated_ngram_spans(
+    documents: DataFrame,
+    k: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22 — the ExactSubstr idea):
+    flag every position whose char ``k``-gram also occurs in at least
+    ``min_docs`` distinct documents, then union overlapping/adjacent hits
+    into maximal ``[begin, end)`` char spans per document.
+
+    Unlike document-level dedup, this finds *repeated passages inside
+    otherwise-unique documents* (boilerplate headers, licenses, quoted
+    chunks) so a pipeline can cut the spans rather than drop the doc.
+
+    Plan shape: one narrow explode of (doc, pos, md5(k-gram)); a
+    hash-aggregate for cross-doc frequencies; a semi join back (the
+    repeated-hash set is a small fraction of the corpus); then the interval
+    union runs as a per-doc ordered window (island detection via running
+    max of span ends) + one groupBy — all map-side-combinable, partitioned
+    by ``doc_id``, no Python.  Output:
+    ``(doc_id, begin, end, n_grams)`` where ``n_grams`` = flagged k-gram
+    positions merged into the span.
+    """
+    from pyspark.sql import Window
+
+    # the gram hash is internal (only positions are output), so use
+    # xxhash64: 8-byte long keys shuffle/aggregate far cheaper than md5's
+    # 32-char strings, and the DuckDB oracle can keep md5 — results are
+    # identical either way (collisions are negligible at 2^-64)
+    grams = documents.select(
+        F.col(doc_col),
+        F.posexplode(
+            F.transform(char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+        ).alias("pos", "__h"),
+    )
+    if min_docs == 2:
+        # "≥2 distinct docs" ⇔ min(doc) != max(doc): plain min/max partial
+        # aggregates, no distinct-expand — much cheaper at corpus scale
+        rep = (
+            grams.groupBy("__h")
+            .agg(F.min(doc_col).alias("__d0"), F.max(doc_col).alias("__d1"))
+            .filter(F.col("__d0") != F.col("__d1"))
+            .select("__h")
+        )
+    else:
+        rep = (
+            grams.groupBy("__h")
+            .agg(F.countDistinct(doc_col).alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("__h")
+        )
+    hits = grams.join(rep, "__h", "left_semi").select(
+        doc_col, "pos", (F.col("pos") + k).alias("__end")
+    )
+    w = Window.partitionBy(doc_col).orderBy("pos")
+    prev_max_end = F.max("__end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "__island",
+        F.sum(
+            F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1)
+            .otherwise(0)
+        ).over(w),
+    )
+    return islands.groupBy(doc_col, "__island").agg(
+        F.min("pos").alias("begin"),
+        F.max("__end").alias("end"),
+        F.count("*").alias("n_grams"),
+    ).drop("__island")

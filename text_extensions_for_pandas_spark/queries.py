@@ -2181,6 +2181,51 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup: maximal char spans of cross-document repeated
+    20-grams (interval union by window islands in both engines)."""
+    return D.repeated_ngram_spans(
+        load(spark, sf_dir, "documents"), k=20, min_docs=2
+    ).orderBy("doc_id", "begin")
+
+
+Q_REPEATED_SUBSTRINGS_SQL = """
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         md5(substr(text, i + 1, 20)) AS h
+  FROM documents, unnest(range(length(text) - 19)) AS t(i)
+  WHERE length(text) >= 20
+),
+rep AS (
+  SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT g.doc_id, g.pos, g.pos + 20 AS e
+  FROM grams g JOIN rep r ON r.h = g.h
+),
+marked AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS is_new
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos, e,
+         sum(is_new) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+)
+SELECT doc_id,
+       CAST(min(pos) AS INTEGER) AS begin,
+       CAST(max(e) AS INTEGER) AS "end",
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM islands GROUP BY doc_id, island ORDER BY doc_id, begin
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2243,6 +2288,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
     "decontam_overlap": (q_decontam_overlap, Q_DECONTAM_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, Q_TFIDF_SQL),
+    "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
     # non-SQL-expressible (stubbed binary decode inside mapInPandas / no
     # xxhash64 in DuckDB): rows-only checks, no oracle by design
     "multimodal_image_features": (q_multimodal_features, None),
