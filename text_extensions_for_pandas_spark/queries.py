@@ -2226,6 +2226,89 @@ FROM islands GROUP BY doc_id, island ORDER BY doc_id, begin
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event paired with the user's most recent
+    earlier click.  Spark has no native as-of join; the union+window form
+    (carry the last click id over preceding rows) costs ONE shuffle by
+    user — the same technique backs time-series point-in-time joins."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.filter(F.col("event_type").isin("click", "error")).withColumn(
+        "prev_click_event_id",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        flagged.filter(
+            (F.col("event_type") == "error")
+            & F.col("prev_click_event_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            "user_id",
+            "prev_click_event_id",
+        )
+        .orderBy("error_event_id")
+    )
+
+
+Q_EVENTS_ASOF_SQL = """
+WITH flagged AS (
+  SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER (
+           -- truncate to µs so ordering matches Spark, which reads the
+           -- parquet's ns timestamps at µs precision
+           PARTITION BY user_id
+           ORDER BY date_trunc('microseconds', ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_click_event_id
+  FROM events WHERE event_type IN ('click', 'error')
+)
+SELECT event_id AS error_event_id, user_id, prev_click_event_id
+FROM flagged
+WHERE event_type = 'error' AND prev_click_event_id IS NOT NULL
+ORDER BY error_event_id
+"""
+
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus audit with ROLLUP subtotals by (lang, source) — grouping
+    sets are absent from the reference (SURVEY §2.5) but free in Spark."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars")).alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+Q_CORPUS_ROLLUP_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+ORDER BY lang, source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2289,6 +2372,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontam_overlap": (q_decontam_overlap, Q_DECONTAM_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, Q_TFIDF_SQL),
     "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
+    "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
+    "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
     # non-SQL-expressible (stubbed binary decode inside mapInPandas / no
     # xxhash64 in DuckDB): rows-only checks, no oracle by design
     "multimodal_image_features": (q_multimodal_features, None),
