@@ -1,0 +1,235 @@
+"""Differential tests against the REFERENCE implementation itself.
+
+The reference library at /root/reference has a pure pandas/numpy core, so
+its spanner operators are directly executable here (read-only import; its
+one missing dependency, ``memoized_property``, is shimmed with the
+standard three-line caching-property decorator).  These tests run the
+reference and our Spark operators on the same inputs — including the edge
+cases its semantics documents call out (zero-length spans, identical
+endpoints, touching-but-disjoint intervals; SURVEY.md §1.2) — and assert
+identical results.  This is the strongest parity evidence available: not a
+re-derived oracle, the reference's own behavior.
+"""
+
+import re
+import sys
+import types
+
+import pandas as pd
+import pytest
+
+
+def _load_reference():
+    if "memoized_property" not in sys.modules:
+        shim = types.ModuleType("memoized_property")
+
+        def memoized_property(fget):
+            attr = "_memo_" + fget.__name__
+
+            @property
+            def prop(self):
+                if not hasattr(self, attr):
+                    setattr(self, attr, fget(self))
+                return getattr(self, attr)
+
+            return prop
+
+        shim.memoized_property = memoized_property
+        sys.modules["memoized_property"] = shim
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    import text_extensions_for_pandas as tp
+
+    return tp
+
+
+@pytest.fixture(scope="module")
+def ref():
+    try:
+        return _load_reference()
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference library not importable: {e}")
+
+
+TEXT = "In AD 1100 and all that, the sun was shining and shining."
+
+# span inventory exercising the §1.2 edge cases: overlapping, nested,
+# touching (end == begin: NOT overlapping), identical, zero-length
+FIRST_SPANS = [(0, 2), (3, 10), (11, 14), (25, 28), (29, 29), (37, 44)]
+SECOND_SPANS = [(0, 2), (2, 5), (10, 11), (11, 14), (26, 32), (29, 29), (44, 48)]
+
+
+def _ref_span_series(ref, spans):
+    from text_extensions_for_pandas import SpanArray
+
+    return pd.Series(
+        SpanArray(TEXT, [b for b, _ in spans], [e for _, e in spans])
+    )
+
+
+def _spark_span_df(spark, spans):
+    return spark.createDataFrame(
+        [(0, (b, e)) for b, e in spans],
+        "doc_id long, span struct<begin:int,`end`:int>",
+    )
+
+
+def _pairs_from_ref(out, first_name="first", second_name="second"):
+    return sorted(
+        ((s1.begin, s1.end), (s2.begin, s2.end))
+        for s1, s2 in zip(out[first_name], out[second_name])
+    )
+
+
+def _pairs_from_spark(out, first_name="first", second_name="second"):
+    return sorted(
+        ((r[first_name]["begin"], r[first_name]["end"]),
+         (r[second_name]["begin"], r[second_name]["end"]))
+        for r in out.collect()
+    )
+
+
+def test_extract_regex_matches_reference(ref, spark):
+    from text_extensions_for_pandas.spanner import extract_regex as ref_extract
+
+    from text_extensions_for_pandas_spark.operators.extract import extract_regex
+
+    pattern = r"[a-z]+in[a-z]*"
+    want = sorted(
+        (s.begin, s.end) for s in ref_extract(TEXT, re.compile(pattern))
+    )
+    docs = spark.createDataFrame([(0, TEXT)], ["doc_id", "text"])
+    out = extract_regex(docs, pattern).collect()
+    got = sorted((r["span"]["begin"], r["span"]["end"]) for r in out)
+    assert got == want and len(got) > 0
+    # covered text parity too
+    assert sorted(r["match"] for r in out) == ["shining", "shining"]
+
+
+def test_overlap_join_matches_reference(ref, spark):
+    from text_extensions_for_pandas.spanner import overlap_join as ref_overlap
+
+    from text_extensions_for_pandas_spark.operators.join import overlap_join
+
+    want = _pairs_from_ref(
+        ref_overlap(
+            _ref_span_series(ref, FIRST_SPANS),
+            _ref_span_series(ref, SECOND_SPANS),
+        )
+    )
+    got = _pairs_from_spark(
+        overlap_join(
+            _spark_span_df(spark, FIRST_SPANS),
+            _spark_span_df(spark, SECOND_SPANS),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_contain_join_matches_reference(ref, spark):
+    from text_extensions_for_pandas.spanner import contain_join as ref_contain
+
+    from text_extensions_for_pandas_spark.operators.join import contain_join
+
+    want = _pairs_from_ref(
+        ref_contain(
+            _ref_span_series(ref, FIRST_SPANS),
+            _ref_span_series(ref, SECOND_SPANS),
+        )
+    )
+    got = _pairs_from_spark(
+        contain_join(
+            _spark_span_df(spark, FIRST_SPANS),
+            _spark_span_df(spark, SECOND_SPANS),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_consolidate_matches_reference(ref, spark):
+    from text_extensions_for_pandas.spanner import consolidate as ref_consolidate
+
+    from text_extensions_for_pandas_spark.operators.consolidate import (
+        consolidate,
+    )
+
+    # heavily overlapping inventory — exercises the greedy left-to-right
+    # keep-longest policy, including a tie on begin (longest wins) and a
+    # span surviving after a skipped overlap
+    spans = [(0, 10), (0, 4), (2, 6), (5, 12), (12, 20), (13, 14), (18, 25)]
+    ref_df = pd.DataFrame({"span": _ref_span_series(ref, spans)})
+    want = sorted(
+        (s.begin, s.end) for s in ref_consolidate(ref_df, on="span")["span"]
+    )
+    got = sorted(
+        (r["span"]["begin"], r["span"]["end"])
+        for r in consolidate(_spark_span_df(spark, spans), on="span").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_extract_split_matches_reference(ref, spark):
+    from text_extensions_for_pandas.spanner import extract_split as ref_split
+
+    from text_extensions_for_pandas_spark.operators.extract import extract_split
+
+    split_points = [(10, 14), (24, 25), (44, 47)]
+    from text_extensions_for_pandas import SpanArray
+
+    want = sorted(
+        (s.begin, s.end)
+        for s in ref_split(
+            TEXT,
+            SpanArray(
+                TEXT,
+                [b for b, _ in split_points],
+                [e for _, e in split_points],
+            ),
+        )
+    )
+    docs = spark.createDataFrame([(0, TEXT)], ["doc_id", "text"])
+    splits = spark.createDataFrame(
+        [(0, (b, e)) for b, e in split_points],
+        "doc_id long, span struct<begin:int,`end`:int>",
+    )
+    got = sorted(
+        (r["span"]["begin"], r["span"]["end"])
+        for r in extract_split(docs, splits).collect()
+    )
+    assert got == want
+
+
+def test_adjacent_join_matches_reference(ref, spark):
+    from text_extensions_for_pandas import SpanArray, TokenSpanArray
+    from text_extensions_for_pandas.spanner import adjacent_join as ref_adjacent
+
+    from text_extensions_for_pandas_spark.operators.join import adjacent_join
+
+    # whitespace tokenization of TEXT as the shared token table
+    toks = [(m.start(), m.end()) for m in re.finditer(r"\S+", TEXT)]
+    tokens = SpanArray(TEXT, [b for b, _ in toks], [e for _, e in toks])
+    first_idx = [0, 2, 3, 5, 8]
+    second_idx = [1, 3, 4, 6, 9, 10]
+    ref_first = pd.Series(
+        TokenSpanArray(tokens, first_idx, [i + 1 for i in first_idx])
+    )
+    ref_second = pd.Series(
+        TokenSpanArray(tokens, second_idx, [i + 1 for i in second_idx])
+    )
+    out = ref_adjacent(ref_first, ref_second, min_gap=0, max_gap=2)
+    want = sorted(
+        (s1.begin_token, s2.begin_token)
+        for s1, s2 in zip(out["first"], out["second"])
+    )
+
+    mk = lambda idxs: spark.createDataFrame(  # noqa: E731
+        [(0, (i, i + 1)) for i in idxs],
+        "doc_id long, token_span struct<begin_token:int,end_token:int>",
+    )
+    got = sorted(
+        (r["first"]["begin_token"], r["second"]["begin_token"])
+        for r in adjacent_join(
+            mk(first_idx), mk(second_idx), min_gap=0, max_gap=2
+        ).collect()
+    )
+    assert got == want and len(got) > 0
