@@ -233,3 +233,95 @@ def test_adjacent_join_matches_reference(ref, spark):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def _token_offsets():
+    return [(m.start(), m.end()) for m in re.finditer(r"\S+", TEXT)]
+
+
+def test_iob_to_spans_matches_reference(ref, spark):
+    from text_extensions_for_pandas import SpanArray
+    from text_extensions_for_pandas.io.conll import iob_to_spans as ref_iob
+
+    from text_extensions_for_pandas_spark.operators.iob import iob_to_spans
+
+    toks = _token_offsets()
+    #            In   AD   1100 and  all  that, the  sun  was  shining and  shining.
+    iob_tags = ["O", "B", "I", "O", "B", "O", "O", "B", "I", "I", "O", "B"]
+    types = [
+        None, "DATE", "DATE", None, "Q", None, None, "X", "X", "X", None, "Y",
+    ]
+    ref_df = pd.DataFrame(
+        {
+            "span": pd.Series(
+                SpanArray(TEXT, [b for b, _ in toks], [e for _, e in toks])
+            ),
+            "ent_iob": iob_tags,
+            "ent_type": types,
+        }
+    )
+    ref_out = ref_iob(ref_df)
+    want = sorted(
+        (s.begin_token, s.end_token, t)
+        for s, t in zip(ref_out["span"], ref_out["ent_type"])
+    )
+
+    tokens = spark.createDataFrame(
+        [
+            (0, i, (b, e), iob_tags[i], types[i])
+            for i, (b, e) in enumerate(toks)
+        ],
+        "doc_id long, token_idx int, span struct<begin:int,`end`:int>, "
+        "ent_iob string, ent_type string",
+    )
+    got = sorted(
+        (
+            r["token_span"]["begin_token"],
+            r["token_span"]["end_token"],
+            r["ent_type"],
+        )
+        for r in iob_to_spans(tokens).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_spans_to_iob_matches_reference(ref, spark):
+    from text_extensions_for_pandas import SpanArray, TokenSpanArray
+    from text_extensions_for_pandas.io.conll import spans_to_iob as ref_s2i
+
+    from text_extensions_for_pandas_spark.operators.iob import spans_to_iob
+
+    toks = _token_offsets()
+    tokens_arr = SpanArray(TEXT, [b for b, _ in toks], [e for _, e in toks])
+    # entities: tokens [1,3) and [7,10), adjacent entity [4,5)
+    ent_spans = [(1, 3), (4, 5), (7, 10)]
+    ent_types = ["DATE", "Q", "X"]
+    ref_out = ref_s2i(
+        TokenSpanArray(
+            tokens_arr,
+            [b for b, _ in ent_spans],
+            [e for _, e in ent_spans],
+        ),
+        ent_types,
+    )
+    want = [
+        (i, iob, None if pd.isna(t) else t)
+        for i, (iob, t) in enumerate(
+            zip(ref_out["ent_iob"], ref_out["ent_type"])
+        )
+    ]
+
+    tokens = spark.createDataFrame(
+        [(0, i, (b, e)) for i, (b, e) in enumerate(toks)],
+        "doc_id long, token_idx int, span struct<begin:int,`end`:int>",
+    )
+    entities = spark.createDataFrame(
+        [(0, (b, e), t) for (b, e), t in zip(ent_spans, ent_types)],
+        "doc_id long, token_span struct<begin_token:int,end_token:int>, "
+        "ent_type string",
+    )
+    got = sorted(
+        (r["token_idx"], r["ent_iob"], r["ent_type"])
+        for r in spans_to_iob(tokens, entities).collect()
+    )
+    assert got == want
