@@ -195,3 +195,48 @@ def test_repeated_ngram_spans_overlapping_hits_union(spark):
         "n_grams",
     )
     assert got == [(1, 0, 21, 2), (2, 0, 21, 2)]
+
+
+def test_kmeans_fit_converges_and_is_deterministic(spark):
+    import math
+
+    from text_extensions_for_pandas_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def sse(centroids):
+        a = ivf_assign(emb, centroids)
+        joined = a.join(
+            centroids.select(
+                F.col("centroid_id").alias("cluster_id"),
+                F.col("embedding").alias("__c"),
+            ),
+            "cluster_id",
+        )
+        row = joined.select(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "__c",
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ).alias("d")
+        ).agg(F.sum("d")).collect()[0]
+        return row[0]
+
+    c1 = kmeans_fit(emb, k=8, iterations=1)
+    c5 = kmeans_fit(emb, k=8, iterations=5)
+    assert sse(c5) <= sse(c1) + 1e-9  # Lloyd's never increases SSE
+    # deterministic across runs (decimal sums, fixed init)
+    a = sorted(map(tuple, (r.embedding for r in c5.collect())))
+    b = sorted(
+        map(tuple, (r.embedding for r in kmeans_fit(emb, k=8, iterations=5).collect()))
+    )
+    assert a == b
+    assert c5.count() == 8

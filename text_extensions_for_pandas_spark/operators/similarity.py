@@ -198,3 +198,91 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("__score", 6).alias("score"), "rank")
     )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 16,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train IVF centroids with Lloyd's k-means, entirely as DataFrame
+    plans — the missing piece between ``ivf_assign`` (which takes centroids
+    as given) and a real IVF index.
+
+    * init: the ``k`` vectors with the lowest ids (deterministic — no
+      sampling, so retries/reruns converge identically);
+    * assign: one O(n·k) narrow pass (``ivf_assign``, broadcast centroids);
+    * update: per-dimension means via posexplode + hash aggregate, summed
+      through DECIMAL so the result is independent of partition order —
+      bit-identical across runs and cluster layouts;
+    * each round is one shuffle of (cluster, dim) partial sums; lineage is
+      cut per round with ``localCheckpoint`` so the plan stays flat.
+
+    Empty clusters keep their previous centroid.  Returns
+    ``(centroid_id, embedding ARRAY<DOUBLE>)``.
+    """
+    from pyspark.sql import Window as W
+
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(W.orderBy(id_col)) - 1)
+            .cast("int")
+            .alias("centroid_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        assigned = ivf_assign(
+            embeddings, centroids, vec_col=vec_col, id_col=id_col
+        )
+        dims = assigned.select(
+            "cluster_id",
+            F.posexplode(
+                F.transform(
+                    vec_col,
+                    lambda x: x.cast("string").cast("decimal(38,18)"),
+                )
+            ).alias("dim", "__v"),
+        )
+        new_centroids = (
+            dims.groupBy("cluster_id", "dim")
+            .agg(
+                (F.sum("__v").cast("double") / F.count("*")).alias("__m")
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "__m"))
+                ).alias("__parts")
+            )
+            .select(
+                F.col("cluster_id").alias("centroid_id"),
+                F.transform("__parts", lambda s: s["__m"]).alias(
+                    "embedding"
+                ),
+            )
+        )
+        # empty clusters keep their previous centroid
+        centroids = (
+            centroids.join(
+                new_centroids.select(
+                    F.col("centroid_id").alias("__cid"),
+                    F.col("embedding").alias("__emb"),
+                ),
+                F.col("centroid_id") == F.col("__cid"),
+                "left",
+            )
+            .select(
+                "centroid_id",
+                F.coalesce("__emb", "embedding").alias("embedding"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids
