@@ -325,3 +325,79 @@ def test_spans_to_iob_matches_reference(ref, spark):
         for r in spans_to_iob(tokens, entities).collect()
     )
     assert got == want
+
+
+def test_align_to_tokens_matches_reference(ref, spark):
+    from text_extensions_for_pandas import SpanArray, TokenSpanArray
+
+    from text_extensions_for_pandas_spark.operators.align import (
+        align_to_tokens,
+    )
+
+    toks = _token_offsets()
+    tokens_arr = SpanArray(TEXT, [b for b, _ in toks], [e for _, e in toks])
+    # char spans exactly covering tokens 1..2 and token 7
+    char_spans = [(toks[1][0], toks[2][1]), (toks[7][0], toks[7][1])]
+    ref_out = TokenSpanArray.align_to_tokens(
+        tokens_arr,
+        SpanArray(
+            TEXT, [b for b, _ in char_spans], [e for _, e in char_spans]
+        ),
+    )
+    want = sorted((s.begin_token, s.end_token) for s in ref_out)
+
+    tokens = spark.createDataFrame(
+        [(0, i, (b, e)) for i, (b, e) in enumerate(toks)],
+        "doc_id long, token_idx int, span struct<begin:int,`end`:int>",
+    )
+    spans = spark.createDataFrame(
+        [(0, (b, e)) for b, e in char_spans],
+        "doc_id long, span struct<begin:int,`end`:int>",
+    )
+    out = align_to_tokens(tokens, spans).collect()
+    assert all(r["aligned"] for r in out)
+    got = sorted(
+        (r["token_span"]["begin_token"], r["token_span"]["end_token"])
+        for r in out
+    )
+    assert got == want
+
+
+def test_lemmatize_matches_reference(ref, spark):
+    from text_extensions_for_pandas import SpanArray
+    from text_extensions_for_pandas.spanner import lemmatize as ref_lemmatize
+
+    from text_extensions_for_pandas_spark.operators.align import lemmatize
+
+    toks = _token_offsets()
+    tokens_arr = SpanArray(TEXT, [b for b, _ in toks], [e for _, e in toks])
+    lemmas = [TEXT[b:e].lower().rstrip(".,") for b, e in toks]
+    token_features = pd.DataFrame(
+        {"span": pd.Series(tokens_arr), "lemma": lemmas}
+    )
+    char_spans = [(toks[1][0], toks[2][1]), (toks[7][0], toks[9][1])]
+    want = sorted(
+        ref_lemmatize(
+            SpanArray(
+                TEXT, [b for b, _ in char_spans], [e for _, e in char_spans]
+            ),
+            token_features,
+        )
+    )
+
+    tokens = spark.createDataFrame(
+        [
+            (0, i, (b, e), lemmas[i])
+            for i, (b, e) in enumerate(toks)
+        ],
+        "doc_id long, token_idx int, span struct<begin:int,`end`:int>, "
+        "lemma string",
+    )
+    # our lemmatize takes token spans; tokens 1..3 and 7..10 match the
+    # char spans above
+    spans = spark.createDataFrame(
+        [(0, (1, 3)), (0, (7, 10))],
+        "doc_id long, token_span struct<begin_token:int,end_token:int>",
+    )
+    got = sorted(r["lemma"] for r in lemmatize(spans, tokens).collect())
+    assert got == want and len(got) == 2
