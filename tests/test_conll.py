@@ -24,9 +24,11 @@ def conll(spark):
 
 
 def test_doc_and_token_counts(conll):
+    # the -DOCSTART- delimiter is retained as each document's first token,
+    # matching the reference reader (see test_reference_differential.py)
     assert conll.select("doc_id").distinct().count() == 2
-    assert conll.filter("doc_id = 0").count() == 16
-    assert conll.filter("doc_id = 1").count() == 5
+    assert conll.filter("doc_id = 0").count() == 17
+    assert conll.filter("doc_id = 1").count() == 6
 
 
 def test_offsets_cover_tokens(conll):
@@ -41,10 +43,10 @@ def test_whitespace_rules(conll):
     texts = {r.doc_id: r.text for r in docs.collect()}
     # no space before ')' '.' ; no space after '('; clitic 's attaches
     assert texts[0] == (
-        "Alice Jones visited Acme Corp (last week). "
+        "-DOCSTART- Alice Jones visited Acme Corp (last week). "
         "She bought shares of Acme."
     )
-    assert texts[1] == "Bob's dog barked."
+    assert texts[1] == "-DOCSTART- Bob's dog barked."
 
 
 def test_sentence_ids(conll):
@@ -64,15 +66,15 @@ def test_iob_columns_and_repair(conll):
         for r in ents.collect()
     )
     assert got == [
-        (0, 0, 2, "PER"),    # Alice Jones
-        (0, 3, 5, "ORG"),    # Acme Corp
-        (0, 14, 15, "ORG"),  # Acme
-        (1, 0, 1, "PER"),    # Bob
+        (0, 1, 3, "PER"),    # Alice Jones
+        (0, 4, 6, "ORG"),    # Acme Corp
+        (0, 15, 16, "ORG"),  # Acme
+        (1, 1, 2, "PER"),    # Bob
     ]
 
 
 def test_pos_chunk_passthrough(conll):
-    r = conll.filter("doc_id = 0 AND token_idx = 0").collect()[0]
+    r = conll.filter("doc_id = 0 AND token_idx = 1").collect()[0]
     assert r.pos == "NNP" and r.chunk_iob == "B" and r.chunk_type == "NP"
 
 
@@ -111,7 +113,7 @@ def test_conll_output_reader(spark, conll):
     )
     assert tags.count() == conll.count()
     joined = conll.join(tags, ["fold", "doc_id", "token_idx"])
-    first = joined.filter("doc_id = 0 AND token_idx = 0").collect()[0]
+    first = joined.filter("doc_id = 0 AND token_idx = 1").collect()[0]
     assert first.token == "Alice" and first.pred_iob == "B" and first.pred_type == "PER"
 
 
@@ -124,7 +126,7 @@ def test_combine_folds_and_corpus_reader(spark):
     assert {r.fold for r in corpus.select("fold").distinct().collect()} == {
         "train", "test"
     }
-    assert corpus.count() == 2 * 21
+    assert corpus.count() == 2 * 23
 
 
 def test_render_spans_html(spark, conll):

@@ -82,10 +82,11 @@ def test_align_bert_tokens_to_corpus_tokens(spark):
         (r.span.begin, r.span.end, r.ent_type)
         for r in aligned.filter("aligned").collect()
     }
-    # char spans of Alice Jones (0,11) PER; Acme Corp (20,29) ORG; Acme (64,68)
-    assert (0, 11, "PER") in got
-    assert (20, 29, "ORG") in got
-    assert (64, 68, "ORG") in got
+    # char spans shifted by the retained "-DOCSTART- " prefix (11 chars):
+    # Alice Jones PER; Acme Corp ORG; Acme ORG
+    assert (11, 22, "PER") in got
+    assert (31, 40, "ORG") in got
+    assert (75, 79, "ORG") in got
 
 
 def test_conll_to_bert_composite(spark):

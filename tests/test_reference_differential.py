@@ -401,3 +401,116 @@ def test_lemmatize_matches_reference(ref, spark):
     )
     got = sorted(r["lemma"] for r in lemmatize(spans, tokens).collect())
     assert got == want and len(got) == 2
+
+
+def test_watson_nlu_parse_matches_reference(ref, spark, tmp_path):
+    import json
+    import shutil
+
+    from text_extensions_for_pandas.io.watson.nlu import (
+        parse_response as ref_parse,
+    )
+
+    from text_extensions_for_pandas_spark.sources.watson import (
+        parse_nlu_response,
+    )
+
+    fixture = "/root/reference/test_data/io/test_watson/basic_response.txt"
+    ref_out = ref_parse(json.load(open(fixture)))
+
+    # our reader takes a directory of response JSON files
+    shutil.copy(fixture, tmp_path / "basic_response.json")
+    ours = parse_nlu_response(spark, str(tmp_path / "basic_response.json"))
+
+    # syntax tokens: identical spans, POS, lemmas
+    want = sorted(
+        (s.begin, s.end, pos, None if pd.isna(lem) else lem)
+        for s, pos, lem in zip(
+            ref_out["syntax"]["span"],
+            ref_out["syntax"]["part_of_speech"],
+            ref_out["syntax"]["lemma"],
+        )
+    )
+    got = sorted(
+        (r["span"]["begin"], r["span"]["end"], r["part_of_speech"], r["lemma"])
+        for r in ours["syntax"].collect()
+    )
+    assert got == want and len(got) > 0
+
+    # keywords: identical text/relevance/count (raw JSON values, no
+    # arithmetic -> exact float equality is expected)
+    want_kw = sorted(
+        (t, rel, int(c))
+        for t, rel, c in zip(
+            ref_out["keywords"]["text"],
+            ref_out["keywords"]["relevance"],
+            ref_out["keywords"]["count"],
+        )
+    )
+    got_kw = sorted(
+        (r["text"], r["relevance"], int(r["count"]))
+        for r in ours["keywords"].collect()
+    )
+    assert got_kw == want_kw and len(got_kw) > 0
+
+    # entities: identical type/text
+    want_ent = sorted(
+        zip(ref_out["entities"]["type"], ref_out["entities"]["text"])
+    )
+    got_ent = sorted(
+        (r["type"], r["text"]) for r in ours["entities"].collect()
+    )
+    assert got_ent == want_ent and len(got_ent) > 0
+
+
+def test_conll_reader_matches_reference(ref, spark):
+    """Whitespace-exact parity on the reference's own CoNLL-2003 fixture:
+    same token spans, same reconstructed document text, same IOB tags."""
+    from text_extensions_for_pandas.io.conll import (
+        conll_2003_to_dataframes as ref_conll,
+    )
+
+    from text_extensions_for_pandas_spark.operators.iob import iob_to_iob2
+    from text_extensions_for_pandas_spark.sources.conll import (
+        conll_2003_to_dataframe,
+    )
+
+    fixture = "/root/reference/test_data/io/test_conll/conll03_test.txt"
+    ref_docs = ref_conll(fixture, ["ent"], [True])
+
+    # the reference reader applies IOB1->IOB2 repair internally; ours
+    # leaves raw tags and composes with iob_to_iob2 — so this also
+    # differentials the repair operator
+    ours = iob_to_iob2(
+        conll_2003_to_dataframe(
+            spark, fixture, column_names=["ent"], iob_columns=[True]
+        )
+    ).collect()
+    by_doc = {}
+    for r in ours:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    assert len(by_doc) == len(ref_docs)
+    for doc_id, ref_df in enumerate(ref_docs):
+        got_rows = sorted(by_doc[doc_id], key=lambda r: r["token_idx"])
+        want = [
+            (s.begin, s.end, s.covered_text, iob, None if pd.isna(t) else t)
+            for s, iob, t in zip(
+                ref_df["span"], ref_df["ent_iob"], ref_df["ent_type"]
+            )
+        ]
+        got = [
+            (
+                r["span"]["begin"],
+                r["span"]["end"],
+                r["token"],
+                r["ent_iob"],
+                r["ent_type"],
+            )
+            for r in got_rows
+        ]
+        assert got == want, f"doc {doc_id} mismatch"
+        # reconstructed text identical -> every span's covered_text agrees
+        ref_text = ref_df["span"].iloc[0].target_text
+        for (b, e, tok, _, _) in got:
+            assert ref_text[b:e] == tok

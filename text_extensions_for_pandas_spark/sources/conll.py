@@ -151,7 +151,12 @@ def conll_2003_to_dataframe(
                         doc_id += 1
                         sent_id = 0
                         saw_sep = True
-                        continue
+                        # the reference RETAINS the -DOCSTART- line as the
+                        # first token (own sentence) of the document it
+                        # opens (observed behavior of
+                        # conll_2003_to_dataframes on conll03_test.txt;
+                        # differential-tested) — fall through to token
+                        # handling rather than skipping the line
                     if not line:
                         if tok_lines and tok_lines[-1][3] == sent_id:
                             sent_id += 1
@@ -463,7 +468,10 @@ def conll_output_to_dataframe(
                     line = line.strip()
                     if line.startswith(DOC_SEPARATOR):
                         doc_id += 1
-                        tok_idx = 0
+                        # corpus reader retains the -DOCSTART- token, so
+                        # emit its (untagged) row to stay position-aligned
+                        rows.append((fold_name, doc_id, 0, "O", None))
+                        tok_idx = 1
                         continue
                     if not line:
                         continue
