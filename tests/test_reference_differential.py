@@ -514,3 +514,147 @@ def test_conll_reader_matches_reference(ref, spark):
         ref_text = ref_df["span"].iloc[0].target_text
         for (b, e, tok, _, _) in got:
             assert ref_text[b:e] == tok
+
+
+def test_watson_tables_reconstruction_matches_reference(ref, spark, tmp_path):
+    import json
+
+    from text_extensions_for_pandas.io.watson import tables as RT
+
+    from text_extensions_for_pandas_spark.sources import watson as W
+
+    arch = json.load(
+        open("/root/reference/test_data/io/test_watson_tables/archive.json")
+    )
+    resp = arch["cali-temp-chart"]
+    ref_tbl = RT.make_table(RT.parse_response(resp))
+    want = {
+        (str(row_label), str(col_label), str(ref_tbl.loc[row_label, col_label]))
+        for row_label in ref_tbl.index
+        for col_label in ref_tbl.columns
+    }
+
+    (tmp_path / "cali.json").write_text(json.dumps(resp))
+    cells = W.tables_body_cells(
+        W.read_tables_responses(spark, str(tmp_path / "cali.json"))
+    )
+    ours = W.make_table(cells, max_header_levels=1).collect()
+    got = set()
+    for r in ours:
+        d = r.asDict()
+        row_label = d.pop("row_header_texts_0")
+        d.pop("doc_id", None), d.pop("table_idx", None)
+        for col_label, v in d.items():
+            got.add((str(row_label), str(col_label), str(v)))
+    assert got == want and len(got) > 0
+
+
+def test_unpack_semijoin_matches_reference(ref, spark):
+    from text_extensions_for_pandas import Span, SpanArray
+    from text_extensions_for_pandas.spanner import (
+        unpack_semijoin as ref_unpack,
+    )
+
+    from text_extensions_for_pandas_spark.operators.join import unpack_semijoin
+
+    region = Span(TEXT, 25, 56)  # "the sun was shining and shining"
+    region_text = TEXT[25:56]
+    rel_spans = [(0, 3), (4, 7), (12, 19)]
+    model_results = pd.DataFrame(
+        {
+            "match": pd.Series(
+                SpanArray(
+                    region_text,
+                    [b for b, _ in rel_spans],
+                    [e for _, e in rel_spans],
+                )
+            ),
+            "label": ["A", "B", "C"],
+        }
+    )
+    ref_out = ref_unpack(region, model_results)
+    want = sorted(
+        (s.begin, s.end, lab)
+        for s, lab in zip(ref_out["match"], ref_out["label"])
+    )
+
+    regions = spark.createDataFrame(
+        [(0, (25, 56))], "doc_id long, region struct<begin:int,`end`:int>"
+    )
+    results = spark.createDataFrame(
+        [(0, (b, e), lab) for (b, e), lab in zip(rel_spans, ["A", "B", "C"])],
+        "doc_id long, match struct<begin:int,`end`:int>, label string",
+    )
+    got = sorted(
+        (r["match"]["begin"], r["match"]["end"], r["label"])
+        for r in unpack_semijoin(regions, results, span_cols=["match"]).collect()
+    )
+    assert got == want
+
+
+def test_accuracy_machinery_matches_reference(ref, spark):
+    from text_extensions_for_pandas import SpanArray
+    from text_extensions_for_pandas.io.conll import (
+        compute_accuracy_by_document as ref_by_doc,
+    )
+    from text_extensions_for_pandas.io.conll import (
+        compute_global_accuracy as ref_global,
+    )
+
+    from text_extensions_for_pandas_spark.operators.cleaning import (
+        compute_accuracy_by_document,
+        compute_global_accuracy,
+    )
+
+    def ref_frame(spans, types):
+        return pd.DataFrame(
+            {
+                "span": pd.Series(
+                    SpanArray(
+                        TEXT, [b for b, _ in spans], [e for _, e in spans]
+                    )
+                ),
+                "ent_type": types,
+            }
+        )
+
+    gold = {
+        ("test", 0): ref_frame([(0, 2), (3, 10), (25, 28)], ["A", "B", "A"]),
+        ("test", 1): ref_frame([(11, 14)], ["C"]),
+    }
+    pred = {
+        ("test", 0): ref_frame([(0, 2), (3, 10), (29, 32)], ["A", "X", "A"]),
+        ("test", 1): ref_frame([], []),
+    }
+    ref_stats = ref_by_doc(gold, pred)
+    ref_glob = ref_global(ref_stats)
+
+    mk = lambda d: spark.createDataFrame(  # noqa: E731
+        [
+            (fold, doc, (int(s.begin), int(s.end)), t)
+            for (fold, doc), df in d.items()
+            for s, t in zip(df["span"], df["ent_type"])
+        ],
+        "fold string, doc_id long, span struct<begin:int,`end`:int>, "
+        "ent_type string",
+    )
+    ours = compute_accuracy_by_document(mk(gold), mk(pred))
+    got = {
+        (r["fold"], r["doc_id"]): r.asDict() for r in ours.collect()
+    }
+    for _, row in ref_stats.iterrows():
+        g = got[(row["fold"], int(row["doc_num"]))]
+        assert g["num_entities_in_common"] == int(row["num_true_positives"])
+        assert g["num_extracted_entities"] == int(row["num_extracted"])
+        assert g["num_true_entities"] == int(row["num_entities"])
+        # reference yields NaN on 0/0 (io/conll variant); ours defines those
+        # as 0 (cleaning-module variant) — compare only defined values
+        if not pd.isna(row["precision"]):
+            assert round(g["precision"], 6) == round(float(row["precision"]), 6)
+        if not pd.isna(row["recall"]):
+            assert round(g["recall"], 6) == round(float(row["recall"]), 6)
+
+    ours_glob = compute_global_accuracy(ours).collect()[0]
+    assert round(float(ref_glob["precision"]), 6) == ours_glob["precision"]
+    assert round(float(ref_glob["recall"]), 6) == ours_glob["recall"]
+    assert round(float(ref_glob["F1"]), 6) == ours_glob["F1"]
