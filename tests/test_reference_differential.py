@@ -658,3 +658,69 @@ def test_accuracy_machinery_matches_reference(ref, spark):
     assert round(float(ref_glob["precision"]), 6) == ours_glob["precision"]
     assert round(float(ref_glob["recall"]), 6) == ours_glob["recall"]
     assert round(float(ref_glob["F1"]), 6) == ours_glob["F1"]
+
+
+def test_extract_regex_tok_matches_reference(ref, spark):
+    import regex
+
+    from text_extensions_for_pandas import SpanArray
+    from text_extensions_for_pandas.spanner import (
+        extract_regex_tok as ref_ert,
+    )
+
+    from text_extensions_for_pandas_spark.functions.text import (
+        tokenize_whitespace,
+    )
+    from text_extensions_for_pandas_spark.operators.extract import (
+        extract_regex_tok,
+    )
+
+    toks = _token_offsets()
+    tokens_arr = SpanArray(TEXT, [b for b, _ in toks], [e for _, e in toks])
+    pattern = r"[a-z]+( [a-z]+)?"  # 1-2 all-lowercase tokens
+    ref_out = ref_ert(tokens_arr, regex.compile(pattern), min_len=1, max_len=2)
+    want = sorted((s.begin, s.end) for s in ref_out["match"])
+
+    docs = spark.createDataFrame([(0, TEXT)], ["doc_id", "text"])
+    toks = tokenize_whitespace(docs).join(docs, "doc_id")
+    got = sorted(
+        (r["span"]["begin"], r["span"]["end"])
+        for r in extract_regex_tok(
+            toks, pattern, min_len=1, max_len=2
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_extract_dict_matches_reference(ref, spark):
+    from text_extensions_for_pandas import SpanArray
+    from text_extensions_for_pandas.spanner import extract_dict as ref_ed
+
+    from text_extensions_for_pandas_spark.functions.text import (
+        tokenize_whitespace,
+    )
+    from text_extensions_for_pandas_spark.operators.extract import (
+        create_dict,
+        extract_dict,
+    )
+
+    toks = _token_offsets()
+    tokens_arr = SpanArray(TEXT, [b for b, _ in toks], [e for _, e in toks])
+    entries = [["the", "sun"], ["shining"], ["in", "ad"]]
+    ref_dict = pd.DataFrame(
+        {
+            "toks_0": [e[0] for e in entries],
+            "toks_1": [e[1] if len(e) > 1 else None for e in entries],
+            "toks_2": [None, None, None],
+        }
+    )
+    ref_out = ref_ed(tokens_arr, ref_dict)
+    want = sorted((s.begin, s.end) for s in ref_out["match"])
+
+    docs = spark.createDataFrame([(0, TEXT)], ["doc_id", "text"])
+    d = create_dict(spark, ["the sun", "shining", "in ad"])
+    got = sorted(
+        (r["span"]["begin"], r["span"]["end"])
+        for r in extract_dict(tokenize_whitespace(docs), d).collect()
+    )
+    assert got == want and len(got) > 0
