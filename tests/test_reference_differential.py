@@ -724,3 +724,115 @@ def test_extract_dict_matches_reference(ref, spark):
         for r in extract_dict(tokenize_whitespace(docs), d).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_span_scalar_semantics_match_reference(ref, spark):
+    """Span + (minimal covering merge) and the covering-span "sum"
+    aggregate against the reference's scalar/array behavior."""
+    from text_extensions_for_pandas import Span, SpanArray
+
+    from text_extensions_for_pandas_spark.functions.spans import (
+        covering_span,
+        merge_spans,
+    )
+
+    pairs = [((3, 10), (11, 14)), ((25, 28), (26, 32)), ((29, 29), (25, 28))]
+    want_merge = [
+        (
+            (Span(TEXT, a[0], a[1]) + Span(TEXT, b[0], b[1])).begin,
+            (Span(TEXT, a[0], a[1]) + Span(TEXT, b[0], b[1])).end,
+        )
+        for a, b in pairs
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i int, a struct<begin:int,`end`:int>, b struct<begin:int,`end`:int>",
+    )
+    got_merge = [
+        (r["m"]["begin"], r["m"]["end"])
+        for r in df.select("i", merge_spans("a", "b").alias("m"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got_merge == want_merge
+
+    spans = [(0, 2), (3, 10), (25, 28), (29, 29)]
+    ref_sum = pd.Series(
+        SpanArray(TEXT, [b for b, _ in spans], [e for _, e in spans])
+    ).sum()
+    sdf = spark.createDataFrame(
+        [(0, s) for s in spans], "doc_id long, span struct<begin:int,`end`:int>"
+    )
+    got_sum = (
+        sdf.groupBy("doc_id").agg(covering_span("span").alias("s")).collect()[0]["s"]
+    )
+    assert (got_sum["begin"], got_sum["end"]) == (ref_sum.begin, ref_sum.end)
+
+
+def test_flag_suspicious_labels_matches_reference(ref, spark):
+    """Vote-counting parity: same (element, label) -> (in_gold, #agreeing
+    models, model list) as the reference's grouped aggregation."""
+    from text_extensions_for_pandas.cleaning.analysis import (
+        flag_suspicious_labels as ref_flag,
+    )
+
+    from text_extensions_for_pandas_spark.operators.cleaning import (
+        flag_suspicious_labels,
+    )
+
+    # three elements: span 0 gold PER, both models agree; span 1 gold ORG,
+    # no model agrees (one says LOC); span 2 not in gold, both models say PER
+    def pdf(label_col, rows):
+        return pd.DataFrame(
+            {
+                "fold": [r[0] for r in rows],
+                "doc_num": [r[1] for r in rows],
+                "raw_span_id": [r[2] for r in rows],
+                "raw_span": [f"s{r[2]}" for r in rows],
+                label_col: [r[3] for r in rows],
+            }
+        )
+
+    gold = pdf("gold_label", [("t", 0, 0, "PER"), ("t", 0, 1, "ORG")])
+    m1 = pdf("pred_label", [("t", 0, 0, "PER"), ("t", 0, 1, "LOC"), ("t", 0, 2, "PER")])
+    m2 = pdf("pred_label", [("t", 0, 0, "PER"), ("t", 0, 2, "PER")])
+    grouped = ref_flag(
+        {"m1": m1, "m2": m2},
+        corpus_label_col="gold_label",
+        predicted_label_col="pred_label",
+        gold_feats=gold,
+        split_doc=False,
+    )
+    want = {
+        (int(r["raw_span_id"]), r["class"]): (
+            bool(r["in_gold"]),
+            int(r["count"]),
+            sorted(m for m in r["models"] if m != "GOLD"),
+        )
+        for _, r in grouped.iterrows()
+    }
+
+    rows = []
+    for model, df in [("GOLD", gold), ("m1", m1), ("m2", m2)]:
+        lab = "gold_label" if model == "GOLD" else "pred_label"
+        for _, r in df.iterrows():
+            rows.append(
+                ("t", 0, (int(r["raw_span_id"]), int(r["raw_span_id"]) + 1),
+                 r[lab], model)
+            )
+    ours = flag_suspicious_labels(
+        spark.createDataFrame(
+            rows,
+            "fold string, doc_id long, span struct<begin:int,`end`:int>, "
+            "ent_type string, model string",
+        )
+    )
+    got = {
+        (r["span"]["begin"], r["ent_type"]): (
+            r["in_gold"],
+            int(r["num_models"]),
+            sorted(m for m in r["models"] if m != "GOLD"),
+        )
+        for r in ours.collect()
+    }
+    assert got == want and len(got) == 4
