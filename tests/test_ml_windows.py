@@ -83,14 +83,16 @@ def test_token_classes_round_trip(spark):
     )
 
     labels, ids = make_iob_tag_categories(["PER", "ORG"])
-    assert labels == ["O", "B-ORG", "I-ORG", "B-PER", "I-PER"]
+    # reference layout: O, then all B- labels, then all I- labels, in
+    # caller's type order (io/conll.py:1257)
+    assert labels == ["O", "B-PER", "B-ORG", "I-PER", "I-ORG"]
     toks = spark.createDataFrame(
         [(0, 0, "B", "PER"), (0, 1, "I", "PER"), (0, 2, "O", None), (0, 3, "B", "ORG")],
         "doc_id long, token_idx int, ent_iob string, ent_type string",
     )
     classed = add_token_classes(toks, ids)
     got = {r.token_idx: (r.token_class, r.token_class_id) for r in classed.collect()}
-    assert got[0] == ("B-PER", 3) and got[2] == ("O", 0) and got[3] == ("B-ORG", 1)
+    assert got[0] == ("B-PER", 1) and got[2] == ("O", 0) and got[3] == ("B-ORG", 2)
 
     decoded = decode_class_labels(
         classed.withColumnRenamed("token_class_id", "predicted_id"), labels

@@ -836,3 +836,68 @@ def test_flag_suspicious_labels_matches_reference(ref, spark):
         for r in ours.collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_token_class_categoricals_match_reference(ref, spark):
+    from text_extensions_for_pandas import SpanArray
+    from text_extensions_for_pandas.io.conll import (
+        add_token_classes as ref_add,
+    )
+    from text_extensions_for_pandas.io.conll import (
+        decode_class_labels as ref_decode,
+    )
+    from text_extensions_for_pandas.io.conll import (
+        make_iob_tag_categories as ref_cats,
+    )
+
+    from text_extensions_for_pandas_spark.operators.iob import (
+        add_token_classes,
+        decode_class_labels,
+        make_iob_tag_categories,
+    )
+
+    types = ["PER", "ORG"]
+    dtype, int_to_label, label_to_int = ref_cats(types)
+    labels, class_ids = make_iob_tag_categories(types)
+    assert labels == list(int_to_label)
+    assert class_ids == dict(label_to_int)
+
+    toks = _token_offsets()[:5]
+    iob = ["O", "B", "I", "O", "B"]
+    typ = [None, "PER", "PER", None, "ORG"]
+    ref_df = pd.DataFrame(
+        {
+            "span": pd.Series(
+                SpanArray(TEXT, [b for b, _ in toks], [e for _, e in toks])
+            ),
+            "ent_iob": iob,
+            "ent_type": typ,
+        }
+    )
+    ref_out = ref_add(ref_df, dtype)
+    want = list(zip(ref_out["token_class"].astype(str), ref_out["token_class_id"]))
+
+    tokens = spark.createDataFrame(
+        [(0, i, iob[i], typ[i]) for i in range(5)],
+        "doc_id long, token_idx int, ent_iob string, ent_type string",
+    )
+    got_rows = (
+        add_token_classes(tokens, class_ids).orderBy("token_idx").collect()
+    )
+    got = [(r["token_class"], r["token_class_id"]) for r in got_rows]
+    assert got == [(c, int(i)) for c, i in want]
+
+    # decode inverts: reference decode on the string labels gives back tags
+    ref_iobs, ref_types = ref_decode([c for c, _ in want])
+    preds = spark.createDataFrame(
+        [(i, int(w[1])) for i, w in enumerate(want)],
+        "token_idx int, predicted_id int",
+    )
+    got_dec = sorted(
+        (r["token_idx"], r["predicted_iob"], r["predicted_type"])
+        for r in decode_class_labels(preds, labels).collect()
+    )
+    want_dec = [
+        (i, io, t) for i, (io, t) in enumerate(zip(ref_iobs, ref_types))
+    ]
+    assert got_dec == want_dec

@@ -112,10 +112,13 @@ def iob_to_spans(
 def make_iob_tag_categories(entity_types: list[str]) -> tuple[list[str], dict[str, int]]:
     """Class-label list + id mapping for IOB2 token classification
     (reference ``make_iob_tag_categories``, ``io/conll.py:1238-1260``):
-    ``O`` is class 0, then ``B-<type>``/``I-<type>`` per type."""
-    labels = ["O"]
-    for t in sorted(entity_types):
-        labels.extend([f"B-{t}", f"I-{t}"])
+    ``O`` is class 0, then ALL ``B-<type>`` labels, then ALL ``I-<type>``
+    labels, each block in the CALLER'S type order — the reference's exact
+    layout (``io/conll.py:1257``), and class-id mappings must be stable
+    across training/inference systems (verified differentially)."""
+    labels = ["O"] + [
+        f"{x}-{t}" for x in ("B", "I") for t in entity_types
+    ]
     return labels, {lbl: i for i, lbl in enumerate(labels)}
 
 
