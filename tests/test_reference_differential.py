@@ -901,3 +901,33 @@ def test_token_class_categoricals_match_reference(ref, spark):
         (i, io, t) for i, (io, t) in enumerate(zip(ref_iobs, ref_types))
     ]
     assert got_dec == want_dec
+
+
+def test_arrow_interop_reads_reference_serialization(ref, spark, tmp_path):
+    """Files serialized by the REFERENCE's own Arrow conversion are readable
+    by our interop layer with identical span semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from text_extensions_for_pandas import SpanArray
+    from text_extensions_for_pandas.array.arrow_conversion import span_to_arrow
+
+    from text_extensions_for_pandas_spark.sources import arrow_interop as AI
+
+    spans = [(0, 2), (3, 10), (25, 28), (37, 44)]
+    sa = SpanArray(TEXT, [b for b, _ in spans], [e for _, e in spans])
+    arr = span_to_arrow(sa)
+    table = pa.table(
+        {"span": arr, "label": pa.array(["A", "B", "C", "D"])}
+    )
+    path = str(tmp_path / "ref_written.parquet")
+    pq.write_table(table, path)
+
+    rows, documents = AI.read_reference_parquet(spark, path)
+    got = sorted(
+        (r["span"]["begin"], r["span"]["end"], r["label"])
+        for r in rows.collect()
+    )
+    assert got == [(b, e, lab) for (b, e), lab in zip(spans, "ABCD")]
+    # document text survives the dictionary encoding
+    assert {r["text"] for r in documents.collect()} == {TEXT}
