@@ -176,10 +176,30 @@ def jaccard_for_pairs(
     doc_col: str = "doc_id",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for given ``(doc_a, doc_b)`` pairs:
-    ``|A ∩ B| / |A ∪ B|`` over distinct shingles, rounded to 6 decimals."""
-    counts = shingles.groupBy(doc_col).agg(F.count("*").alias("__cnt"))
-    sa = shingles.select(F.col(doc_col).alias("doc_a"), "shingle")
-    sb = shingles.select(
+    ``|A ∩ B| / |A ∪ B|`` over distinct shingles, rounded to 6 decimals.
+
+    Scale shape: the corpus shingle set is first semi-joined down to the
+    documents that appear in any candidate pair — LSH candidates are a tiny
+    fraction of the corpus, so this turns the intersection join from
+    corpus×corpus into candidate×candidate (both sides small enough for
+    AQE to broadcast).  Without the reduction, the ``(doc_b, shingle)``
+    probe side shuffles every shingle of every document.
+
+    ``pairs`` is referenced three times below (doc restriction, the
+    intersection count, and the final keep-zero-overlap left join); it is
+    checkpointed eagerly so the upstream LSH band join runs exactly once —
+    verified candidates are a bounded small fraction of the corpus (two
+    longs per row), so the materialization is cheap at any scale."""
+    pairs = pairs.localCheckpoint(eager=True)
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias(doc_col))
+        .union(pairs.select(F.col("doc_b").alias(doc_col)))
+        .distinct()
+    )
+    sh = shingles.join(cand_docs, doc_col, "left_semi")
+    counts = sh.groupBy(doc_col).agg(F.count("*").alias("__cnt"))
+    sa = sh.select(F.col(doc_col).alias("doc_a"), "shingle")
+    sb = sh.select(
         F.col(doc_col).alias("__doc_b"), F.col("shingle").alias("__sh_b")
     )
     inter = (

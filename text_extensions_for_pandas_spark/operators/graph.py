@@ -7,30 +7,32 @@ component of the similarity graph).  The reference library stops at pairwise
 machinery (its join operators, ``spanner/join.py``); clustering is part of
 the beyond-reference training-data surface (SURVEY.md §7 step 9).
 
-Algorithm: iterative **min-label propagation**.  Every node starts labeled
-with its own id; each round every node takes the minimum label among itself
-and its neighbors.  This converges to ``label(v) = min(component(v))`` in
-O(graph diameter) rounds.  Duplicate clusters in practice have tiny
-diameters (they are near-cliques — every member shares most shingles with
-every other), so the loop runs 2-4 rounds even at corpus scale.
+Algorithm: iterative **min-label propagation with pointer doubling**.
+Every node starts labeled with its own id; each round every node takes the
+minimum label among itself and its neighbors, then labels are *chased one
+hop through the label table itself* (``component ← label(component)``),
+which squares the effective propagation distance per round — O(log
+diameter) rounds instead of O(diameter).  Duplicate clusters in practice
+are near-cliques (every member shares most shingles with every other), so
+the loop typically converges in 1 round + 1 confirming round.
 
 Scale design:
 
-* Each round is ONE shuffle: an equijoin of the (node, label) table with the
-  symmetrized edge list on the destination, followed by a map-side-combined
-  ``min`` aggregate.  Both sides are hash-partitioned on the node id, so AQE
-  can reuse the exchange across rounds.
-* Lineage is truncated with ``localCheckpoint`` every round — without it the
-  plan doubles per iteration and the driver, not the cluster, becomes the
-  bottleneck.
-* Convergence is detected from a single scalar action per round:
-  ``sum(label)`` is strictly decreasing until fixpoint (labels only ever
-  decrease), so an unchanged sum means convergence.  No expensive
-  changed-row join.
-* For graphs with giant components / long chains (not the dedup case) the
+* Each round is two shuffles — the neighbor-min equijoin+aggregate and the
+  pointer-chase self-join — over the (node, label) table, never the corpus.
+* **One action per round**: the changed-row count is folded into the same
+  frame as the new labels (labels only ever decrease, so ``changed = 0``
+  ⟺ fixpoint), and a single ``agg`` both materializes the persisted round
+  result and returns the convergence scalar.  No separate checkpoint job,
+  no changed-row join.
+* Lineage is truncated with ``localCheckpoint`` every few rounds — without
+  truncation the plan doubles per iteration and the driver, not the
+  cluster, becomes the bottleneck.  Between truncations, ``persist()``
+  blocks recomputation.
+* For graphs with giant components / adversarial chains the
   large-star/small-star variant (Kiveris et al., "Connected Components in
-  MapReduce and Beyond", SoCC'14) halves round counts; plain min-propagation
-  is the right trade for near-clique dedup graphs.
+  MapReduce and Beyond", SoCC'14) shaves constants; min-propagation with
+  doubling is the right trade for near-clique dedup graphs.
 """
 
 from __future__ import annotations
@@ -57,30 +59,69 @@ def connected_components(
         edges.select(F.col(src).alias("node"), F.col(dst).alias("peer"))
         .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("peer")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # eager: the edge list is referenced
+        # several times per round — a lazy checkpoint would recompute the
+        # entire upstream near-dup pipeline once per reference in round 0
     )
-    labels = (
-        sym.select("node").distinct().withColumn("component", F.col("node"))
-    ).localCheckpoint(eager=True)
+    labels = sym.select("node").distinct().withColumn(
+        "component", F.col("node")
+    )
 
-    prev_sum = None
-    for _ in range(max_iterations):
-        neighbor_labels = (
+    retained = []
+    for it in range(max_iterations):
+        # neighbor min: one equijoin on peer + map-side-combined aggregate
+        nbr = (
             sym.join(
-                labels.select(
-                    F.col("node").alias("peer"), F.col("component")
-                ),
+                labels.select(F.col("node").alias("peer"), "component"),
                 "peer",
-            ).select("node", "component")
+            )
+            .groupBy("node")
+            .agg(F.min("component").alias("__nbr"))
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.col("component").alias("__old"),
+            F.least(
+                "component", F.coalesce("__nbr", "component")
+            ).alias("__min1"),
+        )
+        # pointer doubling: chase the label one hop through the label table
+        # (component ← label(component)); labels only ever decrease, so
+        # taking the chased value is always safe and squares the distance
+        # a label travels per round.
+        chased = labels.select(
+            F.col("node").alias("__min1"), F.col("component").alias("__chased")
         )
         labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            stepped.join(chased, "__min1", "left")
+            .select(
+                "node",
+                F.least("__min1", F.coalesce("__chased", "__min1")).alias(
+                    "component"
+                ),
+                # compare the FINAL label to the old one: a chase-only
+                # reduction must not be mistaken for convergence
+                (
+                    F.least("__min1", F.coalesce("__chased", "__min1"))
+                    < F.col("__old")
+                )
+                .cast("long")
+                .alias("__changed"),
+            )
+            .persist()
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
+        retained.append(labels)
+        # ONE action: materializes the persisted round AND returns the scalar
+        n_changed = labels.agg(F.sum("__changed")).collect()[0][0]
+        if not n_changed:
             break
-        prev_sum = cur_sum
-    return labels
+        if (it + 1) % 4 == 0:  # bound lineage growth across long chains
+            labels = labels.localCheckpoint(eager=True)
+    # materialize the answer BEFORE dropping the round caches: callers
+    # typically reference the component table several times (sizes join,
+    # representative selection), and it is tiny — one row per non-isolated
+    # node of the pair graph
+    result = labels.select("node", "component").localCheckpoint(eager=True)
+    for df in retained:
+        df.unpersist()
+    return result
