@@ -52,3 +52,65 @@ def test_split_by_hash_properties(docs):
         for r in split_by_hash(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
     }
     assert a == b
+
+
+def test_unigram_surprisal_semantics(docs, spark):
+    """Rare-token documents must score higher bits/token than documents of
+    the corpus' most common tokens; values match a hand-computed model."""
+    import math
+
+    from text_extensions_for_pandas_spark.operators.search import (
+        unigram_surprisal,
+    )
+
+    tiny = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a a a a"), (2, "b b c a")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in unigram_surprisal(tiny).collect()}
+    # corpus counts: a=8, b=3, c=1, N=12
+    p = {"a": 8 / 12, "b": 3 / 12, "c": 1 / 12}
+    bits = {t: -math.log2(v) for t, v in p.items()}
+    exp0 = (3 * bits["a"] + bits["b"]) / 4
+    exp1 = bits["a"]
+    exp2 = (2 * bits["b"] + bits["c"] + bits["a"]) / 4
+    assert out[0].n_tokens == 4
+    assert abs(out[0].bits_per_token - exp0) < 1e-6
+    assert abs(out[1].bits_per_token - exp1) < 1e-6
+    assert abs(out[2].bits_per_token - exp2) < 1e-6
+    assert out[1].bits_per_token < out[0].bits_per_token < out[2].bits_per_token
+
+
+def test_pii_redaction(spark):
+    from text_extensions_for_pandas_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail jane.doe+x@corp.example.org now"),
+            (1, "call +44-201-55501 or ssn 123-45-6789"),
+            (2, "host 192.168.0.1 clean text"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            pii_counts("text").alias("c"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert out[0].c.n_email == 1 and "[EMAIL]" in out[0].red
+    assert "jane" not in out[0].red
+    assert out[1].c.n_phone == 1 and out[1].c.n_ssn == 1
+    assert "[PHONE]" in out[1].red and "[SSN]" in out[1].red
+    assert out[2].c.n_ipv4 == 1 and "[IPV4]" in out[2].red
+    assert out[3].red == "nothing sensitive here"
+    total = (
+        out[3].c.n_email + out[3].c.n_phone + out[3].c.n_ssn + out[3].c.n_ipv4
+    )
+    assert total == 0

@@ -313,6 +313,47 @@ def fingerprint_rows(
     )
 
 
+# PII patterns restricted to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+# repetition, word boundaries — no lookarounds, no backreferences.
+# Redaction applies them in this dict's insertion order.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{1,3}-\d{3}-\d{4}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Struct of per-category PII match counts (``n_email``, ``n_phone``,
+    ``n_ssn``, ``n_ipv4``) — `regexp_extract_all` + `size`, JVM-side.
+
+    Training pipelines count before they scrub: the counts drive both the
+    drop-vs-redact policy decision and the compliance audit trail."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+            for name, pat in PII_PATTERNS.items()
+        ]
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its ``[CATEGORY]`` tag (chained
+    ``regexp_replace`` in :data:`PII_PATTERNS` order — email before phone
+    before SSN before IP, so overlapping digit runs resolve
+    deterministically).  Pure row-local expression: usable in batch scans
+    and ``readStream`` pipelines alike, no shuffle, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{name.upper()}]")
+    return c
+
+
 def repetition_metrics(
     documents: "DataFrame",
     n: int = 2,

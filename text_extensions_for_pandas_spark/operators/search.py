@@ -105,6 +105,43 @@ def bm25_search(
     )
 
 
+def unigram_surprisal(
+    documents: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram surprisal — the SQL-expressible analog of
+    CCNet's LM-perplexity quality filter (Wenzek et al., LREC'20): score
+    each document by ``-avg(log2 p(token))`` under the corpus' own unigram
+    distribution.  Documents of improbable (rare-token-heavy) text score
+    high; word-salad and boilerplate sort to the extremes, which is what
+    the filter thresholds on.
+
+    Returns ``(doc_id, n_tokens, bits_per_token)`` (rounded to 6 decimals —
+    cross-engine float discipline).
+
+    Scale shape: the unigram table is vocabulary-sized and broadcasts; the
+    corpus total enters as a 1-row cross join.  The only corpus-wide ops
+    are the token explode + two map-side-combined aggregations; nothing
+    wider than (doc, token) ever shuffles.
+    """
+    toks = documents.select(
+        F.col(doc_col),
+        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__n"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (-F.log2(F.col("__c") / F.col("__n"))).alias("__bits")
+    )
+    return (
+        toks.join(F.broadcast(probs), "tok")
+        .groupBy(doc_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("__bits"), 6).alias("bits_per_token"),
+        )
+    )
+
+
 def split_by_hash(
     df: DataFrame,
     weights: dict[str, float],

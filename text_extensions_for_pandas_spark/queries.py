@@ -2309,6 +2309,135 @@ ORDER BY lang, source
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over synthesized contact records (the
+    synthetic tables carry no natural PII, so deterministic contact
+    strings are built from the customer table and the scrubber must find
+    and mask them).  Counts per category + the redacted text."""
+    cust = load(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.lit("Reach "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" from host 10.0."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit("."),
+        F.col("c_nationkey").cast("string"),
+    )
+    doc = cust.select(F.col("c_custkey").alias("doc_id"), contact.alias("text"))
+    c = T.pii_counts(F.col("text"))
+    return (
+        doc.select(
+            "doc_id",
+            c["n_email"].alias("n_email"),
+            c["n_phone"].alias("n_phone"),
+            c["n_ipv4"].alias("n_ipv4"),
+            T.redact_pii(F.col("text")).alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# DuckDB twin: same synthesized text, same RE2-safe patterns, same
+# replacement order ('g' = global, matching Spark's replace-all default).
+Q_PII_REDACT_SQL = r"""
+WITH d AS (
+  SELECT c_custkey AS doc_id,
+         'Reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+         || '@example.com or +1-555-'
+         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         || ' from host 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+         || '.' || CAST(c_nationkey AS VARCHAR) AS text
+  FROM customer
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, '\+\d{1,3}-\d{3}-\d{4}')) AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\+\d{1,3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+           '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g') AS redacted
+FROM d
+ORDER BY doc_id
+"""
+
+
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per document (CCNet-style LM quality proxy)."""
+    from text_extensions_for_pandas_spark.operators.search import (
+        unigram_surprisal,
+    )
+
+    return unigram_surprisal(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+Q_DOC_SURPRISAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+),
+t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+vocab AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+total AS (SELECT sum(c) AS n FROM vocab),
+bits AS (
+  SELECT tok, -log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS b
+  FROM vocab, total
+)
+SELECT t.doc_id AS doc_id,
+       count(*) AS n_tokens,
+       round(avg(b.b), 6) AS bits_per_token
+FROM t JOIN bits b USING (tok)
+GROUP BY t.doc_id
+ORDER BY doc_id
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event stream: users grouped by first-seen
+    day, distinct active users per (cohort, day offset) — the standard
+    engagement rollup, one distinct-projection + two keyed aggregations."""
+    ev = load(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).distinct()
+    first = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+Q_EVENTS_RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+first AS (
+  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(datediff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first f USING (user_id)
+GROUP BY f.cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2374,6 +2503,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
     "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
     "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
+    "pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
+    "doc_surprisal": (q_doc_surprisal, Q_DOC_SURPRISAL_SQL),
+    "events_retention": (q_events_retention, Q_EVENTS_RETENTION_SQL),
     # non-SQL-expressible (stubbed binary decode inside mapInPandas / no
     # xxhash64 in DuckDB): rows-only checks, no oracle by design
     "multimodal_image_features": (q_multimodal_features, None),
