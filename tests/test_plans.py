@@ -132,3 +132,28 @@ def test_tfidf_stats_joins_are_broadcast(docs):
     # the only sort-merge-free wide ops are aggs + the per-doc window
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pii_redaction_no_shuffle_no_udf(docs):
+    """PII scrubbing must stay a row-local scan expression — streamable,
+    no exchange, no Python in the hot path."""
+    q = docs.select(
+        "doc_id",
+        T.pii_counts(F.col("text")).alias("c"),
+        T.redact_pii(F.col("text")).alias("red"),
+    )
+    plan = plan_of(q)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_surprisal_vocab_joins_broadcast(docs):
+    """The vocabulary and corpus-total sides are broadcast: the corpus
+    (doc, token) stream must never shuffle for the join itself."""
+    from text_extensions_for_pandas_spark.operators.search import (
+        unigram_surprisal,
+    )
+
+    plan = plan_of(unigram_surprisal(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
