@@ -931,3 +931,59 @@ def test_arrow_interop_reads_reference_serialization(ref, spark, tmp_path):
     assert got == [(b, e, lab) for (b, e), lab in zip(spans, "ABCD")]
     # document text survives the dictionary encoding
     assert {r["text"] for r in documents.collect()} == {TEXT}
+
+
+# Mixed-script text with an ASTRAL-PLANE emoji (U+1F600, 2 UTF-16 units,
+# 4 UTF-8 bytes) placed EARLY so every later offset diverges if any layer
+# counts UTF-16 units or bytes instead of code points, plus combining
+# accents, CJK, and mathematical-alphanumeric (also astral) letters.
+UNICODE_TEXT = "naïve 😀 café — 中文 test 𝔘𝔫𝔦 done"
+
+
+def test_unicode_offsets_match_reference(ref, spark):
+    """Python computes match offsets in code points (reference semantics,
+    ``array/span.py:104-144``); the ``match`` column re-slices those
+    offsets with JVM ``substring``.  Both must agree on text containing
+    astral-plane characters — a divergence here silently corrupts every
+    downstream span over non-BMP text."""
+    from text_extensions_for_pandas.spanner import extract_regex as ref_extract
+
+    from text_extensions_for_pandas_spark.operators.extract import extract_regex
+
+    pattern = r"\w+"
+    ref_spans = ref_extract(UNICODE_TEXT, re.compile(pattern))
+    want = sorted(
+        (s.begin, s.end, s.covered_text) for s in ref_spans
+    )
+    docs = spark.createDataFrame([(0, UNICODE_TEXT)], ["doc_id", "text"])
+    out = extract_regex(docs, pattern).collect()
+    got = sorted(
+        (r["span"]["begin"], r["span"]["end"], r["match"]) for r in out
+    )
+    assert got == want and len(got) >= 6
+    # the astral letters must survive the round trip intact
+    assert any("𝔘𝔫𝔦" == m for _, _, m in got)
+
+
+def test_unicode_tokenizer_offset_invariant(spark):
+    """JVM-side whitespace tokenizer offsets must slice back to the token
+    under BOTH engines' string semantics: Spark ``substring`` (covered_text)
+    and Python ``str`` slicing of the same offsets."""
+    from text_extensions_for_pandas_spark.functions.spans import covered_text
+    from text_extensions_for_pandas_spark.functions.text import (
+        tokenize_whitespace,
+    )
+
+    docs = spark.createDataFrame([(0, UNICODE_TEXT)], ["doc_id", "text"])
+    toks = tokenize_whitespace(docs)
+    import pyspark.sql.functions as F
+
+    rows = (
+        toks.join(docs, "doc_id")
+        .select("token", covered_text("text", "span").alias("cov"), "span")
+        .collect()
+    )
+    assert len(rows) == len(UNICODE_TEXT.split())
+    for r in rows:
+        assert r.token == r.cov, (r.token, r.cov)
+        assert UNICODE_TEXT[r.span.begin : r.span.end] == r.token
