@@ -114,3 +114,51 @@ def test_pii_redaction(spark):
         out[3].c.n_email + out[3].c.n_phone + out[3].c.n_ssn + out[3].c.n_ipv4
     )
     assert total == 0
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (signed random projection)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_lsh_buckets_deterministic_and_bounded(embeddings):
+    from text_extensions_for_pandas_spark.operators.similarity import (
+        lsh_hyperplane_buckets,
+    )
+
+    n = embeddings.count()
+    b1 = lsh_hyperplane_buckets(embeddings, n_tables=4, n_planes=6).collect()
+    b2 = lsh_hyperplane_buckets(embeddings, n_tables=4, n_planes=6).collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+    assert len(b1) == n * 4  # one bucket per (vector, table)
+    assert all(0 <= r.bucket < 64 for r in b1)
+    assert {r.table_id for r in b1} == {0, 1, 2, 3}
+
+
+def test_lsh_topk_scores_match_brute_force(embeddings):
+    """LSH results must be a candidate-pruned subset of brute force with
+    IDENTICAL cosine scores — the approximation is recall, never score."""
+    from text_extensions_for_pandas_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    lsh = lsh_topk(embeddings, queries, k=5).collect()
+    assert lsh, "expected at least one LSH candidate on the test corpus"
+    exact = brute_force_topk(embeddings, queries, k=embeddings.count()).collect()
+    exact_scores = {(r.query_id, r.neighbor_id): r.score for r in exact}
+    for r in lsh:
+        assert exact_scores[(r.query_id, r.neighbor_id)] == r.score
+    # per query: ranks are 1..n and scores non-increasing
+    by_q = {}
+    for r in sorted(lsh, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(a.score >= b.score for a, b in zip(rows, rows[1:]))

@@ -200,6 +200,127 @@ def ivf_topk(
     )
 
 
+def _lsh_weights(n_tables: int, n_planes: int, dims: int) -> list[tuple[int, int, int, int]]:
+    """Deterministic hyperplane weights: one 16-bit centered integer per
+    (table, plane, dim), from a linear congruential generator over the flat
+    index.  Integer-exact, so any engine reproduces them bit-for-bit."""
+    out = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dims):
+                i = (t * n_planes + p) * dims + d
+                out.append((t, p, d, ((1103515245 * i + 12345) % 65536) - 32768))
+    return out
+
+
+#: quantization scale for LSH sign tests — embeddings are mapped to
+#: ``floor(value * 2**24)`` so every dot product is **integer** arithmetic:
+#: order-independent, overflow-safe (|v|<2^24·2^5, |w|<2^15, 64 dims →
+#: |sum| < 2^50), and bit-identical across engines.  A double-precision
+#: fold could flip a sign bit near zero under partition reordering.
+_LSH_QUANT = float(1 << 24)
+
+
+def lsh_hyperplane_buckets(
+    vectors: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection LSH: one bucket id per (vector, hash table).
+
+    Each of ``n_tables`` tables hashes a vector to an ``n_planes``-bit
+    bucket — bit *p* is the sign of the vector's dot product with
+    hyperplane *p*.  Cosine-similar vectors agree on most signs, so near
+    neighbors collide in at least one table with high probability
+    (Charikar 2002 SimHash/SRP scheme, applied to dense embeddings).
+
+    Physical shape (the 100 TB story): ``posexplode`` the vector, join the
+    tiny broadcast weight table, then ONE hash aggregate per (vector,
+    table) computing all plane dots as conditional sums — map-side
+    combinable, whole-stage codegen, no per-row Python, no array
+    higher-order folds (which don't codegen).  The output is the index:
+    persist it partitioned by (table_id, bucket) and candidate generation
+    becomes a pruned equijoin instead of an O(n·q) scan.
+    """
+    spark = vectors.sparkSession
+    wdf = spark.createDataFrame(
+        _lsh_weights(n_tables, n_planes, dims), "t INT, p INT, d INT, w LONG"
+    )
+    exploded = vectors.select(
+        id_col, F.posexplode(vec_col).alias("d", "__v")
+    ).withColumn(
+        "__vq", F.floor(F.col("__v").cast("double") * F.lit(_LSH_QUANT))
+    )
+    dot_aggs = [
+        F.sum(F.when(F.col("p") == p, F.col("__vq") * F.col("w"))).alias(f"__d{p}")
+        for p in range(n_planes)
+    ]
+    dots = exploded.join(F.broadcast(wdf), "d").groupBy(id_col, "t").agg(*dot_aggs)
+    bucket: Column = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + F.when(F.col(f"__d{p}") >= 0, F.lit(1 << p)).otherwise(0)
+    return dots.select(
+        id_col,
+        F.col("t").alias("table_id"),
+        bucket.cast("long").alias("bucket"),
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via LSH bucketing — the
+    complement of :func:`ivf_topk` (hash-bucket recall instead of
+    centroid-probe recall; no training step).
+
+    Candidates = corpus vectors sharing a bucket with the query in ANY
+    table (union over tables, deduplicated), then exact cosine only on
+    candidates.  Returns ``(query_id, neighbor_id, score, rank)``.
+    """
+    vb = lsh_hyperplane_buckets(embeddings, n_tables, n_planes, dims, id_col, vec_col)
+    qb = lsh_hyperplane_buckets(queries, n_tables, n_planes, dims, id_col, vec_col)
+    cands = (
+        vb.join(
+            F.broadcast(qb.select(F.col(id_col).alias("query_id"), "table_id", "bucket")),
+            ["table_id", "bucket"],
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    nv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+    )
+    scored = (
+        cands.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qvec"), F.col("__nvec")).alias("__score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("__score", 6).alias("score"), "rank")
+    )
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 16,

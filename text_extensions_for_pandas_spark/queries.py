@@ -1355,6 +1355,69 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via signed-random-projection LSH: 4 hash tables ×
+    6-bit buckets prune ~90% of the corpus before exact cosine scoring
+    (the training-free scale path; ``ivf_topk`` is the trained one,
+    ``ann_cosine_topk`` the exact baseline).  Sign bits come from
+    integer-quantized dot products, so bucket ids are bit-identical in
+    any engine."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = SIM.lsh_topk(emb, queries_df, k=10, n_tables=4, n_planes=6)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+Q_ANN_LSH_SQL = f"""
+WITH w AS (
+  SELECT t.t, p.p, d.d,
+         ((1103515245 * ((t.t*6 + p.p)*64 + d.d) + 12345) % 65536) - 32768 AS w
+  FROM range(4) t(t), range(6) p(p), range(64) d(d)
+),
+vq AS (
+  SELECT vec_id, d.d,
+         CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 16777216.0) AS BIGINT) AS vq
+  FROM embeddings, range(64) d(d)
+),
+dots AS (
+  SELECT vq.vec_id, w.t, w.p, sum(vq.vq * w.w) AS dp
+  FROM vq JOIN w ON vq.d = w.d
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, t AS table_id,
+         sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets v ON q.table_id = v.table_id AND q.bucket = v.bucket
+  WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_DOT.format(a='qe.embedding', b='ne.embedding')}
+         / (sqrt({_DOT.format(a='qe.embedding', b='qe.embedding')})
+            * sqrt({_DOT.format(a='ne.embedding', b='ne.embedding')})) AS score
+  FROM cands c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64 clusters: within-cluster pair count (the quadratic term) shrinks
     # ~clusters×, which is the whole point of IVF bucketing
@@ -2480,6 +2543,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_cosine_topk": (q_ann_topk, Q_ANN_SQL),
     "ivf_clusters": (q_ivf_clusters, Q_IVF_SQL),
     "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),
+    "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
     "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
     "align_to_tokens": (q_align_to_tokens, Q_ALIGN_SQL),
