@@ -157,3 +157,15 @@ def test_unigram_surprisal_vocab_joins_broadcast(docs):
     plan = plan_of(unigram_surprisal(docs))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_lsh_topk_plan_shape(spark):
+    """LSH ANN: weight table and query side broadcast (never a nested-loop
+    or sort-merge join), bucket dots computed by hash aggregate."""
+    from text_extensions_for_pandas_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=5))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "HashAggregate" in plan, plan

@@ -565,12 +565,20 @@ def repeated_ngram_spans(
     # the gram hash is internal (only positions are output), so use
     # xxhash64: 8-byte long keys shuffle/aggregate far cheaper than md5's
     # 32-char strings, and the DuckDB oracle can keep md5 — results are
-    # identical either way (collisions are negligible at 2^-64)
+    # identical either way (collisions are negligible at 2^-64).
+    # Positions are exploded first so substring+xxhash64 run as flat
+    # codegen projections, not an interpreted higher-order transform.
+    positions = F.when(
+        F.length(text_col) >= k, F.sequence(F.lit(0), F.length(text_col) - k)
+    ).otherwise(F.array().cast("array<int>"))
     grams = documents.select(
         F.col(doc_col),
-        F.posexplode(
-            F.transform(char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
-        ).alias("pos", "__h"),
+        F.explode(positions).alias("pos"),
+        F.col(text_col).alias("__t"),
+    ).select(
+        doc_col,
+        "pos",
+        F.xxhash64(F.substring(F.col("__t"), F.col("pos") + 1, F.lit(k))).alias("__h"),
     )
     if min_docs == 2:
         # "≥2 distinct docs" ⇔ min(doc) != max(doc): plain min/max partial
