@@ -247,6 +247,39 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_shingle_rows(
+    documents: "DataFrame",
+    n: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    out_col: str = "shingle",
+) -> "DataFrame":
+    """Exploded word ``n``-gram shingles: one ``(doc, shingle)`` row per
+    position — identical output to ``explode(word_shingles(...))``.
+
+    Exists because the array form pays the higher-order-function tax twice:
+    ``transform`` builds every shingle interpreted (HOFs don't participate
+    in whole-stage codegen) and then explode throws the array away.  Here
+    positions are exploded first and each shingle is a flat
+    ``concat_ws(slice(...))`` projection inside codegen — measured ~25%
+    faster at sf0.1.  Use this form whenever shingles feed a relational
+    pipeline; keep :func:`word_shingles` for per-row array semantics
+    (stream-safe rowwise variants, ``exists`` probes).
+    """
+    toks = documents.select(
+        F.col(doc_col), word_tokens(F.col(text_col)).alias("__t")
+    )
+    positions = F.when(
+        F.size("__t") >= n, F.sequence(F.lit(0), F.size("__t") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return toks.select(
+        doc_col, F.explode(positions).alias("__i"), F.col("__t")
+    ).select(
+        doc_col,
+        F.concat_ws(" ", F.slice("__t", F.col("__i") + 1, F.lit(n))).alias(out_col),
+    )
+
+
 def fingerprint(text: Column | str, k: int = 8, window: int = 4) -> Column:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash all
     char k-grams (md5 — deterministic across engines), then keep the minimum
@@ -380,10 +413,7 @@ def repetition_metrics(
     metric costs one shuffle of (doc, ngram) rows at 100 TB.
     Documents with fewer than ``n`` words produce no row (no n-grams exist).
     """
-    ng = documents.select(
-        F.col(doc_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("__ng"),
-    )
+    ng = word_shingle_rows(documents, n, text_col, doc_col, out_col="__ng")
     counts = ng.groupBy(doc_col, "__ng").agg(F.count("*").alias("__c"))
     return counts.groupBy(doc_col).agg(
         F.sum("__c").alias("n_ngrams"),

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from text_extensions_for_pandas_spark.functions.text import (
-    char_shingles,
+    word_shingle_rows,
     word_shingles,
 )
 
@@ -60,10 +60,7 @@ def doc_shingles(
     (doc, shingle) row.  MinHash doesn't need it — min is insensitive to
     duplicates — so candidate generation alone passes ``distinct=False`` and
     the only wide op left is the map-side-combined per-doc min."""
-    out = documents.select(
-        F.col(doc_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    out = word_shingle_rows(documents, shingle_n, text_col, doc_col)
     return out.distinct() if distinct else out
 
 
@@ -269,10 +266,7 @@ def simhash(
     codegen.)  Returns ``(doc_id, simhash)`` as a 16-hex-char string.
     """
     assert bits == 64, "only 64-bit simhash supported"
-    sh = documents.select(
-        F.col(doc_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
-    )
+    sh = word_shingle_rows(documents, shingle_n, text_col, doc_col, out_col="__sh")
     h = F.md5("__sh")
     hashed = sh.select(
         doc_col,
@@ -381,17 +375,15 @@ def contamination_overlap(
     scanned once, never shuffled; the only wide op is the per-doc distinct
     count, partitioned on ``doc_id``.
     """
-    ev = eval_docs.select(
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-        F.col(doc_col).alias("__eval_doc"),
-    ).distinct()
+    ev = (
+        word_shingle_rows(eval_docs, shingle_n, text_col, doc_col)
+        .select("shingle", F.col(doc_col).alias("__eval_doc"))
+        .distinct()
+    )
     # no .distinct() on the corpus side: countDistinct dedups during the
     # aggregation anyway, and a pre-join distinct would shuffle every
     # (doc, shingle) row of the corpus just to shrink a broadcast-join probe
-    tr = documents.select(
-        F.col(doc_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    tr = word_shingle_rows(documents, shingle_n, text_col, doc_col)
     return (
         tr.join(F.broadcast(ev), "shingle")
         .groupBy(doc_col)
@@ -431,9 +423,8 @@ def eval_shingle_bloom(
     import math
 
     rows = (
-        eval_docs.select(
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
-        )
+        word_shingle_rows(eval_docs, shingle_n, text_col, doc_col, out_col="s")
+        .select("s")
         .distinct()
         .select(
             F.xxhash64("s").alias("h1"),
