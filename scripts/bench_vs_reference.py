@@ -73,6 +73,7 @@ def main() -> None:
     _load_reference()
     from text_extensions_for_pandas import SpanArray
     from text_extensions_for_pandas.spanner import (
+        adjacent_join as ref_adjacent,
         consolidate as ref_consolidate,
         extract_dict as ref_extract_dict,
         extract_regex as ref_extract_regex,
@@ -134,6 +135,24 @@ def main() -> None:
     )
     ref_consolidate_s = time.time() - t0
 
+    # adjacent join inputs (NOT timed): even-index tokens vs odd-index
+    # tokens as two TokenSpan sets per document
+    from text_extensions_for_pandas import TokenSpanArray
+
+    firsts, seconds = [], []
+    for ts in token_series:
+        arr = ts.array
+        fi = list(range(0, len(arr), 2))
+        si = list(range(1, len(arr), 2))
+        firsts.append(pd.Series(TokenSpanArray(arr, fi, [i + 1 for i in fi])))
+        seconds.append(pd.Series(TokenSpanArray(arr, si, [i + 1 for i in si])))
+    t0 = time.time()
+    ref_adj_n = sum(
+        len(ref_adjacent(f, s, min_gap=0, max_gap=2))
+        for f, s in zip(firsts, seconds)
+    )
+    ref_adj_s = time.time() - t0
+
     # ---- spark side -----------------------------------------------------
     from pyspark.sql import functions as F
 
@@ -149,7 +168,10 @@ def main() -> None:
         extract_dict,
         extract_regex,
     )
-    from text_extensions_for_pandas_spark.operators.join import overlap_join
+    from text_extensions_for_pandas_spark.operators.join import (
+        adjacent_join,
+        overlap_join,
+    )
 
     spark = get_spark("bench-vs-reference")
     spark.sparkContext.setLogLevel("ERROR")
@@ -187,6 +209,21 @@ def main() -> None:
     sp_consolidate_n = evaluate(consolidate(m, on="span"))
     sp_consolidate_s = time.time() - t0
 
+    tok_pairs = toks.select(
+        "doc_id",
+        F.struct(
+            F.col("token_idx").cast("int").alias("begin_token"),
+            (F.col("token_idx") + 1).cast("int").alias("end_token"),
+        ).alias("token_span"),
+        "token_idx",
+    )
+    fdf = tok_pairs.filter(F.col("token_idx") % 2 == 0).drop("token_idx").cache()
+    sdf = tok_pairs.filter(F.col("token_idx") % 2 == 1).drop("token_idx").cache()
+    fdf.count(), sdf.count()  # input prep, not timed
+    t0 = time.time()
+    sp_adj_n = evaluate(adjacent_join(fdf, sdf, min_gap=0, max_gap=2))
+    sp_adj_s = time.time() - t0
+
     # ---- identical-output gates ----------------------------------------
     assert sp_regex_n == ref_regex_n, (sp_regex_n, ref_regex_n)
     assert sp_dict_n == ref_dict_n, (sp_dict_n, ref_dict_n)
@@ -195,6 +232,7 @@ def main() -> None:
         sp_consolidate_n,
         ref_consolidate_n,
     )
+    assert sp_adj_n == ref_adj_n, (sp_adj_n, ref_adj_n)
 
     results = {
         "extract_regex": {
@@ -216,6 +254,11 @@ def main() -> None:
             "reference_s": round(ref_consolidate_s, 3),
             "spark_s": round(sp_consolidate_s, 3),
             "rows": ref_consolidate_n,
+        },
+        "adjacent_join": {
+            "reference_s": round(ref_adj_s, 3),
+            "spark_s": round(sp_adj_s, 3),
+            "rows": ref_adj_n,
         },
     }
     results["n_docs"] = len(docs_pd)
