@@ -167,6 +167,7 @@ def main() -> None:
         create_dict,
         extract_dict,
         extract_regex,
+        extract_regex_native,
     )
     from text_extensions_for_pandas_spark.operators.join import (
         adjacent_join,
@@ -187,6 +188,10 @@ def main() -> None:
     t0 = time.time()
     sp_regex_n = evaluate(extract_regex(docs, REGEX_A))
     sp_regex_s = time.time() - t0
+
+    t0 = time.time()
+    sp_regex_native_n = evaluate(extract_regex_native(docs, REGEX_A))
+    sp_regex_native_s = time.time() - t0
 
     toks = tokenize_whitespace(docs).cache()
     toks.count()  # input prep, not timed
@@ -226,6 +231,7 @@ def main() -> None:
 
     # ---- identical-output gates ----------------------------------------
     assert sp_regex_n == ref_regex_n, (sp_regex_n, ref_regex_n)
+    assert sp_regex_native_n == ref_regex_n, (sp_regex_native_n, ref_regex_n)
     assert sp_dict_n == ref_dict_n, (sp_dict_n, ref_dict_n)
     assert sp_overlap_n == ref_overlap_n, (sp_overlap_n, ref_overlap_n)
     assert sp_consolidate_n == ref_consolidate_n, (
@@ -238,6 +244,11 @@ def main() -> None:
         "extract_regex": {
             "reference_s": round(ref_regex_s, 3),
             "spark_s": round(sp_regex_s, 3),
+            "rows": ref_regex_n,
+        },
+        "extract_regex_native": {
+            "reference_s": round(ref_regex_s, 3),
+            "spark_s": round(sp_regex_native_s, 3),
             "rows": ref_regex_n,
         },
         "extract_dict": {

@@ -117,3 +117,38 @@ def test_person_names_example(spark):
     ).collect()
     got = {(r.doc_id, r.person) for r in out}
     assert got == {(0, "Alice Jones"), (1, "Bob")}
+
+
+def test_extract_regex_native_matches_udf_twin(spark):
+    """The JVM-side offset-recovery variant must agree exactly with the
+    Python-re UDF implementation on a real corpus (ASCII pattern, where
+    the Java and Python dialects coincide), and every span must satisfy
+    the covered-text invariant."""
+    from text_extensions_for_pandas_spark.operators.extract import (
+        extract_regex,
+        extract_regex_native,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pat = r"\bsp\w+"
+    udf_rows = sorted(
+        (r.doc_id, r.span.begin, r.span.end, r.match)
+        for r in extract_regex(docs, pat).collect()
+    )
+    native_rows = sorted(
+        (r.doc_id, r.span.begin, r.span.end, r.match)
+        for r in extract_regex_native(docs, pat).collect()
+    )
+    assert native_rows == udf_rows and len(native_rows) > 0
+    # covered-text invariant: substring(text, begin+1, end-begin) == match
+    out = extract_regex_native(docs, pat)
+    bad = (
+        out.join(docs, "doc_id")
+        .where(
+            F.expr(
+                "substring(text, span.begin + 1, span.end - span.begin) != match"
+            )
+        )
+        .count()
+    )
+    assert bad == 0

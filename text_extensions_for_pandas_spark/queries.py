@@ -31,6 +31,7 @@ from text_extensions_for_pandas_spark.operators.extract import (
     create_dict,
     extract_dict,
     extract_regex,
+    extract_regex_native,
 )
 from text_extensions_for_pandas_spark.operators.iob import iob_to_spans, spans_to_iob
 from text_extensions_for_pandas_spark.operators.join import adjacent_join
@@ -385,6 +386,20 @@ WITH {TOKS_CTE}
 SELECT doc_id, "begin", "end", token AS match
 FROM toks WHERE token LIKE 'sp%'
 """
+
+
+def q_extract_regex_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side twin of ``extract_regex``: split/extract_all interleaving +
+    per-doc running sum recovers offsets with no Python worker (same
+    output, same oracle — the dialects coincide on this ASCII pattern)."""
+    docs = load(spark, sf_dir, "documents")
+    out = extract_regex_native(docs, r"\bsp\w+")
+    return out.select(
+        "doc_id",
+        F.col("span")["begin"].alias("begin"),
+        F.col("span")["end"].alias("end"),
+        F.col("match"),
+    )
 
 
 def _dict_sql(entries: list[str]) -> str:
@@ -2519,6 +2534,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
     "tokenize": (q_tokenize, Q_TOKENIZE_SQL),
     "extract_regex": (q_extract_regex, Q_EXTRACT_REGEX_SQL),
+    "extract_regex_native": (q_extract_regex_native, Q_EXTRACT_REGEX_SQL),
     "extract_dict": (q_extract_dict, Q_EXTRACT_DICT_SQL),
     "extract_dict_rowwise": (q_extract_dict_rowwise, Q_EXTRACT_DICT_SQL),
     "adjacent_join": (q_adjacent_join, Q_ADJACENT_SQL),
