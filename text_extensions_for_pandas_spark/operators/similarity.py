@@ -53,17 +53,28 @@ def brute_force_topk(
     ``(query_id, neighbor_id, score, rank)``; self-matches excluded;
     deterministic tie-break on neighbor id.
     """
+    # norms are computed ONCE per vector on each side, not per pair — the
+    # per-factor expression is unchanged (same sequential fold, same
+    # double), so scores stay bit-identical to the naive form while the
+    # dominant array-fold work drops ~3× (dot only, not dot + two norms)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     scored = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__vn"),
     ).crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qvec"), F.col("__vec")).alias("__score"),
+        (
+            dot(F.col("__qvec"), F.col("__vec"))
+            / (F.col("__qn") * F.col("__vn"))
+        ).alias("__score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__score").desc(), F.col("neighbor_id").asc()
@@ -93,11 +104,21 @@ def ivf_assign(
     ``row_number`` — no per-vector sort, one narrow shuffle of
     (vec, best) pairs."""
     c = centroids.select(
-        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+        F.col(centroid_id_col).alias("__cid"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
-    scored = embeddings.crossJoin(F.broadcast(c)).select(
-        "*",
-        cosine(F.col(vec_col), F.col("__cvec")).alias("__score"),
+    # per-vector norm computed once, not once per centroid (bit-identical
+    # scores: each cosine factor is the same fold as before)
+    scored = embeddings.withColumn("__vn", norm(F.col(vec_col))).crossJoin(
+        F.broadcast(c)
+    ).select(
+        *embeddings.columns,
+        "__cid",
+        (
+            dot(F.col(vec_col), F.col("__cvec"))
+            / (F.col("__vn") * F.col("__cn"))
+        ).alias("__score"),
     )
     others = [col for col in embeddings.columns if col != id_col]
     best = scored.groupBy(id_col).agg(
@@ -181,14 +202,26 @@ def ivf_topk(
     probes = (
         qc.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qvec", F.col("__cid").alias("cluster_id"))
+        .select(
+            "query_id",
+            "__qvec",
+            norm(F.col("__qvec")).alias("__qn"),
+            F.col("__cid").alias("cluster_id"),
+        )
     )
-    scored = assigned.join(F.broadcast(probes), "cluster_id").filter(
+    # per-vector norm once (not per probed query): bit-identical scores,
+    # ~3× less array-fold work in the candidate scoring stage
+    scored = assigned.withColumn("__vn", norm(F.col(vec_col))).join(
+        F.broadcast(probes), "cluster_id"
+    ).filter(
         F.col(id_col) != F.col("query_id")
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("__qvec"), F.col(vec_col)).alias("__score"),
+        (
+            dot(F.col("__qvec"), F.col(vec_col))
+            / (F.col("__qn") * F.col("__vn"))
+        ).alias("__score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__score").desc(), F.col("neighbor_id").asc()
@@ -298,9 +331,15 @@ def lsh_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"))
         .distinct()
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
+    )
     nv = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nvec"),
+        norm(F.col(vec_col)).alias("__nn"),
     )
     scored = (
         cands.join(nv, "neighbor_id")
@@ -308,7 +347,10 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qvec"), F.col("__nvec")).alias("__score"),
+            (
+                dot(F.col("__qvec"), F.col("__nvec"))
+                / (F.col("__qn") * F.col("__nn"))
+            ).alias("__score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
