@@ -2356,6 +2356,39 @@ ORDER BY error_event_id
 """
 
 
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document length percentiles — the ordered-statistic
+    shape every corpus report needs.  Uses Spark's exact ``percentile``
+    (linear interpolation, same definition as DuckDB ``quantile_cont``);
+    at 100 TB swap in ``approx_percentile`` (t-digest sketch, mergeable
+    map-side) — same plan shape, bounded error instead of a full sort."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.percentile("n_chars", F.lit([0.5, 0.9, 0.99])).alias("__p"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.get("__p", 0), 6).alias("p50"),
+            F.round(F.get("__p", 1), 6).alias("p90"),
+            F.round(F.get("__p", 2), 6).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_DOC_LENGTH_QUANTILES_SQL = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus audit with ROLLUP subtotals by (lang, source) — grouping
     sets are absent from the reference (SURVEY §2.5) but free in Spark."""
@@ -2583,6 +2616,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
     "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
     "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
+    "doc_length_quantiles": (q_doc_length_quantiles, Q_DOC_LENGTH_QUANTILES_SQL),
     "pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
     "doc_surprisal": (q_doc_surprisal, Q_DOC_SURPRISAL_SQL),
     "events_retention": (q_events_retention, Q_EVENTS_RETENTION_SQL),
