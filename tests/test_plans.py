@@ -169,3 +169,18 @@ def test_lsh_topk_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_extract_regex_native_no_python(spark, docs):
+    """The JVM-native regex path must contain no Python evaluation node
+    (the UDF twin shows ArrowEvalPython); its only wide op is the per-doc
+    offset window."""
+    from text_extensions_for_pandas_spark.operators.extract import (
+        extract_regex,
+        extract_regex_native,
+    )
+
+    native = plan_of(extract_regex_native(docs, r"\bsp\w+"))
+    assert "EvalPython" not in native, native
+    udf = plan_of(extract_regex(docs, r"\bsp\w+"))
+    assert "EvalPython" in udf  # the twin really does cross into Python
