@@ -63,3 +63,35 @@ def test_cluster_strategy_drops_transitive_duplicates(spark):
     assert kept_clusters <= kept_pairs
     assert 1 in kept_clusters and 9 in kept_clusters
     assert kept_clusters == {1, 9}
+
+
+def test_csv_prep_roundtrip(spark, tmp_path):
+    """csv_prep: flat hand-labeling layout (offsets + covered text + vote
+    stats + empty correct? column), one re-readable CSV per category."""
+    import pyspark.sql.functions as F
+
+    from text_extensions_for_pandas_spark.operators.cleaning import csv_prep
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    flagged = spark.createDataFrame(
+        [
+            (0, (0, 5), "X", 2, True, "in_gold_low_agreement", ["m1", "m2"]),
+            (0, (6, 10), "Y", 3, False, "not_in_gold_high_agreement", ["m3"]),
+            (1, (0, 5), "X", 1, True, "in_gold_low_agreement", ["m1"]),
+        ],
+        "doc_id long, span struct<begin:int,end:int>, ent_type string, "
+        "count long, in_gold boolean, category string, models array<string>",
+    )
+    out_dir = str(tmp_path / "csvs")
+    out = csv_prep(flagged, docs, output_dir=out_dir)
+    rows = out.collect()
+    assert [r.covered_text for r in rows] == ["alpha", "beta", "delta"]
+    assert all(r["correct?"] == "" for r in rows)
+    assert rows[0].models == "m1;m2"  # array flattened for the CSV
+    # one directory of CSVs per category, re-readable, row counts add up
+    back = spark.read.option("header", "true").csv(f"{out_dir}/*")
+    assert back.count() == 3
+    assert set(back.columns) == set(out.columns) - {"in_gold"} | {"in_gold"}
