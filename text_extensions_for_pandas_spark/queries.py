@@ -289,6 +289,41 @@ ORDER BY event_type, hour_epoch
 """
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2h windows every 1h): each event lands
+    in size/slide = 2 windows via Spark's ``window()`` generator — the
+    same operator Structured Streaming uses with a watermark, so this plan
+    is stream-transparent.  Oracle twin replicates the window assignment
+    by exploding the two hour-aligned starts per event."""
+    ev = load(spark, sf_dir, "events")
+    val = F.expr(f"CAST(value AS {DEC})")
+    return (
+        ev.groupBy("event_type", F.window("ts", "2 hours", "1 hour").alias("__w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(val).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("__w.start").cast("long").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "window_start")
+    )
+
+
+Q_EVENTS_SLIDING_SQL = """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) - 3600 * o.k AS BIGINT) AS window_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events, (VALUES (0), (1)) o(k)
+GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -2563,6 +2598,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_idle_customers": (q_idle_customers, Q_IDLE_CUSTOMERS_SQL),
     "q_top3_per_nation": (q_top3_customers_per_nation, Q_TOP3_PER_NATION_SQL),
     "q_events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
+    "q_events_sliding": (q_events_sliding, Q_EVENTS_SLIDING_SQL),
     "q_events_sessionize": (q_events_sessionize, Q_EVENTS_SESSIONIZE_SQL),
     "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
     "tokenize": (q_tokenize, Q_TOKENIZE_SQL),
