@@ -29,16 +29,25 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        # Evaluate every column of every row JVM-side (xxhash64 over the
-        # full row defeats projection pruning, which a bare count() would
-        # allow), without the driver-side Python deserialization cost of
-        # collect() — the engine's work is what's being measured.
-        n, _ = df.agg(
-            F.count(F.lit(1)), F.bit_xor(F.xxhash64(*df.columns))
-        ).collect()[0]
+        # One broken query must not take down the whole benchmark (round 2
+        # lost its BENCH record to a single AnalysisException): record the
+        # error and keep going — the JSON line always prints.
+        try:
+            df = fn(spark, sf_dir)
+            # Evaluate every column of every row JVM-side (xxhash64 over the
+            # full row defeats projection pruning, which a bare count() would
+            # allow), without the driver-side Python deserialization cost of
+            # collect() — the engine's work is what's being measured.
+            n, _ = df.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64(*df.columns))
+            ).collect()[0]
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
 
@@ -51,6 +60,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": float(sf) if sf else None,
             }
         )

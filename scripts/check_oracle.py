@@ -44,6 +44,13 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
+            if av.dtype.kind != bv.dtype.kind and "f" in (av.dtype.kind, bv.dtype.kind):
+                # The driver hashes raw values: 908 vs 908.0 is a mismatch
+                # even when numerically equal (seen in round 2's f1_report).
+                problems.append(
+                    f"col {c}: dtype kind mismatch spark={av.dtype} duck={bv.dtype}"
+                )
+                continue
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 ok = np.allclose(
                     av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True

@@ -27,10 +27,11 @@ def _run_to_memory(stream_df, name, mode="append"):
 
 
 def _batch_events(spark):
-    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    from text_extensions_for_pandas_spark.functions.timestamps import (
+        normalize_event_ts,
     )
+
+    return normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
 
 
 def test_stateless_extract_on_stream(spark):

@@ -45,18 +45,24 @@ DOCUMENTS_DDL = "doc_id long, text string, lang string, source string, n_chars l
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the synthetic events table.
 
-    The parquet stores TIMESTAMP(NANOS), which Spark reads as long under
-    ``spark.sql.legacy.parquet.nanosAsLong`` (session.py) — converted here
-    to a proper µs timestamp, same as the batch loader.
+    Streaming sources need a declared schema, so sniff the batch-visible
+    physical type of ``ts`` first (it has shipped as both nano-long and
+    timestamp[us]; see functions/timestamps.py), then normalize exactly
+    like the batch loader so batch/stream parity tests compare equals.
     """
+    from text_extensions_for_pandas_spark.functions.timestamps import (
+        normalize_event_ts,
+    )
+
+    ts_type = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    ).get("ts", "timestamp")
     raw = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(EVENTS_DDL.replace("ts long", f"ts {ts_type}"))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    return normalize_event_ts(raw)
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
