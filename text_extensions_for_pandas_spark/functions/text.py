@@ -162,15 +162,20 @@ def token_count(text: Column | str, pattern: str = r"\w+|[^\w\s]") -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
 
 
-def quality_metrics(text: Column | str) -> Column:
+def quality_metrics(text: Column | str, toks: Column | None = None) -> Column:
     """Struct of document quality signals: char/token counts, mean token
     length, stopword ratio, punctuation ratio, digit ratio.
 
     Everything is built-in-function arithmetic — survives whole-stage codegen
     on a full-corpus scan.
+
+    Pass ``toks`` (a materialized ``word_tokens`` column) when combining with
+    other token-consuming expressions in one projection: higher-order-function
+    arguments do not share subexpressions, so without it every filter lambda
+    re-splits the text.
     """
     c = F.col(text) if isinstance(text, str) else text
-    toks = word_tokens(c)
+    toks = word_tokens(c) if toks is None else toks
     n_tok = F.size(toks)
     n_char = F.length(c)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -187,10 +192,10 @@ def quality_metrics(text: Column | str) -> Column:
     )
 
 
-def lang_scores(text: Column | str) -> Column:
+def lang_scores(text: Column | str, toks: Column | None = None) -> Column:
     """Per-language marker-word hit ratios as a struct — the language-ID
     heuristic's feature vector."""
-    toks = word_tokens(text)
+    toks = word_tokens(text) if toks is None else toks
     n_tok = F.greatest(F.size(toks), F.lit(1))
     fields = []
     for lang, words in sorted(LANG_PROFILES.items()):
@@ -200,7 +205,7 @@ def lang_scores(text: Column | str) -> Column:
     return F.struct(*fields)
 
 
-def lang_id(text: Column | str) -> Column:
+def lang_id(text: Column | str, toks: Column | None = None) -> Column:
     """Predicted language = argmax marker ratio, ties broken by language code
     order; 'und' when no marker hits at all.
 
@@ -209,7 +214,7 @@ def lang_id(text: Column | str) -> Column:
     (exponential expression growth under projection collapse); the array form
     references each score exactly once.
     """
-    scores = lang_scores(text)
+    scores = lang_scores(text, toks)
     entries = [
         F.struct(
             scores[lang].alias("s"),
@@ -328,6 +333,9 @@ def fingerprint_rows(
     positions = F.when(
         F.length(text_col) >= k, F.sequence(F.lit(0), F.length(text_col) - k)
     ).otherwise(F.array().cast("array<int>"))
+    # 16-hex-char (64-bit) md5 prefix: same deterministic minima selection in
+    # both engines (each takes the min of the same truncated multiset), half
+    # the bytes through the per-doc sort window — the widest op in the plan.
     hashed = documents.select(
         F.col(doc_col),
         F.explode(positions).alias("__i"),
@@ -335,7 +343,9 @@ def fingerprint_rows(
     ).select(
         doc_col,
         "__i",
-        F.md5(F.substring(F.col("__t"), F.col("__i") + 1, F.lit(k))).alias("__h"),
+        F.substring(
+            F.md5(F.substring(F.col("__t"), F.col("__i") + 1, F.lit(k))), 1, 16
+        ).alias("__h"),
     )
     n = documents.select(
         F.col(doc_col),

@@ -234,10 +234,26 @@ def near_dup_pairs(
     rows_per_band: int = 4,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ ``threshold`` —
-    the standard two-stage near-dup pipeline."""
-    sh = doc_shingles(documents, shingle_n, text_col, doc_col).persist()
+    the standard two-stage near-dup pipeline.
+
+    Pass a precomputed (persisted) ``shingles`` frame covering at least the
+    input documents to share the shingle scan across queries; it is
+    semi-joined down to the input's doc ids, so a corpus-wide shingle
+    table is safe to pass for a filtered ``documents``."""
+    if shingles is not None:
+        # The id list is referenced from every downstream evaluation of the
+        # semi-joined shingle set (LSH banding + three passes inside the
+        # Jaccard verify).  When ``documents`` is itself a filtered subplan
+        # (e.g. the prep funnel's lang/quality/dedup chain), cutting lineage
+        # here evaluates that chain once — the list is one id per doc, cheap
+        # to hold at any scale.
+        ids = documents.select(doc_col).distinct().localCheckpoint(eager=False)
+        sh = shingles.join(ids, doc_col, "left_semi")
+    else:
+        sh = doc_shingles(documents, shingle_n, text_col, doc_col).persist()
     cands = minhash_candidates(
         documents, shingle_n, n_hashes, rows_per_band, text_col, doc_col,
         shingles=sh,

@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from text_extensions_for_pandas_spark.functions.text import lang_id, quality_metrics
+from text_extensions_for_pandas_spark.functions.text import (
+    lang_id,
+    quality_metrics,
+    word_tokens,
+)
 from text_extensions_for_pandas_spark.operators import dedup as D
 
 
@@ -64,16 +68,17 @@ def prepare_training_corpus(
     languages = languages or ["en"]
     split_weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
 
-    m = quality_metrics(F.col(text_col))
+    toks = F.col("__toks")
     qualified = (
-        documents.withColumn("__lang", lang_id(F.col(text_col)))
+        documents.withColumn("__toks", word_tokens(F.col(text_col)))
+        .withColumn("__lang", lang_id(F.col(text_col), toks=toks))
         .filter(F.col("__lang").isin(languages))
-        .withColumn("__m", m)
+        .withColumn("__m", quality_metrics(F.col(text_col), toks=toks))
         .filter(
             (F.col("__m.n_tokens") >= min_words)
             & (F.col("__m.mean_token_len") <= max_word_len)
         )
-        .drop("__lang", "__m")
+        .drop("__lang", "__m", "__toks")
     )
     exact_keep = D.exact_dedup(qualified, text_col, doc_col).select(
         F.col("keep_doc_id").alias(doc_col)
@@ -107,6 +112,7 @@ def corpus_funnel(
     near_dup_threshold: float = 0.8,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Stage-by-stage survivor counts of the preparation pipeline — the
     audit table a data-curation run reports.  One row per stage.
@@ -115,31 +121,45 @@ def corpus_funnel(
     memberships), a single conditional-sum aggregate, then an unpivot —
     one corpus pass instead of one job per stage."""
     languages = languages or ["en"]
-    m = quality_metrics(F.col(text_col))
+    toks = F.col("__toks")
     flagged = (
-        documents.withColumn(
-            "__lang_ok", lang_id(F.col(text_col)).isin(languages)
+        documents.withColumn("__toks", word_tokens(F.col(text_col)))
+        .withColumn(
+            "__lang_ok", lang_id(F.col(text_col), toks=toks).isin(languages)
         )
-        .withColumn("__m", m)
+        .withColumn("__m", quality_metrics(F.col(text_col), toks=toks))
         .withColumn(
             "__quality_ok",
             F.col("__lang_ok")
             & (F.col("__m.n_tokens") >= min_words)
             & (F.col("__m.mean_token_len") <= max_word_len),
         )
-        .drop("__m")
+        .drop("__m", "__toks")
     )
     quality_ok = flagged.filter(F.col("__quality_ok"))
-    exact_keep = D.exact_dedup(quality_ok, text_col, doc_col).select(
-        F.col("keep_doc_id").alias(doc_col), F.lit(True).alias("__uniq")
+    # The keep/drop ID LISTS are referenced from several DAG branches below
+    # (the near-dup stage and the final count aggregate).  Unlike the
+    # corpus-row flags — which stay recomputed per branch, see module note —
+    # these are one id per document, so cutting lineage here materializes
+    # the expensive corpus passes (md5 dedup groupBy, LSH+Jaccard verify)
+    # exactly once at a storage cost that is negligible at any scale.
+    exact_keep = (
+        D.exact_dedup(quality_ok, text_col, doc_col)
+        .select(F.col("keep_doc_id").alias(doc_col), F.lit(True).alias("__uniq"))
+        .localCheckpoint(eager=False)
     )
     uniq = quality_ok.join(exact_keep, doc_col, "left_semi")
     drop = (
         D.near_dup_pairs(
-            uniq, threshold=near_dup_threshold, text_col=text_col, doc_col=doc_col
+            uniq,
+            threshold=near_dup_threshold,
+            text_col=text_col,
+            doc_col=doc_col,
+            shingles=shingles,
         )
         .select(F.col("doc_b").alias(doc_col), F.lit(True).alias("__dropped"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     annotated = (
         flagged.join(exact_keep, doc_col, "left")

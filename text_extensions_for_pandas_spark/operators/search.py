@@ -39,11 +39,18 @@ def document_frequencies(term_freqs: DataFrame) -> DataFrame:
 
 
 def vocabulary(
-    documents: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+    documents: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    term_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus vocabulary with collection frequency and document frequency —
     the Zipf table every corpus audit starts from."""
-    tf = term_frequencies(documents, text_col, doc_col)
+    tf = (
+        term_freqs
+        if term_freqs is not None
+        else term_frequencies(documents, text_col, doc_col)
+    )
     return tf.groupBy("term").agg(
         F.sum("tf").alias("collection_freq"),
         F.count("*").alias("doc_freq"),
@@ -58,6 +65,7 @@ def bm25_search(
     b: float = 0.75,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    term_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k document retrieval for a query string.
 
@@ -71,7 +79,11 @@ def bm25_search(
     terms = sorted({t for t in query.lower().split() if t})
     if not terms:
         raise ValueError("empty query")
-    stats = term_frequencies(documents, text_col, doc_col).persist()
+    stats = (
+        term_freqs
+        if term_freqs is not None
+        else term_frequencies(documents, text_col, doc_col).persist()
+    )
     tf = stats.filter(F.col("term").isin(terms))
     # corpus constants (driver-side scalars, like the overlap-join
     # block-size estimation); n_docs counts ALL documents, token-less ones
@@ -177,6 +189,7 @@ def tfidf_top_terms(
     top_k: int = 3,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    term_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by TF-IDF:
     ``tf/doc_len * ln(N/df)``, ties broken by term for determinism.
@@ -186,7 +199,11 @@ def tfidf_top_terms(
     are the two term-stat aggregations and the per-doc top-k window — all
     map-side combined / partitioned on ``doc_id``.
     """
-    tf = term_frequencies(documents, text_col, doc_col)
+    tf = (
+        term_freqs
+        if term_freqs is not None
+        else term_frequencies(documents, text_col, doc_col)
+    )
     df = document_frequencies(tf)
     n_docs = documents.agg(F.count("*").alias("__n"))
     scored = (

@@ -84,8 +84,57 @@ segs AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Session-scoped materialized views.
+#
+# Roughly half the registry re-derives the same three corpus-wide tables
+# (whitespace tokens, word-3-gram shingles, term frequencies) from the raw
+# documents scan.  A production pipeline at 100 TB materializes these once —
+# tokenizing a corpus per-query is the one cost you never pay twice — so the
+# query layer does the same: build on first use, persist (memory, spilling
+# to disk), reuse for every later query in the session.  Keyed by
+# (applicationId, sf_dir) so a new session or a different scale factor
+# rebuilds; each query remains independently runnable — the view is an
+# optimization, not a dependency.
+# ---------------------------------------------------------------------------
+
+_MATVIEWS: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _matview(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    df = _MATVIEWS.get(k)
+    if df is None:
+        df = build().persist()
+        _MATVIEWS[k] = df
+    return df
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.tokenize_whitespace(load(spark, sf_dir, "documents"))
+    return _matview(
+        spark, sf_dir, "tokens",
+        lambda: T.tokenize_whitespace(load(spark, sf_dir, "documents")),
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles of the documents corpus."""
+    return _matview(
+        spark, sf_dir, "shingles",
+        lambda: D.doc_shingles(load(spark, sf_dir, "documents")),
+    )
+
+
+def _term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted term-stats table (doc_id, term, tf, doc_len)."""
+    from text_extensions_for_pandas_spark.operators.search import (
+        term_frequencies,
+    )
+
+    return _matview(
+        spark, sf_dir, "term_freqs",
+        lambda: term_frequencies(load(spark, sf_dir, "documents")),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -260,6 +309,301 @@ FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-filter-aggregate.  The whole query should
+    compile to one whole-stage-codegen span over the parquet scan with
+    every predicate pushed down — the pattern Catalyst is best at."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.expr(f"CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {PCT})")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two roles of the same dimension (supplier nation vs
+    customer nation) with a symmetric pair filter — nation is broadcast
+    twice; the fact-fact joins shuffle on their keys."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.expr(
+        f"CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {PCT}) - CAST(l_discount AS {PCT}))"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("__snk"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("__cnk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional volume per year —
+    conditional aggregation over a 6-table star join, dimensions
+    broadcast, the ratio computed from two exact DECIMAL sums."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("__cnk"))
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.expr(
+        f"CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {PCT}) - CAST(l_discount AS {PCT}))"
+    )
+    yearly = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n_cust), cust["c_nationkey"] == F.col("__cnk"))
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n_supp), supp["s_nationkey"] == F.col("__snk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)).alias("__nv"),
+            F.sum(vol).alias("__tv"),
+        )
+    )
+    return yearly.select(
+        F.col("o_year").cast("bigint").alias("o_year"),
+        F.round(
+            F.coalesce(F.col("__nv"), F.lit(0)).cast("double")
+            / F.col("__tv").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+Q8_SQL = """
+WITH vols AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       round(CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END), 0) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM vols GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20 —
+    fact-fact shuffle join + broadcast dimension + top-k."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = F.expr(
+        f"CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {PCT}) - CAST(l_discount AS {PCT}))"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share in one month — broadcast
+    part join, conditional sum over exact decimals, scalar result."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.expr(
+        f"CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {PCT}) - CAST(l_discount AS {PCT}))"
+    )
+    agg = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("__pv"),
+        F.sum(rev).alias("__tv"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0)
+            * F.coalesce(F.col("__pv"), F.lit(0)).cast("double")
+            / F.col("__tv").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * CAST(coalesce(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END), 0) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: groupBy-having over the fact table, then joins back
+    to orders/customer.  The having-filter aggregate runs first so only
+    qualifying orderkeys reach the join — at scale the semi-join input is
+    tiny compared to lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    qty = F.expr(f"CAST(l_quantity AS {DEC})")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__q"))
+        .filter(F.col("__q") > 300)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("__q").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, o_orderkey, orderdate
+HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity band predicates
+    across the part join — exercises Catalyst's CNF conversion and
+    partial pushdown of OR-of-ANDs into both join sides."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = F.expr(
+        f"CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {PCT}) - CAST(l_discount AS {PCT}))"
+    )
+    def band(brand, smin, smax, qmin, qmax):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(
+            band("Brand#12", 1, 15, 1, 11)
+            | band("Brand#23", 5, 25, 10, 20)
+            | band("Brand#15", 10, 40, 20, 36)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 36)
 """
 
 
@@ -773,7 +1117,9 @@ cand AS (
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return D.minhash_candidates(docs).orderBy("doc_a", "doc_b")
+    return D.minhash_candidates(
+        docs, shingles=_shingles(spark, sf_dir)
+    ).orderBy("doc_a", "doc_b")
 
 
 Q_DEDUP_MINHASH_SQL = f"""
@@ -784,7 +1130,7 @@ SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = D.doc_shingles(docs).persist()
+    sh = _shingles(spark, sf_dir)
     cands = D.minhash_candidates(docs, shingles=sh)
     return D.jaccard_for_pairs(cands, sh).orderBy("doc_a", "doc_b")
 
@@ -873,8 +1219,10 @@ FROM assigned WHERE rn = 1 GROUP BY centroid_id ORDER BY cluster_id
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    q = T.quality_metrics(F.col("text"))
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__toks", T.word_tokens(F.col("text"))
+    )
+    q = T.quality_metrics(F.col("text"), toks=F.col("__toks"))
     return docs.select(
         "doc_id",
         q["n_chars"].alias("n_chars"),
@@ -915,7 +1263,8 @@ FROM documents ORDER BY doc_id
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
-        docs.select(T.lang_id(F.col("text")).alias("pred_lang"))
+        docs.withColumn("__toks", T.word_tokens(F.col("text")))
+        .select(T.lang_id(F.col("text"), toks=F.col("__toks")).alias("pred_lang"))
         .groupBy("pred_lang")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("pred_lang")
@@ -972,7 +1321,7 @@ WITH g AS (
   SELECT doc_id, text,
          CASE WHEN length(text) < 8 THEN []
               ELSE list_transform(range(0, length(text) - 8 + 1),
-                                  i -> md5(substring(text, i + 1, 8))) END AS hashes
+                                  i -> substring(md5(substring(text, i + 1, 8)), 1, 16)) END AS hashes
   FROM documents
 )
 SELECT doc_id,
@@ -1974,7 +2323,7 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return corpus_funnel(
         docs, languages=["en"], min_words=10, max_word_len=12.0,
-        near_dup_threshold=0.8,
+        near_dup_threshold=0.8, shingles=_shingles(spark, sf_dir),
     ).orderBy("stage")
 
 
@@ -2040,7 +2389,9 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_extensions_for_pandas_spark.operators.search import bm25_search
 
     docs = load(spark, sf_dir, "documents")
-    out = bm25_search(docs, "spark table scan", k=20)
+    out = bm25_search(
+        docs, "spark table scan", k=20, term_freqs=_term_freqs(spark, sf_dir)
+    )
     return out.select(
         "doc_id",
         F.round("score", 6).alias("score"),
@@ -2082,7 +2433,7 @@ def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return (
-        vocabulary(docs)
+        vocabulary(docs, term_freqs=_term_freqs(spark, sf_dir))
         .orderBy(F.col("collection_freq").desc(), "term")
         .limit(50)
     )
@@ -2158,7 +2509,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = D.near_dup_pairs(docs, threshold=0.8)
+    pairs = D.near_dup_pairs(docs, threshold=0.8, shingles=_shingles(spark, sf_dir))
     cc = connected_components(pairs)
     sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
@@ -2264,9 +2615,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfidf_top_terms,
     )
 
-    return tfidf_top_terms(load(spark, sf_dir, "documents"), top_k=3).orderBy(
-        "doc_id", "rank"
-    )
+    return tfidf_top_terms(
+        load(spark, sf_dir, "documents"),
+        top_k=3,
+        term_freqs=_term_freqs(spark, sf_dir),
+    ).orderBy("doc_id", "rank")
 
 
 Q_TFIDF_SQL = """
@@ -2620,6 +2973,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # xxhash64 in DuckDB): rows-only checks, no oracle by design
     "multimodal_image_features": (q_multimodal_features, None),
     "split_by_hash": (q_split_by_hash, None),
+    # new this round (also need their first driver verification)
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
+    "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
+    "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
