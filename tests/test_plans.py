@@ -184,3 +184,43 @@ def test_extract_regex_native_no_python(spark, docs):
     assert "EvalPython" not in native, native
     udf = plan_of(extract_regex(docs, r"\bsp\w+"))
     assert "EvalPython" in udf  # the twin really does cross into Python
+
+
+def test_q6_predicates_push_to_parquet(spark):
+    from text_extensions_for_pandas_spark.queries import q6_forecast_revenue
+
+    plan = plan_of(q6_forecast_revenue(spark, SF_DIR))
+    # the scan itself must carry the shipdate/discount/quantity bounds
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    # one partial+final aggregate pair, no join
+    assert "Join" not in plan
+
+
+def test_q7_nation_dims_broadcast(spark):
+    from text_extensions_for_pandas_spark.queries import q7_volume_shipping
+
+    plan = plan_of(q7_volume_shipping(spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q19_disjunction_prunes_part_columns(spark):
+    from text_extensions_for_pandas_spark.queries import q19_discounted_revenue
+
+    plan = plan_of(q19_discounted_revenue(spark, SF_DIR))
+    # part is broadcast and only the three needed columns are read
+    assert "BroadcastHashJoin" in plan
+    part_schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "p_brand" in ln
+    ]
+    assert part_schema and "p_retailprice" not in part_schema[0], part_schema
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    from text_extensions_for_pandas_spark.queries import q22_sales_opportunity
+
+    plan = plan_of(q22_sales_opportunity(spark, SF_DIR), "simple")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

@@ -697,6 +697,83 @@ FROM g GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats via Spark's native ``session_window`` —
+    the same operator the streaming pipeline uses with a state store
+    (streaming/ops.streaming_session_stats), here in batch.  Unlike the
+    lag-based ``q_events_sessionize``, the window end is exclusive: an
+    event arriving exactly ``gap`` after the last one opens a NEW
+    session, which the oracle mirrors with ``>=``."""
+    ev = load(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("__w")
+    ).agg(F.count("*").alias("__n"))
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("__n").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_EVENTS_SESSION_NATIVE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800.0
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of above-average-
+    balance customers who never ordered — scalar subquery (broadcast
+    1-row cross join) + anti-join against the orders fact."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    bal = F.expr(f"CAST(c_acctbal AS {DEC})")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(bal) / F.count(F.lit(1))).alias("__avg"))
+    )
+    return (
+        cust.withColumn("__bal", bal)
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("__bal") > F.col("__avg"))
+        .join(orders.select("o_custkey"), cust["c_custkey"] == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum("__bal").cast("double").alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q22_SQL = """
+WITH a AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, count(*) AS n_custs,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer, a
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) > a.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -2981,6 +3058,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q14_promo_effect": (q14_promo_effect, Q14_SQL),
     "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
     "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
+    "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
+    "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
