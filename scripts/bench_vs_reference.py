@@ -153,6 +153,57 @@ def main() -> None:
     )
     ref_adj_s = time.time() - t0
 
+    # iob_to_spans inputs (NOT timed): deterministic positional IOB2 tags
+    # (B at idx%7==0, I at idx%7 in {1,2} — always well-formed)
+    from text_extensions_for_pandas.io.conll import (
+        iob_to_spans as ref_iob_to_spans,
+    )
+
+    iob_inputs = []
+    for ts in token_series:
+        n = len(ts)
+        tags = [
+            "B" if i % 7 == 0 else ("I" if i % 7 in (1, 2) else "O")
+            for i in range(n)
+        ]
+        iob_inputs.append(
+            pd.DataFrame(
+                {
+                    "span": ts.array,
+                    "ent_iob": tags,
+                    "ent_type": [
+                        "ENT" if t != "O" else None for t in tags
+                    ],
+                }
+            )
+        )
+    t0 = time.time()
+    ref_iob_n = sum(len(ref_iob_to_spans(df_)) for df_ in iob_inputs)
+    ref_iob_s = time.time() - t0
+
+    # align_to_tokens inputs (NOT timed): every 3rd token's char span,
+    # realigned against its own tokenization (trivially alignable, which is
+    # what the reference requires — it raises on unmatched spans)
+    align_spans = []
+    for ts in token_series:
+        arr = ts.array
+        idx = list(range(0, len(arr), 3))
+        align_spans.append(
+            pd.Series(
+                SpanArray(
+                    arr.document_text,
+                    [int(arr.begin[i]) for i in idx],
+                    [int(arr.end[i]) for i in idx],
+                )
+            )
+        )
+    t0 = time.time()
+    ref_align_n = sum(
+        len(TokenSpanArray.align_to_tokens(ts.array, sp))
+        for ts, sp in zip(token_series, align_spans)
+    )
+    ref_align_s = time.time() - t0
+
     # ---- spark side -----------------------------------------------------
     from pyspark.sql import functions as F
 
@@ -229,6 +280,36 @@ def main() -> None:
     sp_adj_n = evaluate(adjacent_join(fdf, sdf, min_gap=0, max_gap=2))
     sp_adj_s = time.time() - t0
 
+    from text_extensions_for_pandas_spark.operators.align import (
+        align_to_tokens,
+    )
+    from text_extensions_for_pandas_spark.operators.iob import iob_to_spans
+
+    tagged = toks.select(
+        "doc_id",
+        "token_idx",
+        "span",
+        F.when(F.col("token_idx") % 7 == 0, "B")
+        .when(F.col("token_idx") % 7 < 3, "I")
+        .otherwise("O")
+        .alias("ent_iob"),
+        F.when(F.col("token_idx") % 7 < 3, "ENT").alias("ent_type"),
+    ).cache()
+    tagged.count()  # input prep, not timed
+    t0 = time.time()
+    sp_iob_n = evaluate(iob_to_spans(tagged))
+    sp_iob_s = time.time() - t0
+
+    sp_align_in = (
+        toks.filter(F.col("token_idx") % 3 == 0)
+        .select("doc_id", "span")
+        .cache()
+    )
+    sp_align_in.count()  # input prep, not timed
+    t0 = time.time()
+    sp_align_n = evaluate(align_to_tokens(toks, sp_align_in))
+    sp_align_s = time.time() - t0
+
     # ---- identical-output gates ----------------------------------------
     assert sp_regex_n == ref_regex_n, (sp_regex_n, ref_regex_n)
     assert sp_regex_native_n == ref_regex_n, (sp_regex_native_n, ref_regex_n)
@@ -239,6 +320,8 @@ def main() -> None:
         ref_consolidate_n,
     )
     assert sp_adj_n == ref_adj_n, (sp_adj_n, ref_adj_n)
+    assert sp_iob_n == ref_iob_n, (sp_iob_n, ref_iob_n)
+    assert sp_align_n == ref_align_n, (sp_align_n, ref_align_n)
 
     results = {
         "extract_regex": {
@@ -270,6 +353,16 @@ def main() -> None:
             "reference_s": round(ref_adj_s, 3),
             "spark_s": round(sp_adj_s, 3),
             "rows": ref_adj_n,
+        },
+        "iob_to_spans": {
+            "reference_s": round(ref_iob_s, 3),
+            "spark_s": round(sp_iob_s, 3),
+            "rows": ref_iob_n,
+        },
+        "align_to_tokens": {
+            "reference_s": round(ref_align_s, 3),
+            "spark_s": round(sp_align_s, 3),
+            "rows": ref_align_n,
         },
     }
     results["n_docs"] = len(docs_pd)

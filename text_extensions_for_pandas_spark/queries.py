@@ -98,11 +98,15 @@ segs AS (
 # optimization, not a dependency.
 # ---------------------------------------------------------------------------
 
-_MATVIEWS: dict[tuple[str, str, str], DataFrame] = {}
+_MATVIEWS: dict[tuple[int, str, str, str], DataFrame] = {}
 
 
 def _matview(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
-    k = (spark.sparkContext.applicationId, sf_dir, key)
+    # The context object id guards against a caller that stops and recreates
+    # the SparkContext between queries — cached DataFrames of a dead context
+    # would fail at their next action.
+    sc = spark.sparkContext
+    k = (id(sc), sc.applicationId, sf_dir, key)
     df = _MATVIEWS.get(k)
     if df is None:
         df = build().persist()
