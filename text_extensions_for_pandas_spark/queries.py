@@ -1341,6 +1341,69 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to fixed
+    token-budget bins (next-fit by running token sum), reported as per-bin
+    document/token totals.
+
+    Scale shape: packing is per-SHARD — documents are hashed into shards
+    (md5-prefix mod, same function in both engines) and the running-sum
+    window partitions by shard, so the sort is shard-local and every shard
+    packs in parallel.  A single global window would serialize the corpus
+    through one partition; per-shard next-fit is how packing actually runs
+    at 100 TB (one bin stream per output shard)."""
+    budget = 2048
+    n_shards = 8
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % n_shards
+    )
+    counted = docs.select(
+        F.col("doc_id"),
+        shard.alias("shard"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = counted.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget).cast(
+            "int"
+        ),
+    )
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+Q_PACK_SEQUENCES_SQL = r"""
+WITH counted AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8 AS INTEGER) AS shard,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT shard, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                    / 2048) AS INTEGER) AS bin
+  FROM counted
+)
+SELECT shard, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM binned GROUP BY shard, bin ORDER BY shard, bin
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
@@ -3064,6 +3127,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
+    "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
