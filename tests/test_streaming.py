@@ -288,3 +288,31 @@ def test_bloom_decontamination_stream_matches_exact(spark):
     _run_to_memory(STR.streaming_decontaminate(stream, bloom, 5), "t_decon")
     kept = {r.doc_id for r in spark.table("t_decon").select("doc_id").collect()}
     assert kept == {r.doc_id for r in tr.collect()} - flagged
+
+
+def test_session_stats_match_batch_session_window(spark):
+    """Native session_window agrees between the streaming state-store path
+    and the batch plan (q_events_session_native's operator) for sessions
+    older than the watermark horizon."""
+    ev = STR.read_events_stream(spark, SF_DIR)
+    out = STR.streaming_session_stats(ev, gap="30 minutes", watermark="2 hours")
+    _run_to_memory(out, "t_sessions")
+    got = spark.table("t_sessions")
+
+    want = (
+        _batch_events(spark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    horizon = want.agg(
+        F.max("session_end") - F.expr("INTERVAL 2 HOURS")
+    ).collect()[0][0]
+    missed = want.filter(F.col("session_end") < horizon).exceptAll(got).count()
+    assert missed == 0
