@@ -323,7 +323,11 @@ def fingerprint_rows(
     Plan shape: explode k-gram *positions* to rows (narrow), then substring
     + md5 as flat projections — inside whole-stage codegen, unlike a
     ``transform(…, md5)`` higher-order call which evaluates interpreted
-    per element (measured ~30% slower end-to-end).  ``min(hash)`` over a
+    per element (measured ~30% slower end-to-end; a FULLY row-local variant
+    that also takes window minima via ``transform(…, array_min(slice))`` is
+    catastrophically slower — O(n·w) interpreted comparisons did not finish
+    one sf0.1 pass in 6 minutes vs ~3s for this plan, so trading one
+    shuffle for codegen hashing is decisively right).  ``min(hash)`` over a
     per-doc ordered window of ``window`` rows, then dedup.  Every md5 is
     computed exactly once; the only wide op is the per-doc sort window —
     this is the form that survives 100 TB.
