@@ -82,6 +82,34 @@ def main() -> None:
         .show(5, truncate=False)
     )
 
+    # 5. Pack the cleaned train split into fixed token-budget bins — the
+    #    step before serializing training shards.  Packing is per-shard
+    #    (hash of doc id) so every shard's running-sum window sorts locally.
+    from pyspark.sql import Window
+
+    from text_extensions_for_pandas_spark.functions.text import token_count
+
+    budget, n_shards = 2048, 8
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % n_shards
+    )
+    counted = clean.filter(F.col("split") == "train").select(
+        "doc_id", shard.alias("shard"), token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = counted.withColumn(
+        "bin", F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget)
+    )
+    print("=== packed bins per shard (train split) ===")
+    packed.groupBy("shard").agg(
+        F.countDistinct("bin").alias("n_bins"),
+        F.sum("n_tokens").alias("n_tokens"),
+    ).orderBy("shard").show()
+
     spark.stop()
 
 
