@@ -224,3 +224,22 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     plan = plan_of(q22_sales_opportunity(spark, SF_DIR), "simple")
     assert "LeftAnti" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_matview_reuse_hits_cache(spark):
+    from text_extensions_for_pandas_spark import queries as Q
+
+    Q._tokens(spark, SF_DIR).count()  # materialize the session view
+    plan = plan_of(Q.q_tokenize(spark, SF_DIR), "simple")
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_matview_keys_by_sf_dir(spark):
+    from text_extensions_for_pandas_spark import queries as Q
+
+    a = Q._tokens(spark, "/root/testdata/sf0.001")
+    b = Q._tokens(spark, "/root/testdata/sf0.01")
+    assert a is not b
+    assert a.count() != b.count()
+    # same key returns the identical cached frame, not a rebuild
+    assert Q._tokens(spark, "/root/testdata/sf0.001") is a
