@@ -316,3 +316,45 @@ def test_session_stats_match_batch_session_window(spark):
     ).collect()[0][0]
     missed = want.filter(F.col("session_end") < horizon).exceptAll(got).count()
     assert missed == 0
+
+
+def test_sliding_window_matches_batch(spark):
+    """Overlapping sliding windows agree between the streaming path and the
+    same window() generator in batch, below the watermark horizon."""
+    ev = STR.read_events_stream(spark, SF_DIR)
+    out = STR.streaming_sliding_value(
+        ev, window="1 hour", slide="15 minutes", watermark="2 hours"
+    )
+    _run_to_memory(out, "t_sliding")
+    got = spark.table("t_sliding")
+
+    want = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) / F.count("*"))
+            .cast("double")
+            .alias("mean_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "mean_value",
+            "n_events",
+        )
+    )
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # a sliding window is emitted once the final watermark (max ts - 2h)
+    # passes its END; win_end = win_start + window size
+    max_ts = _batch_events(spark).agg(F.max("ts")).collect()[0][0]
+    missed = (
+        want.filter(
+            F.col("win_start") + F.expr("INTERVAL 1 HOUR")
+            < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+        )
+        .exceptAll(got)
+        .count()
+    )
+    assert missed == 0
