@@ -737,8 +737,10 @@ FROM g GROUP BY user_id ORDER BY user_id
 
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: per-nation count and balance of above-average-
-    balance customers who never ordered — scalar subquery (broadcast
-    1-row cross join) + anti-join against the orders fact."""
+    balance customers with no RECENT order (the churn-risk variant: in
+    this testdata every customer has ordered at some point) — scalar
+    subquery (broadcast 1-row cross join) + anti-join against the
+    date-filtered orders fact."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     nation = load(spark, sf_dir, "nation")
@@ -747,11 +749,12 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter(F.col("c_acctbal") > 0)
         .agg((F.sum(bal) / F.count(F.lit(1))).alias("__avg"))
     )
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
     return (
         cust.withColumn("__bal", bal)
         .crossJoin(F.broadcast(avg_bal))
         .filter(F.col("__bal") > F.col("__avg"))
-        .join(orders.select("o_custkey"), cust["c_custkey"] == F.col("o_custkey"), "left_anti")
+        .join(recent, cust["c_custkey"] == F.col("o_custkey"), "left_anti")
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name")
         .agg(
@@ -772,7 +775,9 @@ SELECT n_name, count(*) AS n_custs,
 FROM customer, a
 JOIN nation ON c_nationkey = n_nationkey
 WHERE CAST(c_acctbal AS DECIMAL(18,2)) > a.avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY n_name
 ORDER BY n_name
 """
