@@ -199,6 +199,28 @@ def test_q6_predicates_push_to_parquet(spark):
     assert "Join" not in plan
 
 
+def test_customer_join_broadcasts_without_hint(spark):
+    """Scale-growing dims (customer/supplier/part) carry NO forced
+    broadcast hint — at small SF the size-based planner / AQE still picks
+    broadcast on its own, while at sf10+ the same code degrades gracefully
+    to a shuffle join instead of OOMing executors on a forced broadcast."""
+    import inspect
+
+    from text_extensions_for_pandas_spark import queries as Q
+
+    # no hard-coded hint in the plan-building code for these queries
+    for fn in (Q.q3_shipping_priority, Q.q10_returned_items, Q.q14_promo_effect,
+               Q.q19_discounted_revenue, Q.q8_market_share, Q.q5_region_revenue):
+        src = inspect.getsource(fn)
+        for dim in ("broadcast(cust", "broadcast(supp", "broadcast(part"):
+            assert dim not in src, f"{fn.__name__} still force-broadcasts: {dim}"
+
+    # ...and the optimizer still chooses broadcast for the customer join
+    # when it fits (tiny parquet at this SF → size-based conversion)
+    plan = plan_of(Q.q3_shipping_priority(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_q7_nation_dims_broadcast(spark):
     from text_extensions_for_pandas_spark.queries import q7_volume_shipping
 
