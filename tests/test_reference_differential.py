@@ -516,6 +516,46 @@ def test_conll_reader_matches_reference(ref, spark):
             assert ref_text[b:e] == tok
 
 
+def test_conll_09_reader_matches_reference(ref, spark):
+    """Predicate-args parity on the reference's own CoNLL-09 fixture: same
+    spans, same base columns, same doc-level head renumbering, and the same
+    widened predicate/pred{i}arg block (reference io/conll.py:294-311,
+    699-703)."""
+    from text_extensions_for_pandas.io.conll import conll_u_to_dataframes
+
+    from text_extensions_for_pandas_spark.sources.conll import (
+        CONLL_09_COLUMNS,
+        conll_09_to_dataframe,
+        widen_pred_args,
+    )
+
+    fixture = "/root/reference/test_data/io/test_conll/conll_09_test1.conllu"
+    ref_df = conll_u_to_dataframes(fixture, column_names=list(CONLL_09_COLUMNS))[0]
+
+    ours = widen_pred_args(conll_09_to_dataframe(spark, fixture))
+    got_rows = sorted(ours.collect(), key=lambda r: r["token_idx"])
+    assert len(got_rows) == len(ref_df)
+
+    n_args = sum(1 for c in ref_df.columns if re.fullmatch(r"pred\d+arg", c))
+    assert any(c.startswith("pred0arg") for c in ours.columns) or n_args == 0
+    norm = lambda v: None if v is None or (pd.api.types.is_scalar(v) and pd.isna(v)) else v  # noqa: E731
+
+    for i, r in enumerate(got_rows):
+        span = ref_df["span"].iloc[i]
+        assert (r["span"]["begin"], r["span"]["end"]) == (span.begin, span.end)
+        assert r["token"] == span.covered_text
+        for col in ("lemma", "upostag", "xpostag", "features", "deprel",
+                    "fillpred", "predicate"):
+            assert norm(r[col]) == norm(ref_df[col].iloc[i]), (i, col)
+        want_head = norm(ref_df["head"].iloc[i])
+        assert norm(r["head"]) == (int(want_head) if want_head is not None else None), i
+        assert r["line_num"] == ref_df["line_num"].iloc[i]
+        for a in range(n_args):
+            assert norm(r[f"pred{a}arg"]) == norm(ref_df[f"pred{a}arg"].iloc[i]), (i, a)
+    # reconstructed doc text identical (sentence-per-line)
+    assert got_rows[0]["doc_text"] == ref_df["span"].iloc[0].target_text
+
+
 def test_watson_tables_reconstruction_matches_reference(ref, spark, tmp_path):
     import json
 

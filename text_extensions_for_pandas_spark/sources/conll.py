@@ -34,7 +34,9 @@ from text_extensions_for_pandas_spark.functions.spans import make_span
 # Spacing rules for document-text reconstruction (reference
 # ``io/conll.py:45-60``): no space *before* closing punctuation / clitics,
 # no space *after* opening brackets and '$'.
-_NO_SPACE_BEFORE = re.compile(r"[!#%)*+,\-./:;=>?@\]^_`|}~]+$|^'[a-zA-Z]{1,2}$")
+# single punctuation char or clitic ONLY — the reference's regex has no
+# quantifier, so multi-char tokens like "--" still get a preceding space
+_NO_SPACE_BEFORE = re.compile(r"[!#%)*+,\-./:;=>?@\]^_`|}~]$|^'[a-zA-Z]{1,2}$")
 _NO_SPACE_AFTER = re.compile(r"^[(<\[{$]+$")
 
 DOC_SEPARATOR = "-DOCSTART-"
@@ -261,6 +263,10 @@ def conll_u_to_dataframe(
       token index (root/absent → NULL) — reference ``io/conll.py:773-781``;
     * document text: the ``# text =`` comments joined when present (token
       offsets located by forward search), else spacing-rule reconstruction.
+
+    For CoNLL-09 semantic-role files (extra per-sentence predicate/argument
+    fields) use :func:`conll_09_to_dataframe`, which reimplements the
+    reference's ``predicate_args=True`` widening.
     """
 
     files = spark.read.text(path, wholetext=True).select(
@@ -432,6 +438,177 @@ def conll_u_to_dataframe(
         make_span(F.col("begin"), F.col("end")).alias("span"),
         *[c for c in parsed.columns if c not in
           ("fold", "doc_id", "token_idx", "begin", "end")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# CoNLL-09 (semantic-role / predicate-argument format)
+# ---------------------------------------------------------------------------
+
+#: Default token-metadata columns for the CoNLL-09 layout (reference test
+#: ``io/test_conll.py:566``): the fields after ``id, form``, before the
+#: per-sentence predicate/argument block.
+CONLL_09_COLUMNS = [
+    "lemma", "upostag", "xpostag", "features", "head", "deprel", "fillpred",
+]
+
+
+def conll_09_to_dataframe(
+    spark: SparkSession,
+    path: str,
+    column_names: list[str] | None = None,
+    fold: str | None = None,
+) -> DataFrame:
+    """Read CoNLL-09-format file(s) (CoNLL-U-like lines widened with
+    per-sentence predicate/argument columns) into one token row per line.
+
+    Reference behavior (``io/conll.py:294-311`` — ``add_line_conllu`` with
+    ``predicate_args=True`` — and the doc-level widening at
+    ``io/conll.py:699-703``): each sentence may carry extra fields after the
+    base columns; the first extra is the ``predicate`` sense, the rest are
+    one semantic-role column per predicate in the sentence.  The reference
+    widens each *document's* frame to its widest sentence
+    (``predicate, pred0arg..predNarg``); sentences with fewer predicates get
+    nulls.  A variable per-document schema can't exist in one Spark
+    DataFrame, so here the argument block is a single ``pred_args
+    array<string>`` column (schema fixed corpus-wide); compose with
+    :func:`widen_pred_args` to project the reference's widened layout.
+
+    Offsets use the reference's reconstruction rules (it ignores ``# text``
+    comments for CoNLL-09): per-sentence spacing-aware rebuild, sentences
+    joined by newline.  ``head`` is renumbered to doc-level 0-based token
+    indices (root → NULL), as in :func:`conll_u_to_dataframe`.
+    """
+    column_names = list(column_names) if column_names is not None else list(CONLL_09_COLUMNS)
+    n_base = len(column_names)
+    has_head = "head" in column_names
+    base_fields = ", ".join(
+        f"{c} {'int' if c == 'head' else 'string'}" for c in column_names
+    )
+    schema = (
+        "fold string, doc_id long, token_idx int, begin int, end int, "
+        "token string, sentence_id int, line_num long, doc_text string, "
+        f"{base_fields}, predicate string, pred_args array<string>"
+    )
+
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, frow in pdf.iterrows():
+                fold_name = fold or frow["file"].rsplit("/", 1)[-1].split(".")[0]
+                # sentences: list of list[token dict]; documents split on
+                # "# newdoc id" comments (whole file = one doc if absent)
+                docs: list[list[list[dict]]] = [[]]
+                sent: list[dict] = []
+
+                def flush_sent():
+                    nonlocal sent
+                    if sent:
+                        docs[-1].append(sent)
+                    sent = []
+
+                for line_num, raw in enumerate(frow["value"].splitlines()):
+                    line = raw.strip()
+                    if not line:
+                        flush_sent()
+                        continue
+                    if line.startswith("#"):
+                        if line[1:].strip().startswith("newdoc id"):
+                            flush_sent()
+                            if docs[-1]:
+                                docs.append([])
+                        continue
+                    fields = line.split("\t")
+                    if len(fields) < 2 or "-" in fields[0] or "." in fields[0]:
+                        continue  # malformed / multiword range / empty node
+                    # pad short lines to the base width (reference
+                    # io/conll.py:279-282)
+                    if len(fields) < 2 + n_base:
+                        fields.extend("_" for _ in range(2 + n_base - len(fields)))
+                    vals = [None if x == "_" else x for x in fields[2:]]
+                    base = vals[:n_base]
+                    extras = vals[n_base:]
+                    sent.append(
+                        {
+                            "form": fields[1],
+                            "base": base,
+                            "predicate": extras[0] if extras else None,
+                            "pred_args": extras[1:],
+                            "line": line_num,
+                        }
+                    )
+                flush_sent()
+
+                head_pos = column_names.index("head") if has_head else -1
+                for doc_id, sentences in enumerate(docs):
+                    sent_texts = []
+                    doc_rows = []
+                    char_pos = 0
+                    tok_pos = 0
+                    for s_idx, stoks in enumerate(sentences):
+                        forms = [t["form"] for t in stoks]
+                        offsets = _reconstruct(forms)
+                        sent_texts.append(_doc_text(forms, offsets))
+                        for idx, (t, (b, e)) in enumerate(zip(stoks, offsets)):
+                            base = list(t["base"])
+                            if has_head:
+                                h = base[head_pos]
+                                base[head_pos] = (
+                                    int(h) + tok_pos - 1
+                                    if h is not None and h.isdigit() and int(h) > 0
+                                    else None
+                                )
+                            doc_rows.append(
+                                (
+                                    fold_name, doc_id, tok_pos + idx,
+                                    char_pos + b, char_pos + e, t["form"],
+                                    s_idx, t["line"],
+                                    base, t["predicate"], t["pred_args"],
+                                )
+                            )
+                        if offsets:
+                            char_pos += offsets[-1][1] + 1  # "\n" joiner
+                            tok_pos += len(stoks)
+                    doc_text = "\n".join(sent_texts)
+                    for r in doc_rows:
+                        rows.append(r[:8] + (doc_text, *r[8], r[9], r[10]))
+            cols = [f.split(" ")[0] for f in schema.split(", ")]
+            yield pd.DataFrame(rows, columns=cols)
+
+    parsed = files.mapInPandas(_parse, schema=schema)
+    return parsed.select(
+        "fold",
+        "doc_id",
+        "token_idx",
+        make_span(F.col("begin"), F.col("end")).alias("span"),
+        *[c for c in parsed.columns if c not in
+          ("fold", "doc_id", "token_idx", "begin", "end")],
+    )
+
+
+def widen_pred_args(df: DataFrame, num_args: int | None = None) -> DataFrame:
+    """Project ``pred_args array<string>`` into the reference's widened
+    ``pred0arg..pred{N-1}arg`` columns (reference ``io/conll.py:296-303``).
+
+    The reference widens per *document*; a Spark DataFrame has one schema,
+    so N is corpus-wide — the max argument count (computed with one tiny
+    aggregate when not given; a justified driver-side scalar).  Extra
+    columns beyond a document's own width are null, which is also what the
+    reference emits for its narrower sentences."""
+    if num_args is None:
+        num_args = df.agg(
+            F.max(F.size("pred_args")).alias("n")
+        ).first()["n"] or 0
+    keep = [c for c in df.columns if c != "pred_args"]
+    return df.select(
+        *keep,
+        # F.get (not []): rows whose sentence had fewer predicates hold a
+        # short array, and ANSI mode makes [] throw instead of yielding NULL
+        *[F.get("pred_args", i).alias(f"pred{i}arg") for i in range(num_args)],
     )
 
 
