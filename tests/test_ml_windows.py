@@ -141,3 +141,87 @@ def test_infer_and_extract_entities_iob(spark):
     one = ents.filter("doc_id = 0").orderBy("span.begin").collect()
     assert [(r.span.begin, r.span.end) for r in one] == [(0, 7), (16, 19)]
     assert all(r.ent_type == "PER" for r in one)
+
+
+def test_infer_and_extract_raw_entities(spark):
+    """Cleaning-tutorial flow through the named APIs: subtoken predictions
+    regroup onto raw tokens (probability product + renorm), argmax class
+    recovers the original labels exactly."""
+    import numpy as np
+
+    from text_extensions_for_pandas_spark.operators.ml import (
+        infer_and_extract_raw_entities,
+        train_reduced_model,
+    )
+
+    labels = ["O", "B-PER", "I-PER"]
+    rng = np.random.default_rng(11)
+    rows = []
+    # 2 folds x 10 docs x 6 raw tokens, each raw token split into 1-3
+    # "subtokens" sharing its raw_span_id; embeddings cluster by class
+    pattern = [1, 2, 0, 0, 1, 0]
+    for fold in ("train", "test"):
+        for doc in range(10):
+            tok_idx = 0
+            for raw_id, p in enumerate(pattern):
+                center = {0: [0, 0, 8], 1: [8, 0, 0], 2: [0, 8, 0]}[p]
+                for _ in range(1 + (raw_id + doc) % 3):
+                    vec = (rng.normal(0, 0.3, 3) + center).tolist()
+                    rows.append(
+                        (fold, doc, tok_idx, raw_id, f"raw{raw_id}",
+                         float(p), vec)
+                    )
+                    tok_idx += 1
+    df = spark.createDataFrame(
+        rows,
+        "fold string, doc_id long, token_idx int, raw_span_id int, "
+        "raw_span string, label double, embedding array<double>",
+    )
+    trained = train_reduced_model(df, out_dim=3, seed=0, max_iter=40)
+    out = infer_and_extract_raw_entities(trained, df.drop("label"), labels)
+    got = out.collect()
+    # one output row per raw token
+    assert len(got) == 2 * 10 * len(pattern)
+    for r in got:
+        assert abs(sum(r.raw_output) - 1.0) < 1e-9
+        assert r.raw_span == f"raw{r.raw_span_id}"  # keep_cols rode along
+        assert labels[r.predicted_id] == r.predicted_class
+        assert r.predicted_id == pattern[r.raw_span_id]  # exact recovery
+
+
+def test_combine_raw_spans_docs_and_to_match(spark):
+    from text_extensions_for_pandas_spark.operators.ml import (
+        combine_raw_spans_docs,
+        combine_raw_spans_docs_to_match,
+    )
+
+    def fold_df(n_docs):
+        rows = []
+        for d in range(n_docs):
+            for i, (iob, typ) in enumerate(
+                [("B", "PER"), ("I", "PER"), ("O", None), ("B", "ORG")]
+            ):
+                b = i * 4
+                rows.append((d, i, (b, b + 3), iob, typ))
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, token_idx int, span struct<begin:int,end:int>, "
+            "ent_iob string, ent_type string",
+        )
+
+    folds = {"train": fold_df(3), "test": fold_df(2)}
+    spans = combine_raw_spans_docs(folds)
+    rows = spans.collect()
+    # 2 entities per doc, 5 docs across folds
+    assert len(rows) == 10
+    assert {r.fold for r in rows} == {"train", "test"}
+    per = {(r.fold, r.doc_id, r.span.begin, r.span.end, r.ent_type) for r in rows}
+    assert ("train", 0, 0, 7, "PER") in per and ("test", 1, 12, 15, "ORG") in per
+
+    match = spark.createDataFrame(
+        [("train", 0), ("test", 1)], "fold string, doc_id long"
+    )
+    restricted = combine_raw_spans_docs_to_match(folds, match)
+    got = {(r.fold, r.doc_id) for r in restricted.collect()}
+    assert got == {("train", 0), ("test", 1)}
+    assert restricted.count() == 4

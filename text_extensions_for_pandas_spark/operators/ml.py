@@ -168,3 +168,119 @@ def infer_and_extract_entities_iob(
     return align_bert_tokens_to_corpus_tokens(
         ents.select(doc_col, "span", "ent_type"), corpus_tokens, doc_col=doc_col
     )
+
+
+def infer_and_extract_raw_entities(
+    trained: dict,
+    doc: DataFrame,
+    id_to_class: list[str] | dict[int, str],
+    raw_span_id_col: str = "raw_span_id",
+    fold_col: str = "fold",
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inference + subtoken regrouping onto the original tokenization
+    (reference ``infer_and_extract_raw_entites`` — sic —
+    ``cleaning/ensemble.py:207-298``).
+
+    Runs the model over BERT-subtoken embeddings, then merges the per-
+    subtoken probability vectors of each *raw* (pre-BERT) token: product of
+    probabilities per class, renormalized — computed in log space
+    (:func:`..functions.tensor.prob_product_renorm`), which also covers the
+    reference's explicit underflow fallback.  ``predicted_id`` is the
+    argmax of the merged vector and ``predicted_class`` its name under
+    ``id_to_class``.
+
+    Group keys are the (fold, doc, raw-span-id) columns present in ``doc``;
+    ``keep_cols`` ride along via deterministic first-subtoken values
+    (``min_by token_idx`` when available).  One shuffle on the group keys;
+    the inference itself is a map-side Arrow-batched projection+model pass.
+    """
+    from text_extensions_for_pandas_spark.functions.tensor import (
+        prob_product_renorm,
+    )
+
+    if isinstance(id_to_class, dict):
+        id_to_class = [id_to_class[i] for i in range(len(id_to_class))]
+
+    preds = infer_on_df(trained, doc, vec_col=vec_col)
+    sort_cols = [c for c in (fold_col, doc_col, raw_span_id_col) if c in doc.columns]
+    if not sort_cols:
+        raise ValueError(
+            f"none of ({fold_col}, {doc_col}, {raw_span_id_col}) in {doc.columns}"
+        )
+    default_keep = ["raw_span"]
+    keep = [
+        c
+        for c in (keep_cols if keep_cols is not None else default_keep)
+        if c in doc.columns and c not in sort_cols
+    ]
+
+    merged = prob_product_renorm(preds, sort_cols, "raw_output")
+    if keep:
+        order = (
+            F.col("token_idx") if "token_idx" in doc.columns else F.monotonically_increasing_id()
+        )
+        firsts = preds.groupBy(*sort_cols).agg(
+            *[F.min_by(c, order).alias(c) for c in keep]
+        )
+        merged = merged.join(firsts, sort_cols)
+
+    labels = F.array(*[F.lit(c) for c in id_to_class])
+    out = merged.withColumn(
+        "predicted_id",
+        (F.array_position(F.col("probs"), F.array_max("probs")) - 1).cast("int"),
+    )
+    return out.select(
+        *sort_cols,
+        *keep,
+        F.col("probs").alias("raw_output"),
+        "predicted_id",
+        F.get(labels, F.col("predicted_id")).alias("predicted_class"),
+    )
+
+
+# the reference spells it "entites"; keep that name importable for parity
+infer_and_extract_raw_entites = infer_and_extract_raw_entities
+
+
+def combine_raw_spans_docs(
+    folds: dict[str, DataFrame],
+    iob_col: str = "ent_iob",
+    type_col: str = "ent_type",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Merge corpus folds into one entity-span table (reference
+    ``combine_raw_spans_docs``, ``cleaning/preprocess.py:292-322``): run
+    ``iob_to_spans`` over each fold's token frame and stack with fold keys.
+    The reference loops per document; each fold here is one multi-document
+    DataFrame, so this is a union of per-fold lazy plans."""
+    from text_extensions_for_pandas_spark.operators.iob import iob_to_spans
+    from text_extensions_for_pandas_spark.sources.conll import combine_folds
+
+    return combine_folds(
+        {
+            fold: iob_to_spans(df, iob_col=iob_col, type_col=type_col, doc_col=doc_col)
+            for fold, df in folds.items()
+        }
+    )
+
+
+def combine_raw_spans_docs_to_match(
+    folds: dict[str, DataFrame],
+    df_to_match: DataFrame,
+    iob_col: str = "ent_iob",
+    type_col: str = "ent_type",
+    doc_col: str = "doc_id",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """:func:`combine_raw_spans_docs` restricted to the (fold, document)
+    pairs present in ``df_to_match`` (reference
+    ``combine_raw_spans_docs_to_match``, ``cleaning/preprocess.py:325-378``
+    — a driver-side pair loop there; one semi-join here, so the pair list
+    never leaves the cluster)."""
+    pairs = df_to_match.select(fold_col, doc_col).distinct()
+    return combine_raw_spans_docs(
+        folds, iob_col=iob_col, type_col=type_col, doc_col=doc_col
+    ).join(pairs, [fold_col, doc_col], "left_semi")
