@@ -112,3 +112,93 @@ def test_video_frame_sampling(assets):
     assert per_asset and all(r["count"] == 3 for r in per_asset)
     idx = {r.frame_idx for r in frames.select("frame_idx").distinct().collect()}
     assert idx == {0, 10, 20}
+
+
+def _encode_ppm(px):
+    import numpy as np
+
+    h, w, _ = px.shape
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(px).tobytes()
+
+
+def _encode_bmp(px, bpp=24):
+    """Minimal uncompressed BI_RGB BMP writer (bottom-up, BGR, padded rows)."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    nch = bpp // 8
+    bgr = px[:, :, ::-1]
+    if nch == 4:
+        bgr = np.concatenate(
+            [bgr, np.full((h, w, 1), 255, dtype=np.uint8)], axis=2
+        )
+    stride = (w * nch + 3) & ~3
+    body = bytearray()
+    for row in bgr[::-1]:
+        raw = row.tobytes()
+        body += raw + b"\x00" * (stride - len(raw))
+    data_offset = 54
+    size = data_offset + len(body)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + data_offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(body)
+
+
+def test_real_decode_feature_parity(spark):
+    """Feature values (not just plumbing) verified against numpy on real
+    uncompressed image bytes: PPM and BMP decode must reproduce the exact
+    source pixels, so mean/std/phash match a driver-side recompute."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px = {
+        1: rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8),
+        2: rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8),
+        3: rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8),
+    }
+    content = {
+        1: _encode_ppm(px[1]),
+        2: _encode_bmp(px[2], bpp=24),
+        3: _encode_bmp(px[3], bpp=32),
+    }
+    rows = [
+        (aid, "image", content[aid], (None, None, None, None, None, "real"))
+        for aid in px
+    ]
+    assets = spark.createDataFrame(rows, MM.ASSETS_DDL)
+
+    decoded = {r.asset_id: r for r in MM.decode_images(assets).collect()}
+    for aid, want in px.items():
+        got = np.frombuffer(decoded[aid].pixels, dtype=np.uint8).reshape(
+            decoded[aid].height, decoded[aid].width, decoded[aid].channels
+        )
+        # BMP 32-bpp decodes to RGB (alpha dropped); shapes+values exact
+        assert got.shape == want.shape
+        assert np.array_equal(got, want), aid
+
+    feats = {r.asset_id: r for r in
+             MM.image_features(MM.decode_images(assets)).collect()}
+    for aid, want in px.items():
+        f = feats[aid]
+        pf = want.astype(np.float64)
+        assert f.mean_r == pytest.approx(pf[:, :, 0].mean())
+        assert f.mean_g == pytest.approx(pf[:, :, 1].mean())
+        assert f.mean_b == pytest.approx(pf[:, :, 2].mean())
+        gray = pf.mean(axis=2)
+        assert f.std_gray == pytest.approx(gray.std())
+        h, w = want.shape[:2]
+        yi = np.arange(8) * h // 8
+        xi = np.arange(8) * w // 8
+        small = gray[yi][:, xi]
+        bits = (small > small.mean()).flatten()
+        assert f.phash == f"{int(''.join('1' if b else '0' for b in bits), 2):016x}"

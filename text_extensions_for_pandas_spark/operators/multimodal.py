@@ -10,15 +10,18 @@ out-of-band-shape idea as the reference's Arrow tensor metadata
                        sample_rate:int, n_frames:int, format:string>)
 
 All operators are iterator-style ``mapInPandas`` stages: one Python call
-per Arrow batch, bytes never pass through a Python row loop.  The decode
-kernels themselves are **stubbed** — this container has no image/audio
-codecs — behind ``_decode_image_bytes`` / ``_decode_audio_bytes``:
+per Arrow batch, bytes never pass through a Python row loop.  Image decode
+(``_decode_image_bytes``) has three tiers:
 
-* if Pillow / a codec is importable, the real decode runs;
-* otherwise a clearly-marked DETERMINISTIC FAKE synthesizes pixel/sample
-  arrays from ``md5(content)``, so every piece of Spark-side plumbing
-  (schema, batch shape, partitioning, downstream numpy math) is exercised
-  for real and reproducibly in tests.
+* uncompressed PPM (P6) and 24/32-bpp BI_RGB BMP decode **for real** with
+  pure numpy — no codec needed, feature values verified against a
+  driver-side recompute in tests;
+* Pillow handles compressed formats when importable (codecs absent in
+  this container);
+* anything else falls back to a clearly-marked DETERMINISTIC FAKE
+  (pixels from ``md5(content)``), so Spark-side plumbing (schema, batch
+  shape, partitioning, downstream numpy math) stays exercised and
+  reproducible.  Audio decode remains the deterministic fake.
 
 Scale notes: decode is CPU-heavy and embarrassingly parallel — the only
 knobs that matter are input split size (``spark.sql.files.maxPartitionBytes``
@@ -66,10 +69,71 @@ def _fake_pixels(content: bytes, height: int, width: int, channels: int) -> np.n
     return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
 
 
+def _decode_ppm(content: bytes) -> np.ndarray:
+    """Real decode of binary PPM (P6): pure numpy, no codec needed.
+    Header: ``P6 <width> <height> <maxval>`` (whitespace/comment separated)
+    followed by h*w*3 raw RGB bytes."""
+    fields: list[int] = []
+    pos = 2  # past "P6"
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end of line
+            pos = content.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(content, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def _decode_bmp(content: bytes) -> np.ndarray:
+    """Real decode of uncompressed 24/32-bpp BI_RGB BMP: pure numpy.
+    Rows are bottom-up, BGR(A) order, padded to 4-byte multiples."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = int.from_bytes(content[10:14], "little")
+    w = int.from_bytes(content[18:22], "little", signed=True)
+    h = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    # BGR(A) -> RGB
+    return np.ascontiguousarray(rows[:, :, 2::-1])
+
+
 def _decode_image_bytes(content: bytes, meta) -> np.ndarray:
-    """Decode one image to an (h, w, c) uint8 array.  Real path via Pillow
-    when available; otherwise the deterministic fake (see module docstring).
-    """
+    """Decode one image to an (h, w, c) uint8 array.
+
+    Real paths, in order: Pillow when importable (compressed formats);
+    built-in pure-numpy decoders for uncompressed PPM (P6) and BMP —
+    formats simple enough to decode without codecs, so feature values are
+    oracle-checkable in this container.  Anything else falls back to the
+    clearly-marked deterministic fake (see module docstring)."""
+    if content:
+        try:
+            if content[:2] == b"P6":
+                return _decode_ppm(content)
+            if content[:2] == b"BM":
+                return _decode_bmp(content)
+        except Exception:
+            pass  # magic bytes lied (e.g. text starting "BM") — fall through
     try:
         import io
 
