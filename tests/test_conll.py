@@ -144,3 +144,67 @@ def test_render_spans_html(spark, conll):
     )
     assert "<mark title='PER'>Alice Jones</mark>" in html_out
     assert "<mark title='ORG'>Acme Corp</mark>" in html_out
+
+
+def test_render_spans_golden_on_reference_fixture(spark):
+    """Golden-HTML: the renderer's full output on the reference's own
+    CoNLL-2003 fixture is byte-stable (offsets table + highlighted text,
+    reference jupyter/span.py:42-426 semantics)."""
+    from text_extensions_for_pandas_spark.display import render_spans_html
+    from text_extensions_for_pandas_spark.operators.iob import (
+        iob_to_iob2,
+        iob_to_spans,
+    )
+    from text_extensions_for_pandas_spark.sources.conll import (
+        conll_2003_to_dataframe,
+        conll_documents,
+    )
+
+    fixture = "/root/reference/test_data/io/test_conll/conll03_test.txt"
+    toks = conll_2003_to_dataframe(
+        spark, fixture, column_names=["ent"], iob_columns=[True]
+    )
+    ents = iob_to_spans(iob_to_iob2(toks))
+    docs = conll_documents(toks)
+    html_out = render_spans_html(
+        ents, docs, label_col="ent_type", max_docs=2, show_offsets=True
+    )
+    with open("tests/data/golden_conll03_spans.html") as f:
+        assert html_out == f.read()
+
+
+def test_render_spans_region_types(spark):
+    """SOLO / NESTED / COMPLEX region classification and sanitization match
+    the reference's static rendering rules."""
+    from text_extensions_for_pandas_spark.display import render_spans_html
+
+    text = "aaa bbb ccc ddd eee $5 <x>\nfff"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+
+    def spans_df(triples):
+        return spark.createDataFrame(
+            [(0, (b, e), lbl) for b, e, lbl in triples],
+            "doc_id long, span struct<begin:int,end:int>, lbl string",
+        )
+
+    # solo
+    solo = render_spans_html(spans_df([(0, 3, "A")]), docs, label_col="lbl")
+    assert "<mark title='A'>aaa</mark>" in solo
+
+    # nested one level: [0,11) contains [4,7)
+    nested = render_spans_html(
+        spans_df([(0, 11, "OUT"), (4, 7, "IN")]), docs, label_col="lbl"
+    )
+    assert "<mark class='nested-root' title='OUT'>" in nested
+    assert "<mark class='nested' title='IN'>bbb</mark>" in nested
+
+    # partial overlap -> complex flat set covering the union
+    complex_ = render_spans_html(
+        spans_df([(0, 7, "A"), (4, 11, "B")]), docs, label_col="lbl"
+    )
+    assert "class='complex-set'" in complex_
+    assert "aaa bbb ccc<span class='mark-tag'>Set</span>" in complex_
+
+    # sanitization: $, <>, newline
+    assert "<span>&#36;</span>5" in solo
+    assert "&lt;x&gt;" in solo and "<br>fff" in solo

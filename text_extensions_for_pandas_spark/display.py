@@ -1,17 +1,154 @@
 """Notebook display helper — marked-up document text for span columns.
 
-Minimal port of the reference's Jupyter rendering (``jupyter/span.py:42-426``
-renders highlighted document context for a span column).  Driver-side by
-design: callers pass a *bounded* spans DataFrame (``limit()`` first); the
-engine never renders at scale.
+Reimplements the reference's Jupyter span rendering (``jupyter/span.py:
+42-426``): an offsets table plus the document text with span regions
+highlighted.  The reference's interactive widget wraps a static HTML
+fallback built from three region types — SOLO (one isolated span), NESTED
+(spans fully inside one root span), COMPLEX (partially-overlapping spans,
+or nesting deeper than one level) — and that static structure is what this
+module reproduces: same region classification (``_is_complex`` /
+``_get_set_span`` semantics), same sanitization rules (including ``$``
+isolation for Jupyter's LaTeX detection and newline → ``<br>``), minus the
+JS/CSS payload.
+
+Driver-side by design: callers pass a *bounded* spans DataFrame
+(``limit()`` first); the engine never renders at scale.
 """
 
 from __future__ import annotations
 
-import html
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_NESTED = "nested"
+_OVERLAP = "overlap"
+
+
+def _sanitize(text: str) -> str:
+    """Reference ``_get_sanitized_text`` (``jupyter/span.py:399-426``):
+    HTML escaping plus ``$`` wrapped in its own span (Jupyter's MathJax
+    would treat a bare one as a LaTeX delimiter) and newlines as ``<br>``.
+    """
+    out = []
+    for ch in text:
+        if ch == "&":
+            out.append("&amp;")
+        elif ch == "<":
+            out.append("&lt;")
+        elif ch == ">":
+            out.append("&gt;")
+        elif ch == '"':
+            out.append("&quot;")
+        elif ch == "'":
+            out.append("&#39;")
+        elif ch == "$":
+            out.append("<span>&#36;</span>")
+        elif ch in ("\n", "\r"):
+            out.append("<br>")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _link_spans(sorted_spans: list[dict]) -> None:
+    """Populate each span's ``sets`` with its (type, idx) relations to
+    later spans it touches — reference ``jupyter/span.py:203-218``."""
+    for i, s in enumerate(sorted_spans):
+        for j in range(i + 1, len(sorted_spans)):
+            o = sorted_spans[j]
+            if o["begin"] >= s["end"]:
+                break
+            s["sets"].append(
+                (_NESTED if o["end"] <= s["end"] else _OVERLAP, j)
+            )
+
+
+def _set_span(spans: list[dict], i: int) -> tuple[int, int]:
+    """(max end, highest idx) of the transitive overlap closure rooted at
+    span ``i`` — reference ``_get_set_span`` (``jupyter/span.py:368-383``)."""
+    end, highest = spans[i]["end"], i
+    for _, j in spans[i]["sets"]:
+        o_end, o_high = _set_span(spans, j)
+        end = max(end, o_end)
+        highest = max(highest, o_high)
+    return end, highest
+
+
+def _is_complex(spans: list[dict], i: int) -> bool:
+    """Partial overlap anywhere, or nesting deeper than one level —
+    reference ``_is_complex`` (``jupyter/span.py:385-397``)."""
+    for typ, j in spans[i]["sets"]:
+        if typ == _OVERLAP:
+            return True
+        if typ == _NESTED and spans[j]["sets"]:
+            return True
+    return False
+
+
+def _mark(body: str, css: str, label) -> str:
+    title = f" title='{_sanitize(str(label))}'" if label is not None else ""
+    cls = f" class='{css}'" if css else ""
+    return f"<mark{cls}{title}>{body}</mark>"
+
+
+def _render_doc(text: str, doc_spans: list[tuple[int, int, object]], show_offsets: bool) -> str:
+    spans = [
+        {"begin": b, "end": e, "lbl": lbl, "sets": []}
+        for b, e, lbl in sorted(doc_spans, key=lambda t: (t[0], -t[1]))
+    ]
+    _link_spans(spans)
+
+    parts = []
+    if show_offsets:
+        rows = "".join(
+            f"<tr><td><b>{i}</b></td><td>{s['begin']}</td><td>{s['end']}</td>"
+            f"<td>{_sanitize(str(s['lbl'])) if s['lbl'] is not None else ''}</td>"
+            f"<td>{_sanitize(text[s['begin']:s['end']])}</td></tr>"
+            for i, s in enumerate(spans)
+        )
+        parts.append(
+            "<table class='offsets'><thead><tr><th></th><th>begin</th>"
+            "<th>end</th><th>label</th><th>context</th></tr></thead>"
+            f"<tbody>{rows}</tbody></table>"
+        )
+
+    body = []
+    cursor = 0
+    i = 0
+    while i < len(spans):
+        s = spans[i]
+        region_end, highest = _set_span(spans, i)
+        body.append(_sanitize(text[cursor:s["begin"]]))
+        if not s["sets"]:
+            body.append(_mark(_sanitize(text[s["begin"]:s["end"]]), "", s["lbl"]))
+        elif _is_complex(spans, i):
+            # partially-overlapping set: one flat highlight, tagged "Set"
+            body.append(
+                _mark(
+                    _sanitize(text[s["begin"]:region_end])
+                    + "<span class='mark-tag'>Set</span>",
+                    "complex-set",
+                    None,
+                )
+            )
+        else:
+            # spans fully nested in s: inner marks inside the root mark
+            inner = []
+            pos = s["begin"]
+            for _, j in s["sets"]:
+                n = spans[j]
+                inner.append(_sanitize(text[pos:n["begin"]]))
+                inner.append(
+                    _mark(_sanitize(text[n["begin"]:n["end"]]), "nested", n["lbl"])
+                )
+                pos = n["end"]
+            inner.append(_sanitize(text[pos:region_end]))
+            body.append(_mark("".join(inner), "nested-root", s["lbl"]))
+        cursor = region_end
+        i = highest + 1
+    body.append(_sanitize(text[cursor:]))
+    parts.append(f"<p class='document-text'>{''.join(body)}</p>")
+    return f"<div class='document'>{''.join(parts)}</div>"
 
 
 def render_spans_html(
@@ -21,11 +158,19 @@ def render_spans_html(
     doc_col: str = "doc_id",
     label_col: str | None = None,
     max_docs: int = 10,
+    show_offsets: bool = False,
 ) -> str:
-    """HTML with each document's text and its spans wrapped in ``<mark>``.
+    """HTML for a spans DataFrame: per document, an optional offsets table
+    and the document text with highlighted span regions.
 
-    Overlapping spans are consolidated to the earliest-longest per position
-    for rendering sanity (same left-to-right rule as ``consolidate``).
+    Region semantics match the reference's static rendering
+    (``jupyter/span.py:244-332``): isolated spans get a plain ``<mark>``
+    (with the label as ``title`` when ``label_col`` is given); spans fully
+    nested one level deep render as marks inside their root's mark;
+    partially-overlapping or deeply-nested clusters collapse into one
+    flat ``complex-set`` highlight tagged "Set".  Documents beyond
+    ``max_docs`` are dropped with a ``<footer>`` note, like the
+    reference's display limit.
     """
     rows = (
         spans.select(
@@ -49,20 +194,14 @@ def render_spans_html(
         r[doc_col]: r["text"]
         for r in documents.filter(F.col(doc_col).isin(doc_ids)).collect()
     }
-    parts = ["<div class='spans'>"]
+    parts = ["<div class='span-array'>"]
     for d in doc_ids:
-        text = texts.get(d, "")
-        out, cursor = [], 0
-        for b, e, lbl in by_doc[d]:
-            if b < cursor:
-                continue  # overlap: keep earlier-longer span
-            out.append(html.escape(text[cursor:b]))
-            title = f" title='{html.escape(str(lbl))}'" if lbl is not None else ""
-            out.append(f"<mark{title}>{html.escape(text[b:e])}</mark>")
-            cursor = e
-        out.append(html.escape(text[cursor:]))
+        parts.append(f"<h4>doc {_sanitize(str(d))}</h4>")
+        parts.append(_render_doc(texts.get(d, ""), by_doc[d], show_offsets))
+    if len(by_doc) > max_docs:
         parts.append(
-            f"<p><b>doc {html.escape(str(d))}</b><br>{''.join(out)}</p>"
+            f"<footer>Documents truncated. Showing {max_docs} of "
+            f"{len(by_doc)}</footer>"
         )
     parts.append("</div>")
     return "".join(parts)
