@@ -30,6 +30,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    # Materialize the session matviews up front, as their own timed line
+    # item: otherwise whichever query first touches a view pays the whole
+    # build inside its own timing and per-query attribution is skewed
+    # (production materializes these once, not per query).  The build cost
+    # still counts toward the benchmark total.
+    try:
+        from text_extensions_for_pandas_spark import queries as Q
+
+        t0 = time.time()
+        for build in (Q._tokens, Q._shingles, Q._term_freqs):
+            build(spark, sf_dir).count()
+        timings["_matview_build"] = round(time.time() - t0, 3)
+        print(f"# _matview_build: {timings['_matview_build']:.2f}s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        errors["_matview_build"] = f"{type(e).__name__}: {str(e)[:200]}"
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         # One broken query must not take down the whole benchmark (round 2

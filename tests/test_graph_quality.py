@@ -240,3 +240,21 @@ def test_kmeans_fit_converges_and_is_deterministic(spark):
     )
     assert a == b
     assert c5.count() == 8
+
+
+def test_near_dup_pairs_validates_precomputed_shingles(spark, docs):
+    import pytest
+
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        doc_shingles,
+        near_dup_pairs,
+    )
+
+    sample = docs.limit(20)
+    sh5 = doc_shingles(sample, shingle_n=5)
+    with pytest.raises(ValueError, match="shingle_n=5"):
+        near_dup_pairs(sample, shingle_n=3, shingles=sh5)
+    with pytest.raises(ValueError, match="missing columns"):
+        near_dup_pairs(sample, shingles=sample.select("doc_id"))
+    # matching width passes validation and runs
+    near_dup_pairs(sample, shingle_n=5, shingles=sh5).count()

@@ -175,16 +175,43 @@ def test_pack_sequences_invariants(spark):
         q_pack_sequences,
     )
 
+    import hashlib
+
+    from text_extensions_for_pandas_spark.functions import text as T
+
     sf = "/root/testdata/sf0.001"
+    budget, n_shards = 2048, 8
     out = q_pack_sequences(spark, sf).collect()
     n_docs_total = load(spark, sf, "documents").count()
     assert sum(r.n_docs for r in out) == n_docs_total
 
-    # next-fit guarantee: a bin exceeds the budget only via its final doc,
-    # so bin totals minus one doc are always under budget — equivalently a
-    # bin with 2+ docs started under budget
-    for r in out:
-        if r.n_docs > 1:
-            assert r.n_tokens >= 1
+    # independent recompute: per-doc token counts from the engine, then
+    # shard / running-sum / bin assignment in pure Python
+    per_doc = load(spark, sf, "documents").select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n")
+    ).collect()
+    by_shard: dict[int, list] = {}
+    for r in per_doc:
+        sh = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4], 16) % n_shards
+        by_shard.setdefault(sh, []).append((r.doc_id, r.n))
+    want: dict[tuple, list[int]] = {}
+    for sh, docs in by_shard.items():
+        running = 0
+        for _, n in sorted(docs):
+            want.setdefault((sh, running // budget), []).append(n)
+            running += n
+
+    got = {(r.shard, r.bin): r for r in out}
+    assert set(got) == set(want)
+    for key, toks in want.items():
+        r = got[key]
+        assert r.n_docs == len(toks) and r.n_tokens == sum(toks), key
+        # budget guarantee: all but the bin's last doc fit inside one
+        # budget window, so total minus the final doc is under budget...
+        assert r.n_tokens - toks[-1] < budget, key
+        # ...and a bin can only exceed the budget via that final doc
+        if r.n_tokens >= 2 * budget:
+            assert toks[-1] > budget, key
+
     again = q_pack_sequences(spark, sf).collect()
     assert out == again

@@ -358,3 +358,34 @@ def test_sliding_window_matches_batch(spark):
         .count()
     )
     assert missed == 0
+
+
+def test_normalize_event_ts_timezone_independent(spark):
+    """The NTZ path must be expression-level: identical instants whatever
+    the session timezone at *execution* time (the correctness driver makes
+    no UTC guarantee), with no session-conf mutation as a side effect."""
+    from text_extensions_for_pandas_spark.functions.timestamps import (
+        normalize_event_ts,
+    )
+
+    ntz = spark.createDataFrame(
+        [("2024-03-10 06:30:00",), ("2024-11-03 05:30:00",)], "s string"
+    ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+
+    tz_key = "spark.sql.session.timeZone"
+    prior = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "UTC")
+        plan = normalize_event_ts(ntz)
+        want = [r.micros for r in
+                plan.select(F.unix_micros("ts").alias("micros")).collect()]
+        # re-execute the SAME lazy plan under a DST-observing zone; the
+        # wall clocks chosen above are DST-transition mornings in the US
+        spark.conf.set(tz_key, "America/New_York")
+        got = [r.micros for r in
+               plan.select(F.unix_micros("ts").alias("micros")).collect()]
+        assert got == want
+        # and building the plan must not have mutated the session tz
+        assert spark.conf.get(tz_key) == "America/New_York"
+    finally:
+        spark.conf.set(tz_key, prior)

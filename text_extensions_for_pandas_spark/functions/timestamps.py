@@ -22,20 +22,25 @@ from pyspark.sql import functions as F
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Return ``df`` with ``col`` as a UTC-session TIMESTAMP (µs).
+    """Return ``df`` with ``col`` as a TIMESTAMP whose instant equals the
+    source wall clock read as UTC.
 
     Handles ``long`` (nanos), ``timestamp_ntz`` (wall clock), and
-    passthrough for an already-correct ``timestamp``.  Pins the session
-    timezone to UTC when an NTZ cast is involved — the caller's session
-    (e.g. the correctness driver's) may not have it set, and the NTZ→LTZ
-    cast must be the identity on the wall clock.
-    """
+    passthrough for an already-correct ``timestamp``.  The NTZ path is an
+    *expression-level* conversion: ``timestampdiff`` between two NTZ values
+    is pure wall-clock arithmetic, so the result is identical in any
+    caller session timezone (e.g. the correctness driver's, which makes no
+    UTC guarantee) — no session state is read or mutated, and the lazy
+    plan can execute under whatever timezone is current without changing
+    meaning."""
     dtype = dict(df.dtypes).get(col)
     if dtype == "bigint":
         return df.withColumn(
             col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long"))
         )
     if dtype == "timestamp_ntz":
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        return df.withColumn(col, F.col(col).cast("timestamp"))
+        epoch_us = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+        )
+        return df.withColumn(col, F.timestamp_micros(epoch_us))
     return df

@@ -61,7 +61,11 @@ def doc_shingles(
     duplicates — so candidate generation alone passes ``distinct=False`` and
     the only wide op left is the map-side-combined per-doc min."""
     out = word_shingle_rows(documents, shingle_n, text_col, doc_col)
-    return out.distinct() if distinct else out
+    out = out.distinct() if distinct else out
+    # stamp the shingle width into column metadata so consumers that accept
+    # a precomputed shingles frame (near_dup_pairs) can validate it was
+    # built with the width they expect — a silent mismatch changes Jaccard
+    return out.withMetadata("shingle", {"shingle_n": shingle_n})
 
 
 def minhash_signatures(
@@ -242,8 +246,20 @@ def near_dup_pairs(
     Pass a precomputed (persisted) ``shingles`` frame covering at least the
     input documents to share the shingle scan across queries; it is
     semi-joined down to the input's doc ids, so a corpus-wide shingle
-    table is safe to pass for a filtered ``documents``."""
+    table is safe to pass for a filtered ``documents``.  The frame must
+    have ``(doc_col, shingle)`` columns and — when it came from
+    :func:`doc_shingles` — a matching ``shingle_n``; both are validated,
+    since a mismatched precomputed table would silently change Jaccard."""
     if shingles is not None:
+        missing = {doc_col, "shingle"} - set(shingles.columns)
+        if missing:
+            raise ValueError(f"shingles frame missing columns {sorted(missing)}")
+        meta = shingles.schema["shingle"].metadata or {}
+        if meta.get("shingle_n") is not None and meta["shingle_n"] != shingle_n:
+            raise ValueError(
+                f"shingles frame was built with shingle_n={meta['shingle_n']},"
+                f" but near_dup_pairs was asked for shingle_n={shingle_n}"
+            )
         # The id list is referenced from every downstream evaluation of the
         # semi-joined shingle set (LSH banding + three passes inside the
         # Jaccard verify).  When ``documents`` is itself a filtered subplan

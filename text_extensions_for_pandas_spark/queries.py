@@ -106,7 +106,17 @@ def _matview(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     # the SparkContext between queries — cached DataFrames of a dead context
     # would fail at their next action.
     sc = spark.sparkContext
-    k = (id(sc), sc.applicationId, sf_dir, key)
+    ctx = (id(sc), sc.applicationId)
+    # evict entries from dead contexts: their cached blocks are gone and
+    # keeping the references pins Python-side plan objects forever
+    for stale in [k for k in _MATVIEWS if k[:2] != ctx]:
+        stale_df = _MATVIEWS.pop(stale)
+        if stale[1] == ctx[1]:  # same app, older context object: unpersist
+            try:
+                stale_df.unpersist()
+            except Exception:
+                pass  # context already torn down
+    k = ctx + (sf_dir, key)
     df = _MATVIEWS.get(k)
     if df is None:
         df = build().persist()
