@@ -108,3 +108,90 @@ def test_conll_to_bert_composite(spark):
     # fallback wordpieces: entity "Bob" expands to its covering piece "bob'"
     words = {"alic", "e", "jone", "s", "acme", "corp", "bob'"}
     assert all(r.t.lower() in words for r in ent_toks)
+
+
+def test_token_features_to_tree_matches_reference(spark):
+    """The displaCy manual dict (words/arcs, dense renumbering, self-link
+    dropping, start<end normalization) matches the reference's converter on
+    the same CoNLL-U tokens."""
+    import sys
+    import types
+
+    import pandas as pd
+    import pytest
+
+    if "memoized_property" not in sys.modules:
+        shim = types.ModuleType("memoized_property")
+
+        def memoized_property(fget):
+            attr = "_memo_" + fget.__name__
+
+            @property
+            def prop(self):
+                if not hasattr(self, attr):
+                    setattr(self, attr, fget(self))
+                return getattr(self, attr)
+
+            return prop
+
+        shim.memoized_property = memoized_property
+        sys.modules["memoized_property"] = shim
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    try:
+        from text_extensions_for_pandas.io.spacy import (
+            token_features_to_tree as ref_tree,
+        )
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+
+    from text_extensions_for_pandas_spark.sources.conll import (
+        conll_u_to_dataframe,
+    )
+    from text_extensions_for_pandas_spark.sources.nlp_bridges import (
+        token_features_to_tree,
+    )
+
+    fixture = "/root/reference/test_data/io/test_conll/conll_u_test1.txt"
+    toks = conll_u_to_dataframe(spark, fixture).filter(
+        "doc_id = 0 and sentence_id = 0"
+    )
+    got = token_features_to_tree(toks)
+
+    pdf = (
+        toks.select("token_idx", "token", "upos", "deprel", "head")
+        .toPandas()
+        .sort_values("token_idx")
+        .set_index("token_idx")
+    )
+    pdf["head"] = pdf["head"].astype("Int64")
+    want = ref_tree(
+        pdf, text_col="token", tag_col="upos", label_col="deprel"
+    )
+    assert got["words"] == want["words"]
+    assert got["arcs"] == [
+        {k: a[k] for k in ("start", "end", "label", "dir")} for a in want["arcs"]
+    ]
+
+
+def test_render_parse_tree_svg(spark):
+    from text_extensions_for_pandas_spark.sources.nlp_bridges import (
+        render_parse_tree,
+    )
+
+    toks = spark.createDataFrame(
+        [
+            (0, 0, "The", "DET", "det", 1),
+            (0, 1, "cat", "NOUN", "nsubj", 2),
+            (0, 2, "sat", "VERB", "root", None),
+        ],
+        "doc_id long, token_idx int, token string, upos string, "
+        "deprel string, head int",
+    )
+    svg = render_parse_tree(toks)
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert ">The<" in svg and ">cat<" in svg and ">sat<" in svg
+    assert svg.count("class='arc'") == 2  # root has no arc
+    assert "nsubj" in svg and "det" in svg
+    # deterministic
+    assert render_parse_tree(toks) == svg

@@ -398,3 +398,128 @@ def conll_to_bert(
         doc_col=doc_col,
     )
     return add_embeddings(relabeled, dim=embedding_dim)
+
+
+# ---------------------------------------------------------------------------
+# Dependency parse-tree rendering (reference io/spacy.py:177-293)
+# ---------------------------------------------------------------------------
+
+def token_features_to_tree(
+    tokens: DataFrame,
+    text_col: str = "token",
+    tag_col: str = "upos",
+    label_col: str = "deprel",
+    head_col: str = "head",
+    token_idx_col: str = "token_idx",
+) -> dict:
+    """One document's token-features rows → displaCy's "manual" dependency
+    input ``{"words": [...], "arcs": [...]}`` (reference
+    ``token_features_to_tree``, ``io/spacy.py:177-256``).
+
+    Driver-side by design (a parse tree is rendered for one bounded
+    document — ``filter`` + ``limit`` first).  Heads are renumbered to
+    dense 0-based positions; heads outside the input rows (including NULL
+    roots) become self-links and are dropped, and every arc is normalized
+    to ``start < end`` with a ``dir`` flag, exactly as the reference does
+    for displaCy's renderer."""
+    cols = [token_idx_col, head_col]
+    cols += [c for c in (text_col, tag_col, label_col) if c is not None]
+    rows = sorted(tokens.select(*cols).collect(), key=lambda r: r[token_idx_col])
+
+    tok_map = {r[token_idx_col]: i for i, r in enumerate(rows)}
+    words = [
+        {
+            "text": str(r[text_col]) if text_col else "",
+            "tag": str(r[tag_col]) if tag_col and r[tag_col] is not None else "",
+        }
+        for r in rows
+    ]
+    arcs = []
+    for i, r in enumerate(rows):
+        head = tok_map.get(r[head_col], i)
+        if head == i:
+            continue  # self-link (root or head outside the selection)
+        arcs.append(
+            {
+                "start": min(i, head),
+                "end": max(i, head),
+                "label": str(r[label_col]) if label_col and r[label_col] is not None else "",
+                "dir": "right" if i > head else "left",
+            }
+        )
+    return {"words": words, "arcs": arcs}
+
+
+def render_parse_tree(
+    tokens: DataFrame,
+    text_col: str = "token",
+    tag_col: str = "upos",
+    label_col: str = "deprel",
+    head_col: str = "head",
+    token_idx_col: str = "token_idx",
+) -> str:
+    """Render one document's dependency parse as HTML (reference
+    ``render_parse_tree``, ``io/spacy.py:259-293``).
+
+    When spaCy is importable its displaCy renderer is used on the manual
+    dict from :func:`token_features_to_tree`; otherwise a built-in
+    deterministic SVG renderer draws the same words/arcs layout (tokens on
+    a baseline with tags beneath, arcs as labeled arches with the
+    arrowhead at the dependent end) so notebooks work without spaCy."""
+    tree = token_features_to_tree(
+        tokens, text_col, tag_col, label_col, head_col, token_idx_col
+    )
+    try:
+        import spacy.displacy  # pragma: no cover - not in this container
+
+        return spacy.displacy.render(tree, manual=True)
+    except ImportError:
+        return _render_tree_svg(tree)
+
+
+def _render_tree_svg(tree: dict, x_step: int = 110, arc_step: int = 28) -> str:
+    """Minimal displaCy-style SVG for a manual words/arcs dict."""
+    import html as _html
+
+    words, arcs = tree["words"], tree["arcs"]
+    base_y = 30 + arc_step * (max((a["end"] - a["start"]) for a in arcs) if arcs else 1)
+    width = x_step * max(1, len(words)) + 40
+    height = base_y + 50
+    x_of = lambda i: 40 + i * x_step  # noqa: E731
+
+    parts = [
+        f"<svg class='parse-tree' xmlns='http://www.w3.org/2000/svg' "
+        f"width='{width}' height='{height}' viewBox='0 0 {width} {height}'>"
+    ]
+    for i, w in enumerate(words):
+        parts.append(
+            f"<text class='word' x='{x_of(i)}' y='{base_y}' "
+            f"text-anchor='middle'>{_html.escape(w['text'])}</text>"
+        )
+        if w["tag"]:
+            parts.append(
+                f"<text class='tag' x='{x_of(i)}' y='{base_y + 18}' "
+                f"text-anchor='middle'>{_html.escape(w['tag'])}</text>"
+            )
+    for a in sorted(arcs, key=lambda a: (a["start"], a["end"])):
+        x1, x2 = x_of(a["start"]), x_of(a["end"])
+        top = base_y - 14 - arc_step * (a["end"] - a["start"])
+        mid = (x1 + x2) // 2
+        # arrowhead at the dependent: start for "left" arcs, end for "right"
+        ax = x1 if a["dir"] == "left" else x2
+        parts.append(
+            f"<path class='arc' d='M {x1} {base_y - 14} C {x1} {top}, "
+            f"{x2} {top}, {x2} {base_y - 14}' fill='none' stroke='currentColor'/>"
+        )
+        parts.append(
+            f"<polygon class='arrow' points='{ax - 3},{base_y - 18} "
+            f"{ax + 3},{base_y - 18} {ax},{base_y - 12}'/>"
+        )
+        if a["label"]:
+            parts.append(
+                f"<text class='label' x='{mid}' y='{(base_y - 14 + top) // 2}' "
+                f"text-anchor='middle' font-size='0.75em'>"
+                f"{_html.escape(a['label'])}</text>"
+            )
+    parts.append("</svg>")
+    return "".join(parts)
