@@ -1,0 +1,104 @@
+"""Deterministic sampling operators: reproducibility, stratification
+semantics, mixture-rate math, plan shapes."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from text_extensions_for_pandas_spark.operators.sampling import (
+    hash_fraction,
+    importance_sample,
+    mixture_rates,
+    sample_mixture,
+    stratified_sample,
+)
+
+
+def _frac(key) -> float:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 2**32
+
+
+def test_hash_fraction_matches_python_md5(spark, docs):
+    rows = docs.select(
+        "doc_id", hash_fraction(F.col("doc_id")).alias("f")
+    ).limit(50).collect()
+    for r in rows:
+        assert r.f == pytest.approx(_frac(r.doc_id), abs=0)
+        assert 0.0 <= r.f < 1.0
+
+
+def test_stratified_sample_membership_and_stability(spark, docs):
+    rates = {"en": 0.5, "de": 0.25}
+    kept = stratified_sample(docs, "lang", rates, default_rate=0.1)
+    got = {r.doc_id for r in kept.select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in docs.select("doc_id", "lang").collect()
+        if _frac(r.doc_id) < rates.get(r.lang, 0.1)
+    }
+    assert got == want
+    # repartitioning must not change membership (the df.sample failure mode)
+    re_got = {
+        r.doc_id
+        for r in stratified_sample(
+            docs.repartition(7, "lang"), "lang", rates, default_rate=0.1
+        ).select("doc_id").collect()
+    }
+    assert re_got == got
+
+
+def test_importance_sample_weight_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate([0.0, -1.0, 0.5, 1.0, 2.0] * 40)],
+        "doc_id long, w double",
+    )
+    kept = {r.doc_id for r in importance_sample(df, "w").collect()}
+    for r in df.collect():
+        clamped = min(1.0, max(0.0, r.w))
+        assert (r.doc_id in kept) == (_frac(r.doc_id) < clamped)
+    # weight >= 1 always keeps; weight <= 0 never keeps
+    assert all(r.doc_id in kept for r in df.collect() if r.w >= 1.0)
+    assert all(r.doc_id not in kept for r in df.collect() if r.w <= 0.0)
+
+
+def test_mixture_rates_hit_targets(spark, docs):
+    targets = {"en": 0.6, "de": 0.3, "fr": 0.1}
+    budget = 50_000.0
+    rates = {
+        r.lang: r
+        for r in mixture_rates(
+            docs, "lang", targets, F.col("n_chars").cast("double"), budget
+        ).collect()
+    }
+    sizes = {
+        r.lang: r.s
+        for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("s")).collect()
+    }
+    for lang, t in targets.items():
+        assert rates[lang].rate == pytest.approx(
+            min(1.0, budget * t / sizes[lang])
+        )
+    # unlisted strata rate 0
+    for lang in set(sizes) - set(targets):
+        assert rates[lang].rate == 0.0
+    # the expected sampled mass approximates the target mix (rate * size)
+    for lang, t in targets.items():
+        expect = rates[lang].rate * sizes[lang]
+        assert expect == pytest.approx(min(budget * t, sizes[lang]))
+
+
+def test_sample_mixture_plan_is_broadcast_no_corpus_shuffle(spark, docs):
+    import contextlib
+    import io
+
+    plan_df = sample_mixture(
+        docs, "lang", {"en": 0.5, "de": 0.5}, F.col("n_chars").cast("double"),
+        budget=10_000.0,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("simple")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -1,0 +1,126 @@
+"""Deterministic sampling for training-data pipelines.
+
+Corpus assembly at 100 TB needs *reproducible* sampling: re-running the
+pipeline (or re-processing one failed partition) must keep exactly the
+same documents, which rules out ``df.sample`` (seeded per-partition RNG —
+the kept set changes with partitioning).  Everything here derives a
+uniform-[0,1) fraction from a **content-stable hash of the row key**, so
+membership is a pure row-local function of the data: stable under
+repartitioning, engine-independent (md5 — verifiable against the DuckDB
+oracles), and streamable (no state, no shuffle for the filter itself).
+
+Operators:
+
+* :func:`hash_fraction` — the md5-based uniform;
+* :func:`stratified_sample` — per-stratum rates (dict or default);
+* :func:`importance_sample` — per-row keep probability from a weight
+  column (quality-score resampling);
+* :func:`mixture_rates` / :func:`sample_mixture` — corpus mixing: given
+  target mixture weights over strata and a token budget, derive each
+  stratum's sampling rate from its token mass (one small aggregate joined
+  back — the only wide op) and sample to hit the mixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_fraction(key: Column) -> Column:
+    """Deterministic uniform fraction in [0, 1) from ``md5(key)``.
+
+    Uses the first 8 hex chars (32 bits) of the md5 of the key's string
+    form — the same bytes DuckDB's ``md5`` produces, so oracle SQL can
+    reproduce membership exactly: ``CAST(('0x' || substring(md5(CAST(k AS
+    VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0``.
+    """
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff its hash fraction is below its stratum's rate.
+
+    Row-local: no shuffle, no state; the rates dict ships as a plan
+    literal (strata counts are small by definition — languages, sources,
+    quality buckets).  Unlisted strata use ``default_rate``.
+    """
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, float(r)).otherwise(rate)
+    return df.filter(hash_fraction(F.col(key_col)) < rate)
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row with probability = its (clamped to [0,1]) weight —
+    deterministic importance resampling, e.g. quality-score-proportional
+    retention.  Row-local; weights ≥ 1 always keep."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.filter(
+        hash_fraction(F.col(key_col)) < F.least(F.lit(1.0), F.greatest(w, F.lit(0.0)))
+    )
+
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict[str, float],
+    size_col: Column | str,
+    budget: float,
+) -> DataFrame:
+    """Per-stratum sampling rates that hit a target mixture under a budget.
+
+    ``rate(s) = min(1, budget * target_share(s) / size(s))`` where
+    ``size(s)`` is the stratum's total of ``size_col`` (tokens, bytes...).
+    One aggregate over the strata (map-side combined, output = one row per
+    stratum) — the result is a tiny frame suitable for a broadcast join.
+    Strata not in ``targets`` get rate 0.  Oversubscribed strata (mass
+    smaller than their target share of the budget) cap at 1 — i.e. the mix
+    degrades gracefully instead of upsampling duplicates.
+    """
+    total_target = sum(targets.values()) or 1.0
+    share = F.lit(0.0)
+    for stratum, t in sorted(targets.items()):
+        share = F.when(F.col(strata_col) == stratum, float(t) / total_target).otherwise(share)
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    return (
+        df.groupBy(strata_col)
+        .agg(F.sum(size).alias("stratum_size"))
+        .select(
+            strata_col,
+            "stratum_size",
+            F.least(
+                F.lit(1.0), F.lit(float(budget)) * share / F.col("stratum_size")
+            ).alias("rate"),
+        )
+    )
+
+
+def sample_mixture(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict[str, float],
+    size_col: Column | str,
+    budget: float,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`mixture_rates` applied: broadcast-join the per-stratum rate
+    and keep rows below it.  The corpus never shuffles — only the one-row-
+    per-stratum aggregate does."""
+    rates = mixture_rates(df, strata_col, targets, size_col, budget)
+    return df.join(F.broadcast(rates), strata_col).filter(
+        hash_fraction(F.col(key_col)) < F.col("rate")
+    )

@@ -3105,6 +3105,86 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data corpus assembly):
+    per-language md5-hash rates, so membership is a pure row-local function
+    of the data — stable under repartitioning and re-runs, no RNG state.
+    Reported as per-language kept-document/char totals."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.1}, default_rate=0.05
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                  WHEN 'fr' THEN 0.1 ELSE 0.05 END
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to target weights under a char budget: per-language
+    sampling rates derived lazily from language mass (one tiny aggregate,
+    broadcast back), then the same deterministic hash filter.  The corpus
+    itself never shuffles."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        sample_mixture,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    kept = sample_mixture(
+        docs, "lang", {"en": 0.6, "de": 0.3, "fr": 0.1},
+        F.col("n_chars").cast("double"), budget=200_000.0,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.round(F.first("rate"), 6).alias("rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_CORPUS_MIXTURE_SQL = """
+WITH rates AS (
+  SELECT lang,
+         least(1.0, 200000.0 * (CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.3
+                                          WHEN 'fr' THEN 0.1 ELSE 0.0 END)
+                    / sum(CAST(n_chars AS DOUBLE))) AS rate
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       round(any_value(r.rate), 6) AS rate
+FROM documents d JOIN rates r USING (lang)
+WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0 < r.rate
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3163,6 +3243,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q14_promo_effect": (q14_promo_effect, Q14_SQL),
     "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
     "q_top3_per_nation": (q_top3_customers_per_nation, Q_TOP3_PER_NATION_SQL),
+    # -- new this round (need their first driver verification) --
+    "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
+    "corpus_mixture": (q_corpus_mixture, Q_CORPUS_MIXTURE_SQL),
     # -- rotation fill (r03-verified, re-checked this round) --
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
@@ -3177,9 +3260,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
     "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
     "doc_length_quantiles": (q_doc_length_quantiles, Q_DOC_LENGTH_QUANTILES_SQL),
+    # ------------------- gate boundary (position 50) -------------------
     "pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
     "doc_surprisal": (q_doc_surprisal, Q_DOC_SURPRISAL_SQL),
-    # ------------------- gate boundary (position 50) -------------------
     "events_retention": (q_events_retention, Q_EVENTS_RETENTION_SQL),
     # non-SQL-expressible (stubbed binary decode inside mapInPandas / no
     # xxhash64 in DuckDB): rows-only checks, no oracle by design
