@@ -215,3 +215,24 @@ def test_pack_sequences_invariants(spark):
 
     again = q_pack_sequences(spark, sf).collect()
     assert out == again
+
+
+def test_bigram_lm_probabilities(spark, docs):
+    from text_extensions_for_pandas_spark.functions import text as T
+    from text_extensions_for_pandas_spark.operators.search import bigram_lm
+
+    toks = T.tokenize_whitespace(docs.limit(100))
+    lm = bigram_lm(toks).cache()
+    rows = lm.collect()
+    assert rows and all(0 < r.p <= 1 for r in rows)
+    # conditional distribution: per-context probabilities sum to ~1
+    # (each p rounded to 6 decimals, so allow n_pairs * 5e-7 slack)
+    sums = lm.groupBy("w1").agg(
+        F.sum("p").alias("s"), F.count("*").alias("n")
+    ).collect()
+    for r in sums:
+        assert abs(r.s - 1.0) <= r.n * 5e-7 + 1e-9, (r.w1, r.s)
+    # counts: total bigrams = total tokens minus one per doc
+    n_tok = toks.count()
+    n_docs = toks.select("doc_id").distinct().count()
+    assert sum(r.c12 for r in rows) == n_tok - n_docs

@@ -389,3 +389,27 @@ def test_normalize_event_ts_timezone_independent(spark):
         assert spark.conf.get(tz_key) == "America/New_York"
     finally:
         spark.conf.set(tz_key, prior)
+
+
+def test_stratified_sample_stream_parity(spark):
+    """Hash-based sampling is a stateless row-local filter, so it runs on a
+    stream unchanged and keeps exactly the batch members — the property
+    that makes it usable in an ingest pipeline (df.sample is not)."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rates = {"en": 0.5, "de": 0.25}
+    docs = STR.read_documents_stream(spark, SF_DIR)
+    out = stratified_sample(docs, "lang", rates, default_rate=0.1)
+    _run_to_memory(out.select("doc_id"), "t_sample")
+    got = {r.doc_id for r in spark.table("t_sample").collect()}
+
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    want = {
+        r.doc_id
+        for r in stratified_sample(
+            batch, "lang", rates, default_rate=0.1
+        ).select("doc_id").collect()
+    }
+    assert got == want and len(got) > 0

@@ -227,3 +227,44 @@ def tfidf_top_terms(
             doc_col, "term", F.round("tfidf", 6).alias("tfidf"), "rank"
         )
     )
+
+
+def bigram_lm(
+    tokens: DataFrame,
+    doc_col: str = "doc_id",
+    idx_col: str = "token_idx",
+    token_col: str = "token",
+) -> DataFrame:
+    """Corpus bigram language model: conditional probability table
+    ``(w1, w2, c12, p)`` with ``p = count(w1,w2) / count(w1 as context)``.
+
+    Input is a token table (e.g. the session tokens matview) — the model
+    builds on the same tokenization every other operator uses.  Tokens are
+    lowercased; the document-final token of each doc forms no bigram.
+
+    Scale shape: one ``lead`` window per document (shuffle on doc), then
+    two map-side-combined aggregations shuffling only ``(w1[, w2])`` pair
+    counts — vocabulary-sized, not corpus-sized.  The context-count join
+    is vocabulary × vocabulary-pairs, both tiny next to the corpus; at
+    100 TB the pair table is the thing you'd persist as the LM artifact.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(doc_col).orderBy(idx_col)
+    pairs = (
+        tokens.select(
+            F.col(doc_col),
+            F.col(idx_col),
+            F.lower(F.col(token_col)).alias("w1"),
+        )
+        .withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    contexts = pairs.groupBy("w1").agg(F.count("*").alias("__c1"))
+    return counts.join(contexts, "w1").select(
+        "w1",
+        "w2",
+        F.col("c12").cast("long").alias("c12"),
+        F.round(F.col("c12") / F.col("__c1"), 6).alias("p"),
+    )

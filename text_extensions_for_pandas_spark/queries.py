@@ -3166,6 +3166,35 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM over the shared tokens matview: top-200 bigrams by
+    count with conditional probability — the next LM-quality rung above
+    the unigram-surprisal filter (same tokenization as every other
+    operator, so the model composes with them)."""
+    from text_extensions_for_pandas_spark.operators.search import bigram_lm
+
+    out = bigram_lm(_tokens(spark, sf_dir))
+    return out.orderBy(F.col("c12").desc(), "w1", "w2").limit(200)
+
+
+Q_BIGRAM_LM_SQL = f"""
+WITH {TOKS_CTE},
+pairs AS (
+  SELECT lower(token) AS w1,
+         lower(lead(token) OVER (PARTITION BY doc_id ORDER BY token_idx)) AS w2
+  FROM toks
+),
+b AS (SELECT w1, w2 FROM pairs WHERE w2 IS NOT NULL),
+counts AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+contexts AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1)
+SELECT c.w1, c.w2, CAST(c.c12 AS BIGINT) AS c12,
+       round(CAST(c.c12 AS DOUBLE) / x.c1, 6) AS p
+FROM counts c JOIN contexts x USING (w1)
+ORDER BY c12 DESC, w1, w2
+LIMIT 200
+"""
+
+
 Q_CORPUS_MIXTURE_SQL = """
 WITH rates AS (
   SELECT lang,
@@ -3246,6 +3275,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- new this round (need their first driver verification) --
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "corpus_mixture": (q_corpus_mixture, Q_CORPUS_MIXTURE_SQL),
+    "bigram_lm": (q_bigram_lm, Q_BIGRAM_LM_SQL),
     # -- rotation fill (r03-verified, re-checked this round) --
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
@@ -3259,8 +3289,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
     "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
     "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
-    "doc_length_quantiles": (q_doc_length_quantiles, Q_DOC_LENGTH_QUANTILES_SQL),
     # ------------------- gate boundary (position 50) -------------------
+    "doc_length_quantiles": (q_doc_length_quantiles, Q_DOC_LENGTH_QUANTILES_SQL),
     "pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
     "doc_surprisal": (q_doc_surprisal, Q_DOC_SURPRISAL_SQL),
     "events_retention": (q_events_retention, Q_EVENTS_RETENTION_SQL),
