@@ -113,6 +113,10 @@ def create_f1_report(
         .withColumn("recall", F.round(rec, 6))
         .withColumn("f1", F.round(f1, 6))
     )
+    # per_class feeds three output branches (itself, micro, macro); without
+    # a lineage cut the gold/pred match joins execute once per branch.  The
+    # frame is one row per entity class — trivially small at any scale.
+    per_class = per_class.localCheckpoint(eager=False)
     micro = per_class.agg(
         F.lit("__micro__").alias("ent_type"),
         F.sum("tp").alias("tp"),
