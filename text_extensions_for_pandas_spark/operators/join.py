@@ -96,9 +96,16 @@ def _blocked_pairs(
     (reference ``spanner/join.py:129-134``).
     """
     if block_size is None:
+        # Sample-bounded estimate: block size is a performance heuristic
+        # (any value yields identical results after the residual filter),
+        # so don't pay a full evaluation of both input subplans for it —
+        # limit() caps the estimate pass at a few partitions regardless of
+        # input size.
         stats = (
-            first.select(S.length(span_col).alias("l"))
-            .unionAll(second.select(S.length(span_col).alias("l")))
+            first.select(S.length(span_col).alias("l")).limit(10_000)
+            .unionAll(
+                second.select(S.length(span_col).alias("l")).limit(10_000)
+            )
             .agg(F.avg("l"))
             .collect()[0][0]
         )
