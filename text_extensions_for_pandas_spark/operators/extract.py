@@ -471,7 +471,12 @@ def extract_split(
     w = Window.partitionBy(doc_col).orderBy(
         F.col("span")["begin"], F.col("span")["end"]
     )
-    sp = split_points.select(doc_col, "span").withColumn(
+    # three output branches (between / trailing / unsplit anti-join) all
+    # derive from split_points, which is usually itself an extract subplan
+    # — cut lineage so it evaluates once; the (doc, span) frame is tiny
+    # next to the corpus it came from
+    points = split_points.select(doc_col, "span").localCheckpoint(eager=False)
+    sp = points.withColumn(
         "__prev_end", F.coalesce(F.lag(F.col("span")["end"]).over(w), F.lit(0))
     )
     between = sp.select(
@@ -479,7 +484,7 @@ def extract_split(
         make_span(F.col("__prev_end"), F.col("span")["begin"]).alias(output_col),
     )
     trailing = (
-        split_points.groupBy(doc_col)
+        points.groupBy(doc_col)
         .agg(F.max(F.col("span")["end"]).alias("__max_end"))
         .join(doc_len, doc_col)
         .select(
@@ -487,7 +492,7 @@ def extract_split(
         )
     )
     unsplit = (
-        doc_len.join(split_points.select(doc_col).distinct(), doc_col, "left_anti")
+        doc_len.join(points.select(doc_col).distinct(), doc_col, "left_anti")
         .select(F.col(doc_col), make_span(F.lit(0), F.col("__len")).alias(output_col))
     )
     chunks = between.unionByName(trailing).unionByName(unsplit)
