@@ -110,6 +110,25 @@ def main() -> None:
         F.sum("n_tokens").alias("n_tokens"),
     ).orderBy("shard").show()
 
+    # 6. Mix the cleaned corpus to target language weights under a char
+    #    budget — per-language rates derived lazily from language mass,
+    #    membership by content hash (identical on re-runs and across
+    #    repartitioning, unlike df.sample).
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        sample_mixture,
+    )
+
+    mixed = sample_mixture(
+        clean, "lang", {"en": 0.6, "de": 0.3, "fr": 0.1},
+        F.col("n_chars").cast("double"), budget=100_000.0,
+    )
+    print("=== mixture sample (lang, kept docs, kept chars, rate) ===")
+    mixed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.round(F.first("rate"), 4).alias("rate"),
+    ).orderBy("lang").show()
+
     spark.stop()
 
 
