@@ -265,3 +265,34 @@ def test_matview_keys_by_sf_dir(spark):
     assert a.count() != b.count()
     # same key returns the identical cached frame, not a rebuild
     assert Q._tokens(spark, "/root/testdata/sf0.001") is a
+
+
+def test_q21_exists_shapes_are_hash_joins(spark):
+    """The EXISTS/NOT-EXISTS correlations must compile to semi/anti hash
+    joins on orderkey with residual predicates — a BroadcastNestedLoopJoin
+    here would be quadratic in lineitems per order at scale."""
+    from text_extensions_for_pandas_spark.queries import q21_waiting_suppliers
+
+    plan = plan_of(q21_waiting_suppliers(spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q13_outer_join_preserved(spark):
+    """Customers with zero orders must survive: the left join must not be
+    rewritten to inner by a bad null filter."""
+    from text_extensions_for_pandas_spark.queries import (
+        q13_customer_distribution,
+    )
+
+    rows = {r.c_count: r.custdist for r in
+            q13_customer_distribution(spark, SF_DIR).collect()}
+    import pyspark.sql.functions as F
+
+    from text_extensions_for_pandas_spark.queries import load
+
+    n_cust = load(spark, SF_DIR, "customer").count()
+    n_with = load(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    assert rows.get(0, 0) == n_cust - n_with
+    assert sum(rows.values()) == n_cust

@@ -3105,6 +3105,186 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — outer join of
+    the dimension against the fact (customers with zero orders must
+    survive), two-level aggregation.  The first groupBy shuffles on
+    c_custkey; the histogram re-agg is distribution-sized."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    counts = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .select(
+            F.col("c_count").cast("long").alias("c_count"),
+            F.col("custdist").cast("long").alias("custdist"),
+        )
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+WITH counts AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM counts GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue — a
+    scalar max over an aggregate joined back against itself (the view +
+    scalar-subquery pattern).  Revenue stays DECIMAL until the equality so
+    the max comparison is exact in both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = F.expr(
+        f"CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {PCT}) - CAST(l_discount AS {PCT}))"
+    )
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__rev"))
+    top = revenue.agg(F.max("__rev").alias("__max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("__rev") == F.col("__max_rev"))
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {PCT}) - CAST(l_discount AS {PCT}))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.rev AS DOUBLE) AS total_revenue
+FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rev = (SELECT max(rev) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders far below the part's average
+    quantity — the correlated scalar subquery becomes a per-part aggregate
+    joined back onto the same fact.  The per-part average uses an exact
+    DECIMAL sum over an int64 count so both engines compute the identical
+    double threshold."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = load(spark, sf_dir, "lineitem")
+    brand_li = li.join(part, li["l_partkey"] == part["p_partkey"])
+    avg_qty = brand_li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.expr(f"CAST(l_quantity AS {DEC})")).cast("double")
+            / F.count("*")
+        ).alias("__avg_qty")
+    )
+    rev = F.expr(f"CAST(l_extendedprice AS {DEC})")
+    return (
+        brand_li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg((F.sum(rev).cast("double") / 7.0).alias("avg_yearly"))
+        .select(F.round("avg_yearly", 4).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = f"""
+WITH brand_li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#23'
+),
+avg_qty AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) / count(*) AS aq
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(b.l_extendedprice AS {DEC})) AS DOUBLE) / 7.0, 4)
+         AS avg_yearly
+FROM brand_li b JOIN avg_qty a USING (l_partkey)
+WHERE b.l_quantity < 0.2 * a.aq
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the exists / not-exists double correlation — here
+    (testdata has no commit/receipt dates) as: suppliers who are the sole
+    returner in a multi-supplier finished order.  EXISTS(another supplier
+    in the order) is a semi-join, NOT EXISTS(another supplier who also
+    returned) an anti-join — both shuffle on orderkey with a residual
+    supplier-inequality predicate, never a nested loop."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load(spark, sf_dir, "supplier")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("__ok"),
+        F.col("l_suppkey").alias("__sk"),
+        "l_returnflag",
+    )
+    multi = returned.join(
+        others,
+        (F.col("l_orderkey") == F.col("__ok")) & (F.col("l_suppkey") != F.col("__sk")),
+        "left_semi",
+    )
+    sole = multi.join(
+        others.filter(F.col("l_returnflag") == "R"),
+        (F.col("l_orderkey") == F.col("__ok")) & (F.col("l_suppkey") != F.col("__sk")),
+        "left_anti",
+    )
+    return (
+        sole.join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON l1.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data corpus assembly):
     per-language md5-hash rates, so membership is a pure row-local function
@@ -3276,6 +3456,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "corpus_mixture": (q_corpus_mixture, Q_CORPUS_MIXTURE_SQL),
     "bigram_lm": (q_bigram_lm, Q_BIGRAM_LM_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q17_small_qty_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     # -- rotation fill (r03-verified, re-checked this round) --
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
@@ -3285,11 +3469,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     "doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
     "decontam_overlap": (q_decontam_overlap, Q_DECONTAM_SQL),
+    # ------------------- gate boundary (position 50) -------------------
     "tfidf_top_terms": (q_tfidf_top_terms, Q_TFIDF_SQL),
     "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
     "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
     "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
-    # ------------------- gate boundary (position 50) -------------------
     "doc_length_quantiles": (q_doc_length_quantiles, Q_DOC_LENGTH_QUANTILES_SQL),
     "pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
     "doc_surprisal": (q_doc_surprisal, Q_DOC_SURPRISAL_SQL),
