@@ -102,3 +102,19 @@ def test_sample_mixture_plan_is_broadcast_no_corpus_shuffle(spark, docs):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sampling_monotone_in_rate(spark, docs):
+    """Raising a stratum's rate only ADDS members (hash threshold
+    semantics) — the property that lets a pipeline cheaply produce nested
+    corpus subsets (1% ⊂ 10% ⊂ 100%) for scaling-law runs."""
+    kept = {}
+    for rate in (0.1, 0.3, 0.7):
+        kept[rate] = {
+            r.doc_id
+            for r in stratified_sample(
+                docs, "lang", {}, default_rate=rate
+            ).select("doc_id").collect()
+        }
+    assert kept[0.1] <= kept[0.3] <= kept[0.7]
+    assert len(kept[0.1]) < len(kept[0.7])
