@@ -413,3 +413,37 @@ def test_stratified_sample_stream_parity(spark):
         ).select("doc_id").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_mixture_sample_stream_static_parity(spark):
+    """Corpus mixing on a stream: rates derive from the STATIC corpus (a
+    mixture needs global stratum mass, which a pure stream can't know),
+    then the stream joins the tiny rates frame and filters row-locally —
+    the stream-static join pattern.  Members must equal the batch run."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        hash_fraction,
+        mixture_rates,
+        sample_mixture,
+    )
+
+    targets = {"en": 0.6, "de": 0.4}
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rates = mixture_rates(
+        batch, "lang", targets, F.col("n_chars").cast("double"), budget=20_000.0
+    )
+
+    stream = STR.read_documents_stream(spark, SF_DIR)
+    out = stream.join(rates, "lang").filter(
+        hash_fraction(F.col("doc_id")) < F.col("rate")
+    )
+    _run_to_memory(out.select("doc_id"), "t_mix")
+    got = {r.doc_id for r in spark.table("t_mix").collect()}
+
+    want = {
+        r.doc_id
+        for r in sample_mixture(
+            batch, "lang", targets, F.col("n_chars").cast("double"),
+            budget=20_000.0,
+        ).select("doc_id").collect()
+    }
+    assert got == want and len(got) > 0
