@@ -160,6 +160,7 @@ def split_by_hash(
     key_col: str = "doc_id",
     split_col: str = "split",
     buckets: int = 1_000_000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic train/val/test assignment by key hash.
 
@@ -167,9 +168,23 @@ def split_by_hash(
     stable across runs, executors, retries, and data order, which is what a
     reproducible 100 TB pipeline actually needs.  ``weights`` need not be
     normalized.
+
+    ``hash_fn``: ``"xxhash64"`` (default — one JVM hash, fastest) or
+    ``"md5"`` (the cross-engine fraction from
+    :func:`..sampling.hash_fraction`, reproducible by external systems /
+    the DuckDB oracle at the cost of a cryptographic hash per row).
     """
     total = sum(weights.values())
-    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+    if hash_fn == "md5":
+        from text_extensions_for_pandas_spark.operators.sampling import (
+            hash_fraction,
+        )
+
+        bucket = F.floor(hash_fraction(F.col(key_col)) * buckets)
+    elif hash_fn == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     expr = None
     acc = 0.0
     items = list(weights.items())

@@ -2616,19 +2616,36 @@ ORDER BY collection_freq DESC, term LIMIT 50
 
 
 def q_split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test split sizes — xxhash64 is available in
-    both engines' SQL surfaces? It is not in DuckDB, so the oracle checks
-    the *invariants* instead: Spark-side counts per split, stable across
-    runs, covering every doc exactly once."""
+    """Deterministic train/val/test split sizes, md5 mode — the
+    cross-engine hash fraction, so the assignment (not just the
+    invariants) is verified against DuckDB.  The operator's default
+    xxhash64 mode is the faster single-engine tier."""
     from text_extensions_for_pandas_spark.operators.search import split_by_hash
 
     docs = load(spark, sf_dir, "documents")
-    out = split_by_hash(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    out = split_by_hash(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, hash_fn="md5"
+    )
     return (
         out.groupBy("split")
-        .agg(F.count("*").alias("n_docs"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("split")
     )
+
+
+Q_SPLIT_BY_HASH_SQL = """
+WITH b AS (
+  SELECT CAST(floor(
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             / 4294967296.0 * 1000000) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 800000 THEN 'train'
+            WHEN bucket < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM b GROUP BY split ORDER BY split
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3460,6 +3477,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q17_small_qty_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+    # changed this round: md5 mode gained a real DuckDB oracle
+    "split_by_hash": (q_split_by_hash, Q_SPLIT_BY_HASH_SQL),
     # -- rotation fill (r03-verified, re-checked this round) --
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
@@ -3468,8 +3487,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
     "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     "doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
-    "decontam_overlap": (q_decontam_overlap, Q_DECONTAM_SQL),
     # ------------------- gate boundary (position 50) -------------------
+    "decontam_overlap": (q_decontam_overlap, Q_DECONTAM_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, Q_TFIDF_SQL),
     "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
     "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
@@ -3481,7 +3500,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # non-SQL-expressible (stubbed binary decode inside mapInPandas / no
     # xxhash64 in DuckDB): rows-only checks, no oracle by design
     "multimodal_image_features": (q_multimodal_features, None),
-    "split_by_hash": (q_split_by_hash, None),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
