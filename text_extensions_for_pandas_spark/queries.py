@@ -2677,6 +2677,70 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the third-party oracle: valid PPM (P6)
+    bytes are synthesized arithmetically per document (pixel byte i =
+    (doc_id*7 + 13*i) mod 256) entirely in Spark SQL, decoded by the
+    pure-numpy PPM decoder inside ``mapInPandas``, and reduced to channel
+    means.  A 16x16 image has 256 pixels, so each mean is an exact
+    integer-sum / power-of-two — bit-identical to DuckDB's closed-form
+    recompute over the same arithmetic, no bytes involved on the oracle
+    side.  This is the end-to-end proof that the decode path (not just
+    its plumbing) is correct."""
+    import numpy as np
+    import pandas as pd
+
+    from text_extensions_for_pandas_spark.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    header = b"P6\n16 16\n255\n"
+    idx13 = 13 * np.arange(768, dtype=np.int64)
+
+    def _gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": [
+                        header
+                        + ((int(d) * 7 + idx13) % 256).astype(np.uint8).tobytes()
+                        for d in pdf["doc_id"]
+                    ],
+                    "meta": [
+                        (16, 16, 3, None, None, "image/x-portable-pixmap")
+                    ] * len(pdf),
+                }
+            )
+
+    assets = docs.select("doc_id").mapInPandas(_gen, schema=MM.ASSETS_DDL)
+    return (
+        MM.image_features(MM.decode_images(assets))
+        .select(
+            F.col("asset_id").alias("doc_id"),
+            F.round("mean_r", 6).alias("mean_r"),
+            F.round("mean_g", 6).alias("mean_g"),
+            F.round("mean_b", 6).alias("mean_b"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_MULTIMODAL_DECODE_SQL = """
+WITH px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 7 + 13 * s.i) % 256 AS v,
+         s.i % 3 AS ch
+  FROM documents d, (SELECT unnest(range(768)) AS i) s
+)
+SELECT doc_id,
+       round(CAST(sum(CASE WHEN ch = 0 THEN v END) AS DOUBLE) / 256, 6) AS mean_r,
+       round(CAST(sum(CASE WHEN ch = 1 THEN v END) AS DOUBLE) / 256, 6) AS mean_g,
+       round(CAST(sum(CASE WHEN ch = 2 THEN v END) AS DOUBLE) / 256, 6) AS mean_b
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering / quality filters / decontamination / TF-IDF
 # ---------------------------------------------------------------------------
@@ -3479,6 +3543,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     # changed this round: md5 mode gained a real DuckDB oracle
     "split_by_hash": (q_split_by_hash, Q_SPLIT_BY_HASH_SQL),
+    # new: the real PPM decode under the value-hash oracle
+    "multimodal_decode_means": (q_multimodal_decode_means, Q_MULTIMODAL_DECODE_SQL),
     # -- rotation fill (r03-verified, re-checked this round) --
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
@@ -3486,8 +3552,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "prob_product": (q_prob_product, Q_PROB_PRODUCT_SQL),
     "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
     "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
-    "doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
     # ------------------- gate boundary (position 50) -------------------
+    "doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
     "decontam_overlap": (q_decontam_overlap, Q_DECONTAM_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, Q_TFIDF_SQL),
     "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
