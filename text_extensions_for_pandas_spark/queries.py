@@ -99,6 +99,7 @@ segs AS (
 # ---------------------------------------------------------------------------
 
 _MATVIEWS: dict[tuple[int, str, str, str], DataFrame] = {}
+_MATVIEWS_LOCK = __import__("threading").Lock()
 
 
 def _matview(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
@@ -107,21 +108,25 @@ def _matview(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     # would fail at their next action.
     sc = spark.sparkContext
     ctx = (id(sc), sc.applicationId)
-    # evict entries from dead contexts: their cached blocks are gone and
-    # keeping the references pins Python-side plan objects forever
-    for stale in [k for k in _MATVIEWS if k[:2] != ctx]:
-        stale_df = _MATVIEWS.pop(stale)
-        if stale[1] == ctx[1]:  # same app, older context object: unpersist
-            try:
-                stale_df.unpersist()
-            except Exception:
-                pass  # context already torn down
-    k = ctx + (sf_dir, key)
-    df = _MATVIEWS.get(k)
-    if df is None:
-        df = build().persist()
-        _MATVIEWS[k] = df
-    return df
+    # Locked: concurrent builders (e.g. bench.py warms the three views from
+    # three threads) must not race the eviction scan / insert.  persist()
+    # is lazy, so holding the lock across it costs nothing.
+    with _MATVIEWS_LOCK:
+        # evict entries from dead contexts: their cached blocks are gone and
+        # keeping the references pins Python-side plan objects forever
+        for stale in [k for k in _MATVIEWS if k[:2] != ctx]:
+            stale_df = _MATVIEWS.pop(stale)
+            if stale[1] == ctx[1]:  # same app, older context object: unpersist
+                try:
+                    stale_df.unpersist()
+                except Exception:
+                    pass  # context already torn down
+        k = ctx + (sf_dir, key)
+        df = _MATVIEWS.get(k)
+        if df is None:
+            df = build().persist()
+            _MATVIEWS[k] = df
+        return df
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
