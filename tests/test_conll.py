@@ -208,3 +208,22 @@ def test_render_spans_region_types(spark):
     # sanitization: $, <>, newline
     assert "<span>&#36;</span>5" in solo
     assert "&lt;x&gt;" in solo and "<br>fff" in solo
+
+
+def test_conll_u_default_helpers():
+    from text_extensions_for_pandas_spark.sources.conll import (
+        CONLL_U_SCHEMA,
+        default_conll_u_field_names,
+        default_conll_u_numeric_cols,
+        default_ewt_metadata,
+    )
+
+    # the documented defaults match the reader's actual output schema
+    fields = CONLL_U_SCHEMA
+    for name in default_conll_u_field_names():
+        assert name in fields, name
+    for name in default_conll_u_numeric_cols():
+        assert name in fields, name
+    for out_col in default_ewt_metadata().values():
+        assert out_col in fields, out_col
+    assert default_ewt_metadata()["newdoc id"] == "doc_key"

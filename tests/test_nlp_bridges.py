@@ -195,3 +195,36 @@ def test_render_parse_tree_svg(spark):
     assert "nsubj" in svg and "det" in svg
     # deterministic
     assert render_parse_tree(toks) == svg
+
+
+def test_preprocess_documents_composite(spark):
+    """preprocess_documents = conll_to_bert + token-class categoricals in
+    one call (reference cleaning/preprocess.py:114-250)."""
+    conll = conll_2003_to_dataframe(spark, f"{DATA}/sample.conll", fold="test")
+    from text_extensions_for_pandas_spark.operators.iob import iob_to_iob2
+
+    repaired = iob_to_iob2(conll)
+    docs = conll.select("doc_id", F.col("doc_text").alias("text")).distinct()
+    out, labels, class_ids = B.preprocess_documents(
+        repaired, docs, entity_types=["PER", "ORG"]
+    )
+    assert labels == ["O", "B-PER", "B-ORG", "I-PER", "I-ORG"]
+    assert class_ids["O"] == 0 and class_ids["B-ORG"] == 2
+    rows = out.select("ent_iob", "ent_type", "token_class", "token_class_id")
+    got = {(r.ent_iob, r.ent_type, r.token_class, r.token_class_id)
+           for r in rows.collect()}
+    for iob, typ, cls, cid in got:
+        want = "O" if iob == "O" else f"{iob}-{typ}"
+        assert cls == want and cid == class_ids[want]
+    # both entity classes survive the BERT re-tokenization round trip
+    assert {c for _, _, c, _ in got} >= {"O", "B-PER", "B-ORG"}
+
+
+def test_simple_tokenize_alias(spark):
+    docs = spark.createDataFrame([(0, "a-b c!")], ["doc_id", "text"])
+    got = sorted(
+        (r.span.begin, r.span.end, r.token)
+        for r in B.simple_tokenize(docs).collect()
+    )
+    # whitespace + punctuation splits (reference io/spacy.py:48-72)
+    assert got == [(0, 1, "a"), (1, 2, "-"), (2, 3, "b"), (4, 5, "c"), (5, 6, "!")]

@@ -1027,3 +1027,153 @@ def test_unicode_tokenizer_offset_invariant(spark):
     for r in rows:
         assert r.token == r.cov, (r.token, r.cov)
         assert UNICODE_TEXT[r.span.begin : r.span.end] == r.token
+
+
+def test_f1_simple_and_ensemble_match_reference(ref, spark):
+    """``f1_score_simple`` / ``create_f1_report_ensemble`` vs the
+    reference's ``create_f1_score_report_iob(simple=True)`` and
+    ``create_f1_report_ensemble_iob`` (cleaning/analysis.py:69-210) on the
+    same entity tables.  (The non-simple reference path uses the removed
+    ``DataFrame.append`` API and cannot execute on modern pandas; the
+    simple/ensemble path is its still-runnable core.)"""
+    from text_extensions_for_pandas import SpanArray
+    from text_extensions_for_pandas.cleaning.analysis import (
+        create_f1_report_ensemble_iob as ref_ensemble,
+    )
+    from text_extensions_for_pandas.cleaning.analysis import (
+        create_f1_score_report_iob as ref_simple,
+    )
+
+    from text_extensions_for_pandas_spark.operators.cleaning import (
+        create_f1_report_ensemble,
+        f1_score_simple,
+    )
+
+    def ref_frame(rows):
+        return pd.DataFrame(
+            {
+                "fold": [f for f, *_ in rows],
+                "doc_num": [d for _, d, *_ in rows],
+                "span": pd.Series(
+                    SpanArray(
+                        TEXT,
+                        [b for *_, (b, _e), _t in rows],
+                        [e for *_, (_b, e), _t in rows],
+                    )
+                ),
+                "ent_type": [t for *_, t in rows],
+            }
+        )
+
+    gold_rows = [
+        ("t", 0, (0, 2), "A"),
+        ("t", 0, (3, 10), "B"),
+        ("t", 0, (25, 28), "A"),
+        ("t", 1, (11, 14), "C"),
+    ]
+    models = {
+        "m1": [
+            ("t", 0, (0, 2), "A"),
+            ("t", 0, (3, 10), "X"),   # wrong type
+            ("t", 0, (29, 32), "A"),  # wrong span
+            ("t", 1, (11, 14), "C"),
+        ],
+        "m2": [
+            ("t", 0, (0, 2), "A"),
+            ("t", 0, (3, 10), "B"),
+        ],
+    }
+    span_cols = ["fold", "doc_num", "span"]
+    ref_out = ref_ensemble(
+        {k: ref_frame(v) for k, v in models.items()},
+        ref_frame(gold_rows),
+        span_id_col_names=span_cols,
+    )
+    ref_m1 = ref_simple(
+        ref_frame(models["m1"]), ref_frame(gold_rows),
+        span_id_col_names=span_cols, simple=True,
+    )
+
+    schema = (
+        "fold string, doc_id long, span struct<begin:int,`end`:int>, "
+        "ent_type string"
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(f, d, (b, e), t) for f, d, (b, e), t in rows], schema
+    )
+    gold = mk(gold_rows)
+
+    simple = f1_score_simple(gold, mk(models["m1"])).collect()[0]
+    assert simple["precision"] == round(ref_m1["precision"], 6)
+    assert simple["recall"] == round(ref_m1["recall"], 6)
+    assert simple["f1"] == round(ref_m1["f1-score"], 6)
+
+    stacked = None
+    for name, rows in models.items():
+        import pyspark.sql.functions as F
+
+        tagged = mk(rows).withColumn("model", F.lit(name))
+        stacked = tagged if stacked is None else stacked.unionByName(tagged)
+    ours = {
+        r["model"]: r
+        for r in create_f1_report_ensemble(stacked, gold).collect()
+    }
+    for name in models:
+        want = ref_out.loc[name]
+        got = ours[name]
+        assert got["precision"] == round(float(want["precision"]), 6), name
+        assert got["recall"] == round(float(want["recall"]), 6), name
+        assert got["f1"] == round(float(want["f1-score"]), 6), name
+
+
+def test_classification_report_hand_computed(spark):
+    """``create_classification_report`` against a hand-computed confusion
+    matrix (reference ``create_f1_score_report`` wraps sklearn's
+    classification_report, unavailable here -- the expected values below
+    follow its documented definitions, zero_division=0)."""
+    from text_extensions_for_pandas_spark.operators.cleaning import (
+        create_classification_report,
+    )
+
+    #        gold -> pred
+    rows = (
+        [("A", "A")] * 3        # A: 3 tp
+        + [("A", "B")] * 1      # A->B: fn for A, fp for B
+        + [("B", "B")] * 2      # B: 2 tp
+        + [("B", "O")] * 1
+        + [("O", "O")] * 4
+        + [("O", "A")] * 2      # fp for A
+    )
+    df = spark.createDataFrame(rows, ["gold_label", "pred_label"])
+    out = {r["label"]: r for r in create_classification_report(df).collect()}
+
+    # A: support 4, predicted 5, tp 3
+    assert out["A"]["support"] == 4
+    assert out["A"]["precision"] == 0.6
+    assert out["A"]["recall"] == 0.75
+    assert out["A"]["f1"] == round(2 * 0.6 * 0.75 / 1.35, 6)
+    # B: support 3, predicted 3, tp 2
+    assert out["B"]["precision"] == round(2 / 3, 6)
+    assert out["B"]["recall"] == round(2 / 3, 6)
+    # O: support 6 (4 kept + 2 mislabeled as A), predicted 5, tp 4
+    assert out["O"]["support"] == 6
+    assert out["O"]["precision"] == 0.8
+    assert out["O"]["recall"] == round(4 / 6, 6)
+    # accuracy = 9/13 everywhere in that row
+    acc = round(9 / 13, 6)
+    assert out["__accuracy__"]["precision"] == acc
+    assert out["__accuracy__"]["f1"] == acc
+    assert out["__accuracy__"]["support"] == 13
+    # macro = unweighted means of the rounded per-label stats
+    import numpy as np
+
+    per = [out[k] for k in ("A", "B", "O")]
+    assert out["__macro__"]["precision"] == round(
+        float(np.mean([p["precision"] for p in per])), 6
+    )
+    # weighted = support-weighted means
+    wsum = sum(p["support"] for p in per)
+    assert out["__weighted__"]["recall"] == round(
+        sum(p["recall"] * p["support"] for p in per) / wsum, 6
+    )
+    assert out["__weighted__"]["support"] == 13

@@ -112,3 +112,60 @@ def test_double_header_reconstruction(spark):
     assert rows["Paris"]["H2 / 2021"] == "4"
     assert rows["Lyon"]["H1 / 2021"] == "6"
     assert rows["Lyon"]["H2 / 2020"] == "7"
+
+
+def test_convert_cols_to_numeric(tables):
+    cells = W.tables_body_cells(tables)
+    pivoted = W.make_table(cells)
+    num = W.convert_cols_to_numeric(pivoted)
+    # every non-key column is now numeric (double) ...
+    for f in num.schema.fields:
+        if f.name in ("doc_id", "table_idx") or f.name.startswith(
+            "row_header_texts_"
+        ):
+            continue
+        assert f.dataType.typeName() == "double", f
+    # ... and explicit column selection converts only those
+    value_cols = [
+        f.name
+        for f in pivoted.schema.fields
+        if f.name not in ("doc_id", "table_idx")
+        and not f.name.startswith("row_header_texts_")
+    ]
+    partial = W.convert_cols_to_numeric(pivoted, columns=value_cols[:1])
+    kinds = {f.name: f.dataType.typeName() for f in partial.schema.fields}
+    assert kinds[value_cols[0]] == "double"
+    for c in value_cols[1:]:
+        assert kinds[c] == "string"
+
+
+def test_get_raw_html(spark, tmp_path):
+    html = (
+        "<html><body><p>intro</p>"
+        "<table id='t1'><tr><td>Revenue</td><td>42</td></tr></table>"
+        "<p>outro</p></body></html>"
+    )
+    # Watson's location points at table content inside the html payload
+    begin = html.index("<tr>")
+    end = html.index("</table>") + len("</table>")
+    doc = {
+        "document": {"html": html},
+        "tables": [
+            {"location": {"begin": begin, "end": end}},
+            # degenerate: begin before any <table  ->  NULL html
+            {"location": {"begin": 3, "end": 10}},
+        ],
+    }
+    import json
+
+    p = tmp_path / "resp.json"
+    p.write_text(json.dumps(doc))
+    rows = {
+        r["table_idx"]: r["html"]
+        for r in W.get_raw_html(spark, str(p)).collect()
+    }
+    # the reference algorithm: rfind('<table') before begin, slice to end
+    table_begin = html[:begin].rfind("<table")
+    assert rows[0] == html[table_begin:end]
+    assert rows[0].startswith("<table id='t1'>")
+    assert rows[1] is None

@@ -140,6 +140,171 @@ def create_f1_report(
     return per_class.unionByName(micro).unionByName(macro)
 
 
+def create_classification_report(
+    labeled: DataFrame,
+    gold_col: str = "gold_label",
+    pred_col: str = "pred_label",
+) -> DataFrame:
+    """Token-classification report over two label columns (reference
+    ``create_f1_score_report``, ``cleaning/analysis.py:34-66``, which wraps
+    ``sklearn.metrics.classification_report``) as one aggregation plan.
+
+    One input row = one classified element (e.g. a token); a true positive
+    for label L is a row where both columns equal L.  Output mirrors the
+    sklearn layout transposed to rows: one row per label with
+    ``(label, precision, recall, f1, support)`` plus ``__accuracy__``
+    (precision = recall = f1 = overall accuracy, support = total rows),
+    ``__macro__`` (unweighted label means) and ``__weighted__``
+    (support-weighted means) rows.  ``zero_division=0`` semantics: a label
+    with no predictions gets precision 0, no gold rows gets recall 0.
+
+    Scale shape: a single ``groupBy(gold, pred)`` contingency aggregation
+    (map-side combined, |labels|^2 rows) feeds every branch — the input is
+    scanned once regardless of corpus size.
+    """
+    ct = labeled.groupBy(
+        F.col(gold_col).alias("__gold"), F.col(pred_col).alias("__pred")
+    ).agg(F.count("*").alias("n"))
+    # the contingency table feeds four branches (per-label, accuracy, macro,
+    # weighted); cut lineage so the corpus scan runs once.  |labels|^2 rows —
+    # trivially small at any scale.
+    ct = ct.localCheckpoint(eager=False)
+    support = ct.groupBy(F.col("__gold").alias("label")).agg(
+        F.sum("n").alias("support")
+    )
+    predicted = ct.groupBy(F.col("__pred").alias("label")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    tp = (
+        ct.filter(F.col("__gold") == F.col("__pred"))
+        .select(F.col("__gold").alias("label"), F.col("n").alias("tp"))
+    )
+    per_label = (
+        support.join(predicted, "label", "full")
+        .join(tp, "label", "left")
+        .fillna(0, ["support", "n_pred", "tp"])
+    )
+    prec = F.col("tp") / F.greatest(F.col("n_pred"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("support"), F.lit(1))
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    per_label = per_label.select(
+        "label",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        "support",
+        "tp",
+    ).localCheckpoint(eager=False)
+    accuracy = per_label.agg(
+        F.lit("__accuracy__").alias("label"),
+        F.round(F.sum("tp") / F.greatest(F.sum("support"), F.lit(1)), 6).alias(
+            "precision"
+        ),
+        F.round(F.sum("tp") / F.greatest(F.sum("support"), F.lit(1)), 6).alias(
+            "recall"
+        ),
+        F.round(F.sum("tp") / F.greatest(F.sum("support"), F.lit(1)), 6).alias(
+            "f1"
+        ),
+        F.sum("support").alias("support"),
+    )
+    macro = per_label.agg(
+        F.lit("__macro__").alias("label"),
+        F.round(F.avg("precision"), 6).alias("precision"),
+        F.round(F.avg("recall"), 6).alias("recall"),
+        F.round(F.avg("f1"), 6).alias("f1"),
+        F.sum("support").alias("support"),
+    )
+    weighted = per_label.agg(
+        F.lit("__weighted__").alias("label"),
+        F.round(
+            F.sum(F.col("precision") * F.col("support"))
+            / F.greatest(F.sum("support"), F.lit(1)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.sum(F.col("recall") * F.col("support"))
+            / F.greatest(F.sum("support"), F.lit(1)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.sum(F.col("f1") * F.col("support"))
+            / F.greatest(F.sum("support"), F.lit(1)),
+            6,
+        ).alias("f1"),
+        F.sum("support").alias("support"),
+    )
+    return (
+        per_label.drop("tp")
+        .unionByName(accuracy)
+        .unionByName(macro)
+        .unionByName(weighted)
+    )
+
+
+def f1_score_simple(
+    gold: DataFrame,
+    predicted: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Micro-averaged P/R/F1 as a one-row frame (reference
+    ``create_f1_score_report_iob(simple=True)``,
+    ``cleaning/analysis.py:69-135``): TP = exact entity matches,
+    precision = TP/|predicted|, recall = TP/|gold|."""
+    keys = keys or ["fold", "doc_id"]
+    tp = _match(gold, predicted, keys).agg(F.count("*").alias("tp"))
+    n_pred = predicted.agg(F.count("*").alias("n_pred"))
+    n_gold = gold.agg(F.count("*").alias("n_gold"))
+    joined = tp.crossJoin(n_pred).crossJoin(n_gold)  # three 1-row frames
+    prec = F.col("tp") / F.greatest(F.col("n_pred"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("n_gold"), F.lit(1))
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    return joined.select(
+        "tp",
+        "n_pred",
+        "n_gold",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def create_f1_report_ensemble(
+    model_outputs: DataFrame,
+    gold: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-model micro P/R/F1 over an ensemble's entity outputs (reference
+    ``create_f1_report_ensemble_iob``, ``cleaning/analysis.py:174-210``):
+    one output row per distinct ``model`` value.
+
+    The reference loops models on the driver calling the simple report per
+    frame; here the stacked entity table is scored in one plan — a semi-join
+    against gold marks true positives, a single ``groupBy(model)`` counts
+    them, and the scalar gold count is broadcast back.  No per-model pass
+    over the data.
+    """
+    keys = keys or ["fold", "doc_id"]
+    on = keys + ["span", "ent_type"]
+    hits = model_outputs.join(gold.select(*on).distinct(), on, "semi")
+    tp = hits.groupBy("model").agg(F.count("*").alias("tp"))
+    n_pred = model_outputs.groupBy("model").agg(F.count("*").alias("n_pred"))
+    n_gold = gold.agg(F.count("*").alias("n_gold"))  # 1 row, broadcast join
+    joined = n_pred.join(tp, "model", "left").fillna(0, ["tp"]).crossJoin(n_gold)
+    prec = F.col("tp") / F.greatest(F.col("n_pred"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("n_gold"), F.lit(1))
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    return joined.select(
+        "model",
+        "tp",
+        "n_pred",
+        "n_gold",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
 def flag_suspicious_labels(
     model_outputs: DataFrame,
     gold_model_name: str = "GOLD",

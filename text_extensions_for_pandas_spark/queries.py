@@ -1751,6 +1751,169 @@ ORDER BY ent_type
 """
 
 
+def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.cleaning import (
+        create_classification_report,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    labeled = toks.select(
+        F.when(F.col("token") == "spark", "TECH")
+        .when(F.col("token") == "data", "DATA")
+        .otherwise("O")
+        .alias("gold_label"),
+        F.when(
+            (F.col("token") == "spark") & (F.col("token_idx") % 2 == 0), "TECH"
+        )
+        .when(F.col("token").isin("data", "row"), "DATA")
+        .otherwise("O")
+        .alias("pred_label"),
+    )
+    out = create_classification_report(labeled)
+    return out.select(
+        "label",
+        "precision",
+        "recall",
+        "f1",
+        F.col("support").cast("bigint").alias("support"),
+    ).orderBy("label")
+
+
+Q_CLASSIFICATION_REPORT_SQL = f"""
+WITH {TOKS_CTE},
+lab AS (
+  SELECT CASE WHEN token = 'spark' THEN 'TECH'
+              WHEN token = 'data' THEN 'DATA' ELSE 'O' END AS gold_label,
+         CASE WHEN token = 'spark' AND token_idx % 2 = 0 THEN 'TECH'
+              WHEN token IN ('data', 'row') THEN 'DATA' ELSE 'O' END AS pred_label
+  FROM toks
+),
+sup AS (SELECT gold_label AS label, count(*) AS support FROM lab GROUP BY 1),
+prd AS (SELECT pred_label AS label, count(*) AS n_pred FROM lab GROUP BY 1),
+tp AS (
+  SELECT gold_label AS label, count(*) AS tp
+  FROM lab WHERE gold_label = pred_label GROUP BY 1
+),
+per AS (
+  SELECT coalesce(sup.label, prd.label) AS label,
+         coalesce(support, 0) AS support,
+         coalesce(n_pred, 0) AS n_pred,
+         coalesce(tp.tp, 0) AS tp
+  FROM sup FULL JOIN prd ON prd.label = sup.label
+  LEFT JOIN tp ON tp.label = coalesce(sup.label, prd.label)
+),
+raw AS (
+  SELECT label, support, tp,
+         CAST(tp AS DOUBLE) / greatest(n_pred, 1) AS p,
+         CAST(tp AS DOUBLE) / greatest(support, 1) AS r
+  FROM per
+),
+scored AS (
+  SELECT label,
+         round(p, 6) AS precision,
+         round(r, 6) AS recall,
+         CASE WHEN p + r > 0 THEN round(2 * p * r / (p + r), 6)
+              ELSE 0.0 END AS f1,
+         support, tp
+  FROM raw
+),
+extras AS (
+  SELECT '__accuracy__' AS label,
+         round(CAST(sum(tp) AS DOUBLE) / greatest(sum(support), 1), 6) AS precision,
+         round(CAST(sum(tp) AS DOUBLE) / greatest(sum(support), 1), 6) AS recall,
+         round(CAST(sum(tp) AS DOUBLE) / greatest(sum(support), 1), 6) AS f1,
+         sum(support) AS support
+  FROM scored
+  UNION ALL
+  SELECT '__macro__', round(avg(precision), 6), round(avg(recall), 6),
+         round(avg(f1), 6), sum(support)
+  FROM scored
+  UNION ALL
+  SELECT '__weighted__',
+         round(sum(precision * support) / greatest(sum(support), 1), 6),
+         round(sum(recall * support) / greatest(sum(support), 1), 6),
+         round(sum(f1 * support) / greatest(sum(support), 1), 6),
+         sum(support)
+  FROM scored
+)
+SELECT label, precision, recall, f1, CAST(support AS BIGINT) AS support
+FROM (
+  SELECT label, precision, recall, f1, support FROM scored
+  UNION ALL SELECT * FROM extras
+)
+ORDER BY label
+"""
+
+
+def q_f1_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.cleaning import (
+        create_f1_report_ensemble,
+    )
+
+    ents = _entity_rules(_tokens(spark, sf_dir))
+    stacked = None
+    for model in ("m1", "m2", "m3"):
+        tagged = ents[model].withColumn("model", F.lit(model))
+        stacked = tagged if stacked is None else stacked.unionByName(tagged)
+    out = create_f1_report_ensemble(stacked, ents["GOLD"])
+    return out.select(
+        "model",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_gold").cast("bigint").alias("n_gold"),
+        "precision",
+        "recall",
+        "f1",
+    ).orderBy("model")
+
+
+Q_F1_ENSEMBLE_SQL = f"""
+WITH {TOKS_CTE},
+gold AS (
+  SELECT doc_id, "begin", "end",
+         CASE WHEN token = 'spark' THEN 'TECH' ELSE 'DATA' END AS ent_type
+  FROM toks WHERE token IN ('spark', 'data')
+),
+stacked AS (
+  SELECT 'm1' AS model, doc_id, "begin", "end", 'TECH' AS ent_type
+  FROM toks WHERE token IN ('spark', 'stream')
+  UNION ALL
+  SELECT 'm2', doc_id, "begin", "end",
+         CASE WHEN token = 'spark' THEN 'TECH' ELSE 'DATA' END
+  FROM toks WHERE (token = 'spark' AND token_idx % 2 = 0) OR token = 'data'
+  UNION ALL
+  SELECT 'm3', doc_id, "begin", "end",
+         CASE WHEN token = 'spark' THEN 'TECH' ELSE 'DATA' END
+  FROM toks WHERE token IN ('spark', 'data', 'row')
+),
+tp AS (
+  SELECT s.model, count(*) AS tp
+  FROM stacked s
+  WHERE EXISTS (
+    SELECT 1 FROM gold g
+    WHERE g.doc_id = s.doc_id AND g."begin" = s."begin"
+      AND g."end" = s."end" AND g.ent_type = s.ent_type
+  )
+  GROUP BY s.model
+),
+np AS (SELECT model, count(*) AS n_pred FROM stacked GROUP BY model),
+ng AS (SELECT count(*) AS n_gold FROM gold),
+raw AS (
+  SELECT np.model, coalesce(tp.tp, 0) AS tp, np.n_pred, ng.n_gold,
+         CAST(coalesce(tp.tp, 0) AS DOUBLE) / greatest(np.n_pred, 1) AS p,
+         CAST(coalesce(tp.tp, 0) AS DOUBLE) / greatest(ng.n_gold, 1) AS r
+  FROM np LEFT JOIN tp ON tp.model = np.model CROSS JOIN ng
+)
+SELECT model, CAST(tp AS BIGINT) AS tp, CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_gold AS BIGINT) AS n_gold,
+       round(p, 6) AS precision, round(r, 6) AS recall,
+       CASE WHEN p + r > 0 THEN round(2 * p * r / (p + r), 6)
+            ELSE 0.0 END AS f1
+FROM raw
+ORDER BY model
+"""
+
+
 def q_flag_suspicious(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_extensions_for_pandas_spark.operators.cleaning import (
         flag_suspicious_labels,
@@ -3497,7 +3660,9 @@ ORDER BY d.lang
 # Round-4 order: [1-28] the 28 entries r03 did not gate (incl. f1_report,
 # the only entry never hash-verified — BIGINT-cast fix from r2 pending
 # driver proof); [29-35] the 7 TPC-H queries whose broadcast hints were
-# removed this round; [36-50] rotation fill from the r03-verified pool.
+# removed this round; then this round's new queries (first driver
+# verification needed); rotation fill from the r03-verified pool tops the
+# list up to exactly 50.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- never driver-verified (hash-failed r1/r2 on HUGEINT casts; fixed,
     #    needs its green row) --
@@ -3550,14 +3715,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "split_by_hash": (q_split_by_hash, Q_SPLIT_BY_HASH_SQL),
     # new: the real PPM decode under the value-hash oracle
     "multimodal_decode_means": (q_multimodal_decode_means, Q_MULTIMODAL_DECODE_SQL),
+    # new: sklearn-style token-classification report + per-model ensemble F1
+    "classification_report": (q_classification_report, Q_CLASSIFICATION_REPORT_SQL),
+    "f1_ensemble": (q_f1_ensemble, Q_F1_ENSEMBLE_SQL),
     # -- rotation fill (r03-verified, re-checked this round) --
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
     "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
-    "prob_product": (q_prob_product, Q_PROB_PRODUCT_SQL),
-    "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
     "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     # ------------------- gate boundary (position 50) -------------------
+    "prob_product": (q_prob_product, Q_PROB_PRODUCT_SQL),
+    "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
     "doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
     "decontam_overlap": (q_decontam_overlap, Q_DECONTAM_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, Q_TFIDF_SQL),

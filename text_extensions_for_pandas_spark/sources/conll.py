@@ -235,6 +235,43 @@ def conll_documents(tokens: DataFrame) -> DataFrame:
 # CoNLL-U
 # ---------------------------------------------------------------------------
 
+
+def default_conll_u_field_names() -> list[str]:
+    """Default CoNLL-U field names after the two required leading fields
+    (reference ``default_conll_u_field_names``, ``io/conll.py:63-77``).
+    Our reader's column names (``upos``/``xpos``) follow the Universal
+    Dependencies spec; the reference's ``upostag``/``xpostag`` spellings are
+    noted per field."""
+    return [
+        "lemma",
+        "upos",      # reference: "upostag"
+        "xpos",      # reference: "xpostag"
+        "features",
+        "head",
+        "deprel",
+        "deps",
+        "misc",
+    ]
+
+
+def default_conll_u_numeric_cols() -> list[str]:
+    """Columns parsed as integers (reference ``default_conll_u_numeric_cols``,
+    ``io/conll.py:80-84``)."""
+    return ["head", "line_num"]
+
+
+def default_ewt_metadata() -> dict[str, str]:
+    """Comment-tag → output-column mapping the reader applies to ``#``
+    metadata lines (reference ``default_ewt_metadata``,
+    ``io/conll.py:87-98``).  ``sent_id``/``newpar id``/``newdoc id`` become
+    per-token ``sent_key``/``paragraph_id``/``doc_key`` columns."""
+    return {
+        "sent_id": "sent_key",
+        "newpar id": "paragraph_id",
+        "newdoc id": "doc_key",
+    }
+
+
 CONLL_U_SCHEMA = (
     "fold string, doc_id long, token_idx int, begin int, end int, token string, "
     "sentence_id int, line_num long, doc_text string, lemma string, upos string, "

@@ -68,6 +68,15 @@ def make_tokens(
     return tokenize_regex(documents, DEFAULT_TOKEN_PATTERN, text_col, doc_col)
 
 
+# Reference ``simple_tokenizer`` (``io/spacy.py:48-72``) returns a spaCy
+# Tokenizer object that splits on whitespace and punctuation, recommended
+# for dictionary/regex matching.  A tokenizer-as-object has no Spark
+# analogue — the splitting is a plan fragment — so the equivalent surface
+# is the tokenizing function itself, with identical split semantics
+# (DEFAULT_TOKEN_PATTERN: word runs | single punctuation marks).
+simple_tokenize = make_tokens
+
+
 _SHAPE_RE = [
     (re.compile(r"[A-Z]"), "X"),
     (re.compile(r"[a-z]"), "x"),
@@ -398,6 +407,47 @@ def conll_to_bert(
         doc_col=doc_col,
     )
     return add_embeddings(relabeled, dim=embedding_dim)
+
+
+def preprocess_documents(
+    corpus_tokens: DataFrame,
+    documents: DataFrame,
+    entity_types: list[str],
+    iob_col: str = "ent_iob",
+    type_col: str = "ent_type",
+    doc_col: str = "doc_id",
+    embedding_dim: int = 32,
+) -> tuple[DataFrame, list[str], dict[str, int]]:
+    """Full corpus preprocessing for token classification (reference
+    ``preprocess_documents``, ``cleaning/preprocess.py:114-250``):
+    BERT-retokenize + relabel (:func:`conll_to_bert`), then attach the
+    categorical ``token_class``/``token_class_id`` columns derived from
+    ``entity_types``.
+
+    The reference takes a fold → list-of-document-frames dict and loops;
+    here the corpus is ONE DataFrame (``fold``/``doc_id`` columns) and one
+    lazy plan covers every fold.  Returns ``(tokens, class_labels,
+    class_id_map)`` — the same triple the reference's downstream training
+    code consumes."""
+    from text_extensions_for_pandas_spark.operators.iob import (
+        add_token_classes,
+        make_iob_tag_categories,
+    )
+
+    labels, class_ids = make_iob_tag_categories(entity_types)
+    bert = conll_to_bert(
+        corpus_tokens,
+        documents,
+        iob_col=iob_col,
+        type_col=type_col,
+        doc_col=doc_col,
+        embedding_dim=embedding_dim,
+    )
+    return (
+        add_token_classes(bert, class_ids, iob_col=iob_col, type_col=type_col),
+        labels,
+        class_ids,
+    )
 
 
 # ---------------------------------------------------------------------------

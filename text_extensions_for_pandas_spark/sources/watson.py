@@ -374,3 +374,82 @@ def make_table(
         .pivot("__col")
         .agg(F.concat_ws(concat_with, F.collect_list(value_col)))
     )
+
+
+def convert_cols_to_numeric(
+    table: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Coerce pivoted-table value columns to numbers (reference
+    ``convert_cols_to_numeric``, ``io/watson/tables.py:264-325``).
+
+    With ``columns=None`` every column except the grouping keys
+    (``doc_id`` / ``table_idx`` / ``row_header_texts_*``) is converted —
+    the reference's convert-everything default.  Cells that do not clean up
+    to a number become NULL (the reference's ``errors='coerce'`` path);
+    parenthesized accounting negatives and currency/thousands junk are
+    handled by :func:`coerce_numeric`.
+
+    The reference's row-wise mode (``rows=`` on a transposed pandas frame)
+    has no Spark analogue — transpose the pivot instead.
+    """
+    keys = {"doc_id", "table_idx"}
+    if columns is None:
+        columns = [
+            c
+            for c in table.columns
+            if c not in keys and not c.startswith("row_header_texts_")
+        ]
+    out = table
+    for c in columns:
+        out = out.withColumn(c, coerce_numeric(F.col(c)))
+    return out
+
+
+def get_raw_html(spark: SparkSession, path: str) -> DataFrame:
+    """Slice each table's original ``<table>…`` markup out of the document
+    HTML shipped in the response (reference ``get_raw_html``,
+    ``io/watson/tables.py:434-447``): scan back from the table's reported
+    ``location.begin`` to the last ``<table`` open tag and return the HTML
+    through ``location.end``.
+
+    Output: ``(doc_id, table_idx, html)``; ``html`` is NULL when the
+    document carries no ``<table`` tag before the reported begin (the
+    reference under-slices via ``rfind == -1`` there).  Pure column
+    expressions — the rfind is ``instr(reverse(prefix), reverse(tag))``,
+    so no Python touches the (potentially large) HTML payloads.
+    """
+    raw = (
+        spark.read.option("multiLine", "true")
+        .json(path)
+        .withColumn(
+            "doc_id",
+            F.regexp_extract(F.input_file_name(), r"([^/]+?)(\.[^./]*)?$", 1),
+        )
+    )
+    t = raw.select(
+        "doc_id",
+        F.col("document.html").alias("html"),
+        F.posexplode("tables").alias("table_idx", "table"),
+    ).select(
+        "doc_id",
+        "table_idx",
+        "html",
+        F.col("table.location.begin").cast("int").alias("b"),
+        F.col("table.location.end").cast("int").alias("e"),
+    )
+    # last '<table' before b: 1-based offset q of reverse(tag) in the
+    # reversed prefix html[0:b] maps to 0-based tag start  b - q - 5
+    q = F.instr(F.reverse(F.expr("substring(html, 1, b)")), "elbat<")
+    start0 = F.col("b") - q - F.lit(5)
+    sliced = F.expr(
+        "substring(html, __start0 + 1, e - __start0)"
+    )
+    return (
+        t.withColumn("__start0", start0)
+        .select(
+            "doc_id",
+            "table_idx",
+            F.when(q > 0, sliced).alias("html"),
+        )
+    )
