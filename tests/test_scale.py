@@ -6,6 +6,8 @@ import io
 import pyspark.sql.functions as F
 import pytest
 
+from tests.conftest import SF_DIR
+
 from text_extensions_for_pandas_spark.operators.scale import (
     add_salt,
     salted_join,
@@ -90,3 +92,66 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory, skewed):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_tokens_b")
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
+
+
+class TestHllSketches:
+    """Mergeable HLL distinct-count sketches (operators/sketch.py)."""
+
+    def _tokens(self, spark):
+        from text_extensions_for_pandas_spark.functions.text import (
+            tokenize_whitespace,
+        )
+        from text_extensions_for_pandas_spark.queries import load
+
+        docs = load(spark, SF_DIR, "documents")
+        return tokenize_whitespace(docs).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+
+    def test_estimate_close_to_exact(self, spark):
+        from text_extensions_for_pandas_spark.operators.sketch import (
+            distinct_rollup,
+        )
+
+        toks = self._tokens(spark)
+        exact = {
+            r.lang: r.n_distinct
+            for r in distinct_rollup(toks, ["lang"], "token", exact=True).collect()
+        }
+        approx = {
+            r.lang: r.n_distinct
+            for r in distinct_rollup(toks, ["lang"], "token", exact=False).collect()
+        }
+        assert set(exact) == set(approx)
+        for lang, n in exact.items():
+            assert abs(approx[lang] - n) <= max(0.05 * n, 2), (lang, n, approx[lang])
+
+    def test_merge_equals_direct_sketch(self, spark):
+        """Union of per-group sketches must equal the sketch built directly
+        over the whole data — the identity that makes stored shard sketches
+        answer corpus-wide questions without a rescan."""
+        from text_extensions_for_pandas_spark.operators.sketch import (
+            hll_rollup,
+            hll_sketches,
+        )
+
+        toks = self._tokens(spark)
+        per_lang = hll_sketches(toks, ["lang"], "token")
+        merged = hll_rollup(per_lang, []).collect()[0]
+        direct = (
+            hll_sketches(toks.withColumn("one", F.lit(1)), ["one"], "token")
+            .collect()[0]
+        )
+        assert merged.estimate == direct.estimate
+
+    def test_sketch_agg_is_partial(self, spark):
+        """The sketch aggregate must show a map-side partial before the
+        exchange — only sketches travel, not distinct values."""
+        from text_extensions_for_pandas_spark.operators.sketch import (
+            hll_sketches,
+        )
+
+        toks = self._tokens(spark)
+        plan = hll_sketches(toks, ["lang"], "token")._jdf.queryExecution().executedPlan().toString()
+        before_exchange = plan.split("Exchange hashpartitioning(lang")[0]
+        assert "hll_sketch_agg" in before_exchange
