@@ -236,3 +236,30 @@ def test_bigram_lm_probabilities(spark, docs):
     n_tok = toks.count()
     n_docs = toks.select("doc_id").distinct().count()
     assert sum(r.c12 for r in rows) == n_tok - n_docs
+
+
+def test_encoding_metrics(spark):
+    from text_extensions_for_pandas_spark.functions.text import encoding_metrics
+
+    mojibake = "cafÃ© and â€™quotedâ€™"
+    rows = spark.createDataFrame(
+        [
+            (0, "plain ascii text."),
+            (1, "bad bytes �� here \x01\x02"),
+            (2, mojibake),
+            (3, "café résumé"),  # real accents: NOT mojibake
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.m
+        for r in rows.select(
+            "doc_id", encoding_metrics("text").alias("m")
+        ).collect()
+    }
+    assert out[0] == (0, 0, 0, 0.0)
+    assert out[1].n_replacement == 2 and out[1].n_control == 2
+    assert out[2].n_mojibake == 3 and out[2].n_replacement == 0
+    # clean accented text: nonascii ratio > 0 but no mojibake hits
+    assert out[3].n_mojibake == 0 and out[3].n_control == 0
+    assert 0 < out[3].nonascii_ratio < 0.5

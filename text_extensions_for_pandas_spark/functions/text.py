@@ -410,6 +410,49 @@ def redact_pii(text: Column | str) -> Column:
     return c
 
 
+# classic UTF-8-decoded-as-Latin-1 artifacts: A-tilde (U+00C3) + accented
+# letter (e-acute mangles to U+00C3 U+00A9), a-circumflex + euro digraphs
+# (right-quote mangles to U+00E2 U+20AC U+2122), stray U+00C2 + space/NBSP
+_MOJIBAKE_PATTERN = (
+    "\u00c3[\u00a9\u00a8\u00a2\u00ab\u00bb\u00b1\u00ae\u00a4\u00a7]"
+    "|\u00e2\u20ac[\u2122\u0153\u009d\u0098\u00a6\u201c\u2013\u2014-]"
+    "|\u00c2[ \u00a0]"
+)
+_CONTROL_PATTERN = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def encoding_metrics(text: Column | str) -> Column:
+    """Encoding-corruption signals per document, as a struct of
+    ``n_replacement`` (U+FFFD chars left by lossy decodes), ``n_control``
+    (control chars other than tab/newline/CR — binary junk in "text"),
+    ``n_mojibake`` (classic UTF-8-read-as-Latin-1 digraphs like ``Ã©`` /
+    ``â€™``), and ``nonascii_ratio``.
+
+    Web-scale corpora arrive through many decode paths; docs that were
+    decoded with the wrong codec score fine on length/stopword metrics but
+    poison tokenizers.  Pure row-local ``regexp_count`` expressions — no
+    UDF, stream-safe, composes with :func:`quality_metrics` in one scan.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n_char = F.length(c)
+    # strip all ASCII; what remains is the non-ASCII char count
+    n_nonascii = F.length(F.regexp_replace(c, "[\\x00-\\x7f]", ""))
+    return F.struct(
+        F.size(F.regexp_extract_all(c, F.lit("�"), F.lit(0)))
+        .cast("int")
+        .alias("n_replacement"),
+        F.size(F.regexp_extract_all(c, F.lit(_CONTROL_PATTERN), F.lit(0)))
+        .cast("int")
+        .alias("n_control"),
+        F.size(F.regexp_extract_all(c, F.lit(_MOJIBAKE_PATTERN), F.lit(0)))
+        .cast("int")
+        .alias("n_mojibake"),
+        F.round(n_nonascii / F.greatest(n_char, F.lit(1)), 6).alias(
+            "nonascii_ratio"
+        ),
+    )
+
+
 def repetition_metrics(
     documents: "DataFrame",
     n: int = 2,
