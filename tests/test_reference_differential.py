@@ -1177,3 +1177,30 @@ def test_classification_report_hand_computed(spark):
         sum(p["recall"] * p["support"] for p in per) / wsum, 6
     )
     assert out["__weighted__"]["support"] == 13
+
+
+def test_f1_ensemble_zero_prediction_model(spark):
+    """A model with no predicted entities must still get an all-zero row
+    when the roster is passed (the reference's input dict keys guarantee
+    this implicitly)."""
+    from text_extensions_for_pandas_spark.operators.cleaning import (
+        create_f1_report_ensemble,
+    )
+
+    schema = (
+        "fold string, doc_id long, span struct<begin:int,`end`:int>, "
+        "ent_type string, model string"
+    )
+    gold = spark.createDataFrame(
+        [("t", 0, (0, 2), "A", "GOLD")], schema
+    ).drop("model")
+    stacked = spark.createDataFrame([("t", 0, (0, 2), "A", "m1")], schema)
+    out = {
+        r["model"]: r
+        for r in create_f1_report_ensemble(
+            stacked, gold, models=["m1", "m_silent"]
+        ).collect()
+    }
+    assert out["m1"]["f1"] == 1.0
+    assert out["m_silent"]["tp"] == 0 and out["m_silent"]["n_pred"] == 0
+    assert out["m_silent"]["precision"] == 0.0 and out["m_silent"]["f1"] == 0.0

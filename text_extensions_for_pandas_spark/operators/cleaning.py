@@ -273,6 +273,7 @@ def create_f1_report_ensemble(
     model_outputs: DataFrame,
     gold: DataFrame,
     keys: list[str] | None = None,
+    models: list[str] | None = None,
 ) -> DataFrame:
     """Per-model micro P/R/F1 over an ensemble's entity outputs (reference
     ``create_f1_report_ensemble_iob``, ``cleaning/analysis.py:174-210``):
@@ -283,12 +284,22 @@ def create_f1_report_ensemble(
     against gold marks true positives, a single ``groupBy(model)`` counts
     them, and the scalar gold count is broadcast back.  No per-model pass
     over the data.
+
+    A model that predicted NOTHING has no rows in ``model_outputs`` and
+    would silently drop out; pass ``models`` (the full ensemble's names, as
+    the reference's input dict keys provide implicitly) to force an
+    all-zero row for it.
     """
     keys = keys or ["fold", "doc_id"]
     on = keys + ["span", "ent_type"]
     hits = model_outputs.join(gold.select(*on).distinct(), on, "semi")
     tp = hits.groupBy("model").agg(F.count("*").alias("tp"))
     n_pred = model_outputs.groupBy("model").agg(F.count("*").alias("n_pred"))
+    if models is not None:
+        roster = model_outputs.sparkSession.createDataFrame(
+            [(m,) for m in models], "model string"
+        )
+        n_pred = roster.join(n_pred, "model", "left").fillna(0, ["n_pred"])
     n_gold = gold.agg(F.count("*").alias("n_gold"))  # 1 row, broadcast join
     joined = n_pred.join(tp, "model", "left").fillna(0, ["tp"]).crossJoin(n_gold)
     prec = F.col("tp") / F.greatest(F.col("n_pred"), F.lit(1))
