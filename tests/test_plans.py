@@ -296,3 +296,30 @@ def test_q13_outer_join_preserved(spark):
     n_with = load(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
     assert rows.get(0, 0) == n_cust - n_with
     assert sum(rows.values()) == n_cust
+
+
+def test_classification_report_contingency_single_scan(docs):
+    """The classification report derives everything from ONE groupBy(gold,
+    pred) contingency aggregation: the input relation appears once, with a
+    map-side partial before its exchange."""
+    from text_extensions_for_pandas_spark.operators.cleaning import (
+        create_classification_report,
+    )
+
+    labeled = docs.select(
+        F.substring("text", 1, 1).alias("gold_label"),
+        F.substring("text", 2, 1).alias("pred_label"),
+    )
+    plan = plan_of(create_classification_report(labeled), "simple")
+    # the corpus scan feeds the plan exactly once (the branches all hang off
+    # the checkpointed contingency table, not the parquet relation)
+    assert plan.count("Scan parquet") <= 1, plan
+    before_first_exchange = plan.split("Exchange")[-1]
+    assert "HashAggregate" in before_first_exchange, plan
+
+
+def test_encoding_metrics_no_shuffle_no_udf(docs):
+    q = docs.select("doc_id", T.encoding_metrics(F.col("text")).alias("m"))
+    plan = plan_of(q, "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
