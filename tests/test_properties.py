@@ -249,3 +249,39 @@ def test_consolidated_rowwise_matches_batch_pipeline(spark, random_corpus):
         for r in consolidate(matches, on="span").collect()
     }
     assert got == want and len(got) > 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C", "O"]),
+            st.sampled_from(["A", "B", "C", "O"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_classification_report_invariants(spark, pairs):
+    """On single-label rows: accuracy == matching-row fraction, per-label
+    support sums to N, weighted recall == accuracy (a known identity for
+    multiclass single-label classification), all stats in [0,1]."""
+    from text_extensions_for_pandas_spark.operators.cleaning import (
+        create_classification_report,
+    )
+
+    df = spark.createDataFrame(pairs, ["gold_label", "pred_label"])
+    out = {r.label: r for r in create_classification_report(df).collect()}
+    n = len(pairs)
+    acc = round(sum(1 for g, p in pairs if g == p) / n, 6)
+    assert out["__accuracy__"].precision == acc
+    assert out["__accuracy__"].support == n
+    labels = [k for k in out if not k.startswith("__")]
+    assert sum(out[k].support for k in labels) == n
+    # weighted recall = sum(support * tp_l/support_l)/N = total tp/N = acc
+    assert abs(out["__weighted__"].recall - acc) < 1e-4
+    for k in out:
+        r = out[k]
+        assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+        assert 0.0 <= r.f1 <= 1.0

@@ -205,3 +205,9 @@ def render_spans_html(
         )
     parts.append("</div>")
     return "".join(parts)
+
+
+# Reference surface name (``jupyter/span.py:46``): its pretty_print_html
+# takes a SpanArray + show_offsets flag; the Spark-first equivalent takes
+# the (spans, documents) DataFrames.  Same static rendering semantics.
+pretty_print_html = render_spans_html
