@@ -155,3 +155,38 @@ class TestHllSketches:
         plan = hll_sketches(toks, ["lang"], "token")._jdf.queryExecution().executedPlan().toString()
         before_exchange = plan.split("Exchange hashpartitioning(lang")[0]
         assert "hll_sketch_agg" in before_exchange
+
+
+def test_write_partitioned_prunes_directories(spark, tmp_path):
+    """Reading with a partition-column filter must touch only that
+    partition's directory (partition pruning), and rows inside each file
+    must be clustered by the sort column (row-group stat pruning setup)."""
+    from text_extensions_for_pandas_spark.operators.scale import (
+        write_partitioned,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "by_lang")
+    write_partitioned(docs, path, ["lang"], sort_cols=["n_chars"])
+
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    # partition pruning: the scan carries the filter as a PartitionFilter
+    # (inputFiles() reports the unpruned relation, so check the plan)
+    plan = plan_of(back, "formatted")
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0], plan
+    # only the lang=en directory's rows are actually read
+    read_files = {
+        r.f for r in back.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert read_files and all("lang=en" in f for f in read_files)
+    # row-count parity with the source
+    assert back.count() == docs.filter("lang = 'en'").count()
+    # clustered: n_chars is non-decreasing inside each physical file
+    one = (
+        spark.read.parquet(sorted(read_files)[0])
+        .select("n_chars")
+        .toPandas()["n_chars"]
+    )
+    assert (one.diff().dropna() >= 0).all()

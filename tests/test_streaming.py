@@ -447,3 +447,22 @@ def test_mixture_sample_stream_static_parity(spark):
         ).select("doc_id").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_distinct_sketch_stream_batch_parity(spark):
+    """Streaming HLL sketches must equal the batch sketches over the same
+    rows exactly: sketch union is order-insensitive, so arrival order
+    cannot change the estimate."""
+    from text_extensions_for_pandas_spark.operators.sketch import hll_sketches
+
+    docs = STR.read_documents_stream(spark, SF_DIR)
+    out = STR.streaming_distinct_sketches(docs, "lang", "source")
+    _run_to_memory(out.select("lang", "estimate"), "t_sketch", mode="complete")
+    got = {r.lang: r.estimate for r in spark.table("t_sketch").collect()}
+
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    want = {
+        r.lang: r.estimate
+        for r in hll_sketches(batch, ["lang"], "source").collect()
+    }
+    assert got == want and len(want) > 0

@@ -96,3 +96,28 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a corpus laid out for scan pruning: one directory per
+    ``partition_cols`` value (partition pruning skips whole directories at
+    read time) with rows clustered by ``sort_cols`` inside each file, so
+    parquet row-group min/max statistics prune within files too ("z-order
+    lite" — effective when one sort column dominates selectivity).
+
+    The ``repartition(partition_cols)`` first is what keeps the file count
+    bounded: without it every task writes a file into every partition
+    directory — tasks x partitions files, the classic small-files failure
+    at 1000 executors.
+    """
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(
+            *[F.col(c) for c in (partition_cols + sort_cols)]
+        )
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

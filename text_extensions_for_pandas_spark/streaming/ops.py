@@ -333,3 +333,23 @@ def streaming_decontaminate(
     from text_extensions_for_pandas_spark.operators.dedup import contaminated
 
     return documents.filter(~contaminated(F.col("text"), bloom, shingle_n))
+
+
+def streaming_distinct_sketches(
+    documents: DataFrame, group_col: str = "lang", value_col: str = "source"
+) -> DataFrame:
+    """Per-group distinct-count HLL sketches over a document stream
+    (complete/update output modes).  The state per group is the fixed-size
+    sketch — bounded regardless of stream length — and the final sketch is
+    IDENTICAL to a batch :func:`..operators.sketch.hll_sketches` over the
+    same rows (asserted in test_streaming.py), because HLL union is
+    order-insensitive.  The streaming twin of the batch distinct-rollup
+    tier: corpus-wide distinct counts that stay current as shards land.
+    """
+    from text_extensions_for_pandas_spark.operators.sketch import DEFAULT_LG_K
+
+    return (
+        documents.groupBy(group_col)
+        .agg(F.hll_sketch_agg(value_col, F.lit(DEFAULT_LG_K)).alias("sketch"))
+        .withColumn("estimate", F.hll_sketch_estimate("sketch").cast("bigint"))
+    )
