@@ -225,3 +225,43 @@ def test_combine_raw_spans_docs_and_to_match(spark):
     got = {(r.fold, r.doc_id) for r in restricted.collect()}
     assert got == {("train", 0), ("test", 1)}
     assert restricted.count() == 4
+
+
+def test_chunk_document_spans_coverage(spark):
+    """Every token is inside >=1 chunk; chunk token budgets hold; spans
+    slice back to text that starts/ends on token boundaries."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        tokenize_whitespace,
+    )
+    from text_extensions_for_pandas_spark.operators.windows import (
+        chunk_document_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = tokenize_whitespace(docs)
+    window, stride = 12, 8
+    chunks = chunk_document_spans(toks, window=window, stride=stride).cache()
+
+    # budgets: every chunk has 1..window tokens; only the last chunk of a
+    # doc may be shorter than window when the doc has >= window tokens
+    rows = chunks.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_tok = {r.doc_id: r.n for r in toks.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        for r in rs[:-1]:
+            assert r.n_tokens == window, (d, r)
+        assert 1 <= rs[-1].n_tokens <= window
+        if n_tok[d] >= window:
+            assert rs[0].n_tokens == window
+    # coverage: chunk char ranges jointly cover every token span
+    cov = toks.alias("t").join(
+        chunks.alias("c"),
+        (F.col("t.doc_id") == F.col("c.doc_id"))
+        & (F.col("t.span.begin") >= F.col("c.span.begin"))
+        & (F.col("t.span.end") <= F.col("c.span.end")),
+        "left_anti",
+    )
+    assert cov.count() == 0

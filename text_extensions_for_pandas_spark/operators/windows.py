@@ -108,3 +108,61 @@ def windows_to_seq(
         .filter(F.col("__rn") == 1)
         .select(doc_col, "token_idx", F.col("__value").alias(value_col))
     )
+
+
+def chunk_document_spans(
+    tokens: DataFrame,
+    window: int = 512,
+    stride: int = 384,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-token-budget chunks with overlap,
+    returned as CHAR spans over the original text — the context-window
+    chunking step of an LLM training pipeline (long doc → model-sized
+    pieces; pairs with sequence packing, which bins the pieces).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + window)``; the last
+    chunk is the remainder (every token lands in >=1 chunk when
+    ``stride <= window``).  Output: ``(doc_col, chunk_idx, span, n_tokens)``.
+
+    Plan shape: one groupBy(doc) assembles the per-doc offset arrays, then
+    a narrow ``sequence``-explode computes chunk boundaries by array index —
+    documents are the parallelism unit, and a document's token offsets fit
+    an executor by the same assumption that makes it usable training data.
+    No window functions, no second shuffle.
+    """
+    if stride <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    agg = tokens.groupBy(doc_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("token_idx"),
+                    F.col("span")["begin"].alias("b"),
+                    F.col("span")["end"].alias("e"),
+                )
+            )
+        ).alias("__toks")
+    )
+    n = F.size("__toks")
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(stride))
+    ).cast("int")
+    out = agg.select(
+        F.col(doc_col),
+        n.alias("__n"),
+        F.col("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    stop = F.least(start + window, F.col("__n"))  # exclusive
+    return out.select(
+        doc_col,
+        "chunk_idx",
+        F.struct(
+            F.element_at("__toks", start + 1)["b"].alias("begin"),
+            F.element_at("__toks", stop)["e"].alias("end"),
+        ).alias("span"),
+        (stop - start).cast("int").alias("n_tokens"),
+    )

@@ -2386,6 +2386,48 @@ FROM grouped ORDER BY doc_id, window_id
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into 40-token chunks
+    with 10-token overlap (stride 30), as char spans — the long-document →
+    model-context step of a training pipeline."""
+    from text_extensions_for_pandas_spark.operators.windows import (
+        chunk_document_spans,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    out = chunk_document_spans(toks, window=40, stride=30)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("span")["begin"].alias("begin"),
+        F.col("span")["end"].alias("end"),
+        "n_tokens",
+    ).orderBy("doc_id", "chunk_idx")
+
+
+Q_CHUNK_DOCUMENTS_SQL = f"""
+WITH {TOKS_CTE},
+agg AS (
+  SELECT doc_id,
+         list("begin" ORDER BY token_idx) AS bs,
+         list("end" ORDER BY token_idx) AS es,
+         count(*) AS n
+  FROM toks GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS INTEGER) AS chunk_idx,
+         bs[CAST(i * 30 + 1 AS INTEGER)] AS "begin",
+         es[CAST(least(i * 30 + 40, n) AS INTEGER)] AS "end",
+         CAST(least(i * 30 + 40, n) - i * 30 AS INTEGER) AS n_tokens
+  FROM agg,
+       unnest(range(CAST(1 + ceil(greatest(n - 40, 0) / 30.0) AS BIGINT))) t(i)
+)
+SELECT doc_id, chunk_idx, "begin", "end", n_tokens
+FROM chunks ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_accuracy_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document entity P/R/F1 of model m3 against gold."""
     from text_extensions_for_pandas_spark.operators.cleaning import (
@@ -3718,12 +3760,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # new: sklearn-style token-classification report + per-model ensemble F1
     "classification_report": (q_classification_report, Q_CLASSIFICATION_REPORT_SQL),
     "f1_ensemble": (q_f1_ensemble, Q_F1_ENSEMBLE_SQL),
+    "chunk_documents": (q_chunk_documents, Q_CHUNK_DOCUMENTS_SQL),
     # -- rotation fill (r03-verified, re-checked this round) --
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
     "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
-    "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     # ------------------- gate boundary (position 50) -------------------
+    "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     "prob_product": (q_prob_product, Q_PROB_PRODUCT_SQL),
     "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
     "doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
