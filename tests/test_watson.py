@@ -169,3 +169,40 @@ def test_get_raw_html(spark, tmp_path):
     assert rows[0] == html[table_begin:end]
     assert rows[0].startswith("<table id='t1'>")
     assert rows[1] is None
+
+
+def test_attach_sentence_spans(nlu):
+    rel = W.attach_sentence_spans(nlu["relations"], nlu["syntax_sentences"])
+    rows = rel.collect()
+    assert len(rows) == nlu["relations"].count()
+    for r in rows:
+        if r.sentence_span is not None:
+            assert r.sentence_span.begin <= r.arg0_span.begin
+            assert r.arg0_span.end <= r.sentence_span.end
+
+
+def test_make_table_header_order(tables):
+    cells = W.tables_body_cells(tables)
+    pivoted = W.make_table(cells)
+    # pivoted value columns appear in physical column order, not alphabetical
+    value_cols = [
+        c for c in pivoted.columns
+        if c not in ("doc_id", "table_idx") and not c.startswith("row_header_texts_")
+    ]
+    pos = {
+        r["__col"]: r["__pos"]
+        for r in cells.withColumn(
+            "__col",
+            F.concat_ws(
+                " / ",
+                F.get("column_header_texts", 0),
+                F.get("column_header_texts", 1),
+            ),
+        )
+        .groupBy("__col")
+        .agg(F.min("column_index_begin").alias("__pos"))
+        .collect()
+    }
+    got = [pos.get(c.split(" / ")[0], pos.get(c)) for c in value_cols]
+    got = [p for p in got if p is not None]
+    assert got == sorted(got) and len(got) >= 2

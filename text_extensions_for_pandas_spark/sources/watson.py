@@ -162,6 +162,29 @@ def nlu_relations(responses: DataFrame) -> DataFrame:
     )
 
 
+def attach_sentence_spans(
+    relations: DataFrame,
+    sentences: DataFrame,
+    span_col: str = "arg0_span",
+) -> DataFrame:
+    """Attach each relation's containing sentence span (reference
+    ``_make_relations_dataframe``'s per-row binary-search loop,
+    ``io/watson/nlu.py:231-256``) — here a containment equijoin against
+    :func:`nlu_syntax_sentences`, so the lookup distributes instead of
+    running on the driver.  Adds ``sentence_span``; relations whose
+    ``span_col`` lies outside every sentence keep NULL."""
+    s = sentences.select(
+        "doc_id",
+        F.col("span").alias("sentence_span"),
+    )
+    cond = (
+        (relations["doc_id"] == s["doc_id"])
+        & (relations[span_col]["begin"] >= s["sentence_span"]["begin"])
+        & (relations[span_col]["end"] <= s["sentence_span"]["end"])
+    )
+    return relations.join(s, cond, "left").drop(s["doc_id"])
+
+
 def nlu_semantic_roles(responses: DataFrame) -> DataFrame:
     s = responses.select("doc_id", F.explode("semantic_roles").alias("sr"))
     return s.select(
@@ -357,23 +380,39 @@ def make_table(
     value_col: str = "text",
     concat_with: str = " | ",
     max_header_levels: int = 2,
+    sort_headers: bool = True,
 ) -> DataFrame:
     """Reconstruct the human-readable table: group by row headers, pivot on
     the (concatenated) column-header path, join duplicate cell texts
     (reference ``make_table_from_exploded_df``,
     ``io/watson/tables.py:584-663``; pandas ``pivot_table`` →
     ``groupBy().pivot()``).
+
+    ``sort_headers=True`` orders the pivoted output columns by each
+    header's physical column position in the source table (reference
+    ``_sort_merge_headers`` / recursive multiindex ordering,
+    ``io/watson/tables.py:303-325``) instead of Spark's default
+    alphabetical pivot order.  The distinct header list is collected to
+    the driver to fix the order — it is the TABLE WIDTH, a few dozen
+    values, independent of corpus size.
     """
     exploded, row_cols, col_cols = make_exploded_df(body_cells, max_header_levels)
     pivot_key = F.concat_ws(
         " / ", *[F.nullif(F.col(c), F.lit("")) for c in col_cols]
     )
-    return (
-        exploded.withColumn("__col", pivot_key)
-        .groupBy("doc_id", "table_idx", *row_cols)
-        .pivot("__col")
-        .agg(F.concat_ws(concat_with, F.collect_list(value_col)))
-    )
+    keyed = exploded.withColumn("__col", pivot_key)
+    grouped = keyed.groupBy("doc_id", "table_idx", *row_cols)
+    if sort_headers:
+        order = (
+            keyed.groupBy("__col")
+            .agg(F.min("column_index_begin").alias("__pos"))
+            .orderBy("__pos", "__col")
+            .collect()
+        )
+        pivoted = grouped.pivot("__col", [r["__col"] for r in order])
+    else:
+        pivoted = grouped.pivot("__col")
+    return pivoted.agg(F.concat_ws(concat_with, F.collect_list(value_col)))
 
 
 def convert_cols_to_numeric(
