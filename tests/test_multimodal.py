@@ -202,3 +202,50 @@ def test_real_decode_feature_parity(spark):
         small = gray[yi][:, xi]
         bits = (small > small.mean()).flatten()
         assert f.phash == f"{int(''.join('1' if b else '0' for b in bits), 2):016x}"
+
+
+def test_real_wav_decode_closed_form(spark):
+    """PCM16 WAV built in-test decodes for real: a full-scale square wave
+    at sr/2 has RMS ~= 1.0 and a zero crossing at every sample boundary —
+    closed-form values no fake could produce."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def wav_bytes(samples_i16, sr=8000, ch=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(samples_i16.tobytes())
+        return buf.getvalue()
+
+    n = 1000
+    square = (np.tile([32767, -32767], n // 2)).astype("<i2")
+    silence = np.zeros(n, dtype="<i2")
+    stereo = np.ravel(
+        np.column_stack([square, square])
+    ).astype("<i2")  # same signal both channels -> mono mixdown identical
+    assets = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav_bytes(square)), None),
+            (2, "audio", bytearray(wav_bytes(silence)), None),
+            (3, "audio", bytearray(wav_bytes(stereo, ch=2)), None),
+        ],
+        "asset_id long, kind string, content binary, "
+        "meta struct<height:int,width:int,channels:int,sample_rate:int>",
+    )
+    from text_extensions_for_pandas_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    rows = {r.asset_id: r for r in audio_features(assets).collect()}
+    assert rows[1].n_samples == n and rows[1].sample_rate == 8000
+    assert abs(rows[1].rms - 1.0) < 1e-3
+    assert rows[1].zero_crossings == n - 1
+    assert rows[2].rms == 0.0 and rows[2].zero_crossings == 0
+    # stereo mixdown: identical channels -> identical mono stats
+    assert abs(rows[3].rms - rows[1].rms) < 1e-6
+    assert rows[3].n_samples == n

@@ -147,9 +147,40 @@ def _decode_image_bytes(content: bytes, meta) -> np.ndarray:
         return _fake_pixels(content, h, w, c)
 
 
+def _decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode of RIFF/WAVE PCM (8- or 16-bit) with stdlib ``wave`` +
+    numpy — uncompressed like PPM/BMP, so no codec needed.  Multi-channel
+    clips are mixed down to mono (mean)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr, sr
+
+
 def _decode_audio_bytes(content: bytes, meta) -> tuple[np.ndarray, int]:
     """Decode one audio clip to (float32 samples in [-1, 1], sample_rate).
-    DETERMINISTIC FAKE (md5-seeded noise) — no audio codec in container."""
+
+    Real path: RIFF/WAVE PCM via :func:`_decode_wav` (pure numpy/stdlib).
+    Compressed formats (no codec in this container) fall back to the
+    clearly-marked DETERMINISTIC FAKE (md5-seeded noise)."""
+    if content and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        try:
+            return _decode_wav(content)
+        except Exception:
+            pass  # malformed header — fall through to the fake
     sr = int(meta["sample_rate"]) if meta is not None and meta["sample_rate"] else 8000
     n = max(1, len(content or b""))
     seed = int.from_bytes(hashlib.md5(content or b"").digest()[:8], "big")
