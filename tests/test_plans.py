@@ -323,3 +323,38 @@ def test_encoding_metrics_no_shuffle_no_udf(docs):
     plan = plan_of(q, "simple")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_accidental_nested_loop_joins_across_registry(spark):
+    """Global plan-hygiene guard: building every registered query's physical
+    plan, no BroadcastNestedLoopJoin or CartesianProduct may appear except
+    in the whitelisted queries that use a deliberate broadcast cross join
+    (exact ANN tier and scalar-broadcast shapes).  Plan-only — nothing
+    executes — so this sweeps all ~90 queries in seconds and catches a
+    future operator change that silently degrades a join to O(n*m)."""
+    from text_extensions_for_pandas_spark.queries import REGISTRY
+
+    # deliberate: broadcast-scalar cross joins (1-row frames) or the
+    # documented exact-ANN tier (small broadcast query set x corpus)
+    allowed = {
+        "ann_cosine_topk", "near_dup_embedding", "ivf_topk", "ann_lsh_topk",
+        "bm25_search", "doc_surprisal", "q14_promo_effect", "q8_market_share",
+        "q15_top_supplier", "q19_discounted_revenue", "q22_sales_opportunity",
+        "f1_ensemble", "decontam_overlap", "corpus_mixture", "q6_forecast_revenue",
+        "pack_sequences", "q_events_funnel", "prob_product",
+        # broadcast-bounded build sides: dictionary frame (length-gated
+        # entry join), k centroids, corpus-constant scalar
+        "extract_dict_rowwise", "ivf_clusters", "tfidf_top_terms",
+    }
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, (fn, _) in REGISTRY.items():
+        try:
+            plan = plan_of(fn(spark, sf), "simple")
+        except Exception as e:  # noqa: BLE001 — a broken build is its own failure
+            bad[name] = f"plan build failed: {e}"
+            continue
+        has_nl = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+        if has_nl and name not in allowed:
+            bad[name] = "nested-loop/cartesian join in plan"
+    assert not bad, bad
