@@ -358,3 +358,13 @@ def test_no_accidental_nested_loop_joins_across_registry(spark):
         if has_nl and name not in allowed:
             bad[name] = "nested-loop/cartesian join in plan"
     assert not bad, bad
+
+
+def test_q2_correlated_subquery_decorrelates(spark):
+    """The SQL-front-end correlated min subquery must decorrelate into an
+    aggregate + join — never a per-row re-execution (no nested loop)."""
+    from text_extensions_for_pandas_spark.queries import q2_min_cost_supplier
+
+    plan = plan_of(q2_min_cost_supplier(spark, "/root/testdata/sf0.001"), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "min(" in plan and plan.count("Scan parquet") >= 2, plan

@@ -802,6 +802,42 @@ ORDER BY n_name
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per nation via a CORRELATED scalar
+    subquery, submitted through the SQL front-end (the rest of the suite is
+    DataFrame-built; this exercises the other entry path).  Catalyst
+    decorrelates the subquery into a per-nation min aggregate + equijoin —
+    no per-row re-execution — asserted in test_plans.py."""
+    for t in ("supplier", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"__q2_{t}")
+    return spark.sql(
+        """
+        SELECT n_name, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+        FROM __q2_supplier s
+        JOIN __q2_nation n ON s.s_nationkey = n.n_nationkey
+        JOIN __q2_region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name IN ('EUROPE', 'ASIA')
+          AND s.s_acctbal = (SELECT min(s2.s_acctbal)
+                             FROM __q2_supplier s2
+                             WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY n_name, s_name
+        """
+    )
+
+
+Q2_SQL = """
+SELECT n_name, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('EUROPE', 'ASIA')
+  AND s.s_acctbal = (SELECT min(s2.s_acctbal)
+                     FROM supplier s2
+                     WHERE s2.s_nationkey = s.s_nationkey)
+ORDER BY n_name, s_name
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -3761,11 +3797,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "classification_report": (q_classification_report, Q_CLASSIFICATION_REPORT_SQL),
     "f1_ensemble": (q_f1_ensemble, Q_F1_ENSEMBLE_SQL),
     "chunk_documents": (q_chunk_documents, Q_CHUNK_DOCUMENTS_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     # -- rotation fill (r03-verified, re-checked this round) --
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
-    "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
     # ------------------- gate boundary (position 50) -------------------
+    "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
     "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     "prob_product": (q_prob_product, Q_PROB_PRODUCT_SQL),
     "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
