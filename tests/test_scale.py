@@ -190,3 +190,30 @@ def test_write_partitioned_prunes_directories(spark, tmp_path):
         .toPandas()["n_chars"]
     )
     assert (one.diff().dropna() >= 0).all()
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    import random
+
+    from text_extensions_for_pandas_spark.operators.scale import zorder_key
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    pairs += [(0, 0), (65535, 65535), (1, 0), (0, 1)]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zorder_key("a", "b").alias("z")).collect()
+    }
+
+    def interleave(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == interleave(a, b), (a, b)
+    # locality sanity: nearby points share high bits more than far ones
+    assert got[(0, 0)] == 0 and got[(65535, 65535)] == (1 << 32) - 1
