@@ -466,3 +466,53 @@ def test_distinct_sketch_stream_batch_parity(spark):
         for r in hll_sketches(batch, ["lang"], "source").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """foreachBatch ingest dedup: batch 2's near-copies of batch 1 docs are
+    rejected by the persisted band index; survivors' bands extend it."""
+    import pyspark.sql.functions as PF
+
+    src = str(tmp_path / "src")
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 40")
+        .cache()
+    )
+    # batch 1: originals
+    docs.coalesce(1).write.parquet(src)
+    # batch 2: 20 near-copies (one char appended) + 20 genuinely new ids
+    near = docs.filter("doc_id < 20").select(
+        (PF.col("doc_id") + 1000).alias("doc_id"),
+        PF.concat("text", PF.lit(" x")).alias("text"),
+    )
+    fresh = spark.createDataFrame(
+        [(2000 + i, f"completely unrelated fresh document number {i} "
+                    f"with its own words {i*7} {i*13}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    near.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = STR.streaming_incremental_dedup(
+        stream,
+        index_path=str(tmp_path / "index"),
+        out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(180)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    # all fresh docs kept; near-copies (1000-1019) rejected
+    assert all(2000 + i in kept for i in range(20))
+    rejected = [i for i in range(1000, 1020) if i not in kept]
+    assert len(rejected) >= 15, rejected  # LSH recall: the vast majority caught
+    # the index covers exactly the accepted docs
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == kept

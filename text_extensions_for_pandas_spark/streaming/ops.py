@@ -353,3 +353,85 @@ def streaming_distinct_sketches(
         .agg(F.hll_sketch_agg(value_col, F.lit(DEFAULT_LG_K)).alias("sketch"))
         .withColumn("estimate", F.hll_sketch_estimate("sketch").cast("bigint"))
     )
+
+
+def streaming_incremental_dedup(
+    documents: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    shingle_n: int = 3,
+    n_hashes: int = 8,
+    rows_per_band: int = 4,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Ingest-time near-dup dedup as a ``foreachBatch`` loop: each
+    micro-batch probes the PERSISTED LSH band index for near-duplicates of
+    everything already accepted, writes only the survivors, and appends
+    their bands to the index — so an arriving shard is hashed once and the
+    accepted corpus is never re-signatured (the
+    :func:`..operators.dedup.incremental_candidates` append workflow, made
+    continuous).
+
+    State is the parquet band index itself (restart-safe: the checkpoint
+    replays unfinished batches; the left-anti probe makes re-processing a
+    batch idempotent for dedup decisions).  Within-batch duplicates are
+    also dropped (batch-local LSH candidates, lowest doc id survives).
+    Returns the started-not-yet StreamingQuery writer — call
+    ``.start()``/``awaitTermination`` at the ingest site.
+    """
+    from pyspark.errors import AnalysisException
+
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        doc_shingles,
+        incremental_candidates,
+        lsh_bands,
+        minhash_candidates,
+        minhash_signatures,
+    )
+
+    def _bands(df):
+        return lsh_bands(
+            minhash_signatures(
+                doc_shingles(df, shingle_n, text_col, doc_col, distinct=False),
+                n_hashes,
+                doc_col,
+            ),
+            rows_per_band,
+            doc_col,
+        )
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        # 1. drop within-batch near-dups (keep the lowest doc id per pair)
+        pairs = minhash_candidates(
+            batch_df, shingle_n=shingle_n, n_hashes=n_hashes,
+            rows_per_band=rows_per_band, text_col=text_col, doc_col=doc_col,
+        )
+        self_dupes = pairs.select(
+            F.greatest("doc_a", "doc_b").alias(doc_col)
+        ).distinct()
+        batch_kept = batch_df.join(self_dupes, doc_col, "left_anti")
+        # 2. probe the persisted index (bootstrap: no index yet)
+        try:
+            index = spark.read.parquet(index_path)
+            cands = incremental_candidates(
+                batch_kept, index, shingle_n=shingle_n, n_hashes=n_hashes,
+                rows_per_band=rows_per_band, text_col=text_col, doc_col=doc_col,
+            )
+            dupes = cands.select(F.col("new_doc").alias(doc_col)).distinct()
+            kept = batch_kept.join(dupes, doc_col, "left_anti")
+        except AnalysisException:
+            kept = batch_kept
+        kept = kept.localCheckpoint()
+        # 3. accept survivors; extend the index with their bands
+        kept.write.mode("append").parquet(out_path)
+        _bands(kept).write.mode("append").parquet(index_path)
+
+    return (
+        documents.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
