@@ -1204,3 +1204,71 @@ def test_f1_ensemble_zero_prediction_model(spark):
     assert out["m1"]["f1"] == 1.0
     assert out["m_silent"]["tp"] == 0 and out["m_silent"]["n_pred"] == 0
     assert out["m_silent"]["precision"] == 0.0 and out["m_silent"]["f1"] == 0.0
+
+
+def test_reference_namespace_compatibility(ref):
+    """A migrating user's reference-shaped imports must resolve: every
+    ``tp.spanner`` export, the ``tp.io`` module layout, the
+    ``tp.cleaning.{analysis,ensemble,preprocess}`` functions, and
+    ``tp.jupyter.pretty_print_html`` exist under the Spark package's alias
+    namespaces.  Documented absences: downloaders (no network),
+    ``run_with_progress_bar`` (Spark UI), ``DataFrameWidget`` (interactive
+    ipywidgets), ``create_bert_actor_class`` (Ray — Spark IS the runtime).
+    """
+    import importlib
+    import inspect
+
+    import text_extensions_for_pandas_spark as teps
+
+    # spanner: exact export parity
+    ref_spanner = importlib.import_module(
+        "text_extensions_for_pandas.spanner"
+    )
+    ours = importlib.import_module("text_extensions_for_pandas_spark.spanner")
+    ref_names = [
+        n for n in dir(ref_spanner)
+        if inspect.isfunction(getattr(ref_spanner, n))
+    ]
+    for n in ref_names:
+        assert hasattr(ours, n), f"spanner.{n} missing"
+
+    # io: module layout
+    io_mod = importlib.import_module("text_extensions_for_pandas_spark.io")
+    for sub in ("conll", "spacy", "bert", "watson"):
+        assert hasattr(io_mod, sub), f"io.{sub} missing"
+    assert hasattr(io_mod.conll, "conll_2003_to_dataframe")
+    assert hasattr(io_mod.spacy, "make_tokens_and_features")
+    assert hasattr(io_mod.bert, "make_bert_tokens")
+    assert hasattr(io_mod.conll, "default_ewt_metadata")
+
+    # cleaning: function-level parity with documented exceptions
+    skip = {"create_bert_actor_class"}
+    for sub, ours_name in (
+        ("analysis", "analysis"), ("ensemble", "ensemble"),
+        ("preprocess", "preprocess"),
+    ):
+        ref_mod = importlib.import_module(
+            f"text_extensions_for_pandas.cleaning.{sub}"
+        )
+        our_mod = importlib.import_module(
+            f"text_extensions_for_pandas_spark.cleaning.{ours_name}"
+        )
+        mapped = {
+            # reference name -> our name where they differ
+            "create_f1_score_report": "create_classification_report",
+            "create_f1_score_report_iob": "create_f1_report",
+            "create_f1_report_ensemble_iob": "create_f1_report_ensemble",
+            "infer_and_extract_raw_entites": "infer_and_extract_raw_entites",
+        }
+        for n in dir(ref_mod):
+            fn = getattr(ref_mod, n)
+            if not (inspect.isfunction(fn) and not n.startswith("_")):
+                continue
+            if inspect.getmodule(fn) is not ref_mod or n in skip:
+                continue
+            assert hasattr(our_mod, mapped.get(n, n)), f"cleaning.{sub}.{n}"
+
+    # jupyter
+    jup = importlib.import_module("text_extensions_for_pandas_spark.jupyter")
+    assert hasattr(jup, "pretty_print_html")
+    del teps
