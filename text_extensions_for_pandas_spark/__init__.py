@@ -23,6 +23,10 @@ Design (see SURVEY.md §1.4, §7):
 
 from text_extensions_for_pandas_spark.session import get_spark
 
+# reference-shaped namespaces (`import text_extensions_for_pandas_spark as
+# tp; tp.spanner.extract_dict(...)` — the reference's import idiom)
+from text_extensions_for_pandas_spark import cleaning, io, jupyter, spanner  # noqa: E402,F401
+
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = ["get_spark", "spanner", "io", "cleaning", "jupyter", "__version__"]
