@@ -368,3 +368,14 @@ def test_q2_correlated_subquery_decorrelates(spark):
     plan = plan_of(q2_min_cost_supplier(spark, "/root/testdata/sf0.001"), "simple")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "min(" in plan and plan.count("Scan parquet") >= 2, plan
+
+
+def test_extract_dict_single_hash_aggregate(spark, docs):
+    """extract_dict's match aggregation must stay hash-based with one agg
+    exchange: count(*) + positional min/max, never the countDistinct +
+    struct-min/max form that plans as a double-exchange SortAggregate."""
+    d = create_dict(spark, ["table scan", "hash join", "spark"])
+    plan = plan_of(extract_dict(T.tokenize_whitespace(docs), d), "simple")
+    assert "SortAggregate" not in plan, plan
+    # tokenizer window exchange + one agg exchange
+    assert plan.count("Exchange") <= 2, plan

@@ -267,13 +267,22 @@ def extract_dict(
         F.col("span")["begin"].alias("__char_b"),
         F.col("span")["end"].alias("__char_e"),
     )
+    # (doc, entry, __begin_tok, pos) is unique by construction — one corpus
+    # token owns each token_idx and the dictionary has one row per (entry,
+    # pos) — so plain count(*) equals the distinct-position count, and the
+    # match's char endpoints are simply the pos==0 / pos==n-1 rows' values.
+    # This keeps the aggregation hash-based with ONE exchange; the earlier
+    # countDistinct + min/max-over-struct form planned as a double-exchange
+    # SortAggregate chain.
     matches = (
         cand.filter(F.col("__begin_tok") >= 0)
         .groupBy(doc_col, "entry_id", "n_toks", "__begin_tok")
         .agg(
-            F.countDistinct("pos").alias("__npos"),
-            F.min(F.struct("pos", "__char_b")).alias("__first"),
-            F.max(F.struct("pos", "__char_e")).alias("__last"),
+            F.count("*").alias("__npos"),
+            F.min(F.when(F.col("pos") == 0, F.col("__char_b"))).alias("__b"),
+            F.max(
+                F.when(F.col("pos") == F.col("n_toks") - 1, F.col("__char_e"))
+            ).alias("__e"),
         )
         .filter(F.col("__npos") == F.col("n_toks"))
     )
@@ -282,7 +291,7 @@ def extract_dict(
         make_token_span(
             F.col("__begin_tok"), F.col("__begin_tok") + F.col("n_toks")
         ).alias("token_span"),
-        make_span(F.col("__first.__char_b"), F.col("__last.__char_e")).alias("span"),
+        make_span(F.col("__b"), F.col("__e")).alias("span"),
         F.col("entry_id"),
     )
 

@@ -3798,10 +3798,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "f1_ensemble": (q_f1_ensemble, Q_F1_ENSEMBLE_SQL),
     "chunk_documents": (q_chunk_documents, Q_CHUNK_DOCUMENTS_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    # plan changed this round (hash-aggregate match grouping) — re-gate
+    "extract_dict": (q_extract_dict, Q_EXTRACT_DICT_SQL),
     # -- rotation fill (r03-verified, re-checked this round) --
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
-    "bm25_search": (q_bm25, Q_BM25_SQL),
     # ------------------- gate boundary (position 50) -------------------
+    "bm25_search": (q_bm25, Q_BM25_SQL),
     "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
     "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     "prob_product": (q_prob_product, Q_PROB_PRODUCT_SQL),
@@ -3836,7 +3838,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tokenize": (q_tokenize, Q_TOKENIZE_SQL),
     "extract_regex": (q_extract_regex, Q_EXTRACT_REGEX_SQL),
     "extract_regex_native": (q_extract_regex_native, Q_EXTRACT_REGEX_SQL),
-    "extract_dict": (q_extract_dict, Q_EXTRACT_DICT_SQL),
+    # (extract_dict rotated into the gate this round — plan change)
     "extract_dict_rowwise": (q_extract_dict_rowwise, Q_EXTRACT_DICT_SQL),
     "adjacent_join": (q_adjacent_join, Q_ADJACENT_SQL),
     "overlap_join": (q_overlap_join, Q_OVERLAP_SQL),
