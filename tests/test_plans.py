@@ -379,3 +379,18 @@ def test_extract_dict_single_hash_aggregate(spark, docs):
     assert "SortAggregate" not in plan, plan
     # tokenizer window exchange + one agg exchange
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_minhash_signature_agg_is_hash_based(spark, docs):
+    """The per-doc signature aggregation must be a hash aggregate (numeric
+    min buffers), never a SortAggregate sorting the whole shingle stream."""
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        doc_shingles,
+        minhash_signatures,
+    )
+
+    plan = plan_of(
+        minhash_signatures(doc_shingles(docs, distinct=False)), "simple"
+    )
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan

@@ -94,13 +94,29 @@ def minhash_signatures(
             for s in range(n_seeds)
         ],
     )
-    return hashed.groupBy(doc_col).agg(
+    # aggregate NUMERICALLY: fixed-width lowercase hex orders identically
+    # to its integer value, but a string min buffer forces SortAggregate
+    # (strings are not hash-agg-mutable) — sorting the whole shingle
+    # stream per partition.  conv() to BIGINT keeps the partial aggregate
+    # hash-based (plan-asserted); the hex form is re-encoded after.
+    mins = hashed.groupBy(doc_col).agg(
         *[
             F.min(
-                F.substring(F.col(f"__m{i // 4}"), (i % 4) * 8 + 1, 8)
-            ).alias(f"mh_{i}")
+                F.conv(
+                    F.substring(F.col(f"__m{i // 4}"), (i % 4) * 8 + 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+            ).alias(f"__n{i}")
             for i in range(n_hashes)
         ]
+    )
+    return mins.select(
+        doc_col,
+        *[
+            F.lower(F.lpad(F.hex(F.col(f"__n{i}")), 8, "0")).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ],
     )
 
 
