@@ -100,9 +100,11 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (ties → lowest
     centroid id).  Centroids are broadcast; the per-vector argmax is a
-    ``max_by`` hash aggregate (map-side combinable) rather than a window
-    ``row_number`` — no per-vector sort, one narrow shuffle of
-    (vec, best) pairs."""
+    ``max_by`` aggregate (map-side combinable partial, one narrow shuffle
+    of (vec, best) pairs) rather than a window ``row_number``.  The
+    array-valued buffer makes it a SortAggregate, not a hash aggregate —
+    the deliberate trade: a single pass over the expensive N×k dot-product
+    stream beats re-deriving it to enable a hash-based two-step argmax."""
     c = centroids.select(
         F.col(centroid_id_col).alias("__cid"),
         F.col(vec_col).alias("__cvec"),
