@@ -698,3 +698,13 @@ def conll_output_to_dataframe(
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(_parse, schema=schema)
+
+
+# Reference entry-point names (``io/conll.py:1024-1235``): the reference
+# returns a LIST of per-document pandas frames; the Spark-native shape is
+# ONE DataFrame for the whole corpus with (fold, doc_id) keys — same rows,
+# one lazy plan instead of a driver-side list.  The plural names are kept
+# importable so reference-shaped code finds them.
+conll_2003_to_dataframes = conll_2003_to_dataframe
+conll_u_to_dataframes = conll_u_to_dataframe
+conll_2003_output_to_dataframes = conll_output_to_dataframe
