@@ -1272,3 +1272,58 @@ def test_reference_namespace_compatibility(ref):
     jup = importlib.import_module("text_extensions_for_pandas_spark.jupyter")
     assert hasattr(jup, "pretty_print_html")
     del teps
+
+
+def test_notebook_import_paths_resolve():
+    """Every tp.* attribute path used in the reference's own notebooks and
+    tutorials (extracted by scanning their code cells) must resolve through
+    the alias namespaces — except the array types (the Spark data model
+    replaces them) and the documented absences."""
+    import text_extensions_for_pandas_spark as tp
+
+    paths = [
+        "cleaning.analysis.csv_prep",
+        "cleaning.preprocess_documents",
+        "io.bert.add_embeddings",
+        "io.bert.align_bert_tokens_to_corpus_tokens",
+        "io.bert.conll_to_bert",
+        "io.bert.make_bert_tokens",
+        "io.conll.add_token_classes",
+        "io.conll.combine_folds",
+        "io.conll.compute_accuracy_by_document",
+        "io.conll.compute_global_accuracy",
+        "io.conll.conll_2003_output_to_dataframes",
+        "io.conll.conll_2003_to_dataframes",
+        "io.conll.conll_u_to_dataframes",
+        "io.conll.decode_class_labels",
+        "io.conll.iob_to_spans",
+        "io.conll.make_iob_tag_categories",
+        "io.conll.spans_to_iob",
+        "io.spacy.make_tokens",
+        "io.spacy.make_tokens_and_features",
+        "io.spacy.render_parse_tree",
+        "io.spacy.simple_tokenizer",
+        "io.watson.nlu.parse_response",
+        "io.watson.tables.convert_cols_to_numeric",
+        "io.watson.tables.make_exploded_df",
+        "io.watson.tables.make_table",
+        "io.watson.tables.parse_response",
+        "spanner.adjacent_join",
+        "spanner.consolidate",
+        "spanner.contain_join",
+        "spanner.extract.create_dict",
+        "spanner.extract_dict",
+        "spanner.extract_regex",
+        "spanner.extract_regex_tok",
+        "spanner.join.unpack_semijoin",
+        "spanner.overlap_join",
+    ]
+    missing = []
+    for p in paths:
+        obj = tp
+        for part in p.split("."):
+            obj = getattr(obj, part, None)
+            if obj is None:
+                missing.append(p)
+                break
+    assert not missing, missing

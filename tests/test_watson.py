@@ -206,3 +206,11 @@ def test_make_table_header_order(tables):
     got = [pos.get(c.split(" / ")[0], pos.get(c)) for c in value_cols]
     got = [p for p in got if p is not None]
     assert got == sorted(got) and len(got) >= 2
+
+
+def test_parse_tables_response_dict(spark):
+    dfs = W.parse_tables_response(spark, f"{DATA}/tables_doc1.json")
+    assert set(dfs) == {"row_headers", "col_headers", "body_cells"}
+    assert dfs["body_cells"].count() > 0
+    pivoted = W.make_table(dfs["body_cells"])
+    assert pivoted.count() > 0

@@ -21,3 +21,8 @@ _sys.modules[__name__ + ".analysis"] = analysis
 _sys.modules[__name__ + ".ensemble"] = ensemble
 
 __all__ = ["analysis", "ensemble", "preprocess"]
+
+# notebook-level conveniences the reference exposes at the package root
+from text_extensions_for_pandas_spark.sources.nlp_bridges import (  # noqa: E402,F401
+    preprocess_documents,
+)

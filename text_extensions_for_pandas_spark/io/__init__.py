@@ -21,3 +21,22 @@ for _sub, _mod in (("conll", conll), ("spacy", spacy), ("bert", bert), ("watson"
     _sys.modules[f"{__name__}.{_sub}"] = _mod
 
 __all__ = ["bert", "conll", "spacy", "watson"]
+
+# the reference nests Watson parsers one level deeper (io.watson.nlu /
+# io.watson.tables); expose those paths with the reference's local names
+import types as _types
+
+nlu = _types.ModuleType(__name__ + ".watson.nlu")
+nlu.parse_response = watson.parse_nlu_response
+nlu.make_span_from_entities = watson.make_span_from_entities
+tables = _types.ModuleType(__name__ + ".watson.tables")
+tables.parse_response = watson.parse_tables_response
+tables.make_exploded_df = watson.make_exploded_df
+tables.make_table = watson.make_table
+tables.make_table_from_exploded_df = watson.make_table
+tables.convert_cols_to_numeric = watson.convert_cols_to_numeric
+tables.get_raw_html = watson.get_raw_html
+watson.nlu = nlu
+watson.tables = tables
+_sys.modules[__name__ + ".watson.nlu"] = nlu
+_sys.modules[__name__ + ".watson.tables"] = tables

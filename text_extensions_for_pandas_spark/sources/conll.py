@@ -708,3 +708,21 @@ def conll_output_to_dataframe(
 conll_2003_to_dataframes = conll_2003_to_dataframe
 conll_u_to_dataframes = conll_u_to_dataframe
 conll_2003_output_to_dataframes = conll_output_to_dataframe
+
+
+# The reference exposes the IOB/class/accuracy machinery from ``io.conll``
+# (``io/conll.py:856-1542``); notebooks import them from there.  Their
+# implementations live in the operator modules — re-export under the
+# reference's home module so those imports resolve.
+from text_extensions_for_pandas_spark.operators.cleaning import (  # noqa: E402,F401
+    compute_accuracy_by_document,
+    compute_global_accuracy,
+)
+from text_extensions_for_pandas_spark.operators.iob import (  # noqa: E402,F401
+    add_token_classes,
+    decode_class_labels,
+    iob_to_iob2,
+    iob_to_spans,
+    make_iob_tag_categories,
+    spans_to_iob,
+)

@@ -573,3 +573,7 @@ def _render_tree_svg(tree: dict, x_step: int = 110, arc_step: int = 28) -> str:
             )
     parts.append("</svg>")
     return "".join(parts)
+
+
+# reference spelling of the tokenizer-object accessor (io/spacy.py:48)
+simple_tokenizer = simple_tokenize

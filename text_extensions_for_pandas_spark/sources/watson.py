@@ -492,3 +492,18 @@ def get_raw_html(spark: SparkSession, path: str) -> DataFrame:
             F.when(q > 0, sliced).alias("html"),
         )
     )
+
+
+def parse_tables_response(
+    spark: SparkSession, path: str
+) -> dict[str, DataFrame]:
+    """Parse Table-Understanding responses into the reference's
+    dfs-dict shape (``tables.parse_response``, ``io/watson/tables.py:
+    348-431``): ``row_headers`` / ``col_headers`` / ``body_cells``
+    DataFrames ready for :func:`make_exploded_df` / :func:`make_table`."""
+    tables = read_tables_responses(spark, path)
+    return {
+        "row_headers": tables_row_headers(tables),
+        "col_headers": tables_col_headers(tables),
+        "body_cells": tables_body_cells(tables),
+    }

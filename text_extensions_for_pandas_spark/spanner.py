@@ -41,3 +41,14 @@ __all__ = [
     "overlap_join",
     "unpack_semijoin",
 ]
+
+
+# the reference also exposes per-module paths (tp.spanner.extract.create_dict,
+# tp.spanner.join.unpack_semijoin); mirror them
+import sys as _sys
+
+from text_extensions_for_pandas_spark.operators import extract  # noqa: E402,F401
+from text_extensions_for_pandas_spark.operators import join  # noqa: E402,F401
+
+_sys.modules[__name__ + ".extract"] = extract
+_sys.modules[__name__ + ".join"] = join
