@@ -263,3 +263,64 @@ def test_encoding_metrics(spark):
     # clean accented text: nonascii ratio > 0 but no mojibake hits
     assert out[3].n_mojibake == 0 and out[3].n_control == 0
     assert 0 < out[3].nonascii_ratio < 0.5
+
+
+class TestQualityModel:
+    """Model-based quality filtering (operators/quality_model.py)."""
+
+    def _model_and_docs(self, spark):
+        from text_extensions_for_pandas_spark.operators.quality_model import (
+            train_quality_classifier,
+        )
+
+        # separable synthetic corpora: "reference" prose vs keyword-spam
+        pos = spark.createDataFrame(
+            [(i, f"a thoughtful article about science number {i} with "
+                 "clear prose and careful structure and the usual words")
+             for i in range(60)],
+            ["doc_id", "text"],
+        )
+        neg = spark.createDataFrame(
+            [(i, f"buy cheap pills casino bonus {i} click free win "
+                 "casino pills buy buy win")
+             for i in range(60)],
+            ["doc_id", "text"],
+        )
+        model = train_quality_classifier(pos, neg, max_iter=25)
+        mixed = pos.limit(20).withColumn("kind", F.lit("good")).unionByName(
+            neg.limit(20).withColumn("kind", F.lit("spam"))
+        )
+        return model, mixed
+
+    def test_scores_separate_classes(self, spark):
+        from text_extensions_for_pandas_spark.operators.quality_model import (
+            score_quality,
+        )
+
+        model, mixed = self._model_and_docs(spark)
+        rows = score_quality(model, mixed).collect()
+        good = [r.quality_score for r in rows if r.kind == "good"]
+        spam = [r.quality_score for r in rows if r.kind == "spam"]
+        assert min(good) > 0.8 and max(spam) < 0.2
+        assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+
+    def test_pareto_filter_deterministic_and_monotone(self, spark):
+        from text_extensions_for_pandas_spark.operators.quality_model import (
+            pareto_filter,
+        )
+
+        scored = spark.createDataFrame(
+            [(i, 0.95) for i in range(200)]
+            + [(1000 + i, 0.05) for i in range(200)],
+            ["doc_id", "quality_score"],
+        )
+        kept1 = {r.doc_id for r in pareto_filter(scored).collect()}
+        kept2 = {r.doc_id for r in pareto_filter(scored).collect()}
+        assert kept1 == kept2  # derandomized: exact reproducibility
+        hi = sum(1 for d in kept1 if d < 1000)
+        lo = sum(1 for d in kept1 if d >= 1000)
+        # closed-form keep rates under the GPT-3 rule: P(pareto > 1-s)
+        # = (2-s)^-alpha -> 0.645 at s=0.95, 0.0024 at s=0.05
+        assert abs(hi - 0.645 * 200) < 40, hi
+        assert lo <= 5, lo
+        assert hi > 10 * max(lo, 1)  # strongly monotone in score
