@@ -516,3 +516,34 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     # the index covers exactly the accepted docs
     idx = spark.read.parquet(str(tmp_path / "index"))
     assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == kept
+
+
+def test_quality_scoring_stream_batch_parity(spark):
+    """The fitted quality pipeline (hashing TF / IDF / LR) is all narrow
+    transforms, so scoring a stream yields exactly the batch scores, and
+    the derandomized Pareto gate keeps exactly the same documents."""
+    from text_extensions_for_pandas_spark.operators.quality_model import (
+        pareto_filter,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pos = batch.filter("doc_id % 2 = 0").limit(40)
+    neg = batch.filter("doc_id % 2 = 1").limit(40).selectExpr(
+        "doc_id", "repeat('spam casino pills ', 30) AS text"
+    )
+    model = train_quality_classifier(pos, neg, max_iter=15)
+
+    docs = STR.read_documents_stream(spark, SF_DIR).select("doc_id", "text")
+    kept_stream_df = pareto_filter(score_quality(model, docs))
+    _run_to_memory(kept_stream_df.select("doc_id", "quality_score"), "t_q")
+    got = {(r.doc_id, r.quality_score) for r in spark.table("t_q").collect()}
+
+    want = {
+        (r.doc_id, r.quality_score)
+        for r in pareto_filter(
+            score_quality(model, batch.select("doc_id", "text"))
+        ).select("doc_id", "quality_score").collect()
+    }
+    assert got == want and len(want) > 0
