@@ -64,6 +64,25 @@ def main() -> None:
     print("=== preparation funnel ===")
     corpus_funnel(docs).show()
 
+    # 3b. Model-based quality gate (GPT-3 appendix A): train a
+    #     reference-vs-crawl classifier on a labeled sample, score every
+    #     document in one vectorized pass, and keep by the Pareto-smoothed
+    #     acceptance rule — derandomized, so re-runs keep the same docs.
+    from text_extensions_for_pandas_spark.operators.quality_model import (
+        pareto_filter,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    reference_sample = docs.filter(F.col("doc_id") % 7 == 0).limit(50)
+    crawl_sample = docs.filter(F.col("doc_id") % 7 == 3).limit(50).selectExpr(
+        "doc_id", "repeat('free bonus click now ', 25) AS text"
+    )
+    clf = train_quality_classifier(reference_sample, crawl_sample, max_iter=15)
+    gated = pareto_filter(score_quality(clf, clean.select("doc_id", "text", "split")))
+    print("=== model-quality gate: kept docs per split ===")
+    gated.groupBy("split").count().orderBy("split").show()
+
     # 4. Repeated-passage report: maximal cross-document repeated spans
     #    (cut candidates for passage-level dedup).
     print("=== largest repeated passages (top 5) ===")
