@@ -14,7 +14,7 @@ side is tiny (vocabulary-sized) and broadcasts.
 from __future__ import annotations
 
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from text_extensions_for_pandas_spark.functions.text import word_tokens
@@ -282,4 +282,44 @@ def bigram_lm(
         "w2",
         F.col("c12").cast("long").alias("c12"),
         F.round(F.col("c12") / F.col("__c1"), 6).alias("p"),
+    )
+
+
+def surprisal_buckets(
+    documents: DataFrame,
+    n_buckets: int = 3,
+    by: str = "lang",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's per-language perplexity bucketing (Wenzek et al., LREC'20
+    §4.3: each language's documents are split into head/middle/tail thirds
+    by LM perplexity; training mixes prefer the head).  Here the score is
+    :func:`unigram_surprisal` and the split is an exact ``ntile`` per
+    ``by`` group, tie-broken by ``doc_col`` for determinism.
+
+    Output: ``(doc_col, by, n_tokens, bits_per_token, bucket, bucket_name)``
+    with bucket 1 = lowest surprisal ("head").  The window sorts WITHIN
+    each language partition only — at corpus scale that is a per-language
+    sort of (doc, score) rows, not of documents' text.  For a shuffle-free
+    approximation at extreme scale, compute ``approx_percentile`` cut
+    points per language and assign by comparison instead.
+    """
+    names = {1: "head", 2: "middle", 3: "tail"}
+    scored = unigram_surprisal(documents, text_col, doc_col).join(
+        documents.select(doc_col, by), doc_col
+    )
+    w = Window.partitionBy(by).orderBy("bits_per_token", doc_col)
+    out = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    name_expr = F.lit(None).cast("string")
+    if n_buckets == 3:
+        name_expr = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    del names
+    return out.select(
+        doc_col, by, "n_tokens", "bits_per_token", "bucket",
+        name_expr.alias("bucket_name"),
     )

@@ -3394,6 +3394,57 @@ ORDER BY doc_id
 """
 
 
+def q_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail buckets by unigram
+    surprisal (exact ntile within language, deterministic tie-break)."""
+    from text_extensions_for_pandas_spark.operators.search import (
+        surprisal_buckets,
+    )
+
+    out = surprisal_buckets(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "bits_per_token",
+        F.col("bucket").cast("int").alias("bucket"),
+        "bucket_name",
+    ).orderBy("doc_id")
+
+
+Q_SURPRISAL_BUCKETS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+),
+t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+vocab AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+total AS (SELECT sum(c) AS n FROM vocab),
+bits AS (
+  SELECT tok, -log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS b
+  FROM vocab, total
+),
+scored AS (
+  SELECT t.doc_id AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(b.b), 6) AS bits_per_token
+  FROM t JOIN bits b USING (tok)
+  GROUP BY t.doc_id
+),
+bucketed AS (
+  SELECT s.doc_id, d.lang, s.n_tokens, s.bits_per_token,
+         CAST(ntile(3) OVER (
+           PARTITION BY d.lang ORDER BY s.bits_per_token, s.doc_id
+         ) AS INTEGER) AS bucket
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, lang, n_tokens, bits_per_token, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket_name
+FROM bucketed ORDER BY doc_id
+"""
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention over the event stream: users grouped by first-seen
     day, distinct active users per (cohort, day offset) — the standard
@@ -3800,9 +3851,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     # plan changed this round (hash-aggregate match grouping) — re-gate
     "extract_dict": (q_extract_dict, Q_EXTRACT_DICT_SQL),
-    # -- rotation fill (r03-verified, re-checked this round) --
-    "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
+    # new: CCNet-style per-language surprisal buckets
+    "surprisal_buckets": (q_surprisal_buckets, Q_SURPRISAL_BUCKETS_SQL),
     # ------------------- gate boundary (position 50) -------------------
+    "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
     "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
     "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
