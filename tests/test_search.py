@@ -324,3 +324,39 @@ class TestQualityModel:
         assert abs(hi - 0.645 * 200) < 40, hi
         assert lo <= 5, lo
         assert hi > 10 * max(lo, 1)  # strongly monotone in score
+
+
+def test_pack_by_budgets_per_dimension_invariants(spark):
+    """Multi-budget next-fit: per DIMENSION, each bin's total minus its
+    last item stays under that budget, and bins are contiguous per shard."""
+    from text_extensions_for_pandas_spark.operators.pipeline import (
+        pack_by_budgets,
+    )
+
+    rows = [
+        (i, i % 3, 50 + (i * 37) % 400, (i * 13) % 4) for i in range(300)
+    ]
+    items = spark.createDataFrame(
+        rows, "doc_id long, shard int, n_tokens long, n_images long"
+    )
+    budgets = {"n_tokens": 1000, "n_images": 6}
+    out = pack_by_budgets(items, budgets).collect()
+    # the per-dimension invariant holds against each dimension's OWN
+    # quantized partition (a shared bin id cannot give this: the
+    # non-binding dimension would span unboundedly inside a bin)
+    for col, budget in budgets.items():
+        by_bin: dict = {}
+        for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+            by_bin.setdefault((r.shard, getattr(r, f"bin_{col}")), []).append(r)
+        for (shard, b), rs in by_bin.items():
+            total = sum(getattr(r, col) for r in rs)
+            last = getattr(rs[-1], col)
+            assert total - last < budget, (shard, b, col, total, last)
+        # per shard, each dimension's bins are contiguous 0..max
+        for shard in {s for s, _ in by_bin}:
+            bins = sorted(b for s, b in by_bin if s == shard)
+            assert bins == list(range(len(bins))), (shard, col, bins)
+    # combined bin struct = the pair of per-dimension bins
+    for r in out:
+        assert r.bin.bin_n_tokens == r.bin_n_tokens
+        assert r.bin.bin_n_images == r.bin_n_images

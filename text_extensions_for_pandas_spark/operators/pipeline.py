@@ -185,3 +185,50 @@ def corpus_funnel(
         for s in ["0_total", "1_lang", "2_quality", "3_exact_dedup", "4_near_dedup"]
     )
     return one.selectExpr(f"stack(5, {stack}) AS (stage, n_docs)")
+
+
+def pack_by_budgets(
+    items: "DataFrame",
+    budgets: dict[str, float],
+    order_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> "DataFrame":
+    """Multi-budget sequence packing — the interleaved-multimodal
+    generalization of token-budget packing: a bin boundary falls wherever
+    ANY resource's running total crosses its own budget (e.g. text tokens
+    AND images per training sequence, the MMC4/interleaved-corpus shape).
+
+    The bin key is the TUPLE of per-dimension quantized running sums,
+    ``( floor(pre_sum_d / budget_d) )_d`` — the intersection of each
+    dimension's interval partition of the item sequence.  Within a bin
+    every dimension's quantum is constant, so per dimension each bin's
+    total minus its last item stays under that budget (the single-budget
+    packer's next-fit invariant, verified per dimension in tests).  A
+    single ``greatest``-of-floors id would NOT give this: the non-binding
+    dimension's span inside a bin would be unbounded.
+
+    ``items`` must carry ``shard_col`` (hash-derived) plus one numeric
+    column per budget key; windows partition by shard so every shard packs
+    in parallel — the 100 TB layout is one bin stream per output shard.
+    Output adds one ``bin_<col>`` per budget plus a combined ``bin``
+    struct.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = items
+    bin_cols = []
+    for c, b in sorted(budgets.items()):
+        name = f"bin_{c}"
+        out = out.withColumn(
+            name,
+            F.floor((F.sum(c).over(w) - F.col(c)) / F.lit(float(b))).cast(
+                "int"
+            ),
+        )
+        bin_cols.append(name)
+    return out.withColumn("bin", F.struct(*bin_cols))

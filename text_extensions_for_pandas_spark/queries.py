@@ -3394,6 +3394,71 @@ ORDER BY doc_id
 """
 
 
+def q_pack_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-multimodal packing: documents carry text tokens AND a
+    deterministic synthetic image count; bins advance when EITHER the
+    2048-token or the 8-image budget would be crossed (per-shard next-fit,
+    ``operators/pipeline.pack_by_budgets``)."""
+    from text_extensions_for_pandas_spark.operators.pipeline import (
+        pack_by_budgets,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 4
+    )
+    counted = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 5).cast("long").alias("n_images"),
+    )
+    binned = pack_by_budgets(
+        counted, {"n_tokens": 2048, "n_images": 8}
+    )
+    return (
+        binned.groupBy("shard", "bin_n_tokens", "bin_n_images")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_images").alias("n_images"),
+        )
+        .orderBy("shard", "bin_n_tokens", "bin_n_images")
+    )
+
+
+Q_PACK_MULTIMODAL_SQL = r"""
+WITH counted AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 4 AS INTEGER) AS shard,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 5 AS BIGINT) AS n_images
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, shard, n_tokens, n_images,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS pt,
+         sum(n_images) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_images AS pi
+  FROM counted
+),
+binned AS (
+  SELECT shard,
+         CAST(floor(pt / 2048.0) AS INTEGER) AS bin_n_tokens,
+         CAST(floor(pi / 8.0) AS INTEGER) AS bin_n_images,
+         n_tokens, n_images
+  FROM pre
+)
+SELECT shard, bin_n_tokens, bin_n_images, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_images) AS BIGINT) AS n_images
+FROM binned GROUP BY shard, bin_n_tokens, bin_n_images
+ORDER BY shard, bin_n_tokens, bin_n_images
+"""
+
+
 def q_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-language head/middle/tail buckets by unigram
     surprisal (exact ntile within language, deterministic tie-break)."""
@@ -3819,8 +3884,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "align_to_tokens": (q_align_to_tokens, Q_ALIGN_SQL),
     "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
     "flag_suspicious": (q_flag_suspicious, Q_FLAG_SQL),
-    "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
-    "tensor_mean_by_label": (q_tensor_mean_by_label, Q_TENSOR_MEAN_SQL),
     "doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
     "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
@@ -3851,9 +3914,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     # plan changed this round (hash-aggregate match grouping) — re-gate
     "extract_dict": (q_extract_dict, Q_EXTRACT_DICT_SQL),
-    # new: CCNet-style per-language surprisal buckets
+    # new: CCNet-style per-language surprisal buckets; multi-budget packing
     "surprisal_buckets": (q_surprisal_buckets, Q_SURPRISAL_BUCKETS_SQL),
+    "pack_multimodal": (q_pack_multimodal, Q_PACK_MULTIMODAL_SQL),
+    # tensor_rowstats fills gate slot 50 (r02-verified re-check)
+    "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
     # ------------------- gate boundary (position 50) -------------------
+    # (tensor_mean_by_label rotated out: r02-verified, unchanged since —
+    # re-gate in r05)
+    "tensor_mean_by_label": (q_tensor_mean_by_label, Q_TENSOR_MEAN_SQL),
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
     "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
