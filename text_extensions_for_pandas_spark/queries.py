@@ -838,6 +838,40 @@ ORDER BY n_name, s_name
 """
 
 
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured event properties through Spark 4's VARIANT type:
+    ``parse_json`` once, ``variant_get`` fields without a declared schema —
+    the open-schema path for event payloads that evolve faster than
+    tables (binary variant encoding; no per-row JSON re-parse per field).
+    Aggregates the extracted ``k`` per event type."""
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_EVENTS_PROPS_SQL = """
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       round(avg(k), 6) AS k_avg
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -3917,11 +3951,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # new: CCNet-style per-language surprisal buckets; multi-budget packing
     "surprisal_buckets": (q_surprisal_buckets, Q_SURPRISAL_BUCKETS_SQL),
     "pack_multimodal": (q_pack_multimodal, Q_PACK_MULTIMODAL_SQL),
-    # tensor_rowstats fills gate slot 50 (r02-verified re-check)
-    "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
+    # new: VARIANT-typed semi-structured event properties
+    "events_props_variant": (q_events_props_variant, Q_EVENTS_PROPS_SQL),
     # ------------------- gate boundary (position 50) -------------------
-    # (tensor_mean_by_label rotated out: r02-verified, unchanged since —
-    # re-gate in r05)
+    # (tensor_rowstats / tensor_mean_by_label rotated out: r02-verified,
+    # unchanged since — re-gate in r05)
+    "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
     "tensor_mean_by_label": (q_tensor_mean_by_label, Q_TENSOR_MEAN_SQL),
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
