@@ -3888,9 +3888,15 @@ ORDER BY d.lang
 # Round-4 order: [1-28] the 28 entries r03 did not gate (incl. f1_report,
 # the only entry never hash-verified — BIGINT-cast fix from r2 pending
 # driver proof); [29-35] the 7 TPC-H queries whose broadcast hints were
-# removed this round; then this round's new queries (first driver
-# verification needed); rotation fill from the r03-verified pool tops the
-# list up to exactly 50.
+# removed this round; then every query NEW or plan-changed this round
+# (first driver verification needed: stratified_sample, corpus_mixture,
+# bigram_lm, q13/q15/q17/q21, split_by_hash, multimodal_decode_means,
+# classification_report, f1_ensemble, chunk_documents,
+# q2_min_cost_supplier, extract_dict, surprisal_buckets, pack_multimodal,
+# events_props_variant) filling the gate to exactly 50.  tensor_rowstats /
+# tensor_mean_by_label (r02-verified, unchanged) rotated below — re-gate
+# them in r05.  The FULL registry is locally hash-verified by
+# scripts/check_oracle.py at sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- never driver-verified (hash-failed r1/r2 on HUGEINT casts; fixed,
     #    needs its green row) --
