@@ -342,6 +342,7 @@ def test_no_accidental_nested_loop_joins_across_registry(spark):
         "q15_top_supplier", "q19_discounted_revenue", "q22_sales_opportunity",
         "f1_ensemble", "decontam_overlap", "corpus_mixture", "q6_forecast_revenue",
         "pack_sequences", "q_events_funnel", "prob_product",
+        "surprisal_buckets",  # same 1-row corpus-total broadcast as doc_surprisal
         # broadcast-bounded build sides: dictionary frame (length-gated
         # entry join), k centroids, corpus-constant scalar
         "extract_dict_rowwise", "ivf_clusters", "tfidf_top_terms",
