@@ -3762,6 +3762,262 @@ LIMIT 20
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority histogram of a date-windowed order slice
+    restricted by EXISTS over the fact (testdata has no commit/receipt
+    dates, so the "late lineitem" predicate becomes l_returnflag = 'R').
+    The EXISTS is a left-semi hash join on orderkey — the date filter and
+    the returnflag filter both push to their scans."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    ret = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(ret, orders["o_orderkey"] == ret["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by (nation, order-year) over a five-way
+    star join (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders).  Testdata
+    has no partsupp, so supply cost is half the part's retail price —
+    the join topology and the year/nation rollup are what Q9 exercises.
+    All money math stays DECIMAL until the final double cast; only
+    nation (25 rows) is an auto-broadcast candidate, the scale-growing
+    part/supplier joins are left to AQE."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    profit = F.expr(
+        f"CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {PCT}) - CAST(l_discount AS {PCT}))"
+        f" - CAST(0.5 AS decimal(2,1)) * CAST(p_retailprice AS {DEC})"
+        f" * CAST(l_quantity AS {DEC})"
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(sum(
+         CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {PCT}) - CAST(l.l_discount AS {PCT}))
+         - CAST(0.5 AS DECIMAL(2,1)) * CAST(p.p_retailprice AS {DEC})
+           * CAST(l.l_quantity AS {DEC})
+       ) AS DOUBLE), 4) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value (here: lineitem
+    revenue via suppliers of half the nations — testdata has no partsupp)
+    exceeds 1.5x the mean per-part value — the aggregate-vs-scalar-of-
+    the-same-aggregate HAVING pattern, with a scale-free threshold so the
+    query is non-vacuous at every SF.  The per-part value table is
+    computed once and compared against its own 1-row broadcast summary;
+    the DECIMAL sums convert exactly to double on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < 13
+    )
+    value = F.expr(f"CAST(l_extendedprice AS {DEC})")
+    per_part = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("__val"))
+    )
+    total = per_part.agg(
+        F.sum("__val").alias("__total"), F.count("*").alias("__nparts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__val").cast("double") > F.expr("1.5 * __total / __nparts"))
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            F.col("__val").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS {DEC})) AS val
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 13)
+  GROUP BY l_partkey
+)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       CAST(val AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(val AS DOUBLE) > (SELECT 1.5 * sum(val) / count(*) FROM per_part)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-class counts of high/low-priority orders for a
+    date-windowed fact slice (l_linestatus stands in for the missing
+    l_shipmode).  One fact-dimension equijoin + conditional aggregation —
+    the CASE folds into the aggregate, no second pass."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute group,
+    excluding a blacklisted supplier set via NOT IN (anti-join).  The
+    part-supplier relationships come from lineitem's observed
+    (partkey, suppkey) pairs (testdata has no partsupp table); the
+    distinct-pair projection happens before the part join so the count
+    distinct aggregates pair rows, not fact rows."""
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad_supp = load(spark, sf_dir, "supplier").filter(
+        F.col("s_name").endswith("7")
+    )
+    return (
+        pairs.join(part, pairs["l_partkey"] == part["p_partkey"])
+        .join(
+            bad_supp,
+            pairs["l_suppkey"] == bad_supp["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q16_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs pr JOIN part p ON pr.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND pr.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                           WHERE s_name LIKE '%7')
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers qualified through a nested chain of IN
+    subqueries over aggregated facts — here, suppliers who shipped more
+    than 60 units of some 'bolt' part in 1997 (testdata has no partsupp
+    availqty).  Both IN levels are left-semi hash joins; the heavy
+    (supplier, part) aggregate happens before any dimension join."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    bolt_parts = load(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("bolt")
+    )
+    heavy = (
+        li.join(bolt_parts, li["l_partkey"] == bolt_parts["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(heavy, supp["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 60
+)
+ORDER BY s_name
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data corpus assembly):
     per-language md5-hash rates, so membership is a pure row-local function
@@ -3885,31 +4141,28 @@ ORDER BY d.lang
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-4 order: [1-28] the 28 entries r03 did not gate (incl. f1_report,
-# the only entry never hash-verified — BIGINT-cast fix from r2 pending
-# driver proof); [29-35] the 7 TPC-H queries whose broadcast hints were
-# removed this round; then every query NEW or plan-changed this round
-# (first driver verification needed: stratified_sample, corpus_mixture,
-# bigram_lm, q13/q15/q17/q21, split_by_hash, multimodal_decode_means,
+# Round-4 order: [1] f1_report, the only entry never hash-verified
+# (BIGINT-cast fix from r2 pending driver proof); then the entries r03
+# did not gate (minus six twice-verified unchanged span-family entries
+# rotated below: iob_to_iob2, unpack_semijoin, seq_windows,
+# covering_span, neighbor_tokens, spans_to_iob — re-gate in r05 with
+# tensor_rowstats / tensor_mean_by_label); the 7 TPC-H queries whose
+# broadcast hints were removed this round; every query NEW or
+# plan-changed this round (stratified_sample, corpus_mixture, bigram_lm,
+# q13/q15/q17/q21, split_by_hash, multimodal_decode_means,
 # classification_report, f1_ensemble, chunk_documents,
 # q2_min_cost_supplier, extract_dict, surprisal_buckets, pack_multimodal,
-# events_props_variant) filling the gate to exactly 50.  tensor_rowstats /
-# tensor_mean_by_label (r02-verified, unchanged) rotated below — re-gate
-# them in r05.  The FULL registry is locally hash-verified by
-# scripts/check_oracle.py at sf0.001 AND sf0.01 regardless of position.
+# events_props_variant); and the six queries completing the TPC-H suite
+# (q4/q9/q11/q12/q16/q20, never driver-verified) — exactly 50.  The FULL
+# registry is locally hash-verified by scripts/check_oracle.py at
+# sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- never driver-verified (hash-failed r1/r2 on HUGEINT casts; fixed,
     #    needs its green row) --
     "f1_report": (q_f1_report, Q_F1_SQL),
     # -- ungated in r03 (registry positions 51-78 last round) --
-    "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
-    "unpack_semijoin": (q_unpack_semijoin, Q_UNPACK_SQL),
-    "seq_windows": (q_seq_windows, Q_SEQ_WINDOWS_SQL),
     "accuracy_by_doc": (q_accuracy_by_doc, Q_ACCURACY_SQL),
     "global_accuracy": (q_global_accuracy, Q_GLOBAL_ACCURACY_SQL),
-    "covering_span": (q_covering_span, Q_COVERING_SPAN_SQL),
-    "neighbor_tokens": (q_neighbor_tokens, Q_NEIGHBOR_SQL),
-    "spans_to_iob": (q_spans_to_iob, Q_SPANS_TO_IOB_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
     "near_dup_jaccard": (q_near_dup_jaccard, Q_NEAR_DUP_SQL),
@@ -3959,9 +4212,24 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pack_multimodal": (q_pack_multimodal, Q_PACK_MULTIMODAL_SQL),
     # new: VARIANT-typed semi-structured event properties
     "events_props_variant": (q_events_props_variant, Q_EVENTS_PROPS_SQL),
+    # -- new this session: the six queries completing the TPC-H suite --
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q12_priority_by_status": (q12_priority_by_status, Q12_SQL),
+    "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
+    "q20_promotion_suppliers": (q20_promotion_suppliers, Q20_SQL),
     # ------------------- gate boundary (position 50) -------------------
-    # (tensor_rowstats / tensor_mean_by_label rotated out: r02-verified,
-    # unchanged since — re-gate in r05)
+    # (rotated out, all twice-verified (r01+r02) and unchanged since —
+    # re-gate in r05: tensor_rowstats, tensor_mean_by_label, iob_to_iob2,
+    # unpack_semijoin, seq_windows, covering_span, neighbor_tokens,
+    # spans_to_iob)
+    "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
+    "unpack_semijoin": (q_unpack_semijoin, Q_UNPACK_SQL),
+    "seq_windows": (q_seq_windows, Q_SEQ_WINDOWS_SQL),
+    "covering_span": (q_covering_span, Q_COVERING_SPAN_SQL),
+    "neighbor_tokens": (q_neighbor_tokens, Q_NEIGHBOR_SQL),
+    "spans_to_iob": (q_spans_to_iob, Q_SPANS_TO_IOB_SQL),
     "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
     "tensor_mean_by_label": (q_tensor_mean_by_label, Q_TENSOR_MEAN_SQL),
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
