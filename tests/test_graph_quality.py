@@ -258,3 +258,49 @@ def test_near_dup_pairs_validates_precomputed_shingles(spark, docs):
         near_dup_pairs(sample, shingles=sample.select("doc_id"))
     # matching width passes validation and runs
     near_dup_pairs(sample, shingle_n=5, shingles=sh5).count()
+
+
+def test_dedup_paragraphs_keep_first_and_rebuild(spark):
+    # doc 1 owns paragraphs A, B; doc 2 repeats B (deleted) around its own
+    # C; doc 3 is entirely paragraphs seen earlier (empty rebuild); doc 4
+    # repeats its own first paragraph within the same document.
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa\nbbb"),
+            (2, "bbb\nccc"),
+            (3, "aaa\nccc"),
+            (4, "ddd\nddd\neee"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = rows_to_tuples(
+        dedup_paragraphs(docs),
+        "doc_id", "n_paras", "n_kept", "dedup_text",
+    )
+    assert got == [
+        (1, 2, 2, "aaa\nbbb"),
+        (2, 2, 1, "ccc"),
+        (3, 2, 0, ""),
+        (4, 3, 2, "ddd\neee"),
+    ]
+
+
+def test_dedup_paragraphs_blank_runs_and_empty_doc(spark):
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x\n\n\ny"), (2, "")], ["doc_id", "text"]
+    )
+    got = rows_to_tuples(
+        dedup_paragraphs(docs),
+        "doc_id", "n_paras", "n_kept", "dedup_text",
+    )
+    # \n+ collapses blank runs; the empty doc yields zero paragraphs but
+    # still gets its output row
+    assert got == [(1, 2, 2, "x\ny"), (2, 0, 0, "")]

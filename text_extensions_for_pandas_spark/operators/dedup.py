@@ -654,3 +654,65 @@ def repeated_ngram_spans(
         F.max("__end").alias("end"),
         F.count("*").alias("n_grams"),
     ).drop("__island")
+
+
+def dedup_paragraphs(
+    documents: DataFrame,
+    sep_regex: str = "\n+",
+    join_sep: str = "\n",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's paragraph-level dedup (Wenzek et al., LREC'20 §4.1): hash
+    every paragraph, keep only the corpus-wide FIRST occurrence of each
+    distinct paragraph (first = smallest ``(doc_id, position)``), and
+    rebuild each document from its surviving paragraphs in original order.
+    Boilerplate (headers, nav bars, license blocks) repeats across pages
+    and is deleted everywhere but its first occurrence, while unique prose
+    survives — this removes ~70% of raw Common Crawl text before any
+    document-level dedup.
+
+    Returns one row per input document:
+    ``(doc_col, n_paras, n_kept, dedup_text)`` — ``dedup_text`` is the
+    empty string when every paragraph of the document was seen earlier.
+
+    Scale shape: explode to (doc, pos, paragraph) rows; one
+    hash-partitioned window (``row_number`` over ``md5(para)`` ordered by
+    ``(doc, pos)``) decides winners — the shuffle carries paragraph rows
+    exactly once, equivalently to a groupBy on the hash; the rebuild is a
+    per-document ``collect_list`` + ``array_sort``, partitioned by doc.
+    Nothing is ever all-pairs, and no Python runs anywhere.
+    """
+    from pyspark.sql import Window
+
+    paras = documents.select(
+        F.col(doc_col),
+        F.posexplode(F.split(F.col(text_col), sep_regex)).alias("pos", "__para"),
+    ).filter(F.length("__para") > 0)
+    w = Window.partitionBy(F.md5(F.col("__para"))).orderBy(doc_col, "pos")
+    kept = (
+        paras.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__keep", F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    rebuilt = kept.groupBy(doc_col).agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("pos", "__para"))
+                    )
+                ),
+                lambda s: s["__para"],
+            ),
+            join_sep,
+        ).alias("dedup_text"),
+    )
+    return documents.select(doc_col).join(rebuilt, doc_col, "left").select(
+        doc_col,
+        F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )

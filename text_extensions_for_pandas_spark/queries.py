@@ -4018,6 +4018,59 @@ ORDER BY s_name
 """
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-level dedup over the corpus: keep the corpus-wide
+    first occurrence of every distinct paragraph, rebuild documents from
+    the survivors.  The synthetic corpus has no newlines, so paragraphs
+    are the segments between occurrences of the frequent token
+    ``' table '`` — ~7% of segments repeat across documents at sf0.01,
+    so the keep-first rule is exercised for real.  Output text is md5'd
+    to keep the oracle comparison compact."""
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    out = dedup_paragraphs(
+        load(spark, sf_dir, "documents"), sep_regex=" table ", join_sep=" "
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("dedup_text").alias("text_hash"),
+    ).orderBy("doc_id")
+
+
+Q_DEDUP_PARAGRAPHS_SQL = """
+WITH paras AS (
+  SELECT doc_id, i AS pos, p AS para FROM (
+    SELECT doc_id, unnest(arr) AS p, generate_subscripts(arr, 1) AS i
+    FROM (SELECT doc_id, string_split_regex(text, ' table ') AS arr
+          FROM documents)
+  ) WHERE length(p) > 0
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk
+  FROM paras
+),
+rebuilt AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_paras,
+         CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN rk = 1 THEN para END, ' '
+                             ORDER BY pos), '') AS dedup_text
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(r.dedup_text, '')) AS text_hash
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data corpus assembly):
     per-language md5-hash rates, so membership is a pure row-local function
@@ -4175,7 +4228,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
     "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
     "align_to_tokens": (q_align_to_tokens, Q_ALIGN_SQL),
-    "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
     "flag_suspicious": (q_flag_suspicious, Q_FLAG_SQL),
     "doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
     "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
@@ -4219,12 +4271,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q12_priority_by_status": (q12_priority_by_status, Q12_SQL),
     "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
     "q20_promotion_suppliers": (q20_promotion_suppliers, Q20_SQL),
+    # new this session: CCNet paragraph-level dedup
+    "dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
     # ------------------- gate boundary (position 50) -------------------
     # (rotated out, all twice-verified (r01+r02) and unchanged since —
     # re-gate in r05: tensor_rowstats, tensor_mean_by_label, iob_to_iob2,
     # unpack_semijoin, seq_windows, covering_span, neighbor_tokens,
     # spans_to_iob)
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
+    "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
     "unpack_semijoin": (q_unpack_semijoin, Q_UNPACK_SQL),
     "seq_windows": (q_seq_windows, Q_SEQ_WINDOWS_SQL),
     "covering_span": (q_covering_span, Q_COVERING_SPAN_SQL),
