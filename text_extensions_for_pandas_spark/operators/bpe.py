@@ -1,0 +1,151 @@
+"""Distributed BPE (byte-pair-encoding) merge training.
+
+Beyond-reference surface: the tokenizer-training step of an LLM data
+pipeline (Sennrich et al., ACL'16).  The key scale property of BPE is
+that it operates on the *word-frequency table*, never the raw corpus: a
+100 TB corpus collapses to a vocabulary-sized (word, count) table in one
+hash aggregation, and every merge iteration rewrites only that table.
+
+Design:
+
+* :func:`word_freq_table` — one corpus-wide groupBy; the only operator
+  here that ever touches corpus-scale data.
+* :func:`bpe_pair_counts` — adjacent-symbol pair frequencies, weighted
+  by word count: explode the zip of each word's symbol array with its
+  own tail, one hash aggregation.  Pure built-in SQL (oracle-verified).
+* :func:`apply_merge` — rewrite every symbol array for one merged pair
+  with a left-to-right greedy fold (``F.aggregate``): merging ``(a, b)``
+  appends ``a+b`` and, because the accumulator's last element *becomes*
+  the merged symbol, overlapping re-matches (``aaa`` under ``(a,a)`` →
+  ``[aa, a]``) are impossible by construction.  JVM-side, no Python.
+* :func:`train_bpe` — the iterative driver loop: per round, one top-1
+  action over the pair-count table (a deterministic, lexicographically
+  tie-broken scalar — the same justified driver-side pattern as
+  connected components' convergence check in ``operators/graph.py``),
+  then one lazy rewrite.  Rounds are persisted and lineage is cut with
+  ``localCheckpoint`` every few iterations so the plan stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freq_table(
+    documents: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Lower-cased whitespace word frequencies: ``(word, count)``.
+
+    The single corpus-scale aggregation of BPE training; everything
+    after operates on this (vocabulary-sized) table."""
+    toks = documents.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    return toks.groupBy("word").agg(F.count("*").alias("count"))
+
+
+def with_symbols(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """Attach the initial character-level symbol array."""
+    return words.withColumn("symbols", F.split(F.col(word_col), ""))
+
+
+def bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the current symbol arrays, weighted
+    by word count: ``(a, b, cnt)``.  ``arrays_zip`` of the array with its
+    own tail yields each word's adjacent pairs without any join."""
+    n = F.size("symbols")
+    pairs = words.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("symbols", 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+                F.slice("symbols", 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("p"),
+        "count",
+    )
+    return (
+        pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "count")
+        .groupBy("a", "b")
+        .agg(F.sum("count").alias("cnt"))
+    )
+
+
+def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
+    """Replace every left-to-right non-overlapping adjacent ``(a, b)`` in
+    each symbol array with the merged symbol ``a+b``."""
+    merged = a + b
+    la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+
+    def step(acc, x):
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la)
+            & (x == lb)
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(lm)
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return words.withColumn(
+        "symbols",
+        F.aggregate("symbols", F.array().cast("array<string>"), step),
+    )
+
+
+def train_bpe(
+    documents: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 4,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns ``(merges, words)``: the ordered merge list and the final
+    word table with its ``symbols`` column (the trained segmentation of
+    every vocabulary word).  Stops early when no pair reaches
+    ``min_pair_count``.  Ties are broken by highest count, then
+    lexicographic ``(a, b)`` — fully deterministic, engine-independent.
+    """
+    words = with_symbols(word_freq_table(documents, text_col, doc_col))
+    words = words.persist()
+    words.count()  # materialize once before iterating
+    merges: list[tuple[str, str]] = []
+    prev = words
+    for i in range(n_merges):
+        top = (
+            bpe_pair_counts(words)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        words = apply_merge(words, a, b)
+        if (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()
+        else:
+            words = words.persist()
+            words.count()
+        prev.unpersist()
+        prev = words
+    return merges, words
+
+
+def segment_words(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply an already-learned merge list to a word table (e.g. to
+    tokenize new text under a trained vocabulary).  Merges must be
+    applied in training order; the whole chain stays one lazy plan."""
+    out = with_symbols(words)
+    for a, b in merges:
+        out = apply_merge(out, a, b)
+    return out

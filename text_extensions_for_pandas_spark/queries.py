@@ -4071,6 +4071,42 @@ ORDER BY d.doc_id
 """
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training iteration over the corpus: adjacent character
+    pair frequencies of the word-frequency table (the corpus collapses
+    to vocabulary-sized rows before any pair math — the property that
+    makes BPE trainable at 100 TB).  Top 30 pairs, count-desc then
+    lexicographic — the deterministic merge-selection order
+    :func:`train_bpe` iterates."""
+    from text_extensions_for_pandas_spark.operators import bpe
+
+    words = bpe.with_symbols(bpe.word_freq_table(load(spark, sf_dir, "documents")))
+    return (
+        bpe.bpe_pair_counts(words)
+        .select("a", "b", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(30)
+    )
+
+
+Q_BPE_PAIR_COUNTS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents
+),
+words AS (
+  SELECT w, count(*) AS c FROM toks WHERE length(w) > 0 GROUP BY w
+),
+pairs AS (
+  SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b, c
+  FROM words, LATERAL unnest(range(1, length(w))) AS t(i)
+)
+SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt
+FROM pairs GROUP BY a, b
+ORDER BY cnt DESC, a, b
+LIMIT 30
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data corpus assembly):
     per-language md5-hash rates, so membership is a pure row-local function
@@ -4225,7 +4261,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ivf_clusters": (q_ivf_clusters, Q_IVF_SQL),
     "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
-    "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
     "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
     "align_to_tokens": (q_align_to_tokens, Q_ALIGN_SQL),
     "flag_suspicious": (q_flag_suspicious, Q_FLAG_SQL),
@@ -4271,14 +4306,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q12_priority_by_status": (q12_priority_by_status, Q12_SQL),
     "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
     "q20_promotion_suppliers": (q20_promotion_suppliers, Q20_SQL),
-    # new this session: CCNet paragraph-level dedup
+    # new this session: CCNet paragraph-level dedup, BPE pair counting
     "dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
+    "bpe_pair_counts": (q_bpe_pair_counts, Q_BPE_PAIR_COUNTS_SQL),
     # ------------------- gate boundary (position 50) -------------------
     # (rotated out, all twice-verified (r01+r02) and unchanged since —
     # re-gate in r05: tensor_rowstats, tensor_mean_by_label, iob_to_iob2,
     # unpack_semijoin, seq_windows, covering_span, neighbor_tokens,
     # spans_to_iob)
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
+    "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
     "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
     "unpack_semijoin": (q_unpack_semijoin, Q_UNPACK_SQL),
     "seq_windows": (q_seq_windows, Q_SEQ_WINDOWS_SQL),
