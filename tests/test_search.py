@@ -360,3 +360,37 @@ def test_pack_by_budgets_per_dimension_invariants(spark):
     for r in out:
         assert r.bin.bin_n_tokens == r.bin_n_tokens
         assert r.bin.bin_n_images == r.bin_n_images
+
+
+def test_surprisal_buckets_approx_agrees_with_exact(spark):
+    """The percentile_approx scale path must reproduce the exact ntile
+    split almost everywhere (sketch error only near cut points)."""
+    from text_extensions_for_pandas_spark.operators.search import (
+        surprisal_buckets,
+        surprisal_buckets_approx,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = surprisal_buckets(docs).select("doc_id", "bucket", "bucket_name")
+    approx = surprisal_buckets_approx(docs).select(
+        "doc_id", F.col("bucket").alias("a_bucket"),
+        F.col("bucket_name").alias("a_name"),
+    )
+    assert exact.columns == ["doc_id", "bucket", "bucket_name"]
+    j = exact.join(approx, "doc_id").cache()
+    n = j.count()
+    assert n == docs.count()
+    agree = j.filter(F.col("bucket") == F.col("a_bucket")).count()
+    assert agree / n >= 0.95, f"agreement {agree}/{n}"
+    # buckets are in range and names line up with bucket ids everywhere
+    bad = j.filter(
+        (F.col("a_bucket") < 1) | (F.col("a_bucket") > 3)
+        | (
+            F.col("a_name")
+            != F.when(F.col("a_bucket") == 1, "head")
+            .when(F.col("a_bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    ).count()
+    assert bad == 0
+    j.unpersist()

@@ -301,9 +301,10 @@ def surprisal_buckets(
     Output: ``(doc_col, by, n_tokens, bits_per_token, bucket, bucket_name)``
     with bucket 1 = lowest surprisal ("head").  The window sorts WITHIN
     each language partition only — at corpus scale that is a per-language
-    sort of (doc, score) rows, not of documents' text.  For a shuffle-free
-    approximation at extreme scale, compute ``approx_percentile`` cut
-    points per language and assign by comparison instead.
+    sort of (doc, score) rows, not of documents' text.  For the
+    shuffle-light path at extreme scale use
+    :func:`surprisal_buckets_approx`, which replaces the per-language
+    sort with a percentile sketch + row-local assignment.
     """
     names = {1: "head", 2: "middle", 3: "tail"}
     scored = unigram_surprisal(documents, text_col, doc_col).join(
@@ -319,6 +320,62 @@ def surprisal_buckets(
             .otherwise("tail")
         )
     del names
+    return out.select(
+        doc_col, by, "n_tokens", "bits_per_token", "bucket",
+        name_expr.alias("bucket_name"),
+    )
+
+
+def surprisal_buckets_approx(
+    documents: DataFrame,
+    n_buckets: int = 3,
+    by: str = "lang",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The shuffle-light scale path of :func:`surprisal_buckets`: instead
+    of an exact per-language ``ntile`` (which sorts every (doc, score)
+    row within its language partition), compute approximate quantile cut
+    points per language with ``percentile_approx`` — one aggregation
+    whose state is a fixed-size sketch — broadcast the tiny
+    (language × cuts) table, and assign buckets by comparison.  At
+    100 TB this replaces the per-language sort with a map-side-combined
+    sketch merge + a row-local comparison; group sizes no longer bound
+    any single task.
+
+    Buckets can deviate from the exact split near cut points (sketch
+    error ≈ 1/accuracy of rank); agreement is property-tested against
+    the exact operator.  Output schema matches :func:`surprisal_buckets`.
+    """
+    scored = unigram_surprisal(documents, text_col, doc_col).join(
+        documents.select(doc_col, by), doc_col
+    )
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.groupBy(by).agg(
+        F.percentile_approx(
+            "bits_per_token", F.lit(fracs), F.lit(accuracy)
+        ).alias("__cuts")
+    )
+    joined = scored.join(F.broadcast(cuts), by)
+    bucket = (
+        F.aggregate(
+            "__cuts",
+            F.lit(1),
+            lambda acc, c: acc
+            + F.when(F.col("bits_per_token") > c, 1).otherwise(0),
+        )
+    ).alias("bucket")
+    out = joined.select(
+        doc_col, by, "n_tokens", "bits_per_token", bucket
+    )
+    name_expr = F.lit(None).cast("string")
+    if n_buckets == 3:
+        name_expr = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
     return out.select(
         doc_col, by, "n_tokens", "bits_per_token", "bucket",
         name_expr.alias("bucket_name"),
