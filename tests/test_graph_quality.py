@@ -304,3 +304,36 @@ def test_dedup_paragraphs_blank_runs_and_empty_doc(spark):
     # \n+ collapses blank runs; the empty doc yields zero paragraphs but
     # still gets its output row
     assert got == [(1, 2, 2, "x\ny"), (2, 0, 0, "")]
+
+
+def test_dedup_paragraphs_incremental_matches_full_recompute(spark):
+    """Processing the corpus in doc-id-ordered batches through the
+    persisted-index variant must reproduce the one-shot batch operator
+    exactly (keep-first is global because earlier batches own smaller
+    doc ids)."""
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        dedup_paragraphs,
+        dedup_paragraphs_incremental,
+    )
+
+    rows = [
+        (1, "aaa\nbbb"),
+        (2, "bbb\nccc"),
+        (3, "aaa\nccc"),
+        (4, "ddd\nddd\neee"),
+        (5, "eee\nfff\nbbb"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = sorted(
+        rows_to_tuples(
+            dedup_paragraphs(docs), "doc_id", "n_paras", "n_kept", "dedup_text"
+        )
+    )
+    got, index = [], None
+    for lo, hi in [(1, 2), (3, 4), (5, 6)]:
+        batch = docs.filter(F.col("doc_id").between(lo, hi))
+        out, index = dedup_paragraphs_incremental(batch, index)
+        index = index.localCheckpoint()  # simulate persisting between ingests
+        got += rows_to_tuples(out, "doc_id", "n_paras", "n_kept", "dedup_text")
+    assert sorted(got) == want

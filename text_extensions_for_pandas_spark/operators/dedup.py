@@ -716,3 +716,81 @@ def dedup_paragraphs(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
     )
+
+def dedup_paragraphs_incremental(
+    new_docs: DataFrame,
+    para_index: DataFrame | None,
+    sep_regex: str = "\n+",
+    join_sep: str = "\n",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The append workflow for :func:`dedup_paragraphs`: dedup a NEW batch
+    against a persisted paragraph-hash index instead of re-hashing the
+    whole corpus per ingest (the naive alternative at 100 TB).
+
+    ``para_index``: single-column ``(para_hash)`` rows for every
+    paragraph already accepted into the corpus (pass ``None`` for the
+    first batch).  A new paragraph survives iff its hash is absent from
+    the index AND it is the first occurrence within this batch (same
+    ``(doc_id, pos)`` window rule as the batch operator, so
+    batch-by-batch processing in doc-id order reproduces the full-corpus
+    result exactly — parity-tested).
+
+    Returns ``(rebuilt, updated_index)``; persist ``updated_index``
+    (ideally parquet bucketed by ``para_hash``) between ingests.  The
+    index probe is an anti-join on the hash — shuffle bounded by
+    paragraph rows, or a broadcast when the index is still small.
+    """
+    from pyspark.sql import Window
+
+    paras = new_docs.select(
+        F.col(doc_col),
+        F.posexplode(F.split(F.col(text_col), sep_regex)).alias("pos", "__para"),
+    ).filter(F.length("__para") > 0)
+    hashed = paras.withColumn("para_hash", F.md5("__para"))
+    if para_index is not None:
+        fresh = hashed.join(para_index, "para_hash", "left_anti")
+    else:
+        fresh = hashed
+    w = Window.partitionBy("para_hash").orderBy(doc_col, "pos")
+    kept_rows = (
+        fresh.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    # rebuild against ALL of the batch's paragraphs so n_paras counts the
+    # original segmentation, with survivors flagged by a null-safe join
+    flagged = hashed.join(
+        kept_rows.select(doc_col, "pos", F.lit(True).alias("__keep")),
+        [doc_col, "pos"],
+        "left",
+    )
+    rebuilt = flagged.groupBy(doc_col).agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.coalesce(F.col("__keep").cast("long"), F.lit(0))).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("pos", "__para"))
+                    )
+                ),
+                lambda s: s["__para"],
+            ),
+            join_sep,
+        ).alias("dedup_text"),
+    )
+    out = new_docs.select(doc_col).join(rebuilt, doc_col, "left").select(
+        doc_col,
+        F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )
+    new_hashes = kept_rows.select("para_hash").distinct()
+    updated = (
+        new_hashes
+        if para_index is None
+        else para_index.select("para_hash").union(new_hashes).distinct()
+    )
+    return out, updated
