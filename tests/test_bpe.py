@@ -108,3 +108,23 @@ def test_segment_words_applies_learned_merges_in_order(spark):
     by_word = dict(got)
     assert by_word["lowly"][0] == "low"
     assert by_word["slow"][-1][-1] == "w"
+
+
+def test_bpe_encode_corpus_matches_vocab_segmentation(spark):
+    texts = ["low lower lowest low low", "new newer newest new low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges, _ = bpe.train_bpe(docs, n_merges=6)
+    _, want_syms = _py_bpe(texts, n_merges=6)
+    got = bpe.bpe_encode_corpus(docs, merges).collect()
+    # every word occurrence present, in position order, with the
+    # segmentation the trained vocabulary assigns to that word
+    for r in got:
+        assert list(r["subtokens"]) == want_syms[r["word"]]
+        assert texts[r["doc_id"]].split()[r["pos"]] == r["word"]
+    n_words = sum(len(t.split()) for t in texts)
+    assert len(got) == n_words
+    # concatenating subtokens reconstructs each word exactly
+    for r in got:
+        assert "".join(r["subtokens"]) == r["word"]

@@ -45,3 +45,8 @@ def test_streaming_pipeline_example():
 def test_label_cleaning_example():
     out = _run("label_cleaning.py", 600)
     assert "per-model F1 report" in out
+
+
+def test_tokenizer_training_example():
+    out = _run("tokenizer_training.py", 300)
+    assert "learned" in out and "chars_per_subtoken" in out

@@ -149,3 +149,35 @@ def segment_words(
     for a, b in merges:
         out = apply_merge(out, a, b)
     return out
+
+
+def bpe_encode_corpus(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus under a trained merge list:
+    ``(doc_col, pos, word, subtokens)`` — one row per word occurrence,
+    ``pos`` its 0-based position in the document.
+
+    The scale path mirrors training: the merge chain is applied to the
+    *vocabulary* (each distinct word segmented once), and the corpus is
+    then tokenized by an equijoin of its exploded words against that
+    segmentation table — broadcast while the vocabulary is small, plain
+    hash join when it isn't.  The 100 TB corpus never runs the merge
+    fold; it pays one explode + one join."""
+    words = word_freq_table(documents, text_col, doc_col)
+    seg = segment_words(words, merges).select("word", "symbols")
+    occurrences = documents.select(
+        F.col(doc_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), " "),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("pos", "word"),
+    )
+    return occurrences.join(seg, "word").select(
+        doc_col, "pos", "word", F.col("symbols").alias("subtokens")
+    )
