@@ -118,3 +118,27 @@ def test_sampling_monotone_in_rate(spark, docs):
         }
     assert kept[0.1] <= kept[0.3] <= kept[0.7]
     assert len(kept[0.1]) < len(kept[0.7])
+
+
+def test_dsir_weights_prefer_target_like_documents(spark):
+    """Documents written in the target slice's vocabulary must score
+    higher log-weights than documents from a disjoint vocabulary."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    target_like = [(i, "alpha beta gamma delta " * 5) for i in range(10)]
+    other = [(i + 10, "zeta eta theta iota " * 5) for i in range(10)]
+    raw = spark.createDataFrame(target_like + other, ["doc_id", "text"])
+    target = spark.createDataFrame(target_like, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(raw, target, n_buckets=1000).collect()
+    }
+    assert len(got) == 20
+    lo = max(got[i] for i in range(10, 20))
+    hi = min(got[i] for i in range(10))
+    assert hi > lo, (hi, lo)
+    # identical texts get identical weights (pure function of content)
+    assert len({got[i] for i in range(10)}) == 1
+    assert len({got[i] for i in range(10, 20)}) == 1

@@ -124,3 +124,85 @@ def sample_mixture(
     return df.join(F.broadcast(rates), strata_col).filter(
         hash_fraction(F.col(key_col)) < F.col("rate")
     )
+
+
+def dsir_log_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS'23):
+    score every raw document by how much more likely its text is under a
+    small TARGET corpus' hashed-unigram distribution than under the raw
+    corpus' own — ``log_weight = avg_tokens(log p_target(b) - log p_raw(b))``
+    over md5-hashed token buckets with add-1 smoothing.  Feed the result
+    to :func:`importance_sample` (after exponentiating / rank-normalizing)
+    to assemble a target-like training mix from a general crawl.
+
+    Returns ``(doc_col, n_tokens, log_weight)`` for every raw document
+    (rounded to 6 decimals — cross-engine float discipline).
+
+    Scale shape: both distributions collapse to ``n_buckets`` rows (one
+    hash aggregation each — the target corpus is small by definition, the
+    raw pass is one map-side-combined groupBy); the joined bucket table
+    broadcasts, and scoring is explode + broadcast-join + per-doc
+    aggregation.  Nothing wider than (doc, token) shuffles, and the
+    hashing trick caps distribution-estimation memory regardless of
+    vocabulary size — the reason DSIR scales where exact-vocab LM
+    importance weights do not.
+    """
+    def bucketize(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            F.col(doc_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), " ")
+            ).alias("tok"),
+        ).filter(F.length("tok") > 0).select(
+            doc_col,
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % n_buckets
+            ).alias("bucket"),
+        )
+
+    def bucket_log_probs(toks: DataFrame, name: str) -> DataFrame:
+        counts = toks.groupBy("bucket").agg(F.count("*").alias("__c"))
+        total = toks.count()  # driver scalar: corpus-constant, like BM25's
+        return counts.select(
+            "bucket",
+            F.log(
+                (F.col("__c") + 1.0) / F.lit(float(total + n_buckets))
+            ).alias(name),
+        )
+
+    raw_toks = bucketize(raw_docs)
+    tgt = bucket_log_probs(bucketize(target_docs), "__lp_t")
+    raw = bucket_log_probs(raw_toks, "__lp_r")
+    # buckets absent from a corpus get the pure-smoothing mass; realize
+    # that by outer-joining the two B-row tables and filling with
+    # log(1/(total+B)) — carried on a literal via the join's coalesce
+    t_total = target_docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("t")
+    ).filter(F.length("t") > 0).count()
+    r_total = raw_toks.count()
+    import math
+
+    fill_t = math.log(1.0 / (t_total + n_buckets))
+    fill_r = math.log(1.0 / (r_total + n_buckets))
+    table = tgt.join(raw, "bucket", "full").select(
+        "bucket",
+        (
+            F.coalesce("__lp_t", F.lit(fill_t))
+            - F.coalesce("__lp_r", F.lit(fill_r))
+        ).alias("__llr"),
+    )
+    return (
+        raw_toks.join(F.broadcast(table), "bucket")
+        .groupBy(doc_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("__llr"), 6).alias("log_weight"),
+        )
+    )

@@ -4107,6 +4107,67 @@ LIMIT 30
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS'23): score every
+    document by hashed-unigram log-likelihood ratio between a target
+    slice (here: the English sub-corpus) and the raw corpus.  The two
+    distributions collapse to fixed 10k-bucket tables that broadcast;
+    the corpus pays one explode + broadcast join + per-doc mean."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "log_weight",
+    ).orderBy("doc_id")
+
+
+Q_DSIR_WEIGHTS_SQL = """
+WITH raw_toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents)
+  WHERE length(tok) > 0
+),
+tgt_toks AS (
+  SELECT CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents WHERE lang = 'en')
+  WHERE length(tok) > 0
+),
+tgt_total AS (SELECT count(*) AS n FROM tgt_toks),
+raw_total AS (SELECT count(*) AS n FROM raw_toks),
+tgt AS (
+  SELECT bucket,
+         ln((count(*) + 1.0) / ((SELECT n FROM tgt_total) + 10000)) AS lp_t
+  FROM tgt_toks GROUP BY bucket
+),
+raw AS (
+  SELECT bucket,
+         ln((count(*) + 1.0) / ((SELECT n FROM raw_total) + 10000)) AS lp_r
+  FROM raw_toks GROUP BY bucket
+),
+llr AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         coalesce(t.lp_t, ln(1.0 / ((SELECT n FROM tgt_total) + 10000)))
+         - coalesce(r.lp_r, ln(1.0 / ((SELECT n FROM raw_total) + 10000)))
+           AS llr
+  FROM tgt t FULL JOIN raw r ON t.bucket = r.bucket
+)
+SELECT rt.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(l.llr), 6) AS log_weight
+FROM raw_toks rt JOIN llr l USING (bucket)
+GROUP BY rt.doc_id
+ORDER BY rt.doc_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data corpus assembly):
     per-language md5-hash rates, so membership is a pure row-local function
@@ -4261,7 +4322,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ivf_clusters": (q_ivf_clusters, Q_IVF_SQL),
     "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
-    "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
     "align_to_tokens": (q_align_to_tokens, Q_ALIGN_SQL),
     "flag_suspicious": (q_flag_suspicious, Q_FLAG_SQL),
     "doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
@@ -4309,6 +4369,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # new this session: CCNet paragraph-level dedup, BPE pair counting
     "dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
     "bpe_pair_counts": (q_bpe_pair_counts, Q_BPE_PAIR_COUNTS_SQL),
+    "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
     # ------------------- gate boundary (position 50) -------------------
     # (rotated out, all twice-verified (r01+r02) and unchanged since —
     # re-gate in r05: tensor_rowstats, tensor_mean_by_label, iob_to_iob2,
@@ -4316,6 +4377,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # spans_to_iob)
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
+    "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
     "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
     "unpack_semijoin": (q_unpack_semijoin, Q_UNPACK_SQL),
     "seq_windows": (q_seq_windows, Q_SEQ_WINDOWS_SQL),
