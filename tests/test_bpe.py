@@ -128,3 +128,40 @@ def test_bpe_encode_corpus_matches_vocab_segmentation(spark):
     # concatenating subtokens reconstructs each word exactly
     for r in got:
         assert "".join(r["subtokens"]) == r["word"]
+
+
+def test_apply_merge_randomized_differential(spark):
+    """One Spark pass over 300 random short words, checked against the
+    pure-Python greedy merge for several (a, b) pairs including the
+    pathological self-pair."""
+    import random
+
+    rng = random.Random(42)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(0, 8)))
+        for _ in range(300)
+    ]
+    words = [w for w in words if w]
+    df = spark.createDataFrame(
+        [(w, 1) for w in set(words)], ["word", "count"]
+    )
+
+    def py_merge(s, a, b):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    for a, b in [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]:
+        got = {
+            r["word"]: list(r["symbols"])
+            for r in bpe.apply_merge(bpe.with_symbols(df), a, b).collect()
+        }
+        for w in got:
+            assert got[w] == py_merge(list(w), a, b), (w, a, b, got[w])
+            assert "".join(got[w]) == w
