@@ -547,3 +547,53 @@ def test_quality_scoring_stream_batch_parity(spark):
         ).select("doc_id", "quality_score").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_dsir_scoring_stream_batch_parity(spark, tmp_path):
+    """DSIR scoring against a static LLR table is per-document row-local,
+    so foreachBatch scoring of a document stream must equal the batch
+    path exactly, regardless of micro-batch boundaries."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        dsir_llr_table,
+        dsir_score,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    table = dsir_llr_table(
+        docs, docs.filter("lang = 'en'"), n_buckets=2000
+    ).cache()
+    want = {
+        r.doc_id: (r.n_tokens, r.log_weight)
+        for r in dsir_score(docs, table, n_buckets=2000).collect()
+    }
+
+    src = str(tmp_path / "src")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "scored")
+
+    def score_batch(batch_df, _batch_id):
+        dsir_score(batch_df, table, n_buckets=2000).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.log_weight)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got == want and len(got) > 0

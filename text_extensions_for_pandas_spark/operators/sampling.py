@@ -153,56 +153,75 @@ def dsir_log_weights(
     vocabulary size — the reason DSIR scales where exact-vocab LM
     importance weights do not.
     """
-    def bucketize(docs: DataFrame) -> DataFrame:
-        return docs.select(
-            F.col(doc_col),
-            F.explode(
-                F.split(F.lower(F.trim(F.col(text_col))), " ")
-            ).alias("tok"),
-        ).filter(F.length("tok") > 0).select(
-            doc_col,
-            (
-                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-                % n_buckets
-            ).alias("bucket"),
-        )
+    table = dsir_llr_table(raw_docs, target_docs, n_buckets, text_col)
+    return dsir_score(raw_docs, table, n_buckets, text_col, doc_col)
 
-    def bucket_log_probs(toks: DataFrame, name: str) -> DataFrame:
-        counts = toks.groupBy("bucket").agg(F.count("*").alias("__c"))
+
+def _dsir_buckets(docs: DataFrame, n_buckets: int, text_col: str, doc_col=None):
+    cols = [F.col(doc_col)] if doc_col else []
+    return docs.select(
+        *cols,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0).select(
+        *([doc_col] if doc_col else []),
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+
+
+def dsir_llr_table(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """The static half of DSIR: the complete ``(bucket, llr)`` table over
+    all ``n_buckets`` hash buckets (``spark.range`` spine + left-joined
+    counts, so unseen buckets carry the pure smoothing mass).  Estimate
+    once over the two corpora, persist, then :func:`dsir_score` any
+    batch or micro-batch against it — the table is static, so scoring is
+    stream-transparent (foreachBatch, parity-tested)."""
+    spark = raw_docs.sparkSession
+
+    def log_probs(docs: DataFrame, name: str) -> DataFrame:
+        toks = _dsir_buckets(docs, n_buckets, text_col)
         total = toks.count()  # driver scalar: corpus-constant, like BM25's
-        return counts.select(
+        counts = toks.groupBy("bucket").agg(F.count("*").alias("__c"))
+        spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+        return spine.join(counts, "bucket", "left").select(
             "bucket",
             F.log(
-                (F.col("__c") + 1.0) / F.lit(float(total + n_buckets))
+                (F.coalesce("__c", F.lit(0)) + 1.0)
+                / F.lit(float(total + n_buckets))
             ).alias(name),
         )
 
-    raw_toks = bucketize(raw_docs)
-    tgt = bucket_log_probs(bucketize(target_docs), "__lp_t")
-    raw = bucket_log_probs(raw_toks, "__lp_r")
-    # buckets absent from a corpus get the pure-smoothing mass; realize
-    # that by outer-joining the two B-row tables and filling with
-    # log(1/(total+B)) — carried on a literal via the join's coalesce
-    t_total = target_docs.select(
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("t")
-    ).filter(F.length("t") > 0).count()
-    r_total = raw_toks.count()
-    import math
-
-    fill_t = math.log(1.0 / (t_total + n_buckets))
-    fill_r = math.log(1.0 / (r_total + n_buckets))
-    table = tgt.join(raw, "bucket", "full").select(
-        "bucket",
-        (
-            F.coalesce("__lp_t", F.lit(fill_t))
-            - F.coalesce("__lp_r", F.lit(fill_r))
-        ).alias("__llr"),
+    tgt = log_probs(target_docs, "__lp_t")
+    raw = log_probs(raw_docs, "__lp_r")
+    return tgt.join(raw, "bucket").select(
+        "bucket", (F.col("__lp_t") - F.col("__lp_r")).alias("llr")
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    llr_table: DataFrame,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a precomputed :func:`dsir_llr_table`
+    (``n_buckets`` must match): explode + broadcast join + per-doc mean.
+    Row-local given the static table, so each micro-batch scores
+    independently and identically to the batch path."""
+    toks = _dsir_buckets(docs, n_buckets, text_col, doc_col)
     return (
-        raw_toks.join(F.broadcast(table), "bucket")
+        toks.join(F.broadcast(llr_table), "bucket")
         .groupBy(doc_col)
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg("__llr"), 6).alias("log_weight"),
+            F.round(F.avg("llr"), 6).alias("log_weight"),
         )
     )
