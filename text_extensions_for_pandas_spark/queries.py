@@ -4293,19 +4293,21 @@ ORDER BY d.lang
 #
 # Round-4 order: [1] f1_report, the only entry never hash-verified
 # (BIGINT-cast fix from r2 pending driver proof); then the entries r03
-# did not gate (minus six twice-verified unchanged span-family entries
-# rotated below: iob_to_iob2, unpack_semijoin, seq_windows,
-# covering_span, neighbor_tokens, spans_to_iob — re-gate in r05 with
-# tensor_rowstats / tensor_mean_by_label); the 7 TPC-H queries whose
-# broadcast hints were removed this round; every query NEW or
-# plan-changed this round (stratified_sample, corpus_mixture, bigram_lm,
-# q13/q15/q17/q21, split_by_hash, multimodal_decode_means,
-# classification_report, f1_ensemble, chunk_documents,
-# q2_min_cost_supplier, extract_dict, surprisal_buckets, pack_multimodal,
-# events_props_variant); and the six queries completing the TPC-H suite
-# (q4/q9/q11/q12/q16/q20, never driver-verified) — exactly 50.  The FULL
-# registry is locally hash-verified by scripts/check_oracle.py at
-# sf0.001 AND sf0.01 regardless of position.
+# did not gate (minus nine twice-verified (r01+r02) unchanged entries
+# rotated below the boundary: iob_to_iob2, unpack_semijoin, seq_windows,
+# covering_span, neighbor_tokens, spans_to_iob, extract_regex_tok,
+# extract_split, lemmatize — re-gate in r05 with tensor_rowstats /
+# tensor_mean_by_label); the 7 TPC-H queries whose broadcast hints were
+# removed this round; every query NEW or plan-changed this round
+# (stratified_sample, corpus_mixture, bigram_lm, q13/q15/q17/q21,
+# split_by_hash, multimodal_decode_means, classification_report,
+# f1_ensemble, chunk_documents, q2_min_cost_supplier, extract_dict,
+# surprisal_buckets, pack_multimodal, events_props_variant); the six
+# queries completing the TPC-H suite (q4/q9/q11/q12/q16/q20); and the
+# three new LLM-pipeline ops (dedup_paragraphs, bpe_pair_counts,
+# dsir_weights) — exactly 50, every slot either never-verified or
+# changed-this-round.  The FULL registry is locally hash-verified by
+# scripts/check_oracle.py at sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- never driver-verified (hash-failed r1/r2 on HUGEINT casts; fixed,
     #    needs its green row) --
