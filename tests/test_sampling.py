@@ -142,3 +142,48 @@ def test_dsir_weights_prefer_target_like_documents(spark):
     # identical texts get identical weights (pure function of content)
     assert len({got[i] for i in range(10)}) == 1
     assert len({got[i] for i in range(10, 20)}) == 1
+
+
+def test_cap_per_domain_invariants(spark):
+    """Doc caps, token budgets, nesting (cap 5 ⊆ cap 10), and the
+    one-oversized-doc rule."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        cap_per_domain,
+    )
+
+    rows = [(i, f"s{i % 3}", 100) for i in range(60)]
+    rows.append((1000, "big", 10_000))  # oversized single doc
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+
+    capped5 = cap_per_domain(docs, max_docs=5)
+    by_src = {
+        r["source"]: r["n"]
+        for r in capped5.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"s0": 5, "s1": 5, "s2": 5, "big": 1}
+
+    # nesting: the 5-cap set is a subset of the 10-cap set per domain
+    k5 = {r.doc_id for r in capped5.collect()}
+    k10 = {r.doc_id for r in cap_per_domain(docs, max_docs=10).collect()}
+    assert k5 <= k10
+
+    # token budget: kept chars minus the last kept doc stay under budget,
+    # and the oversized doc is still kept (budget not exhausted before it)
+    kb = cap_per_domain(docs, max_tokens=350)
+    got = {
+        r["source"]: (r["n"], r["chars"])
+        for r in kb.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    assert got["big"] == (1, 10_000)
+    for s in ("s0", "s1", "s2"):
+        n, chars = got[s]
+        assert n == 4 and chars == 400  # 3*100 < 350 ≤ 4*100, keep 4th
+
+    # determinism: repartitioned input keeps the identical set
+    k5b = {
+        r.doc_id
+        for r in cap_per_domain(docs.repartition(13), max_docs=5).collect()
+    }
+    assert k5b == k5

@@ -225,3 +225,54 @@ def dsir_score(
             F.round(F.avg("llr"), 6).alias("log_weight"),
         )
     )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    max_docs: int | None = None,
+    max_tokens: int | None = None,
+    token_col: str = "n_chars",
+    domain_col: str = "source",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain caps (the RefinedWeb/C4 trick against a handful of hosts
+    dominating the corpus): within each domain keep documents in
+    deterministic md5-hash order until hitting ``max_docs`` and/or a
+    ``max_tokens`` budget (a document is kept while the budget is not yet
+    exhausted BEFORE it, so one oversized document cannot starve its
+    domain).
+
+    Hash order makes the kept set a pure function of the data — stable
+    under repartitioning, and nested across caps (cap 10 ⊆ cap 20), so
+    scaling a mixture down later keeps subsets consistent.
+
+    Scale shape: one window over (domain, hash-rank) — the same shuffle a
+    groupBy(domain) pays, with domains hashing independently; no domain's
+    rows concentrate anywhere except their own partition (salt upstream
+    if one domain is a mega-skew outlier).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        hash_fraction(F.col(doc_col)), doc_col
+    )
+    out = df
+    conds = []
+    if max_docs is not None:
+        out = out.withColumn("__rk", F.row_number().over(w))
+        conds.append(F.col("__rk") <= max_docs)
+    if max_tokens is not None:
+        prefix = F.coalesce(
+            F.sum(token_col).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        out = out.withColumn("__prefix", prefix)
+        conds.append(F.col("__prefix") < max_tokens)
+    if not conds:
+        return df
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return out.filter(cond).drop("__rk", "__prefix")

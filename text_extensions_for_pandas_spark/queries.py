@@ -4168,6 +4168,45 @@ ORDER BY rt.doc_id
 """
 
 
+def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain caps (RefinedWeb/C4-style anti-host-dominance): within
+    each source keep docs in deterministic md5-hash order until 10 docs
+    AND a 5000-char budget; the kept set is a pure function of the data,
+    so re-runs and repartitions keep identical corpora."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        cap_per_domain,
+    )
+
+    kept = cap_per_domain(
+        load(spark, sf_dir, "documents"), max_docs=10, max_tokens=5000
+    )
+    return kept.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+Q_CAP_PER_DOMAIN_SQL = """
+WITH fr AS (
+  SELECT doc_id, source, n_chars,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS frac
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY frac, doc_id) AS rk,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY frac, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM fr
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked
+WHERE rk <= 10 AND prefix < 5000
+ORDER BY doc_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data corpus assembly):
     per-language md5-hash rates, so membership is a pure row-local function
@@ -4319,7 +4358,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
     "near_dup_jaccard": (q_near_dup_jaccard, Q_NEAR_DUP_SQL),
     "near_dup_embedding": (q_near_dup_embedding, Q_NEAR_DUP_EMB_SQL),
-    "simhash": (q_simhash, Q_SIMHASH_SQL),
     "ann_cosine_topk": (q_ann_topk, Q_ANN_SQL),
     "ivf_clusters": (q_ivf_clusters, Q_IVF_SQL),
     "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),
@@ -4372,12 +4410,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
     "bpe_pair_counts": (q_bpe_pair_counts, Q_BPE_PAIR_COUNTS_SQL),
     "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
+    "cap_per_domain": (q_cap_per_domain, Q_CAP_PER_DOMAIN_SQL),
     # ------------------- gate boundary (position 50) -------------------
     # (rotated out, all twice-verified (r01+r02) and unchanged since —
     # re-gate in r05: tensor_rowstats, tensor_mean_by_label, iob_to_iob2,
     # unpack_semijoin, seq_windows, covering_span, neighbor_tokens,
     # spans_to_iob)
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
+    "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
     "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
     "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
