@@ -48,8 +48,9 @@ def main() -> None:
     merges, vocab = bpe.train_bpe(cleaned, n_merges=12)
     print(f"learned {len(merges)} merges: {merges[:8]} ...")
 
-    # 3. Tokenize the corpus under the trained vocabulary.
-    encoded = bpe.bpe_encode_corpus(cleaned, merges)
+    # 3. Tokenize the corpus under the trained vocabulary, reusing the
+    # persisted segmentation train_bpe already computed.
+    encoded = bpe.bpe_encode_corpus(cleaned, merges, segmented=vocab)
 
     # 4. Compression report: how many subtokens per word/char the
     # vocabulary achieves — the metric tokenizer training optimizes.

@@ -156,6 +156,7 @@ def bpe_encode_corpus(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     doc_col: str = "doc_id",
+    segmented: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize the corpus under a trained merge list:
     ``(doc_col, pos, word, subtokens)`` — one row per word occurrence,
@@ -166,9 +167,16 @@ def bpe_encode_corpus(
     then tokenized by an equijoin of its exploded words against that
     segmentation table — broadcast while the vocabulary is small, plain
     hash join when it isn't.  The 100 TB corpus never runs the merge
-    fold; it pays one explode + one join."""
-    words = word_freq_table(documents, text_col, doc_col)
-    seg = segment_words(words, merges).select("word", "symbols")
+    fold; it pays one explode + one join.
+
+    Pass ``segmented`` (the word table :func:`train_bpe` returns, already
+    persisted with its ``symbols`` column) to skip rebuilding the word
+    table and re-running the merge chain after training."""
+    if segmented is not None:
+        seg = segmented.select("word", "symbols")
+    else:
+        words = word_freq_table(documents, text_col, doc_col)
+        seg = segment_words(words, merges).select("word", "symbols")
     occurrences = documents.select(
         F.col(doc_col),
         F.posexplode(

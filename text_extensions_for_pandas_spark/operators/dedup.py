@@ -788,9 +788,13 @@ def dedup_paragraphs_incremental(
         F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
     )
     new_hashes = kept_rows.select("para_hash").distinct()
+    # new_hashes is already distinct and provably disjoint from the index
+    # (kept_rows come from the anti-join against it), so a plain union
+    # suffices — a trailing .distinct() would re-shuffle the WHOLE
+    # accumulated index every ingest, the exact cost this path avoids
     updated = (
         new_hashes
         if para_index is None
-        else para_index.select("para_hash").union(new_hashes).distinct()
+        else para_index.select("para_hash").union(new_hashes)
     )
     return out, updated

@@ -142,16 +142,21 @@ def dsir_log_weights(
     to assemble a target-like training mix from a general crawl.
 
     Returns ``(doc_col, n_tokens, log_weight)`` for every raw document
-    (rounded to 6 decimals — cross-engine float discipline).
+    that has at least one token (rounded to 6 decimals — cross-engine
+    float discipline).  Empty/whitespace-only documents have no defined
+    score and are omitted; left-join the result back onto the corpus if
+    every row must survive.
 
     Scale shape: both distributions collapse to ``n_buckets`` rows (one
-    hash aggregation each — the target corpus is small by definition, the
-    raw pass is one map-side-combined groupBy); the joined bucket table
-    broadcasts, and scoring is explode + broadcast-join + per-doc
-    aggregation.  Nothing wider than (doc, token) shuffles, and the
-    hashing trick caps distribution-estimation memory regardless of
-    vocabulary size — the reason DSIR scales where exact-vocab LM
-    importance weights do not.
+    corpus scan each — the bucket counts are persisted and the totals
+    derived from them, so estimation is a single map-side-combined
+    groupBy per corpus); the joined bucket table broadcasts, and scoring
+    is one more corpus pass (explode + broadcast-join + per-doc
+    aggregation).  Two raw-corpus passes total — estimate and score —
+    is the floor without materializing the token stream.  Nothing wider
+    than (doc, token) shuffles, and the hashing trick caps
+    distribution-estimation memory regardless of vocabulary size — the
+    reason DSIR scales where exact-vocab LM importance weights do not.
     """
     table = dsir_llr_table(raw_docs, target_docs, n_buckets, text_col)
     return dsir_score(raw_docs, table, n_buckets, text_col, doc_col)
@@ -187,8 +192,10 @@ def dsir_llr_table(
 
     def log_probs(docs: DataFrame, name: str) -> DataFrame:
         toks = _dsir_buckets(docs, n_buckets, text_col)
-        total = toks.count()  # driver scalar: corpus-constant, like BM25's
-        counts = toks.groupBy("bucket").agg(F.count("*").alias("__c"))
+        # one corpus scan: persist the (≤ n_buckets)-row count table and
+        # derive the total from it rather than a separate count() pass
+        counts = toks.groupBy("bucket").agg(F.count("*").alias("__c")).persist()
+        total = counts.agg(F.sum("__c")).collect()[0][0] or 0
         spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
         return spine.join(counts, "bucket", "left").select(
             "bucket",

@@ -3866,7 +3866,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("__val").cast("double") > F.expr("1.5 * __total / __nparts"))
+        .filter(F.col("__val").cast("double") > F.expr("1.5 * CAST(__total AS DOUBLE) / __nparts"))
         .select(
             F.col("l_partkey").cast("long").alias("p_partkey"),
             F.col("__val").cast("double").alias("part_value"),
@@ -3885,7 +3885,7 @@ WITH per_part AS (
 SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
        CAST(val AS DOUBLE) AS part_value
 FROM per_part
-WHERE CAST(val AS DOUBLE) > (SELECT 1.5 * sum(val) / count(*) FROM per_part)
+WHERE CAST(val AS DOUBLE) > (SELECT 1.5 * CAST(sum(val) AS DOUBLE) / count(*) FROM per_part)
 ORDER BY part_value DESC, p_partkey
 """
 
@@ -4332,11 +4332,12 @@ ORDER BY d.lang
 #
 # Round-4 order: [1] f1_report, the only entry never hash-verified
 # (BIGINT-cast fix from r2 pending driver proof); then the entries r03
-# did not gate (minus nine twice-verified (r01+r02) unchanged entries
+# did not gate (minus ten twice-verified (r01+r02) unchanged entries
 # rotated below the boundary: iob_to_iob2, unpack_semijoin, seq_windows,
 # covering_span, neighbor_tokens, spans_to_iob, extract_regex_tok,
-# extract_split, lemmatize — re-gate in r05 with tensor_rowstats /
-# tensor_mean_by_label); the 7 TPC-H queries whose broadcast hints were
+# extract_split, lemmatize, simhash — re-gate in r05 with
+# tensor_rowstats / tensor_mean_by_label); the 7 TPC-H queries whose
+# broadcast hints were
 # removed this round; every query NEW or plan-changed this round
 # (stratified_sample, corpus_mixture, bigram_lm, q13/q15/q17/q21,
 # split_by_hash, multimodal_decode_means, classification_report,
@@ -4415,7 +4416,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (rotated out, all twice-verified (r01+r02) and unchanged since —
     # re-gate in r05: tensor_rowstats, tensor_mean_by_label, iob_to_iob2,
     # unpack_semijoin, seq_windows, covering_span, neighbor_tokens,
-    # spans_to_iob)
+    # spans_to_iob, extract_regex_tok, extract_split, lemmatize, simhash)
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
