@@ -1,6 +1,7 @@
 """Tests for connected components, repetition metrics, decontamination,
 and TF-IDF top terms (beyond-reference training-pipeline surface)."""
 
+import pytest
 import pyspark.sql.functions as F
 
 from tests.conftest import rows_to_tuples
@@ -337,3 +338,64 @@ def test_dedup_paragraphs_incremental_matches_full_recompute(spark):
         index = index.localCheckpoint()  # simulate persisting between ingests
         got += rows_to_tuples(out, "doc_id", "n_paras", "n_kept", "dedup_text")
     assert sorted(got) == want
+
+
+def test_dedup_paragraphs_randomized_differential(spark):
+    """200 random documents built from a tiny paragraph alphabet (high
+    collision rate) against a pure-Python keep-first transcription."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = [f"p{i}" for i in range(12)]
+    rows = [
+        (i, "\n".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6))))
+        for i in range(200)
+    ]
+
+    seen, want = set(), {}
+    for doc_id, text in rows:  # rows are in doc_id order
+        paras = [p for p in text.split("\n") if p]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want[doc_id] = (len(paras), len(kept), "\n".join(kept))
+
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["dedup_text"])
+        for r in dedup_paragraphs(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert got == want
+
+
+def test_soft_dedup_weights(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], ["doc_id"]
+    )
+    # cluster {1,2,3} and pair {5,6}; 4 and 7 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"]
+    )
+    from text_extensions_for_pandas_spark.operators.graph import (
+        soft_dedup_weights,
+    )
+
+    got = {
+        r["doc_id"]: (r["component"], r["cluster_size"], r["weight"])
+        for r in soft_dedup_weights(docs, pairs).collect()
+    }
+    assert got[1] == (1, 3, pytest.approx(1 / 3))
+    assert got[2] == (1, 3, pytest.approx(1 / 3))
+    assert got[3] == (1, 3, pytest.approx(1 / 3))
+    assert got[5] == (5, 2, pytest.approx(0.5))
+    assert got[6] == (5, 2, pytest.approx(0.5))
+    assert got[4] == (4, 1, 1.0) and got[7] == (7, 1, 1.0)
+    # total training mass = number of distinct contents
+    assert sum(w for _, _, w in got.values()) == pytest.approx(4.0)

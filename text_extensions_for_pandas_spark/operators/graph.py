@@ -125,3 +125,40 @@ def connected_components(
     for df in retained:
         df.unpersist()
     return result
+
+
+def soft_dedup_weights(
+    documents, pairs, doc_col: str = "doc_id"
+):
+    """Soft dedup: instead of dropping near-duplicates, down-weight them —
+    every member of a duplicate cluster gets ``weight = 1 / cluster_size``
+    so each distinct piece of content contributes one unit of training
+    mass regardless of how many copies the crawl caught.  Documents in no
+    cluster keep weight 1.
+
+    ``pairs``: near-dup edges ``(doc_a, doc_b)`` (e.g.
+    :func:`..dedup.near_dup_pairs` output).  Returns
+    ``(doc_col, component, cluster_size, weight)`` for every document;
+    feed ``weight`` to ``sampling.importance_sample`` for stochastic
+    soft dedup, or multiply into per-example loss weights at training
+    time.  Cost on top of :func:`connected_components`: one
+    cluster-size aggregate + one join against the (cluster-member-sized,
+    not corpus-sized) label table.
+    """
+    from pyspark.sql import functions as F
+
+    cc = connected_components(pairs)
+    sized = cc.join(
+        cc.groupBy("component").agg(F.count("*").alias("cluster_size")),
+        "component",
+    )
+    return (
+        documents.select(doc_col)
+        .join(sized.withColumnRenamed("node", doc_col), doc_col, "left")
+        .select(
+            doc_col,
+            F.coalesce("component", F.col(doc_col)).alias("component"),
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            (1.0 / F.coalesce("cluster_size", F.lit(1))).alias("weight"),
+        )
+    )
