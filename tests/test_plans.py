@@ -397,3 +397,53 @@ def test_minhash_signature_agg_is_hash_based(spark, docs):
     )
     assert "SortAggregate" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_dedup_paragraphs_plan_no_python_single_width(spark, docs):
+    """Paragraph dedup must stay entirely JVM-side: no Python evaluation
+    nodes, and the only exchanges are the hash-window and per-doc
+    rebuild shuffles plus the final doc join."""
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    plan = plan_of(dedup_paragraphs(docs), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_cap_per_domain_single_window_no_python(spark, docs):
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        cap_per_domain,
+    )
+
+    plan = plan_of(
+        cap_per_domain(docs, max_docs=5, max_tokens=1000), "simple"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # both caps ride ONE window pass over (domain, hash order) — a second
+    # Window node would mean the row_number and running sum didn't fuse
+    assert plan.count("Window") == 1, plan
+
+
+def test_dsir_score_uses_broadcast_join(spark, docs):
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        dsir_llr_table,
+        dsir_score,
+    )
+
+    table = dsir_llr_table(docs, docs.limit(50), n_buckets=500)
+    plan = plan_of(dsir_score(docs, table, n_buckets=500), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_pair_counts_no_join_no_python(spark, docs):
+    """Pair counting must be explode + one hash aggregate — no join (the
+    arrays_zip-with-own-tail trick) and no Python nodes."""
+    from text_extensions_for_pandas_spark.operators import bpe
+
+    words = bpe.with_symbols(bpe.word_freq_table(docs))
+    plan = plan_of(bpe.bpe_pair_counts(words), "simple")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -260,13 +260,17 @@ def cap_per_domain(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(domain_col).orderBy(
-        hash_fraction(F.col(doc_col)), doc_col
-    )
-    out = df
-    conds = []
+    if max_docs is None and max_tokens is None:
+        return df
+    # materialize the hash fraction as ONE named column so both window
+    # expressions share the identical sort key — Catalyst then plans a
+    # single Sort + single Window node (separate withColumns would each
+    # re-derive the expression under a fresh id and force a second sort)
+    out = df.withColumn("__frac", hash_fraction(F.col(doc_col)))
+    w = Window.partitionBy(domain_col).orderBy("__frac", doc_col)
+    cols, conds = [], []
     if max_docs is not None:
-        out = out.withColumn("__rk", F.row_number().over(w))
+        cols.append(F.row_number().over(w).alias("__rk"))
         conds.append(F.col("__rk") <= max_docs)
     if max_tokens is not None:
         prefix = F.coalesce(
@@ -275,11 +279,10 @@ def cap_per_domain(
             ),
             F.lit(0),
         )
-        out = out.withColumn("__prefix", prefix)
+        cols.append(prefix.alias("__prefix"))
         conds.append(F.col("__prefix") < max_tokens)
-    if not conds:
-        return df
+    out = out.select("*", *cols)
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c
-    return out.filter(cond).drop("__rk", "__prefix")
+    return out.filter(cond).drop("__rk", "__prefix", "__frac")
