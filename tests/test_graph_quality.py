@@ -399,3 +399,23 @@ def test_soft_dedup_weights(spark):
     assert got[4] == (4, 1, 1.0) and got[7] == (7, 1, 1.0)
     # total training mass = number of distinct contents
     assert sum(w for _, _, w in got.values()) == pytest.approx(4.0)
+
+
+def test_lsh_tuning_matches_scurve_intuition():
+    from text_extensions_for_pandas_spark.operators.dedup import lsh_tuning
+
+    # higher thresholds want more rows per band (sharper S-curve knee)
+    (_, r_low), (_, r_high) = lsh_tuning(0.5, 16), lsh_tuning(0.9, 16)
+    assert r_high > r_low
+    # the product always factorizes n_hashes exactly
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r = lsh_tuning(t, 128)
+        assert b * r == 128
+    # recall bias flattens the curve: more bands, fewer rows
+    b_bal, r_bal = lsh_tuning(0.8, 64)
+    b_rec, r_rec = lsh_tuning(0.8, 64, fn_weight=20.0)
+    assert r_rec <= r_bal and b_rec >= b_bal
+    # invalid thresholds rejected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lsh_tuning(1.0, 16)

@@ -798,3 +798,42 @@ def dedup_paragraphs_incremental(
         else para_index.select("para_hash").union(new_hashes)
     )
     return out, updated
+
+def lsh_tuning(
+    threshold: float,
+    n_hashes: int,
+    fn_weight: float = 1.0,
+    fp_weight: float = 1.0,
+) -> tuple[int, int]:
+    """Pick ``(n_bands, rows_per_band)`` for MinHash LSH at a target
+    Jaccard ``threshold`` (the standard S-curve analysis, Leskovec/
+    Rajaraman/Ullman MMDS §3.4): candidate probability at similarity s is
+    ``1 - (1 - s^r)^b``; minimize the weighted integral of false
+    positives (area under the curve below the threshold) plus false
+    negatives (area above) over the factorizations of ``n_hashes``.
+
+    Purely analytic and driver-side — call it once to parameterize
+    :func:`minhash_candidates` / :func:`near_dup_pairs` instead of
+    hand-guessing band counts; weights bias the trade (e.g.
+    ``fn_weight=10`` when recall matters more than verification cost).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best, best_cost = None, float("inf")
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        steps = 1000
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        cost = fp_weight * fp + fn_weight * fn
+        if cost < best_cost:
+            best, best_cost = (b, r), cost
+    return best
