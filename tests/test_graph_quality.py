@@ -334,8 +334,11 @@ def test_dedup_paragraphs_incremental_matches_full_recompute(spark):
     got, index = [], None
     for lo, hi in [(1, 2), (3, 4), (5, 6)]:
         batch = docs.filter(F.col("doc_id").between(lo, hi))
-        out, index = dedup_paragraphs_incremental(batch, index)
-        index = index.localCheckpoint()  # simulate persisting between ingests
+        out, delta = dedup_paragraphs_incremental(batch, index)
+        # append-only index maintenance, as the parquet ingest path does
+        index = (
+            delta if index is None else index.union(delta)
+        ).localCheckpoint()
         got += rows_to_tuples(out, "doc_id", "n_paras", "n_kept", "dedup_text")
     assert sorted(got) == want
 

@@ -597,3 +597,51 @@ def test_dsir_scoring_stream_batch_parity(spark, tmp_path):
         for r in spark.read.parquet(out_path).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_paragraph_dedup_matches_batch(spark, tmp_path):
+    """foreachBatch paragraph dedup over an ordered two-file stream must
+    reproduce the one-shot batch operator (earlier batches own smaller
+    doc ids, so arrival-order keep-first equals global keep-first)."""
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    rows = [
+        (1, "aaa\nbbb"),
+        (2, "bbb\nccc"),
+        (3, "aaa\nccc"),
+        (4, "ddd\nddd\neee"),
+        (5, "eee\nfff\nbbb"),
+        (6, "fff\nggg"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {
+        (r.doc_id, r.n_paras, r.n_kept, r.dedup_text)
+        for r in dedup_paragraphs(docs).collect()
+    }
+
+    src = str(tmp_path / "src")
+    docs.filter("doc_id <= 3").coalesce(1).write.parquet(src)
+    docs.filter("doc_id > 3").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = STR.streaming_paragraph_dedup(
+        stream,
+        index_path=str(tmp_path / "index"),
+        out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(180)
+
+    got = {
+        (r.doc_id, r.n_paras, r.n_kept, r.dedup_text)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == want
+    # the index holds exactly the distinct surviving paragraph hashes
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert idx.count() == idx.distinct().count() == 7  # aaa bbb ccc ddd eee fff ggg

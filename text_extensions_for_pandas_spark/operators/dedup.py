@@ -737,9 +737,12 @@ def dedup_paragraphs_incremental(
     batch-by-batch processing in doc-id order reproduces the full-corpus
     result exactly — parity-tested).
 
-    Returns ``(rebuilt, updated_index)``; persist ``updated_index``
-    (ideally parquet bucketed by ``para_hash``) between ingests.  The
-    index probe is an anti-join on the hash — shuffle bounded by
+    Returns ``(rebuilt, new_hashes)`` — ``new_hashes`` is the DELTA of
+    paragraph hashes this batch adds (distinct, disjoint from the given
+    index by construction): APPEND it to the persisted index (ideally
+    parquet bucketed by ``para_hash``) between ingests.  An append-only
+    delta keeps per-ingest index maintenance O(batch), never O(corpus).
+    The index probe is an anti-join on the hash — shuffle bounded by
     paragraph rows, or a broadcast when the index is still small.
     """
     from pyspark.sql import Window
@@ -788,16 +791,7 @@ def dedup_paragraphs_incremental(
         F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
     )
     new_hashes = kept_rows.select("para_hash").distinct()
-    # new_hashes is already distinct and provably disjoint from the index
-    # (kept_rows come from the anti-join against it), so a plain union
-    # suffices — a trailing .distinct() would re-shuffle the WHOLE
-    # accumulated index every ingest, the exact cost this path avoids
-    updated = (
-        new_hashes
-        if para_index is None
-        else para_index.select("para_hash").union(new_hashes)
-    )
-    return out, updated
+    return out, new_hashes
 
 def lsh_tuning(
     threshold: float,

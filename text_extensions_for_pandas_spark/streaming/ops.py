@@ -435,3 +435,54 @@ def streaming_incremental_dedup(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def streaming_paragraph_dedup(
+    documents: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    sep_regex: str = "\n+",
+    join_sep: str = "\n",
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """CCNet paragraph dedup as an ingest loop: each micro-batch keeps only
+    paragraphs never seen before (anti-join against the persisted
+    paragraph-hash index), writes the rebuilt documents, and appends the
+    newly accepted hashes — :func:`..operators.dedup.
+    dedup_paragraphs_incremental` made continuous.  Arrival-order
+    keep-first (earlier batches win; within a batch, smallest
+    ``(doc_id, pos)``), which is exactly CCNet's semantics over a rolling
+    crawl.
+
+    State is the parquet hash index (restart-safe: checkpoint replay plus
+    the anti-join make re-processing idempotent).  Returns the writer —
+    call ``.start()`` at the ingest site.
+    """
+    from pyspark.errors import AnalysisException
+
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        dedup_paragraphs_incremental,
+    )
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException:
+            index = None
+        rebuilt, new_hashes = dedup_paragraphs_incremental(
+            batch_df, index, sep_regex, join_sep, text_col, doc_col
+        )
+        rebuilt = rebuilt.localCheckpoint()
+        rebuilt.write.mode("append").parquet(out_path)
+        # append-only delta: index maintenance stays O(batch)
+        new_hashes.write.mode("append").parquet(index_path)
+
+    return (
+        documents.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
