@@ -726,3 +726,8 @@ from text_extensions_for_pandas_spark.operators.iob import (  # noqa: E402,F401
     make_iob_tag_categories,
     spans_to_iob,
 )
+from text_extensions_for_pandas_spark.sources.downloads import (  # noqa: E402,F401
+    maybe_download_conll_data,
+    maybe_download_dataset_data,
+    maybe_download_file,
+)
