@@ -422,3 +422,66 @@ def test_lsh_tuning_matches_scurve_intuition():
     import pytest as _pt
     with _pt.raises(ValueError):
         lsh_tuning(1.0, 16)
+
+
+def test_remove_boilerplate_group_scoped(spark):
+    # "nav" repeats across docs 1+2 of source s1 -> removed EVERYWHERE in
+    # s1, including its first occurrence (contrast dedup_paragraphs'
+    # keep-first); the same line in source s2 appears in only one doc
+    # there, so s2 keeps it.  Repeats within a SINGLE doc (doc 4) don't
+    # cross the distinct-doc threshold.
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        boilerplate_lines,
+        remove_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "nav\nalpha"),
+            (2, "s1", "nav\nbeta"),
+            (3, "s2", "nav\ngamma"),
+            (4, "s2", "dup\ndup\ndelta"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    bp = rows_to_tuples(
+        boilerplate_lines(docs, min_docs=2, group_col="source"),
+        "source", "n_docs",
+    )
+    assert bp == [("s1", 2)]
+    got = rows_to_tuples(
+        remove_boilerplate(docs, min_docs=2, group_col="source"),
+        "doc_id", "n_lines", "n_kept", "clean_text",
+    )
+    assert got == [
+        (1, 2, 1, "alpha"),
+        (2, 2, 1, "beta"),
+        (3, 2, 2, "nav\ngamma"),
+        (4, 3, 3, "dup\ndup\ndelta"),
+    ]
+
+
+def test_remove_boilerplate_corpus_wide_and_precomputed(spark):
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        boilerplate_lines,
+        remove_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "footer\na"), (2, "footer\nb"), (3, "footer")],
+        ["doc_id", "text"],
+    )
+    # corpus-wide (no group): footer hits 3 distinct docs; doc 3 empties
+    got = rows_to_tuples(
+        remove_boilerplate(docs, min_docs=3),
+        "doc_id", "n_lines", "n_kept", "clean_text",
+    )
+    assert got == [(1, 2, 1, "a"), (2, 2, 1, "b"), (3, 1, 0, "")]
+    # a precomputed static table produces the identical result (the
+    # stream-static split: build once, apply as a join)
+    bp = boilerplate_lines(docs, min_docs=3)
+    again = rows_to_tuples(
+        remove_boilerplate(docs, boilerplate=bp),
+        "doc_id", "n_lines", "n_kept", "clean_text",
+    )
+    assert again == got

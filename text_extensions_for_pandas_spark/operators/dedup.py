@@ -793,6 +793,118 @@ def dedup_paragraphs_incremental(
     new_hashes = kept_rows.select("para_hash").distinct()
     return out, new_hashes
 
+
+def boilerplate_lines(
+    documents: DataFrame,
+    min_docs: int = 3,
+    sep_regex: str = "\n+",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """The static pass of C4-style boilerplate removal (Raffel et al.,
+    JMLR'20 §2.2 drop repeated lines; RefinedWeb line-wise filtering):
+    find every line that occurs in at least ``min_docs`` DISTINCT
+    documents — within the same ``group_col`` (typically the domain/host,
+    where nav bars and cookie banners repeat) when given, corpus-wide
+    otherwise.
+
+    Returns ``(group_col?, line_hash, n_docs)`` — a table bounded by the
+    number of distinct *repeated* lines, far smaller than the corpus.
+    Persist it once and feed :func:`remove_boilerplate`; because the
+    removal side is a join against this static table plus row-local
+    rebuild, it is stream-transparent (stream-static join), mirroring the
+    :func:`~..sampling.dsir_llr_table` static/scoring split.
+
+    Scale shape: one explode (narrow) and one hash-partitioned groupBy
+    whose partial aggregation dedups ``(line, doc)`` map-side.  Nothing
+    is all-pairs and no Python runs.
+    """
+    keys = ([group_col] if group_col else []) + ["line_hash"]
+    lines = documents.select(
+        *([F.col(group_col)] if group_col else []),
+        F.col(doc_col),
+        F.explode(F.split(F.col(text_col), sep_regex)).alias("__line"),
+    ).filter(F.length("__line") > 0)
+    return (
+        lines.withColumn("line_hash", F.md5("__line"))
+        .groupBy(*keys)
+        .agg(F.countDistinct(doc_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    documents: DataFrame,
+    boilerplate: DataFrame | None = None,
+    min_docs: int = 3,
+    sep_regex: str = "\n+",
+    join_sep: str = "\n",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Remove every occurrence of boilerplate lines from every document
+    and rebuild the text in original line order.
+
+    Unlike :func:`dedup_paragraphs` (CCNet keep-FIRST-occurrence,
+    corpus-wide), this is the C4/RefinedWeb rule: a line frequent within
+    its group (``min_docs`` distinct docs) is presumed template chrome —
+    menus, footers, license blocks — and deleted EVERYWHERE, including
+    its first occurrence.  ``boilerplate``: a precomputed
+    :func:`boilerplate_lines` table (built here when ``None``).
+
+    Returns one row per input document:
+    ``(doc_col, n_lines, n_kept, clean_text)``.
+
+    Scale shape: the line set is derived once (one groupBy); tagging is
+    an equijoin of line rows against that much-smaller table on
+    ``(group, line_hash)`` — broadcast when it fits, shuffle-partitioned
+    otherwise, never all-pairs; the rebuild is one groupBy(doc) with an
+    order-restoring ``array_sort``.  With a persisted ``boilerplate``
+    table the corpus is scanned exactly once.
+    """
+    if boilerplate is None:
+        boilerplate = boilerplate_lines(
+            documents, min_docs, sep_regex, text_col, doc_col, group_col
+        )
+    keys = ([group_col] if group_col else []) + ["line_hash"]
+    lines = documents.select(
+        *([F.col(group_col)] if group_col else []),
+        F.col(doc_col),
+        F.posexplode(F.split(F.col(text_col), sep_regex)).alias("pos", "__line"),
+    ).filter(F.length("__line") > 0)
+    flagged = (
+        lines.withColumn("line_hash", F.md5("__line"))
+        .join(
+            boilerplate.select(*keys, F.lit(True).alias("__bp")),
+            keys,
+            "left",
+        )
+        .withColumn("__keep", F.col("__bp").isNull())
+    )
+    rebuilt = flagged.groupBy(doc_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("pos", "__line"))
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+    )
+    return documents.select(doc_col).join(rebuilt, doc_col, "left").select(
+        doc_col,
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
 def lsh_tuning(
     threshold: float,
     n_hashes: int,

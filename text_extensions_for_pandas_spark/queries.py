@@ -4207,6 +4207,67 @@ ORDER BY doc_id
 """
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb boilerplate-line removal: a line occurring in >= 2
+    distinct documents of the same source is template chrome and deleted
+    from EVERY document (contrast ``dedup_paragraphs``' corpus-wide
+    keep-first).  Same ``' table '`` segmentation as that query (the
+    synthetic corpus has no newlines); output text md5'd to keep the
+    oracle comparison compact."""
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        remove_boilerplate,
+    )
+
+    out = remove_boilerplate(
+        load(spark, sf_dir, "documents"),
+        min_docs=2,
+        sep_regex=" table ",
+        join_sep=" ",
+        group_col="source",
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("clean_text").alias("text_hash"),
+    ).orderBy("doc_id")
+
+
+Q_BOILERPLATE_SQL = """
+WITH segs AS (
+  SELECT doc_id, source, i AS pos, p AS line FROM (
+    SELECT doc_id, source, unnest(arr) AS p, generate_subscripts(arr, 1) AS i
+    FROM (SELECT doc_id, source, string_split_regex(text, ' table ') AS arr
+          FROM documents)
+  ) WHERE length(p) > 0
+),
+bp AS (
+  SELECT source, md5(line) AS line_hash
+  FROM segs GROUP BY source, md5(line)
+  HAVING count(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT s.doc_id, s.pos, s.line, b.line_hash IS NULL AS keep
+  FROM segs s LEFT JOIN bp b
+    ON s.source = b.source AND md5(s.line) = b.line_hash
+),
+rebuilt AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+                             ORDER BY pos), '') AS clean_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(r.clean_text, '')) AS text_hash
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data corpus assembly):
     per-language md5-hash rates, so membership is a pure row-local function
@@ -4417,6 +4478,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # re-gate in r05: tensor_rowstats, tensor_mean_by_label, iob_to_iob2,
     # unpack_semijoin, seq_windows, covering_span, neighbor_tokens,
     # spans_to_iob, extract_regex_tok, extract_split, lemmatize, simhash)
+    # new after the round-4 gate filled (locally hash-verified at sf0.001
+    # AND sf0.01 by scripts/check_oracle.py; gate them first in r05):
+    "boilerplate_removal": (q_boilerplate_removal, Q_BOILERPLATE_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
