@@ -394,3 +394,32 @@ def test_surprisal_buckets_approx_agrees_with_exact(spark):
     ).count()
     assert bad == 0
     j.unpersist()
+
+
+def test_doc_perplexity_orders_fluent_before_noise(spark):
+    # doc 1 repeats one deterministic transition ("a b a b ...") -> its
+    # bigrams are maximally predictable; doc 2 has all-distinct
+    # transitions -> every bigram is rare.  Perplexity must order 1 < 2.
+    from text_extensions_for_pandas_spark.operators.search import doc_perplexity
+
+    rows = []
+    for i, w in enumerate("a b a b a b a b".split()):
+        rows.append((1, i, w))
+    for i, w in enumerate("c d e f g h i j".split()):
+        rows.append((2, i, w))
+    toks = spark.createDataFrame(rows, ["doc_id", "token_idx", "token"])
+    out = {
+        r["doc_id"]: r
+        for r in doc_perplexity(toks, lam=0.9).collect()
+    }
+    assert out[1]["n_bigrams"] == 7 and out[2]["n_bigrams"] == 7
+    assert out[1]["ppl"] < out[2]["ppl"]
+    # lam=1 collapses to the pure conditional model: doc 1's transitions
+    # are fully deterministic given the corpus counts except where "b"
+    # also precedes nothing -- P(b|a)=1, P(a|b)=1 within doc 1's counts
+    # plus doc 2 contributes no a/b mass, so nats_per_token ~ 0.
+    pure = {
+        r["doc_id"]: r for r in doc_perplexity(toks, lam=1.0).collect()
+    }
+    assert pure[1]["nats_per_token"] == 0.0
+    assert pure[1]["ppl"] == 1.0

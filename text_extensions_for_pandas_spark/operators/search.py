@@ -285,6 +285,75 @@ def bigram_lm(
     )
 
 
+def doc_perplexity(
+    tokens: DataFrame,
+    lam: float = 0.9,
+    doc_col: str = "doc_id",
+    idx_col: str = "token_idx",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-document perplexity under a Jelinek-Mercer-interpolated bigram
+    LM estimated from the corpus itself (the KenLM-shaped filter CCNet
+    applies before its head/middle/tail split — here with the corpus as
+    its own model, the standard in-domain proxy when no external LM is
+    available):
+
+    ``P(w2 | w1) = lam * c(w1,w2)/c(w1) + (1 - lam) * c(w2)/N``
+
+    Returns ``(doc_id, n_bigrams, nats_per_token, ppl)`` — mean negative
+    log-likelihood in nats and its exp.  Low-perplexity docs are fluent
+    (or boilerplate); high-perplexity docs are noise — both tails get
+    filtered in training-data prep.
+
+    Scale shape: one ``lead`` window partitioned by doc builds bigram
+    occurrences; the model tables (pair counts, context counts, unigram
+    counts) are vocabulary-sized aggregates with map-side partials; the
+    corpus-sized occurrence stream then equijoins those small tables
+    (broadcast when they fit) and collapses per doc.  Nothing Python,
+    nothing all-pairs, and at 100 TB the model tables are the persisted
+    artifact while the corpus is scanned twice (model + score) or once
+    when the model is precomputed upstream.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(doc_col).orderBy(idx_col)
+    pairs = (
+        tokens.select(
+            F.col(doc_col),
+            F.col(idx_col),
+            F.lower(F.col(token_col)).alias("w1"),
+        )
+        .withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    ctx = pairs.groupBy("w1").agg(F.count("*").alias("__c1"))
+    uni = pairs.groupBy("w2").agg(F.count("*").alias("__c2"))
+    total = pairs.agg(F.count("*").alias("__n"))
+    model = (
+        bi.join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.lit(lam) * F.col("__c12") / F.col("__c1")
+                + F.lit(1.0 - lam) * F.col("__c2") / F.col("__n")
+            ).alias("__p"),
+        )
+    )
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy(doc_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log("__p")), 6).alias("nats_per_token"),
+            F.round(F.exp(F.avg(-F.log("__p"))), 2).alias("ppl"),
+        )
+    )
+
+
 def surprisal_buckets(
     documents: DataFrame,
     n_buckets: int = 3,

@@ -4071,6 +4071,44 @@ ORDER BY d.doc_id
 """
 
 
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus's own interpolated bigram
+    LM (lambda=0.9) — the KenLM-shaped quality filter one rung above
+    unigram surprisal, on the shared tokens matview."""
+    from text_extensions_for_pandas_spark.operators.search import (
+        doc_perplexity,
+    )
+
+    return doc_perplexity(_tokens(spark, sf_dir), lam=0.9).orderBy("doc_id")
+
+
+Q_DOC_PERPLEXITY_SQL = f"""
+WITH {TOKS_CTE},
+lagged AS (
+  SELECT doc_id, lower(token) AS w1,
+         lower(lead(token) OVER (PARTITION BY doc_id ORDER BY token_idx)) AS w2
+  FROM toks
+),
+b AS (SELECT doc_id, w1, w2 FROM lagged WHERE w2 IS NOT NULL),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+ctx AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+uni AS (SELECT w2, count(*) AS c2 FROM b GROUP BY w2),
+total AS (SELECT count(*) AS n FROM b),
+model AS (
+  SELECT bi.w1, bi.w2,
+         0.9 * bi.c12 / ctx.c1 + 0.1 * uni.c2 / total.n AS p
+  FROM bi JOIN ctx USING (w1) JOIN uni USING (w2), total
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln(p)), 6) AS nats_per_token,
+       round(exp(avg(-ln(p))), 2) AS ppl
+FROM b JOIN model USING (w1, w2)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration over the corpus: adjacent character
     pair frequencies of the word-frequency table (the corpus collapses
@@ -4481,6 +4519,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # new after the round-4 gate filled (locally hash-verified at sf0.001
     # AND sf0.01 by scripts/check_oracle.py; gate them first in r05):
     "boilerplate_removal": (q_boilerplate_removal, Q_BOILERPLATE_SQL),
+    "doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
