@@ -1,0 +1,136 @@
+"""Product quantization (pq_fit / pq_encode / pq_topk): determinism,
+code-range invariants, reconstruction sanity, and recall against the
+exact brute-force tier on the real embeddings table."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from text_extensions_for_pandas_spark.operators.similarity import (
+    brute_force_topk,
+    pq_encode,
+    pq_fit,
+    pq_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # embeddings normalized to unit length so inner-product ADC ranks by
+    # cosine, comparable with brute_force_topk
+    raw = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return raw.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / n).alias("embedding"),
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return pq_fit(emb, m=8, k=16, iterations=3).cache()
+
+
+def test_pq_fit_shape_and_determinism(emb, codebooks):
+    rows = codebooks.collect()
+    assert len(rows) == 8 * 16
+    assert {r["sub_id"] for r in rows} == set(range(8))
+    assert all(len(r["embedding"]) == 8 for r in rows)
+    again = pq_fit(emb, m=8, k=16, iterations=3).collect()
+    key = lambda r: (r["sub_id"], r["centroid_id"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    a = {key(r): r["embedding"] for r in rows}
+    b = {key(r): r["embedding"] for r in again}
+    assert a == b  # bit-identical, not approximately equal
+
+
+def test_pq_fit_rejects_indivisible_dims(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(emb, m=7)
+
+
+def test_pq_encode_invariants(emb, codebooks):
+    codes = pq_encode(emb, codebooks)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    # a vector equal to a stitched centroid must encode to those centroids
+    cb = {(r["sub_id"], r["centroid_id"]): list(r["embedding"])
+          for r in codebooks.collect()}
+    stitched = []
+    want = []
+    for s in range(8):
+        cid = s % 16
+        stitched += cb[(s, cid)]
+        want.append(cid)
+    spark = emb.sparkSession
+    probe = spark.createDataFrame([(999_999, stitched)], ["vec_id", "embedding"])
+    got = pq_encode(probe, codebooks).collect()[0]["codes"]
+    assert list(got) == want
+
+
+def test_pq_topk_recall_vs_exact_on_real_table(emb):
+    # the synthetic embeddings are near-random, so exact top-10 sits in a
+    # tight cosine band — the contract here is "far above the 10/499
+    # chance floor", measured at 0.54 with these hyperparameters
+    cbs = pq_fit(emb, m=16, k=16, iterations=3)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10)
+    codes = pq_encode(emb, cbs)
+    approx = pq_topk(codes, queries, cbs, k=10)
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(a) == set(e) and all(len(v) == 10 for v in a.values())
+    recalls = [len(e[q] & a[q]) / 10 for q in e]
+    assert sum(recalls) / len(recalls) >= 0.35, recalls
+
+
+def test_pq_topk_recall_on_planted_clusters(spark):
+    # 20 prototypes x 10 members with small noise: quantization error is
+    # tiny next to inter-cluster distance, so PQ must recover the exact
+    # neighbors almost perfectly
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    protos = rng.normal(size=(20, 64))
+    rows = []
+    for i in range(200):
+        v = protos[i % 20] + 0.05 * rng.normal(size=64)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    cbs = pq_fit(emb, m=8, k=16, iterations=5)
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = brute_force_topk(emb, queries, k=9)
+    codes = pq_encode(emb, cbs)
+    approx = pq_topk(codes, queries, cbs, k=9)
+    e, a = {}, {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(e[q] & a[q]) / 9 for q in e]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_pq_topk_output_contract(emb, codebooks):
+    queries = emb.filter(F.col("vec_id") == 0)
+    codes = pq_encode(emb, codebooks)
+    out = pq_topk(codes, queries, codebooks, k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert all(r["neighbor_id"] != 0 for r in out)
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)

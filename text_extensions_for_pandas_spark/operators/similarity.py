@@ -97,19 +97,38 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid by cosine (ties → lowest
-    centroid id).  Centroids are broadcast; the per-vector argmax is a
-    ``max_by`` aggregate (map-side combinable partial, one narrow shuffle
-    of (vec, best) pairs) rather than a window ``row_number``.  The
-    array-valued buffer makes it a SortAggregate, not a hash aggregate —
-    the deliberate trade: a single pass over the expensive N×k dot-product
-    stream beats re-deriving it to enable a hash-based two-step argmax."""
+    """Assign each vector to its nearest centroid by ``metric`` —
+    ``"cosine"`` (the IVF default) or ``"l2"`` (what product quantization
+    wants; near-zero subvectors make cosine unstable there).  Ties →
+    lowest centroid id.  Centroids are broadcast; the per-vector argmax is
+    a ``max_by`` aggregate (map-side combinable partial, one narrow
+    shuffle of (vec, best) pairs) rather than a window ``row_number``.
+    The array-valued buffer makes it a SortAggregate, not a hash
+    aggregate — the deliberate trade: a single pass over the expensive
+    N×k dot-product stream beats re-deriving it to enable a hash-based
+    two-step argmax."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
     c = centroids.select(
         F.col(centroid_id_col).alias("__cid"),
         F.col(vec_col).alias("__cvec"),
         norm(F.col(vec_col)).alias("__cn"),
     )
+    if metric == "cosine":
+        score = dot(F.col(vec_col), F.col("__cvec")) / (
+            F.col("__vn") * F.col("__cn")
+        )
+    else:
+        # max_by semantics kept: NEGATED squared L2 so "highest wins"
+        score = -F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.col("__cvec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     # per-vector norm computed once, not once per centroid (bit-identical
     # scores: each cosine factor is the same fold as before)
     scored = embeddings.withColumn("__vn", norm(F.col(vec_col))).crossJoin(
@@ -117,10 +136,7 @@ def ivf_assign(
     ).select(
         *embeddings.columns,
         "__cid",
-        (
-            dot(F.col(vec_col), F.col("__cvec"))
-            / (F.col("__vn") * F.col("__cn"))
-        ).alias("__score"),
+        score.alias("__score"),
     )
     others = [col for col in embeddings.columns if col != id_col]
     best = scored.groupBy(id_col).agg(
@@ -371,6 +387,7 @@ def kmeans_fit(
     iterations: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Train IVF centroids with Lloyd's k-means, entirely as DataFrame
     plans — the missing piece between ``ivf_assign`` (which takes centroids
@@ -405,7 +422,7 @@ def kmeans_fit(
     )
     for _ in range(iterations):
         assigned = ivf_assign(
-            embeddings, centroids, vec_col=vec_col, id_col=id_col
+            embeddings, centroids, vec_col=vec_col, id_col=id_col, metric=metric
         )
         dims = assigned.select(
             "cluster_id",
@@ -451,3 +468,183 @@ def kmeans_fit(
             .localCheckpoint(eager=True)
         )
     return centroids
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train product-quantization codebooks (Jegou et al., TPAMI'11):
+    split every vector into ``m`` contiguous subvectors and k-means each
+    subspace independently (L2 metric, :func:`kmeans_fit` — deterministic
+    init, DECIMAL-summed updates, so codebooks are bit-identical across
+    runs).
+
+    Returns ``(sub_id, centroid_id, embedding)`` — ``m * k`` rows, the
+    whole model.  With ``m=8, k=16`` a 64-dim float vector compresses to
+    8 4-bit codes: a 64x smaller index, the difference between an
+    embedding store that fits in executor memory at 100 TB corpus scale
+    and one that doesn't.
+
+    Scale shape: ``m`` independent k-means plans over sliced columns
+    (slicing is narrow); the driver loop is over SUBSPACES (a model
+    hyperparameter, never data-sized).
+    """
+    dims = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+    if dims % m != 0:
+        raise ValueError(f"vector dims {dims} not divisible by m={m}")
+    sub = dims // m
+    books = []
+    for s in range(m):
+        sliced = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+        )
+        cb = kmeans_fit(
+            sliced, k=k, iterations=iterations, vec_col=vec_col,
+            id_col=id_col, metric="l2",
+        )
+        books.append(
+            cb.select(
+                F.lit(s).cast("int").alias("sub_id"),
+                "centroid_id",
+                "embedding",
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress each vector to its PQ codes: per subspace, the id of the
+    L2-nearest codebook centroid.  Returns ``(id_col, codes ARRAY<INT>)``
+    — ``codes[sub_id]`` is the centroid index, the only thing the index
+    stores per vector.
+
+    Scale shape: vectors explode to ``m`` subvector rows (narrow), join
+    the broadcast ``m*k``-row codebook on ``sub_id``, and the argmin is a
+    ``min_by`` aggregate with map-side partials — two shuffles of
+    ``m`` rows per vector, no all-pairs, no Python.
+    """
+    sub_rows = codebooks.select(
+        F.max(F.col("sub_id")).alias("m"), F.min(F.size("embedding")).alias("s")
+    ).first()
+    m, sub = int(sub_rows["m"]) + 1, int(sub_rows["s"])
+    subs = embeddings.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)]
+            )
+        ).alias("sub_id", "__sv"),
+    )
+    cb = codebooks.select(
+        "sub_id", F.col("centroid_id").alias("__cid"),
+        F.col("embedding").alias("__cvec"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__sv"), F.col("__cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        subs.join(F.broadcast(cb), "sub_id")
+        .select(id_col, "sub_id", "__cid", dist.alias("__d"))
+        .groupBy(id_col, "sub_id")
+        # nearest centroid; ties -> lowest centroid id
+        .agg(F.min_by("__cid", F.struct(F.col("__d"), F.col("__cid"))).alias("__code"))
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "__code"))),
+            lambda st: st["__code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k inner-product search over a
+    PQ-compressed corpus: queries stay exact, corpus vectors are their
+    codes, and ``score(q, x) ~= sum_sub <q_sub, codebook[sub][code]>``.
+    Normalize the corpus before :func:`pq_encode` to make the ranking
+    cosine.  Output matches :func:`brute_force_topk`:
+    ``(query_id, neighbor_id, score, rank)``, self-matches excluded.
+
+    Scale shape: the per-query lookup tables (``m * k`` partial inner
+    products per query) come from queries × broadcast codebooks — LUT
+    size is hyperparameters × queries, never corpus.  Code rows explode
+    to ``m`` per vector, equijoin the broadcast LUT on
+    ``(sub_id, code)``, and per-(query, vector) sums are map-side
+    combinable.  Like the exact tier this scans all N codes per query —
+    the PQ win is ``m`` additions per pair instead of ``d``
+    multiplications, over an index 32-64x smaller; bucket with
+    :func:`ivf_assign` for sublinear candidate sets (IVF-PQ).
+    """
+    sub_rows = codebooks.select(
+        F.min(F.size("embedding")).alias("s")
+    ).first()
+    sub = int(sub_rows["s"])
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+        .crossJoin(
+            F.broadcast(
+                codebooks.select(
+                    "sub_id",
+                    F.col("centroid_id").alias("__cid"),
+                    F.col("embedding").alias("__cvec"),
+                )
+            )
+        )
+        .select(
+            "query_id",
+            "sub_id",
+            "__cid",
+            dot(
+                F.slice(F.col("__qvec"), F.col("sub_id") * sub + 1, F.lit(sub)),
+                F.col("__cvec"),
+            ).alias("__ip"),
+        )
+    )
+    crows = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub_id", "__cid"),
+    )
+    scored = (
+        crows.join(F.broadcast(lut), ["sub_id", "__cid"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__ip").alias("__score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__score", 6).alias("score"),
+            "rank",
+        )
+    )
