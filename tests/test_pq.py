@@ -134,3 +134,42 @@ def test_pq_topk_output_contract(emb, codebooks):
     assert all(r["neighbor_id"] != 0 for r in out)
     scores = [r["score"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_ivfpq_topk_composes_and_prunes(emb, codebooks):
+    from text_extensions_for_pandas_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_topk,
+        kmeans_fit,
+    )
+
+    centroids = kmeans_fit(emb, k=8, iterations=3)
+    assigned = ivf_assign(emb, centroids)
+    codes = pq_encode(emb, codebooks)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivfpq_topk(
+        assigned, codes, centroids, codebooks, queries, k=5, nprobe=8
+    )
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+        assert all(r["neighbor_id"] != q for r in rs)
+    # with nprobe == n_clusters the candidate set is the full corpus, so
+    # IVF-PQ must equal plain PQ exactly (same codes, same LUT math)
+    pq_only = pq_topk(codes, queries, codebooks, k=5)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, pq_only.collect()))
+    # with nprobe=1 every returned neighbor lives in its query's own
+    # nearest-probed cluster: the pruning is real
+    pruned = ivfpq_topk(
+        assigned, codes, centroids, codebooks, queries, k=5, nprobe=1
+    )
+    cl = {r["vec_id"]: r["cluster_id"] for r in assigned.select("vec_id", "cluster_id").collect()}
+    probe1 = {}
+    for r in pruned.collect():
+        probe1.setdefault(r["query_id"], set()).add(cl[r["neighbor_id"]])
+    for q, clusters in probe1.items():
+        assert len(clusters) == 1
