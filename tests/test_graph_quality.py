@@ -485,3 +485,28 @@ def test_remove_boilerplate_corpus_wide_and_precomputed(spark):
         "doc_id", "n_lines", "n_kept", "clean_text",
     )
     assert again == got
+
+
+def test_containment_catches_subset_duplication(spark):
+    # doc 2 is doc 1's opening quoted whole inside much longer text:
+    # Jaccard is small, but containment of the short side is 1.0
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        containment_for_pairs,
+        doc_shingles,
+    )
+
+    long_text = "a b c d " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "a b c d")], ["doc_id", "text"]
+    )
+    sh = doc_shingles(docs, shingle_n=3)
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    row = containment_for_pairs(pairs, sh).collect()[0]
+    assert row["containment_b"] == 1.0          # all of B's shingles in A
+    assert row["containment_a"] < 0.1           # A barely overlaps
+    assert row["jaccard"] < 0.1                 # symmetric score misses it
+    # and the jaccard column agrees with jaccard_for_pairs exactly
+    from text_extensions_for_pandas_spark.operators.dedup import jaccard_for_pairs
+
+    j = jaccard_for_pairs(pairs, sh).collect()[0]
+    assert j["jaccard"] == row["jaccard"]

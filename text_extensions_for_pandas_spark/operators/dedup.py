@@ -207,6 +207,58 @@ def jaccard_for_pairs(
     checkpointed eagerly so the upstream LSH band join runs exactly once —
     verified candidates are a bounded small fraction of the corpus (two
     longs per row), so the materialization is cheap at any scale."""
+    counted = _overlap_counts(pairs, shingles, doc_col)
+    return counted.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("__n_inter")
+            / (F.col("__ca") + F.col("__cb") - F.col("__n_inter")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def containment_for_pairs(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT for given pairs — the asymmetric cousin of
+    :func:`jaccard_for_pairs`: ``containment_a = |A ∩ B| / |A|`` (how much
+    of A is inside B) and vice versa.  Jaccard misses subset duplication —
+    a paragraph quoted whole inside a much longer page scores near-zero
+    Jaccard but containment ~1 on the quoted side — which is exactly the
+    shape of licence blocks, syndicated articles, and quoted eval items
+    (Broder's resemblance-vs-containment distinction, SEQUENCES'97).
+
+    Same candidate-restricted scale shape as the Jaccard verify; one extra
+    division per pair.  Returns
+    ``(doc_a, doc_b, containment_a, containment_b, jaccard)``.
+    """
+    counted = _overlap_counts(pairs, shingles, doc_col)
+    return counted.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("__n_inter") / F.col("__ca"), 6).alias("containment_a"),
+        F.round(F.col("__n_inter") / F.col("__cb"), 6).alias("containment_b"),
+        F.round(
+            F.col("__n_inter")
+            / (F.col("__ca") + F.col("__cb") - F.col("__n_inter")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def _overlap_counts(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Shared verify core: for each candidate pair, the distinct-shingle
+    intersection size and both sides' set sizes —
+    ``(doc_a, doc_b, __n_inter, __ca, __cb)``; zero-overlap pairs kept
+    with ``__n_inter = 0``."""
     pairs = pairs.localCheckpoint(eager=True)
     cand_docs = (
         pairs.select(F.col("doc_a").alias(doc_col))
@@ -237,11 +289,9 @@ def jaccard_for_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.coalesce(F.col("__n_inter"), F.lit(0))
-                / (F.col("__ca") + F.col("__cb") - F.coalesce(F.col("__n_inter"), F.lit(0))),
-                6,
-            ).alias("jaccard"),
+            F.coalesce(F.col("__n_inter"), F.lit(0)).alias("__n_inter"),
+            "__ca",
+            "__cb",
         )
     )
 

@@ -4109,6 +4109,40 @@ ORDER BY doc_id
 """
 
 
+def q_near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment verify over the MinHash-LSH candidates:
+    |A∩B|/|A| and |A∩B|/|B| alongside Jaccard — catches subset
+    duplication (quoted paragraphs, syndicated bodies) that symmetric
+    Jaccard under-scores.  Shares the session shingle matview."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(spark, sf_dir)
+    cands = D.minhash_candidates(docs, shingles=sh)
+    return D.containment_for_pairs(cands, sh).orderBy("doc_a", "doc_b")
+
+
+Q_NEAR_DUP_CONTAINMENT_SQL = f"""
+WITH {SHINGLES_CTE},
+cnt AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM cand p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / ca.c, 6) AS containment_a,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / cb.c, 6) AS containment_b,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (ca.c + cb.c - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM cand p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN cnt ca ON ca.doc_id = p.doc_a
+JOIN cnt cb ON cb.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration over the corpus: adjacent character
     pair frequencies of the word-frequency table (the corpus collapses
@@ -4520,6 +4554,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # AND sf0.01 by scripts/check_oracle.py; gate them first in r05):
     "boilerplate_removal": (q_boilerplate_removal, Q_BOILERPLATE_SQL),
     "doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
+    "near_dup_containment": (q_near_dup_containment, Q_NEAR_DUP_CONTAINMENT_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
