@@ -187,3 +187,55 @@ def test_cap_per_domain_invariants(spark):
         for r in cap_per_domain(docs.repartition(13), max_docs=5).collect()
     }
     assert k5b == k5
+
+
+def test_unigram_divergence_identity_and_separation(spark):
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        unigram_divergence,
+    )
+
+    a = spark.createDataFrame(
+        [(1, i, w) for i, w in enumerate("the cat sat on the mat".split())],
+        ["doc_id", "token_idx", "token"],
+    )
+    b = spark.createDataFrame(
+        [(2, i, w) for i, w in enumerate("quantum flux capacitors hum loudly".split())],
+        ["doc_id", "token_idx", "token"],
+    )
+    same = unigram_divergence(a, a).collect()[0]
+    assert same["kl_ab"] == 0.0 and same["kl_ba"] == 0.0 and same["js"] == 0.0
+    diff = unigram_divergence(a, b).collect()[0]
+    assert diff["js"] > 0.1 and diff["kl_ab"] > 0 and diff["kl_ba"] > 0
+    # JS is symmetric and bounded by ln 2
+    rev = unigram_divergence(b, a).collect()[0]
+    assert rev["js"] == diff["js"]
+    assert diff["js"] <= 0.6931472
+
+
+def test_source_divergence_ranks_the_outlier(spark):
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        source_divergence,
+    )
+
+    # two sources speak the corpus language; the third is an off-vocab spam
+    # flood and must rank highest-JS
+    docs = []
+    toks = []
+    did = 0
+    for src, text in [
+        ("s1", "alpha beta gamma delta alpha beta"),
+        ("s2", "alpha gamma beta delta beta alpha"),
+        ("spam", "buy pills buy pills buy pills"),
+    ]:
+        for _ in range(3):
+            docs.append((did, src))
+            for i, w in enumerate(text.split()):
+                toks.append((did, i, w))
+            did += 1
+    docs_df = spark.createDataFrame(docs, ["doc_id", "source"])
+    toks_df = spark.createDataFrame(toks, ["doc_id", "token_idx", "token"])
+    out = {r["source"]: r for r in source_divergence(toks_df, docs_df).collect()}
+    assert set(out) == {"s1", "s2", "spam"}
+    assert out["spam"]["js"] > out["s1"]["js"]
+    assert out["spam"]["js"] > out["s2"]["js"]
+    assert out["s1"]["n_tokens"] == 18

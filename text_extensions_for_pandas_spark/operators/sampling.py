@@ -286,3 +286,130 @@ def cap_per_domain(
     for c in conds[1:]:
         cond = cond & c
     return out.filter(cond).drop("__rk", "__prefix", "__frac")
+
+
+def unigram_divergence(
+    tokens_a: DataFrame,
+    tokens_b: DataFrame,
+    alpha: float = 0.5,
+    token_col: str = "token",
+) -> DataFrame:
+    """KL and Jensen-Shannon divergence between two corpora's unigram
+    distributions — the standard drift check when validating a training
+    mixture (is the held-out split / new crawl snapshot distributed like
+    the training corpus?).
+
+    Distributions are additively smoothed over the JOINT vocabulary
+    (``p_t = (c_t + alpha) / (N + alpha·V)``), so both KLs are finite and
+    the result is a pure deterministic function of the data.  Returns one
+    row: ``(n_vocab, kl_ab, kl_ba, js)`` in nats, rounded to 6 decimals.
+
+    Scale shape: each side collapses to a vocabulary-sized count table
+    (map-side-combined groupBy); the outer join and the final sums are
+    over vocab rows only — the corpora are each scanned once and never
+    shuffled whole.
+    """
+    ca = tokens_a.groupBy(F.lower(F.col(token_col)).alias("t")).agg(
+        F.count("*").alias("__ca")
+    )
+    cb = tokens_b.groupBy(F.lower(F.col(token_col)).alias("t")).agg(
+        F.count("*").alias("__cb")
+    )
+    joint = ca.join(cb, "t", "full_outer").select(
+        "t",
+        F.coalesce("__ca", F.lit(0)).alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    )
+    # one tiny pass for the normalizers, broadcast back as a 1-row frame
+    totals = joint.agg(
+        F.sum("__ca").alias("__na"),
+        F.sum("__cb").alias("__nb"),
+        F.count("*").alias("__v"),
+    )
+    p = (F.col("__ca") + F.lit(alpha)) / (
+        F.col("__na") + F.lit(alpha) * F.col("__v")
+    )
+    q = (F.col("__cb") + F.lit(alpha)) / (
+        F.col("__nb") + F.lit(alpha) * F.col("__v")
+    )
+    m = (p + q) / 2
+    return (
+        joint.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("__v"),
+            (p * F.log(p / q)).alias("__kl_ab"),
+            (q * F.log(q / p)).alias("__kl_ba"),
+            (p / 2 * F.log(p / m) + q / 2 * F.log(q / m)).alias("__js"),
+        )
+        .groupBy()
+        .agg(
+            F.max("__v").cast("long").alias("n_vocab"),
+            F.round(F.sum("__kl_ab"), 6).alias("kl_ab"),
+            F.round(F.sum("__kl_ba"), 6).alias("kl_ba"),
+            F.round(F.sum("__js"), 6).alias("js"),
+        )
+    )
+
+
+def source_divergence(
+    tokens: DataFrame,
+    doc_meta: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    doc_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence of each group's unigram
+    distribution against the WHOLE corpus — ranks domains/sources by how
+    far they drift from the corpus average, the screen that surfaces a
+    source gone bad (spam flood, template farm, encoding breakage) in a
+    large mixture.
+
+    ``doc_meta`` maps ``doc_col`` → ``group_col`` (typically the
+    documents table itself).  Smoothing as in
+    :func:`unigram_divergence`, over the corpus vocabulary.  Returns
+    ``(group_col, n_tokens, js)`` sorted nowhere — order downstream.
+
+    Scale shape: one (group, token) count table and one (token) corpus
+    table, both vocabulary-bounded; the join keys are tokens, the final
+    aggregate is per group.  Adding a group never rescans the corpus.
+    """
+    toks = tokens.join(doc_meta.select(doc_col, group_col), doc_col).select(
+        F.col(group_col).alias("__g"),
+        F.lower(F.col(token_col)).alias("t"),
+    )
+    per_group = toks.groupBy("__g", "t").agg(F.count("*").alias("__cg"))
+    corpus = toks.groupBy("t").agg(F.count("*").alias("__ct"))
+    vocab = corpus.agg(
+        F.count("*").alias("__v"), F.sum("__ct").alias("__n")
+    )
+    group_tot = per_group.groupBy("__g").agg(F.sum("__cg").alias("__ng"))
+    # every (group, vocab-token) cell participates via a full grid join:
+    # groups × vocab is bounded (both model-sized), never corpus-sized
+    grid = corpus.crossJoin(group_tot.select("__g", "__ng")).join(
+        per_group, ["__g", "t"], "left"
+    ).select(
+        "__g", "t", "__ng", "__ct",
+        F.coalesce("__cg", F.lit(0)).alias("__cg"),
+    )
+    p = (F.col("__cg") + F.lit(alpha)) / (
+        F.col("__ng") + F.lit(alpha) * F.col("__v")
+    )
+    q = (F.col("__ct") + F.lit(alpha)) / (
+        F.col("__n") + F.lit(alpha) * F.col("__v")
+    )
+    m = (p + q) / 2
+    return (
+        grid.crossJoin(F.broadcast(vocab))
+        .select(
+            "__g",
+            "__ng",
+            (p / 2 * F.log(p / m) + q / 2 * F.log(q / m)).alias("__js"),
+        )
+        .groupBy("__g")
+        .agg(
+            F.max("__ng").cast("long").alias("n_tokens"),
+            F.round(F.sum("__js"), 6).alias("js"),
+        )
+        .withColumnRenamed("__g", group_col)
+    )

@@ -4143,6 +4143,51 @@ ORDER BY p.doc_a, p.doc_b
 """
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence against the corpus-wide
+    unigram distribution (smoothed over the corpus vocabulary) — the
+    mixture-QA screen that ranks domains by distribution drift."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        source_divergence,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = source_divergence(_tokens(spark, sf_dir), docs, group_col="source")
+    return out.orderBy("source")
+
+
+Q_SOURCE_DIVERGENCE_SQL = f"""
+WITH {TOKS_CTE},
+toks2 AS (
+  SELECT d.source, lower(t.token) AS tk
+  FROM toks t JOIN documents d USING (doc_id)
+),
+per_group AS (SELECT source, tk, count(*) AS cg FROM toks2 GROUP BY 1, 2),
+corpus AS (SELECT tk, count(*) AS ct FROM toks2 GROUP BY 1),
+vocab AS (SELECT count(*) AS v, sum(ct) AS n FROM corpus),
+gtot AS (SELECT source, sum(cg) AS ng FROM per_group GROUP BY 1),
+grid AS (
+  SELECT g.source, c.tk, g.ng, c.ct, coalesce(p.cg, 0) AS cg
+  FROM corpus c
+  CROSS JOIN gtot g
+  LEFT JOIN per_group p ON p.source = g.source AND p.tk = c.tk
+),
+terms AS (
+  SELECT source, ng,
+         (cg + 0.5) / (ng + 0.5 * vocab.v) AS p,
+         (ct + 0.5) / (CAST(vocab.n AS DOUBLE) + 0.5 * vocab.v) AS q
+  FROM grid, vocab
+)
+SELECT source,
+       CAST(max(ng) AS BIGINT) AS n_tokens,
+       round(sum(p / 2 * ln(2 * p / (p + q))
+                 + q / 2 * ln(2 * q / (p + q))), 6) AS js
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration over the corpus: adjacent character
     pair frequencies of the word-frequency table (the corpus collapses
@@ -4555,6 +4600,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "boilerplate_removal": (q_boilerplate_removal, Q_BOILERPLATE_SQL),
     "doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
     "near_dup_containment": (q_near_dup_containment, Q_NEAR_DUP_CONTAINMENT_SQL),
+    "source_divergence": (q_source_divergence, Q_SOURCE_DIVERGENCE_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
