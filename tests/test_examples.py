@@ -50,3 +50,8 @@ def test_label_cleaning_example():
 def test_tokenizer_training_example():
     out = _run("tokenizer_training.py", 300)
     assert "learned" in out and "chars_per_subtoken" in out
+
+
+def test_ann_search_example():
+    out = _run("ann_search.py", 600)
+    assert "OK" in out and "recall@10" in out

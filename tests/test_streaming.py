@@ -645,3 +645,58 @@ def test_streaming_paragraph_dedup_matches_batch(spark, tmp_path):
     # the index holds exactly the distinct surviving paragraph hashes
     idx = spark.read.parquet(str(tmp_path / "index"))
     assert idx.count() == idx.distinct().count() == 7  # aaa bbb ccc ddd eee fff ggg
+
+
+def test_boilerplate_removal_stream_batch_parity(spark, tmp_path):
+    """With a precomputed boilerplate_lines table the removal side is a
+    stream-static join plus per-document rebuild (each document arrives
+    whole in its micro-batch), so foreachBatch cleaning of a document
+    stream must equal the batch path exactly."""
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        boilerplate_lines,
+        remove_boilerplate,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    bp = boilerplate_lines(
+        docs, min_docs=2, sep_regex=" table ", group_col="source"
+    ).cache()
+    want = {
+        r.doc_id: (r.n_lines, r.n_kept, r.clean_text)
+        for r in remove_boilerplate(
+            docs, boilerplate=bp, sep_regex=" table ", join_sep=" ",
+            group_col="source",
+        ).collect()
+    }
+
+    src = str(tmp_path / "src")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "cleaned")
+
+    def clean_batch(batch_df, _batch_id):
+        remove_boilerplate(
+            batch_df, boilerplate=bp, sep_regex=" table ", join_sep=" ",
+            group_col="source",
+        ).write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(clean_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.clean_text)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got == want and len(got) == docs.count()
