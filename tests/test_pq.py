@@ -173,3 +173,37 @@ def test_ivfpq_topk_composes_and_prunes(emb, codebooks):
         probe1.setdefault(r["query_id"], set()).add(cl[r["neighbor_id"]])
     for q, clusters in probe1.items():
         assert len(clusters) == 1
+
+
+def test_pq_encode_stream_batch_parity(spark, emb, codebooks, tmp_path):
+    """pq_encode against static codebooks is per-vector local (broadcast
+    join + per-vector argmin), so encoding a stream of vectors batch by
+    batch must equal the one-shot batch encode — the property that lets
+    the PQ index absorb new corpus shards without retraining."""
+    want = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, codebooks).collect()}
+
+    src = str(tmp_path / "src")
+    emb.filter("vec_id % 2 = 0").coalesce(1).write.parquet(src)
+    emb.filter("vec_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "codes")
+
+    def encode_batch(batch_df, _batch_id):
+        pq_encode(batch_df, codebooks).write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got == want and len(got) == emb.count()

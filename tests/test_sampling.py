@@ -239,3 +239,33 @@ def test_source_divergence_ranks_the_outlier(spark):
     assert out["spam"]["js"] > out["s1"]["js"]
     assert out["spam"]["js"] > out["s2"]["js"]
     assert out["s1"]["n_tokens"] == 18
+
+
+def test_deterministic_shuffle_invariants(spark):
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(df, n_shards=8, salt="e1")
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(0 <= r["shard"] < 8 for r in rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # pos is contiguous 1..n within every shard
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # stable under repartitioning (a pure function of the data)
+    again = deterministic_shuffle(df.repartition(13), n_shards=8, salt="e1")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # a different salt produces a genuinely different order
+    other = deterministic_shuffle(df, n_shards=8, salt="e2")
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in rows}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in other.collect()}
+    assert a != b
+    # ...and the shuffle is not the identity order
+    first_shard = [r for r in rows if r["shard"] == 0]
+    ids_in_pos_order = [r["doc_id"] for r in sorted(first_shard, key=lambda r: r["pos"])]
+    assert ids_in_pos_order != sorted(ids_in_pos_order)

@@ -413,3 +413,37 @@ def source_divergence(
         )
         .withColumnRenamed("__g", group_col)
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Globally-shuffled, shard-addressed training order: every row gets a
+    ``(shard, pos)`` that is a pure function of ``(salt, key)`` — the
+    epoch-stable shuffle a training job needs so that every reader,
+    restart, and re-run walks examples in the same pseudo-random order
+    without ever materializing a global sort.  Vary ``salt`` per epoch
+    for a fresh order.
+
+    Scale shape: the hash is row-local; rows shuffle once on ``shard``
+    (pick ``n_shards`` ~ a few x executor count) and each shard sorts
+    independently — there is no global ``orderBy``, whose range
+    partitioning and skewed boundaries are the classic full-corpus-sort
+    trap.  Downstream, write with ``partitionBy("shard")`` and readers
+    consume shards in ``pos`` order.
+    """
+    from pyspark.sql import Window
+
+    frac = hash_fraction(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    shard = F.least(
+        F.floor(frac * n_shards).cast("int"), F.lit(n_shards - 1)
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("__frac", key_col)
+    return (
+        df.select(shard, frac.alias("__frac"), *df.columns)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__frac")
+    )

@@ -4188,6 +4188,42 @@ ORDER BY source
 """
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-stable deterministic corpus shuffle: every document gets a
+    (shard, pos) that is a pure function of (salt, doc_id) — no global
+    sort, one shuffle on shard, per-shard ordering.  Readers walk shards
+    in pos order; a different salt reshuffles the epoch."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    out = deterministic_shuffle(docs, n_shards=8, salt="epoch0")
+    return out.select(
+        "doc_id", "source", F.col("shard").cast("int").alias("shard"), "pos"
+    ).orderBy("shard", "pos")
+
+
+Q_CORPUS_SHUFFLE_SQL = """
+WITH fr AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(md5('epoch0' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS frac
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, source, frac,
+         least(CAST(floor(frac * 8) AS INTEGER), 7) AS shard
+  FROM fr
+)
+SELECT doc_id, source, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY frac, doc_id)
+            AS BIGINT) AS pos
+FROM sharded
+ORDER BY shard, pos
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration over the corpus: adjacent character
     pair frequencies of the word-frequency table (the corpus collapses
@@ -4601,6 +4637,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
     "near_dup_containment": (q_near_dup_containment, Q_NEAR_DUP_CONTAINMENT_SQL),
     "source_divergence": (q_source_divergence, Q_SOURCE_DIVERGENCE_SQL),
+    "corpus_shuffle": (q_corpus_shuffle, Q_CORPUS_SHUFFLE_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
