@@ -510,3 +510,30 @@ def test_containment_catches_subset_duplication(spark):
 
     j = jaccard_for_pairs(pairs, sh).collect()[0]
     assert j["jaccard"] == row["jaccard"]
+
+
+def test_dedup_paragraphs_document_scope(spark):
+    # doc 1 repeats its own paragraph (collapses); doc 2 repeats doc 1's
+    # paragraph (SURVIVES under document scope, unlike corpus scope)
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa\nbbb\naaa"), (2, "aaa\nccc")], ["doc_id", "text"]
+    )
+    got = rows_to_tuples(
+        dedup_paragraphs(docs, scope="document"),
+        "doc_id", "n_paras", "n_kept", "dedup_text",
+    )
+    assert got == [(1, 3, 2, "aaa\nbbb"), (2, 2, 2, "aaa\nccc")]
+    # corpus scope on the same input removes doc 2's repeat
+    corpus = rows_to_tuples(
+        dedup_paragraphs(docs),
+        "doc_id", "n_paras", "n_kept", "dedup_text",
+    )
+    assert corpus == [(1, 3, 2, "aaa\nbbb"), (2, 2, 1, "ccc")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scope"):
+        dedup_paragraphs(docs, scope="line")

@@ -423,3 +423,34 @@ def test_doc_perplexity_orders_fluent_before_noise(spark):
     }
     assert pure[1]["nats_per_token"] == 0.0
     assert pure[1]["ppl"] == 1.0
+
+
+def test_gopher_rules_each_failure_mode(spark):
+    from text_extensions_for_pandas_spark.functions.text import gopher_rules
+
+    prose = ("the cat and the dog have been to the house of friends that "
+             "live with us and they be happy about everything around " * 3)
+    cases = [
+        (1, prose, "passes"),                      # clean running prose
+        (2, "word " * 10, "word_count_ok"),        # too short
+        (3, "a " * 60, "mean_word_len_ok"),        # words too short
+        (4, ("the of and " * 20) + "# " * 30, "symbol_ratio_ok"),
+        (5, "\n".join(["- item " + str(i) for i in range(20)]), "bullet_ok"),
+        (6, "\n".join(["the end..." for _ in range(10)]), "ellipsis_ok"),
+        (7, ("the of and that have with be to " * 8) + "123 456 789 " * 20,
+         "alpha_ratio_ok"),
+        (8, "zebra quagga okapi " * 30, "stopword_ok"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in docs.select("doc_id", gopher_rules("text").alias("g"))
+        .select("doc_id", "g.*")
+        .collect()
+    }
+    assert out[1]["passes"] is True
+    for i, _, broken in cases[1:]:
+        assert out[i][broken] is False, (i, broken, out[i])
+        assert out[i]["passes"] is False

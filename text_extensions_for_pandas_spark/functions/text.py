@@ -192,6 +192,70 @@ def quality_metrics(text: Column | str, toks: Column | None = None) -> Column:
     )
 
 
+# Gopher's required-word list (Rae et al. 2021, Appendix A1.1): a document
+# must contain at least 2 of these to look like running English prose.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    text: Column | str,
+    toks: Column | None = None,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> Column:
+    """The Gopher quality-filter rule set (Rae et al. 2021, Appendix A1.1)
+    as a struct of per-rule booleans plus the combined ``passes`` — the
+    de-facto standard heuristic gate for web-scraped training text,
+    complementing :func:`repetition_metrics` (which carries the Gopher
+    repetition rules):
+
+    * ``word_count_ok`` — between ``min_words`` and ``max_words`` words;
+    * ``mean_word_len_ok`` — mean word length in [3, 10];
+    * ``symbol_ratio_ok`` — (# + "...") to word ratio <= 0.1;
+    * ``bullet_ok`` — <= 90% of lines start with a bullet;
+    * ``ellipsis_ok`` — <= 30% of lines end with "...";
+    * ``alpha_ratio_ok`` — >= 80% of words contain a letter;
+    * ``stopword_ok`` — >= 2 distinct required words present.
+
+    Pure built-in arithmetic, row-local and stream-transparent; survives
+    whole-stage codegen on a full-corpus scan.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = word_tokens(c) if toks is None else toks
+    n_words = F.size(toks)
+    safe_words = F.greatest(n_words, F.lit(1))
+    mean_len = F.aggregate(
+        toks, F.lit(0), lambda a, t: a + F.length(t)
+    ) / safe_words
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•] ")))
+    n_ell_line = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(stop_arr, lambda w: F.array_contains(toks, w)))
+    rules = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_len >= 3) & (mean_len <= 10),
+        "symbol_ratio_ok": (n_hash + n_ell) / safe_words <= 0.1,
+        "bullet_ok": n_bullet / n_lines <= 0.9,
+        "ellipsis_ok": n_ell_line / n_lines <= 0.3,
+        "alpha_ratio_ok": n_alpha / safe_words >= 0.8,
+        "stopword_ok": n_stop >= 2,
+    }
+    passes = None
+    for expr in rules.values():
+        passes = expr if passes is None else (passes & expr)
+    return F.struct(
+        *[expr.alias(name) for name, expr in rules.items()],
+        passes.alias("passes"),
+    )
+
+
 def lang_scores(text: Column | str, toks: Column | None = None) -> Column:
     """Per-language marker-word hit ratios as a struct — the language-ID
     heuristic's feature vector."""

@@ -712,11 +712,18 @@ def dedup_paragraphs(
     join_sep: str = "\n",
     text_col: str = "text",
     doc_col: str = "doc_id",
+    scope: str = "corpus",
 ) -> DataFrame:
     """CCNet's paragraph-level dedup (Wenzek et al., LREC'20 §4.1): hash
     every paragraph, keep only the corpus-wide FIRST occurrence of each
     distinct paragraph (first = smallest ``(doc_id, position)``), and
     rebuild each document from its surviving paragraphs in original order.
+
+    ``scope="document"`` restricts the keep-first rule to WITHIN each
+    document (RefinedWeb-style intra-doc line dedup: repeated lines
+    inside one page collapse, but text repeated across pages survives) —
+    the dedup window partitions by ``(doc, hash)`` instead of ``hash``,
+    so the shuffle is per-document and embarrassingly parallel.
     Boilerplate (headers, nav bars, license blocks) repeats across pages
     and is deleted everywhere but its first occurrence, while unique prose
     survives — this removes ~70% of raw Common Crawl text before any
@@ -735,11 +742,18 @@ def dedup_paragraphs(
     """
     from pyspark.sql import Window
 
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
     paras = documents.select(
         F.col(doc_col),
         F.posexplode(F.split(F.col(text_col), sep_regex)).alias("pos", "__para"),
     ).filter(F.length("__para") > 0)
-    w = Window.partitionBy(F.md5(F.col("__para"))).orderBy(doc_col, "pos")
+    part = (
+        [F.md5(F.col("__para"))]
+        if scope == "corpus"
+        else [F.col(doc_col), F.md5(F.col("__para"))]
+    )
+    w = Window.partitionBy(*part).orderBy(doc_col, "pos")
     kept = (
         paras.withColumn("__rk", F.row_number().over(w))
         .withColumn("__keep", F.col("__rk") == 1)

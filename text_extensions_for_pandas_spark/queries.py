@@ -4224,6 +4224,66 @@ ORDER BY shard, pos
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-gate booleans per document (Rae et al. A1.1):
+    word-count / mean-word-length / symbol-ratio / bullet / ellipsis /
+    alpha-word / required-stopword rules and the combined pass flag."""
+    from text_extensions_for_pandas_spark.functions.text import gopher_rules
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", gopher_rules("text").alias("g"))
+        .select("doc_id", "g.*")
+        .orderBy("doc_id")
+    )
+
+
+Q_GOPHER_RULES_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_words,
+         greatest(len(toks), 1) AS sw,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / greatest(len(toks), 1) AS mean_len,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell,
+         string_split(text, chr(10)) AS ls
+  FROM w
+),
+m2 AS (
+  SELECT doc_id, n_words, sw, mean_len, n_hash, n_ell,
+         greatest(len(ls), 1) AS n_lines,
+         len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•] '))) AS n_bullet,
+         len(list_filter(ls, l -> regexp_matches(l, '\.\.\.\s*$'))) AS n_ell_line,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         g -> list_contains(toks, g))) AS n_stop
+  FROM m
+)
+SELECT doc_id,
+       n_words BETWEEN 50 AND 100000 AS word_count_ok,
+       mean_len BETWEEN 3 AND 10 AS mean_word_len_ok,
+       (n_hash + n_ell) / sw <= 0.1 AS symbol_ratio_ok,
+       CAST(n_bullet AS DOUBLE) / n_lines <= 0.9 AS bullet_ok,
+       CAST(n_ell_line AS DOUBLE) / n_lines <= 0.3 AS ellipsis_ok,
+       CAST(n_alpha AS DOUBLE) / sw >= 0.8 AS alpha_ratio_ok,
+       n_stop >= 2 AS stopword_ok,
+       (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3 AND 10)
+         AND ((n_hash + n_ell) / sw <= 0.1)
+         AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
+         AND (CAST(n_ell_line AS DOUBLE) / n_lines <= 0.3)
+         AND (CAST(n_alpha AS DOUBLE) / sw >= 0.8)
+         AND (n_stop >= 2) AS passes
+FROM m2
+ORDER BY doc_id
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration over the corpus: adjacent character
     pair frequencies of the word-frequency table (the corpus collapses
@@ -4638,6 +4698,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "near_dup_containment": (q_near_dup_containment, Q_NEAR_DUP_CONTAINMENT_SQL),
     "source_divergence": (q_source_divergence, Q_SOURCE_DIVERGENCE_SQL),
     "corpus_shuffle": (q_corpus_shuffle, Q_CORPUS_SHUFFLE_SQL),
+    "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
