@@ -95,3 +95,54 @@ def test_csv_prep_roundtrip(spark, tmp_path):
     back = spark.read.option("header", "true").csv(f"{out_dir}/*")
     assert back.count() == 3
     assert set(back.columns) == set(out.columns) - {"in_gold"} | {"in_gold"}
+
+
+def test_prep_and_shard_invariants(spark):
+    from text_extensions_for_pandas_spark.operators.pipeline import (
+        prep_and_shard,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out = prep_and_shard(
+        docs,
+        sep_regex=" table ",
+        join_sep=" ",
+        min_words=30,
+        required_words=("the", "a", "data", "key", "line", "row"),
+        max_docs_per_domain=20,
+        max_chars_per_domain=50_000,
+        n_shards=4,
+        salt="e0",
+    ).cache()
+    rows = out.collect()
+    assert 0 < len(rows) < docs.count()
+    # per-domain doc cap holds
+    per_src = {}
+    for r in rows:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert max(per_src.values()) <= 20
+    # shard/pos form a dense training order
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # emitted text is unique (exact dedup did its job downstream of rebuilds)
+    texts = [r["text"] for r in rows]
+    assert len(set(texts)) == len(texts)
+    # the whole pipeline is a pure function of the input
+    again = prep_and_shard(
+        docs.repartition(7),
+        sep_regex=" table ",
+        join_sep=" ",
+        min_words=30,
+        required_words=("the", "a", "data", "key", "line", "row"),
+        max_docs_per_domain=20,
+        max_chars_per_domain=50_000,
+        n_shards=4,
+        salt="e0",
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -202,6 +202,7 @@ def gopher_rules(
     toks: Column | None = None,
     min_words: int = 50,
     max_words: int = 100_000,
+    required_words: tuple[str, ...] = GOPHER_STOPWORDS,
 ) -> Column:
     """The Gopher quality-filter rule set (Rae et al. 2021, Appendix A1.1)
     as a struct of per-rule booleans plus the combined ``passes`` — the
@@ -216,6 +217,10 @@ def gopher_rules(
     * ``ellipsis_ok`` — <= 30% of lines end with "...";
     * ``alpha_ratio_ok`` — >= 80% of words contain a letter;
     * ``stopword_ok`` — >= 2 distinct required words present.
+
+    ``required_words`` defaults to Gopher's English list; swap in a
+    corpus-appropriate list for other languages/domains (the rule is
+    "looks like running prose of THIS corpus's language").
 
     Pure built-in arithmetic, row-local and stream-transparent; survives
     whole-stage codegen on a full-corpus scan.
@@ -236,7 +241,7 @@ def gopher_rules(
     n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•] ")))
     n_ell_line = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
-    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_arr = F.array(*[F.lit(w) for w in required_words])
     n_stop = F.size(F.filter(stop_arr, lambda w: F.array_contains(toks, w)))
     rules = {
         "word_count_ok": (n_words >= min_words) & (n_words <= max_words),

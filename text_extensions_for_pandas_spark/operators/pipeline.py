@@ -232,3 +232,101 @@ def pack_by_budgets(
         )
         bin_cols.append(name)
     return out.withColumn("bin", F.struct(*bin_cols))
+
+
+def prep_and_shard(
+    documents: DataFrame,
+    sep_regex: str = "\n+",
+    join_sep: str = "\n",
+    boiler_min_docs: int = 2,
+    min_words: int = 30,
+    required_words: tuple[str, ...] | None = None,
+    max_docs_per_domain: int = 50,
+    max_chars_per_domain: int = 50_000,
+    n_shards: int = 8,
+    salt: str = "epoch0",
+    group_col: str = "source",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """The modern web-corpus prep recipe end to end, every stage an
+    existing verified operator:
+
+    1. :func:`~..dedup.remove_boilerplate` — per-domain frequent lines out;
+    2. :func:`~...functions.text.gopher_rules` gate on the cleaned text;
+    3. :func:`~..dedup.dedup_paragraphs` — corpus-wide keep-first;
+    4. exact dedup — keep the lowest doc id per md5 of the rebuilt text;
+    5. :func:`~..sampling.cap_per_domain` — anti-host-dominance budgets;
+    6. :func:`~..sampling.deterministic_shuffle` — epoch-stable
+       training order.
+
+    Returns ``(shard, pos, doc_col, group_col, n_chars, text_col)`` —
+    write it ``partitionBy("shard")`` and train.  Every stage is a pure
+    function of the input, so reruns, retries, and repartitions emit the
+    identical corpus in the identical order; the whole thing is one lazy
+    plan per stage family with no Python anywhere.
+    """
+    from text_extensions_for_pandas_spark.functions.text import gopher_rules
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        dedup_paragraphs,
+        remove_boilerplate,
+    )
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        cap_per_domain,
+        deterministic_shuffle,
+    )
+    from pyspark.sql import Window
+
+    meta = documents.select(doc_col, group_col)
+    cleaned = (
+        remove_boilerplate(
+            documents,
+            min_docs=boiler_min_docs,
+            sep_regex=sep_regex,
+            join_sep=join_sep,
+            text_col=text_col,
+            doc_col=doc_col,
+            group_col=group_col,
+        )
+        .filter(F.length("clean_text") > 0)
+        .select(doc_col, F.col("clean_text").alias(text_col))
+    )
+    from text_extensions_for_pandas_spark.functions.text import (
+        GOPHER_STOPWORDS,
+    )
+
+    gated = cleaned.filter(
+        gopher_rules(
+            text_col,
+            min_words=min_words,
+            required_words=required_words or GOPHER_STOPWORDS,
+        )["passes"]
+    )
+    paras = (
+        dedup_paragraphs(
+            gated, sep_regex=sep_regex, join_sep=join_sep,
+            text_col=text_col, doc_col=doc_col,
+        )
+        .filter(F.length("dedup_text") > 0)
+        .select(doc_col, F.col("dedup_text").alias(text_col))
+    )
+    w = Window.partitionBy(F.md5(text_col)).orderBy(doc_col)
+    exact = (
+        paras.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    sized = exact.join(meta, doc_col).withColumn(
+        "n_chars", F.length(text_col).cast("long")
+    )
+    capped = cap_per_domain(
+        sized,
+        max_docs=max_docs_per_domain,
+        max_tokens=max_chars_per_domain,
+        domain_col=group_col,
+        token_col="n_chars",
+        doc_col=doc_col,
+    )
+    return deterministic_shuffle(
+        capped, n_shards=n_shards, key_col=doc_col, salt=salt
+    ).select("shard", "pos", doc_col, group_col, "n_chars", text_col)

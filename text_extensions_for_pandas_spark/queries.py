@@ -4284,6 +4284,165 @@ ORDER BY doc_id
 """
 
 
+def q_training_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern prep recipe as ONE verified plan: boilerplate
+    removal (per-source frequent lines) → Gopher gate → CCNet paragraph
+    dedup → exact dedup → per-domain caps → epoch-stable deterministic
+    shuffle into shards.  Every stage is an individually-verified
+    operator; this query proves the composition end to end."""
+    from text_extensions_for_pandas_spark.operators.pipeline import (
+        prep_and_shard,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = prep_and_shard(
+        docs,
+        sep_regex=" table ",
+        join_sep=" ",
+        boiler_min_docs=2,
+        min_words=30,
+        # the synthetic corpus is database-jargon prose: a corpus-tuned
+        # required-word list (gopher_rules' documented knob) keeps the
+        # stopword rule meaningful instead of constant-false
+        required_words=("the", "a", "data", "key", "line", "row"),
+        max_docs_per_domain=20,
+        max_chars_per_domain=50_000,
+        n_shards=4,
+        salt="e0",
+    )
+    return out.select(
+        F.col("shard").cast("int").alias("shard"),
+        "pos",
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5("text").alias("text_hash"),
+    ).orderBy("shard", "pos")
+
+
+Q_TRAINING_PREP_SQL = r"""
+WITH segs AS (
+  SELECT doc_id, source, i AS pos, p AS line FROM (
+    SELECT doc_id, source, unnest(arr) AS p, generate_subscripts(arr, 1) AS i
+    FROM (SELECT doc_id, source, string_split_regex(text, ' table ') AS arr
+          FROM documents)
+  ) WHERE length(p) > 0
+),
+bp AS (
+  SELECT source, md5(line) AS line_hash
+  FROM segs GROUP BY source, md5(line)
+  HAVING count(DISTINCT doc_id) >= 2
+),
+cleanedlines AS (
+  SELECT s.doc_id, s.pos, s.line
+  FROM segs s LEFT JOIN bp b
+    ON s.source = b.source AND md5(s.line) = b.line_hash
+  WHERE b.line_hash IS NULL
+),
+clean AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text
+  FROM cleanedlines GROUP BY doc_id
+  HAVING length(string_agg(line, ' ' ORDER BY pos)) > 0
+),
+gw AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         string_split(text, chr(10)) AS ls
+  FROM clean
+),
+gm AS (
+  SELECT doc_id, text,
+         len(toks) AS n_words,
+         greatest(len(toks), 1) AS sw,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / greatest(len(toks), 1) AS mean_len,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell,
+         greatest(len(ls), 1) AS n_lines,
+         len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•] '))) AS n_bullet,
+         len(list_filter(ls, l -> regexp_matches(l, '\.\.\.\s*$'))) AS n_ell_line,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(['the','a','data','key','line','row'],
+                         g -> list_contains(toks, g))) AS n_stop
+  FROM gw
+),
+gated AS (
+  SELECT doc_id, text FROM gm
+  WHERE (n_words BETWEEN 30 AND 100000) AND (mean_len BETWEEN 3 AND 10)
+    AND ((n_hash + n_ell) / sw <= 0.1)
+    AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
+    AND (CAST(n_ell_line AS DOUBLE) / n_lines <= 0.3)
+    AND (CAST(n_alpha AS DOUBLE) / sw >= 0.8)
+    AND (n_stop >= 2)
+),
+paras AS (
+  SELECT doc_id, i AS pos, p AS para FROM (
+    SELECT doc_id, unnest(arr) AS p, generate_subscripts(arr, 1) AS i
+    FROM (SELECT doc_id, string_split_regex(text, ' table ') AS arr
+          FROM gated)
+  ) WHERE length(p) > 0
+),
+pranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk
+  FROM paras
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN rk = 1 THEN para END, ' ' ORDER BY pos) AS text
+  FROM pranked GROUP BY doc_id
+  HAVING length(coalesce(string_agg(CASE WHEN rk = 1 THEN para END, ' '
+                                    ORDER BY pos), '')) > 0
+),
+ex AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+  FROM rebuilt
+),
+sized AS (
+  SELECT e.doc_id, d.source, length(e.text) AS n_chars, e.text
+  FROM ex e JOIN documents d USING (doc_id)
+  WHERE e.rk = 1
+),
+cr AS (
+  SELECT *,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS frac
+  FROM sized
+),
+cranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source ORDER BY frac, doc_id) AS rk,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY frac, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM cr
+),
+capped AS (
+  SELECT doc_id, source, n_chars, text FROM cranked
+  WHERE rk <= 20 AND prefix < 50000
+),
+sf AS (
+  SELECT *,
+         CAST(('0x' || substring(md5('e0' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS sfrac
+  FROM capped
+),
+sh AS (
+  SELECT doc_id, source, n_chars, text,
+         least(CAST(floor(sfrac * 4) AS INTEGER), 3) AS shard, sfrac
+  FROM sf
+)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY sfrac, doc_id)
+            AS BIGINT) AS pos,
+       doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_hash
+FROM sh
+ORDER BY shard, pos
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration over the corpus: adjacent character
     pair frequencies of the word-frequency table (the corpus collapses
@@ -4699,6 +4858,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "source_divergence": (q_source_divergence, Q_SOURCE_DIVERGENCE_SQL),
     "corpus_shuffle": (q_corpus_shuffle, Q_CORPUS_SHUFFLE_SQL),
     "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
+    "training_prep_e2e": (q_training_prep_e2e, Q_TRAINING_PREP_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
