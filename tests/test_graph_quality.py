@@ -537,3 +537,27 @@ def test_dedup_paragraphs_document_scope(spark):
 
     with _pytest.raises(ValueError, match="scope"):
         dedup_paragraphs(docs, scope="line")
+
+
+def test_fingerprint_overlap_detects_copied_run(spark):
+    # doc 2 contains doc 1's exact 60-char run inside unrelated text:
+    # winnowing guarantees shared fingerprints from the copied run, and
+    # the ubiquitous-fingerprint filter must not kill the real signal
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+    )
+
+    copied = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, copied + " unique first tail xyzzy"),
+            (2, "totally different opening here " + copied),
+            (3, "no shared content with anyone at all whatsoever plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = fingerprint_overlap_pairs(docs, min_shared=3, max_docs_per_fp=10)
+    rows = out.collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["shared"] >= 3
+    assert 0 < rows[0]["overlap"] <= 1.0

@@ -1007,3 +1007,67 @@ def lsh_tuning(
         if cost < best_cost:
             best, best_cost = (b, r), cost
     return best
+
+
+def fingerprint_overlap_pairs(
+    documents: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    max_docs_per_fp: int = 10,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style near-dup candidates from winnowing fingerprints
+    (Schleimer et al., SIGMOD'03): two documents sharing >= ``min_shared``
+    selected fingerprints are flagged, with
+    ``overlap = shared / min(|A|, |B|)`` as the asymmetric-friendly score.
+    Fingerprints in more than ``max_docs_per_fp`` documents are dropped
+    first — ubiquitous substrings (boilerplate, common phrases) carry no
+    pair signal and are exactly what would otherwise make the self-join
+    quadratic in hot keys (the same stop-key discipline MOSS applies).
+
+    Complements MinHash-LSH: winnowing guarantees any shared run of
+    ``k + window - 1`` chars yields a shared fingerprint (position-local
+    evidence), while MinHash bounds whole-set resemblance.
+
+    Scale shape: fingerprints are ~1/``window`` of k-gram positions, the
+    frequency filter bounds every join key's fan-out by
+    ``max_docs_per_fp``, and the pair aggregation is map-side combinable;
+    shuffle volume is capped at (filtered fp rows) ×
+    ``max_docs_per_fp``.
+    """
+    from text_extensions_for_pandas_spark.functions.text import (
+        fingerprint_rows,
+    )
+
+    fps = fingerprint_rows(documents, k, window, text_col, doc_col)
+    keep = fps.groupBy("fp").agg(F.count("*").alias("__nd")).filter(
+        F.col("__nd") <= max_docs_per_fp
+    )
+    ff = fps.join(keep.select("fp"), "fp", "left_semi").localCheckpoint(
+        eager=False
+    )
+    cnt = ff.groupBy(doc_col).agg(F.count("*").alias("__c"))
+    a = ff.select(F.col(doc_col).alias("doc_a"), "fp")
+    b = ff.select(F.col(doc_col).alias("doc_b"), F.col("fp").alias("__fpb"))
+    pairs = (
+        a.join(b, (F.col("fp") == F.col("__fpb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    ca = cnt.select(F.col(doc_col).alias("doc_a"), F.col("__c").alias("__ca"))
+    cb = cnt.select(F.col(doc_col).alias("doc_b"), F.col("__c").alias("__cb"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.round(
+                F.col("shared") / F.least(F.col("__ca"), F.col("__cb")), 6
+            ).alias("overlap"),
+        )
+    )

@@ -4443,6 +4443,55 @@ ORDER BY shard, pos
 """
 
 
+def q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style candidate pairs from shared winnowing fingerprints:
+    ubiquitous fingerprints dropped (stop-key rule), pairs sharing >= 3
+    survivors scored by shared / min(|A|, |B|) — position-local overlap
+    evidence complementing the MinHash whole-set tier."""
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = fingerprint_overlap_pairs(
+        docs, k=8, window=4, min_shared=3, max_docs_per_fp=10
+    )
+    return out.orderBy("doc_a", "doc_b")
+
+
+Q_FINGERPRINT_OVERLAP_SQL = """
+WITH g AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) < 8 THEN []
+              ELSE list_transform(range(0, length(text) - 8 + 1),
+                                  i -> substring(md5(substring(text, i + 1, 8)), 1, 16)) END AS hashes
+  FROM documents
+),
+fp AS (
+  SELECT DISTINCT doc_id, f FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(0, greatest(len(hashes) - 4, 0) + 1),
+             j -> list_min(hashes[j + 1 : j + 4])))) AS f
+    FROM g WHERE len(hashes) > 0)
+),
+keep AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 10),
+ff AS (SELECT fp.doc_id, fp.f FROM fp JOIN keep USING (f)),
+cnt AS (SELECT doc_id, count(*) AS c FROM ff GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+  FROM ff x JOIN ff y ON x.f = y.f AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
+       round(CAST(p.shared AS DOUBLE) / least(ca.c, cb.c), 6) AS overlap
+FROM pairs p
+JOIN cnt ca ON ca.doc_id = p.doc_a
+JOIN cnt cb ON cb.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration over the corpus: adjacent character
     pair frequencies of the word-frequency table (the corpus collapses
@@ -4859,6 +4908,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "corpus_shuffle": (q_corpus_shuffle, Q_CORPUS_SHUFFLE_SQL),
     "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "training_prep_e2e": (q_training_prep_e2e, Q_TRAINING_PREP_SQL),
+    "fingerprint_overlap": (q_fingerprint_overlap, Q_FINGERPRINT_OVERLAP_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
