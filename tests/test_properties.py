@@ -285,3 +285,70 @@ def test_classification_report_invariants(spark, pairs):
         r = out[k]
         assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
         assert 0.0 <= r.f1 <= 1.0
+
+
+# -- boilerplate removal vs a brute-force Python oracle ---------------------
+
+def remove_boilerplate_ref(docs, min_docs):
+    """docs: list of (doc_id, text).  Lines split on '\\n'; a non-empty
+    line in >= min_docs distinct docs is removed everywhere."""
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for did, text in docs:
+        for line in text.split("\n"):
+            if line:
+                seen[line].add(did)
+    boiler = {l for l, dids in seen.items() if len(dids) >= min_docs}
+    out = {}
+    for did, text in docs:
+        lines = [l for l in text.split("\n") if l]
+        kept = [l for l in lines if l not in boiler]
+        out[did] = (len(lines), len(kept), "\n".join(kept))
+    return out
+
+
+line_strategy = st.text(alphabet="abcx", min_size=0, max_size=3)
+doc_strategy = st.lists(line_strategy, min_size=0, max_size=6).map("\n".join)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(doc_strategy, min_size=1, max_size=8),
+       min_docs=st.integers(2, 3))
+def test_remove_boilerplate_matches_python_oracle(spark, texts, min_docs):
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        remove_boilerplate,
+    )
+
+    docs = list(enumerate(texts))
+    want = remove_boilerplate_ref(docs, min_docs)
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in remove_boilerplate(
+            spark.createDataFrame(docs, ["doc_id", "text"]), min_docs=min_docs
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(n=st.integers(1, 40), shards=st.integers(1, 5))
+def test_deterministic_shuffle_is_bijective(spark, n, shards):
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    rows = deterministic_shuffle(df, n_shards=shards, salt="s").collect()
+    assert len(rows) == n
+    assert len({r["doc_id"] for r in rows}) == n
+    slots = {(r["shard"], r["pos"]) for r in rows}
+    assert len(slots) == n  # no two rows share a training slot
