@@ -85,14 +85,15 @@ def main() -> None:
     for name, df in tiers.items():
         approx = _neighbor_sets(df)
         rec = sum(
-            len(exact[q] & approx.get(q, set())) / K for q in exact
+            len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
         ) / len(exact)
         print(f"  {name:20s} {rec:.2f}")
 
     dims = emb.select(F.size("embedding")).first()[0]
+    m = codes.select(F.size("codes")).first()[0]
     print(
         f"index sizes per vector: exact {4 * dims} B (float32)"
-        f" vs pq {codes.select(F.size('codes')).first()[0]} B (codes)"
+        f" vs pq {m} codes (~{m // 2} B nibble-packed at k=16)"
     )
     print("OK")
 

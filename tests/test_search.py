@@ -436,7 +436,7 @@ def test_gopher_rules_each_failure_mode(spark):
         (3, "a " * 60, "mean_word_len_ok"),        # words too short
         (4, ("the of and " * 20) + "# " * 30, "symbol_ratio_ok"),
         (5, "\n".join(["- item " + str(i) for i in range(20)]), "bullet_ok"),
-        (6, "\n".join(["the end..." for _ in range(10)]), "ellipsis_ok"),
+        (6, "\n".join(["the end…" for _ in range(10)]), "ellipsis_ok"),
         (7, ("the of and that have with be to " * 8) + "123 456 789 " * 20,
          "alpha_ratio_ok"),
         (8, "zebra quagga okapi " * 30, "stopword_ok"),

@@ -233,13 +233,17 @@ def gopher_rules(
         toks, F.lit(0), lambda a, t: a + F.length(t)
     ) / safe_words
     n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    # both ASCII "..." and U+2026 "…" — web text overwhelmingly uses the
+    # latter, and counting only dots would leak spam past the gate
     n_ell = (
         F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
-    ) / 3
+    ) / 3 + (F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit(""))))
     lines = F.split(c, "\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•] ")))
-    n_ell_line = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    n_ell_line = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
     stop_arr = F.array(*[F.lit(w) for w in required_words])
     n_stop = F.size(F.filter(stop_arr, lambda w: F.array_contains(toks, w)))

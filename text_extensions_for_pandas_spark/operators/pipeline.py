@@ -291,16 +291,11 @@ def prep_and_shard(
         .filter(F.length("clean_text") > 0)
         .select(doc_col, F.col("clean_text").alias(text_col))
     )
-    from text_extensions_for_pandas_spark.functions.text import (
-        GOPHER_STOPWORDS,
+    gopher_kwargs = (
+        {"required_words": required_words} if required_words is not None else {}
     )
-
     gated = cleaned.filter(
-        gopher_rules(
-            text_col,
-            min_words=min_words,
-            required_words=required_words or GOPHER_STOPWORDS,
-        )["passes"]
+        gopher_rules(text_col, min_words=min_words, **gopher_kwargs)["passes"]
     )
     paras = (
         dedup_paragraphs(

@@ -379,7 +379,9 @@ def source_divergence(
         F.lower(F.col(token_col)).alias("t"),
     )
     per_group = toks.groupBy("__g", "t").agg(F.count("*").alias("__cg"))
-    corpus = toks.groupBy("t").agg(F.count("*").alias("__ct"))
+    # corpus counts roll up from the vocabulary-sized per-group table —
+    # identical values, and the corpus-scale join really is scanned once
+    corpus = per_group.groupBy("t").agg(F.sum("__cg").alias("__ct"))
     vocab = corpus.agg(
         F.count("*").alias("__v"), F.sum("__ct").alias("__n")
     )
@@ -434,9 +436,14 @@ def deterministic_shuffle(
     partitioning and skewed boundaries are the classic full-corpus-sort
     trap.  Downstream, write with ``partitionBy("shard")`` and readers
     consume shards in ``pos`` order.
+
+    Existing ``shard``/``pos`` columns on the input (e.g. re-sharding a
+    previous epoch's output under a new salt) are replaced, not
+    duplicated.
     """
     from pyspark.sql import Window
 
+    df = df.drop("shard", "pos")
     frac = hash_fraction(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     shard = F.least(
         F.floor(frac * n_shards).cast("int"), F.lit(n_shards - 1)

@@ -494,7 +494,10 @@ def pq_fit(
     (slicing is narrow); the driver loop is over SUBSPACES (a model
     hyperparameter, never data-sized).
     """
-    dims = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_fit: embeddings frame is empty")
+    dims = first["d"]
     if dims % m != 0:
         raise ValueError(f"vector dims {dims} not divisible by m={m}")
     sub = dims // m
@@ -540,6 +543,8 @@ def pq_encode(
     sub_rows = codebooks.select(
         F.max(F.col("sub_id")).alias("m"), F.min(F.size("embedding")).alias("s")
     ).first()
+    if sub_rows is None or sub_rows["m"] is None:
+        raise ValueError("pq_encode: codebooks frame is empty")
     m, sub = int(sub_rows["m"]) + 1, int(sub_rows["s"])
     subs = embeddings.select(
         F.col(id_col),
@@ -601,6 +606,8 @@ def pq_topk(
     sub_rows = codebooks.select(
         F.min(F.size("embedding")).alias("s")
     ).first()
+    if sub_rows is None or sub_rows["s"] is None:
+        raise ValueError("pq_topk: codebooks frame is empty")
     sub = int(sub_rows["s"])
     lut = (
         queries.select(
@@ -661,6 +668,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    metric: str = "cosine",
 ) -> DataFrame:
     """IVF-PQ (the faiss ``IndexIVFPQ`` composition, re-expressed as
     joins): coarse-quantize with IVF so each query touches only its
@@ -682,16 +690,33 @@ def ivfpq_topk(
     ``(query_id, sub_id, code)`` with a map-side-combinable sum.  No
     stage ever materializes query × corpus.
     """
-    sub = int(codebooks.select(F.min(F.size("embedding")).alias("s")).first()["s"])
+    sub_first = codebooks.select(F.min(F.size("embedding")).alias("s")).first()
+    if sub_first is None or sub_first["s"] is None:
+        raise ValueError("ivfpq_topk: codebooks frame is empty")
+    sub = int(sub_first["s"])
     c = centroids.select(
         F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    if metric == "cosine":
+        cscore = cosine(F.col("__qvec"), F.col("__cvec"))
+    else:
+        # match an l2-built IVF index (negated squared L2, highest wins) —
+        # probing with the wrong metric silently misses the clusters the
+        # true neighbors were assigned to
+        cscore = -F.aggregate(
+            F.zip_with(
+                F.col("__qvec"), F.col("__cvec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     qc = q.crossJoin(F.broadcast(c)).select(
-        "query_id", "__qvec", "__cid",
-        cosine(F.col("__qvec"), F.col("__cvec")).alias("__cscore"),
+        "query_id", "__qvec", "__cid", cscore.alias("__cscore"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__cscore").desc(), F.col("__cid").asc()

@@ -4251,7 +4251,8 @@ m AS (
          CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
            / greatest(len(toks), 1) AS mean_len,
          length(text) - length(replace(text, '#', '')) AS n_hash,
-         (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell,
+         (length(text) - length(replace(text, '...', ''))) / 3.0
+           + (length(text) - length(replace(text, '…', ''))) AS n_ell,
          string_split(text, chr(10)) AS ls
   FROM w
 ),
@@ -4259,7 +4260,7 @@ m2 AS (
   SELECT doc_id, n_words, sw, mean_len, n_hash, n_ell,
          greatest(len(ls), 1) AS n_lines,
          len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•] '))) AS n_bullet,
-         len(list_filter(ls, l -> regexp_matches(l, '\.\.\.\s*$'))) AS n_ell_line,
+         len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS n_ell_line,
          len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
          len(list_filter(['the','be','to','of','and','that','have','with'],
                          g -> list_contains(toks, g))) AS n_stop
@@ -4357,10 +4358,11 @@ gm AS (
          CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
            / greatest(len(toks), 1) AS mean_len,
          length(text) - length(replace(text, '#', '')) AS n_hash,
-         (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell,
+         (length(text) - length(replace(text, '...', ''))) / 3.0
+           + (length(text) - length(replace(text, '…', ''))) AS n_ell,
          greatest(len(ls), 1) AS n_lines,
          len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•] '))) AS n_bullet,
-         len(list_filter(ls, l -> regexp_matches(l, '\.\.\.\s*$'))) AS n_ell_line,
+         len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS n_ell_line,
          len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
          len(list_filter(['the','a','data','key','line','row'],
                          g -> list_contains(toks, g))) AS n_stop

@@ -19,6 +19,7 @@ Two deliberate hardening changes vs the reference:
 from __future__ import annotations
 
 import os
+import shutil
 import urllib.parse
 import urllib.request
 from zipfile import ZipFile
@@ -43,10 +44,17 @@ def _fetch(url: str, destination: str) -> None:
     scheme = urllib.parse.urlparse(url).scheme
     if scheme not in _ALLOWED_SCHEMES:
         raise ValueError(f"refusing URL scheme {scheme!r} (allowed: {_ALLOWED_SCHEMES})")
+    # stream to disk: dataset archives are multi-GB, never buffer them whole
     with urllib.request.urlopen(url) as resp:  # noqa: S310 - scheme checked above
-        data = resp.read()
-    with open(destination, "wb") as f:
-        f.write(data)
+        with open(destination, "wb") as f:
+            shutil.copyfileobj(resp, f)
+
+
+def _url_filename(url: str) -> str:
+    """Basename of the URL's PATH — query strings / fragments excluded, so
+    'https://host/data.zip?raw=true' names (and extension-tests as)
+    'data.zip'."""
+    return urllib.parse.urlparse(url).path.rsplit("/", 1)[-1]
 
 
 def maybe_download_file(url: str, target_dir: str, fname: str | None = None) -> str:
@@ -55,7 +63,7 @@ def maybe_download_file(url: str, target_dir: str, fname: str | None = None) -> 
     downloaders (reference ``io/conll.py:1353-1361``) as a reusable
     primitive."""
     os.makedirs(target_dir, exist_ok=True)
-    file_name = fname if fname is not None else url.rsplit("/", 1)[-1]
+    file_name = fname if fname is not None else _url_filename(url)
     full_path = os.path.join(target_dir, file_name)
     if not os.path.exists(full_path):
         _fetch(url, full_path)
@@ -97,10 +105,10 @@ def maybe_download_dataset_data(
     else the list of member paths, matching the reference's shape.
     """
     os.makedirs(target_dir, exist_ok=True)
-    file_name = fname if fname is not None else document_url.rsplit("/", 1)[-1]
+    file_name = fname if fname is not None else _url_filename(document_url)
     full_path = os.path.join(target_dir, file_name)
 
-    if document_url.rsplit(".", 1)[-1] == "zip" and (
+    if _url_filename(document_url).rsplit(".", 1)[-1] == "zip" and (
         fname is None or not os.path.exists(full_path)
     ):
         zip_path = maybe_download_file(document_url, target_dir)
