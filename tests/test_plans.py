@@ -345,6 +345,7 @@ def test_no_accidental_nested_loop_joins_across_registry(spark):
         "surprisal_buckets",  # same 1-row corpus-total broadcast as doc_surprisal
         "doc_perplexity",  # 1-row bigram-total broadcast into the model table
         "source_divergence",  # deliberate vocab x groups grid (both model-sized)
+        "zorder_events",  # 1-row min/max scaling bounds broadcast
         "q11_important_parts",  # Q11's grand-total scalar: 1-row broadcast
         # broadcast-bounded build sides: dictionary frame (length-gated
         # entry join), k centroids, corpus-constant scalar

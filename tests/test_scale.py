@@ -217,3 +217,69 @@ def test_zorder_key_matches_python_interleave(spark):
         assert z == interleave(a, b), (a, b)
     # locality sanity: nearby points share high bits more than far ones
     assert got[(0, 0)] == 0 and got[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_zorder_layout_shrinks_rowgroup_spans(spark, tmp_path):
+    """The point of z-ordering: after sorting by the interleaved key,
+    parquet row-group min/max spans are narrow on BOTH columns, so a
+    predicate on either prunes most row groups.  Measured directly from
+    the written file's row-group statistics."""
+    import pyarrow.parquet as pq
+
+    from text_extensions_for_pandas_spark.operators.scale import zorder_key
+
+    from pyspark.sql import Window
+
+    # rank-normalize both dimensions (what production z-order does — linear
+    # min/max scaling leaves skewed columns concentrated in few quadrants)
+    raw = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vq"),
+    )
+    n = raw.count()
+    wa = Window.orderBy("user_id", "event_id")
+    wb = Window.orderBy("vq", "event_id")
+    ev = (
+        raw.withColumn(
+            "ra", ((F.row_number().over(wa) - 1) * 65535 / n).cast("int")
+        )
+        .withColumn(
+            "rb", ((F.row_number().over(wb) - 1) * 65535 / n).cast("int")
+        )
+        .withColumn("z", zorder_key(F.col("ra"), F.col("rb")))
+    )
+
+    def mean_span(path, col):
+        f = pq.ParquetFile(path)
+        spans = []
+        for i in range(f.metadata.num_row_groups):
+            for j in range(f.metadata.row_group(i).num_columns):
+                c = f.metadata.row_group(i).column(j)
+                if c.path_in_schema == col and c.statistics is not None:
+                    spans.append(c.statistics.max - c.statistics.min)
+        return sum(spans) / len(spans)
+
+    small_groups = {"parquet.block.size": "16384"}
+    base = str(tmp_path / "plain")
+    # baseline = natural event order (the window computations above leave
+    # ev sorted by one dimension, which would bias the comparison)
+    ev.coalesce(1).sortWithinPartitions("event_id").write.options(
+        **small_groups
+    ).parquet(base)
+    zpath = str(tmp_path / "zordered")
+    ev.coalesce(1).sortWithinPartitions("z").write.options(**small_groups).parquet(zpath)
+
+    def one_file(d):
+        import glob
+
+        return glob.glob(f"{d}/part-*.parquet")[0]
+
+    b, z = one_file(base), one_file(zpath)
+    n_groups = pq.ParquetFile(z).metadata.num_row_groups
+    assert n_groups >= 4, "need several row groups for the span comparison"
+    for col in ("ra", "rb"):
+        plain_span = mean_span(b, col)
+        z_span = mean_span(z, col)
+        # both columns' per-row-group spans must shrink materially
+        assert z_span < plain_span * 0.6, (col, z_span, plain_span)

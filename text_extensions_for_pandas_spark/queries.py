@@ -4494,6 +4494,99 @@ ORDER BY p.doc_a, p.doc_b
 """
 
 
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order keys over (user_id, value): the Delta OPTIMIZE
+    ZORDER layout trick as a pure codegen expression — sort-by-zkey
+    clusters rows so parquet row-group min/max stats prune on BOTH
+    columns.  Each column is range-scaled to the full 16 bits with exact
+    integer arithmetic (value pre-quantized via floor(value*100), so both
+    engines compute bit-identical keys); first 1000 events in z-order."""
+    from text_extensions_for_pandas_spark.operators import scale as SC
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("__vq"),
+    )
+    mm = ev.agg(
+        F.min("user_id").alias("__minu"),
+        F.max("user_id").alias("__maxu"),
+        F.min("__vq").alias("__minv"),
+        F.max("__vq").alias("__maxv"),
+    )
+    ranked = ev.crossJoin(F.broadcast(mm)).select(
+        "event_id",
+        F.expr(
+            "CAST((user_id - __minu) * 65535 div greatest(__maxu - __minu, 1) AS INT)"
+        ).alias("__ra"),
+        F.expr(
+            "CAST((__vq - __minv) * 65535 div greatest(__maxv - __minv, 1) AS INT)"
+        ).alias("__rb"),
+    )
+    return (
+        ranked.select(
+            "event_id",
+            SC.zorder_key(F.col("__ra"), F.col("__rb")).alias("zkey"),
+        )
+        .orderBy("zkey", "event_id")
+        .limit(1000)
+    )
+
+
+# Morton spread of a 16-bit value to even bit positions, as layered SQL
+# (the same magic-mask sequence scale._spread_bits_16 runs JVM-side)
+_SPREAD_SQL = """
+s1 AS (
+  SELECT event_id, ra, rb,
+         (ra | (ra << 8)) & 16711935 AS a1,
+         (rb | (rb << 8)) & 16711935 AS b1
+  FROM quant
+),
+s2 AS (
+  SELECT event_id,
+         (a1 | (a1 << 4)) & 252645135 AS a2,
+         (b1 | (b1 << 4)) & 252645135 AS b2
+  FROM s1
+),
+s3 AS (
+  SELECT event_id,
+         (a2 | (a2 << 2)) & 858993459 AS a3,
+         (b2 | (b2 << 2)) & 858993459 AS b3
+  FROM s2
+),
+s4 AS (
+  SELECT event_id,
+         (a3 | (a3 << 1)) & 1431655765 AS a4,
+         (b3 | (b3 << 1)) & 1431655765 AS b4
+  FROM s3
+)
+"""
+
+Q_ZORDER_SQL = f"""
+WITH vq AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100) AS BIGINT) AS vq
+  FROM events
+),
+mm AS (
+  SELECT min(user_id) AS minu, max(user_id) AS maxu,
+         min(vq) AS minv, max(vq) AS maxv
+  FROM vq
+),
+quant AS (
+  SELECT event_id,
+         ((user_id - minu) * 65535) // greatest(maxu - minu, 1) AS ra,
+         ((vq - minv) * 65535) // greatest(maxv - minv, 1) AS rb
+  FROM vq, mm
+),
+{_SPREAD_SQL}
+SELECT event_id, CAST((a4 << 1) | b4 AS BIGINT) AS zkey
+FROM s4
+ORDER BY zkey, event_id
+LIMIT 1000
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration over the corpus: adjacent character
     pair frequencies of the word-frequency table (the corpus collapses
@@ -4913,6 +5006,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "training_prep_e2e": (q_training_prep_e2e, Q_TRAINING_PREP_SQL),
     "fingerprint_overlap": (q_fingerprint_overlap, Q_FINGERPRINT_OVERLAP_SQL),
+    "zorder_events": (q_zorder_events, Q_ZORDER_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
