@@ -4994,10 +4994,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # re-gate in r05: tensor_rowstats, tensor_mean_by_label, iob_to_iob2,
     # unpack_semijoin, seq_windows, covering_span, neighbor_tokens,
     # spans_to_iob, extract_regex_tok, extract_split, lemmatize, simhash)
-    # new after the round-4 gate filled — eight queries added late in the
-    # round, each locally hash-verified at sf0.001 AND sf0.01 by
-    # scripts/check_oracle.py (ORACLE_LOCAL_r04.md): gate them FIRST in
-    # r05, ahead of the twice-verified rotation backlog listed above
+    # new after the round-4 gate filled — nine queries added late in the
+    # round (through zorder_events), each locally hash-verified at sf0.001
+    # AND sf0.01 by scripts/check_oracle.py (ORACLE_LOCAL_r04.md): gate
+    # them FIRST in r05, ahead of the twice-verified rotation backlog
+    # listed above
     "boilerplate_removal": (q_boilerplate_removal, Q_BOILERPLATE_SQL),
     "doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
     "near_dup_containment": (q_near_dup_containment, Q_NEAR_DUP_CONTAINMENT_SQL),
