@@ -561,3 +561,40 @@ def test_fingerprint_overlap_detects_copied_run(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
     assert rows[0]["shared"] >= 3
     assert 0 < rows[0]["overlap"] <= 1.0
+
+
+def test_contamination_report_multi_benchmark(spark):
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        contamination_overlap,
+        contamination_report,
+    )
+
+    leak_a = "alpha beta gamma delta epsilon zeta"
+    leak_b = "one two three four five six"
+    ev = spark.createDataFrame(
+        [(100, leak_a, "benchA"), (101, leak_b, "benchB"),
+         (102, "nothing shared here at all folks", "benchB")],
+        ["doc_id", "text", "benchmark"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {leak_a} outro words here"),      # hits benchA only
+            (2, f"start {leak_b} finish {leak_a} end"),   # hits both
+            (3, "completely clean document text body"),   # hits none
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["benchmark"]): (r["n_shared_ngrams"], r["n_eval_docs"])
+        for r in contamination_report(docs, ev, shingle_n=5).collect()
+    }
+    assert set(out) == {(1, "benchA"), (2, "benchA"), (2, "benchB")}
+    assert out[(1, "benchA")][1] == 1
+    # single-set operator agrees when restricted to one benchmark
+    single = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_eval_docs"])
+        for r in contamination_overlap(
+            docs, ev.filter("benchmark = 'benchA'"), shingle_n=5
+        ).collect()
+    }
+    assert single == {1: out[(1, "benchA")], 2: out[(2, "benchA")]}

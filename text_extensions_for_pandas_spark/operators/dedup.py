@@ -492,6 +492,49 @@ def contamination_overlap(
     )
 
 
+def contamination_report(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    benchmark_col: str = "benchmark",
+    shingle_n: int = 5,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`contamination_overlap` against MANY benchmarks in ONE corpus
+    pass: ``eval_docs`` carries a ``benchmark_col`` naming each eval set,
+    and the output is per (training doc, benchmark) —
+    ``(doc_col, benchmark_col, n_shared_ngrams, n_eval_docs)``.
+
+    Real pipelines screen against a battery of benchmarks at once; running
+    the single-set operator per benchmark would rescan the corpus once per
+    eval set, while here the union of all benchmarks' shingles (still
+    benchmark-sized, still broadcast) tags collisions with their benchmark
+    and one aggregation fans the report out.
+    """
+    ev = (
+        word_shingle_rows(eval_docs, shingle_n, text_col, doc_col)
+        .join(
+            eval_docs.select(doc_col, benchmark_col),
+            doc_col,
+        )
+        .select(
+            "shingle",
+            F.col(doc_col).alias("__eval_doc"),
+            F.col(benchmark_col),
+        )
+        .distinct()
+    )
+    tr = word_shingle_rows(documents, shingle_n, text_col, doc_col)
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(doc_col, benchmark_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("__eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
 def eval_shingle_bloom(
     eval_docs: DataFrame,
     shingle_n: int = 5,

@@ -4587,6 +4587,48 @@ LIMIT 1000
 """
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a BATTERY of benchmarks in one corpus pass:
+    three pseudo-benchmarks carved from the corpus (doc_id mod 50 in
+    {0, 1, 2}), report per (training doc, benchmark)."""
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 < 3).withColumn(
+        "benchmark", F.concat(F.lit("bench"), (F.col("doc_id") % 50).cast("string"))
+    )
+    tr = docs.filter(F.col("doc_id") % 50 >= 3)
+    out = D.contamination_report(tr, ev, shingle_n=5)
+    return out.select(
+        "doc_id",
+        "benchmark",
+        F.col("n_shared_ngrams").cast("long").alias("n_shared_ngrams"),
+        F.col("n_eval_docs").cast("long").alias("n_eval_docs"),
+    ).orderBy("doc_id", "benchmark")
+
+
+Q_CONTAMINATION_REPORT_SQL = """
+WITH dtoks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tl FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tl[i + 1 : i + 5], ' ') AS shingle
+  FROM dtoks, unnest(range(len(tl) - 4)) AS t(i)
+  WHERE len(tl) >= 5
+),
+ev AS (
+  SELECT DISTINCT shingle, doc_id AS eval_doc,
+         'bench' || CAST(doc_id % 50 AS VARCHAR) AS benchmark
+  FROM sh WHERE doc_id % 50 < 3
+),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 >= 3)
+SELECT t.doc_id, e.benchmark,
+       CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_shared_ngrams,
+       CAST(count(DISTINCT e.eval_doc) AS BIGINT) AS n_eval_docs
+FROM tr t JOIN ev e ON e.shingle = t.shingle
+GROUP BY t.doc_id, e.benchmark
+ORDER BY t.doc_id, e.benchmark
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration over the corpus: adjacent character
     pair frequencies of the word-frequency table (the corpus collapses
@@ -4994,10 +5036,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # re-gate in r05: tensor_rowstats, tensor_mean_by_label, iob_to_iob2,
     # unpack_semijoin, seq_windows, covering_span, neighbor_tokens,
     # spans_to_iob, extract_regex_tok, extract_split, lemmatize, simhash)
-    # new after the round-4 gate filled — nine queries added late in the
-    # round (through zorder_events), each locally hash-verified at sf0.001
-    # AND sf0.01 by scripts/check_oracle.py (ORACLE_LOCAL_r04.md): gate
-    # them FIRST in r05, ahead of the twice-verified rotation backlog
+    # new after the round-4 gate filled — ten queries added late in the
+    # round (through contamination_report), each locally hash-verified at
+    # sf0.001 AND sf0.01 by scripts/check_oracle.py (ORACLE_LOCAL_r04.md):
+    # gate them FIRST in r05, ahead of the twice-verified rotation backlog
     # listed above
     "boilerplate_removal": (q_boilerplate_removal, Q_BOILERPLATE_SQL),
     "doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
@@ -5008,6 +5050,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "training_prep_e2e": (q_training_prep_e2e, Q_TRAINING_PREP_SQL),
     "fingerprint_overlap": (q_fingerprint_overlap, Q_FINGERPRINT_OVERLAP_SQL),
     "zorder_events": (q_zorder_events, Q_ZORDER_SQL),
+    "contamination_report": (q_contamination_report, Q_CONTAMINATION_REPORT_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
