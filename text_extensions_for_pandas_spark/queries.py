@@ -4629,6 +4629,59 @@ ORDER BY t.doc_id, e.benchmark
 """
 
 
+def q_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift check on the deterministic train/val split: KL both ways and
+    Jensen-Shannon between the two splits' unigram distributions.  A good
+    hash split should sit near zero — this is the query that catches a
+    bad split (or a drifted new snapshot) before training does."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        hash_fraction,
+        unigram_divergence,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    frac = hash_fraction(F.col("doc_id"))
+    train = toks.filter(frac < 0.8)
+    val = toks.filter(frac >= 0.8)
+    return unigram_divergence(train, val, alpha=0.5)
+
+
+Q_SPLIT_DIVERGENCE_SQL = f"""
+WITH {TOKS_CTE},
+fr AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS frac
+  FROM documents
+),
+ca AS (
+  SELECT lower(t.token) AS tk, count(*) AS c
+  FROM toks t JOIN fr USING (doc_id) WHERE fr.frac < 0.8 GROUP BY 1
+),
+cb AS (
+  SELECT lower(t.token) AS tk, count(*) AS c
+  FROM toks t JOIN fr USING (doc_id) WHERE fr.frac >= 0.8 GROUP BY 1
+),
+joint AS (
+  SELECT coalesce(ca.tk, cb.tk) AS tk,
+         coalesce(ca.c, 0) AS x, coalesce(cb.c, 0) AS y
+  FROM ca FULL OUTER JOIN cb ON ca.tk = cb.tk
+),
+tot AS (SELECT sum(x) AS na, sum(y) AS nb, count(*) AS v FROM joint),
+pq AS (
+  SELECT (x + 0.5) / (na + 0.5 * v) AS p,
+         (y + 0.5) / (nb + 0.5 * v) AS q
+  FROM joint, tot
+)
+SELECT CAST(max(tot.v) AS BIGINT) AS n_vocab,
+       round(sum(p * ln(p / q)), 6) AS kl_ab,
+       round(sum(q * ln(q / p)), 6) AS kl_ba,
+       round(sum(p / 2 * ln(2 * p / (p + q))
+                 + q / 2 * ln(2 * q / (p + q))), 6) AS js
+FROM pq, tot
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration over the corpus: adjacent character
     pair frequencies of the word-frequency table (the corpus collapses
@@ -5051,6 +5104,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fingerprint_overlap": (q_fingerprint_overlap, Q_FINGERPRINT_OVERLAP_SQL),
     "zorder_events": (q_zorder_events, Q_ZORDER_SQL),
     "contamination_report": (q_contamination_report, Q_CONTAMINATION_REPORT_SQL),
+    "split_divergence": (q_split_divergence, Q_SPLIT_DIVERGENCE_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
