@@ -346,6 +346,7 @@ def test_no_accidental_nested_loop_joins_across_registry(spark):
         "doc_perplexity",  # 1-row bigram-total broadcast into the model table
         "source_divergence",  # deliberate vocab x groups grid (both model-sized)
         "zorder_events",  # 1-row min/max scaling bounds broadcast
+        "split_divergence",  # 1-row totals broadcast into the vocab join
         "q11_important_parts",  # Q11's grand-total scalar: 1-row broadcast
         # broadcast-bounded build sides: dictionary frame (length-gated
         # entry join), k centroids, corpus-constant scalar
