@@ -5089,8 +5089,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # re-gate in r05: tensor_rowstats, tensor_mean_by_label, iob_to_iob2,
     # unpack_semijoin, seq_windows, covering_span, neighbor_tokens,
     # spans_to_iob, extract_regex_tok, extract_split, lemmatize, simhash)
-    # new after the round-4 gate filled — ten queries added late in the
-    # round (through contamination_report), each locally hash-verified at
+    # new after the round-4 gate filled — eleven queries added late in the
+    # round (through split_divergence), each locally hash-verified at
     # sf0.001 AND sf0.01 by scripts/check_oracle.py (ORACLE_LOCAL_r04.md):
     # gate them FIRST in r05, ahead of the twice-verified rotation backlog
     # listed above
