@@ -269,3 +269,37 @@ def test_deterministic_shuffle_invariants(spark):
     first_shard = [r for r in rows if r["shard"] == 0]
     ids_in_pos_order = [r["doc_id"] for r in sorted(first_shard, key=lambda r: r["pos"])]
     assert ids_in_pos_order != sorted(ids_in_pos_order)
+
+
+def test_alpha_mixture_rates_temperature_semantics(spark):
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        alpha_mixture_rates,
+    )
+
+    df = spark.createDataFrame(
+        [("big", 9000), ("mid", 900), ("small", 100)], ["lang", "n"]
+    )
+
+    def ps(alpha):
+        return {
+            r["lang"]: r["p"]
+            for r in alpha_mixture_rates(df, "lang", "n", alpha=alpha).collect()
+        }
+
+    uniform = ps(0.0)
+    assert all(abs(v - 1 / 3) < 1e-6 for v in uniform.values())
+    prop = ps(1.0)
+    assert abs(prop["big"] - 0.9) < 1e-6 and abs(prop["small"] - 0.01) < 1e-6
+    # 0 < alpha < 1 sits between: low-resource upweighted vs its raw share,
+    # high-resource downweighted
+    mid = ps(0.3)
+    assert prop["small"] < mid["small"] < uniform["small"]
+    assert uniform["big"] < mid["big"] < prop["big"]
+    # budget: rates cap at 1 and keep-probability math holds
+    rates = {
+        r["lang"]: r["rate"]
+        for r in alpha_mixture_rates(df, "lang", "n", alpha=0.3, budget=2000).collect()
+    }
+    assert all(0 < v <= 1 for v in rates.values())
+    assert rates["small"] == 1.0  # 2000 * p_small > 100 chars of mass
+    assert rates["big"] < 1.0

@@ -109,6 +109,58 @@ def mixture_rates(
     )
 
 
+def alpha_mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    size_col: Column | str,
+    alpha: float = 0.3,
+    budget: float | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the mT5/XLM-R multilingual
+    recipe): a stratum with mass ``m_i`` gets sampling probability
+    ``p_i = m_i^alpha / sum_j m_j^alpha`` — ``alpha < 1`` upweights
+    low-resource strata relative to their raw share, ``alpha = 1`` is
+    proportional, ``alpha = 0`` is uniform.  This replaces
+    :func:`mixture_rates`' hand-specified targets with the standard
+    derived-from-mass schedule.
+
+    Returns ``(strata_col, stratum_size, p, rate)`` — ``rate`` is the
+    per-row keep probability achieving ``p`` under ``budget`` total mass
+    (capped at 1: low-resource strata degrade to take-everything instead
+    of upsampling duplicates); with ``budget=None`` the rate column is
+    the uncapped share itself.  One map-side-combined aggregate; output
+    is one row per stratum, broadcastable to a row-local filter — the
+    corpus never shuffles.
+    """
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    mass = df.groupBy(strata_col).agg(F.sum(size).alias("stratum_size"))
+    powed = mass.select(
+        strata_col,
+        "stratum_size",
+        F.pow(F.col("stratum_size").cast("double"), F.lit(float(alpha))).alias(
+            "__w"
+        ),
+    )
+    total = powed.agg(F.sum("__w").alias("__tw"))
+    out = powed.crossJoin(F.broadcast(total)).select(
+        strata_col,
+        "stratum_size",
+        F.round(F.col("__w") / F.col("__tw"), 6).alias("p"),
+    )
+    if budget is None:
+        return out.withColumn("rate", F.col("p"))
+    return out.withColumn(
+        "rate",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget)) * F.col("p") / F.col("stratum_size"),
+            ),
+            6,
+        ),
+    )
+
+
 def sample_mixture(
     df: DataFrame,
     strata_col: str,

@@ -4682,6 +4682,45 @@ FROM pq, tot
 """
 
 
+def q_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (mT5/XLM-R alpha=0.3): per-lang
+    sampling probability m^alpha / sum m^alpha over character mass, and
+    the per-row keep rate under a 100k-char budget."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        alpha_mixture_rates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = alpha_mixture_rates(
+        docs, "lang", "n_chars", alpha=0.3, budget=100_000
+    )
+    return out.select(
+        "lang",
+        F.col("stratum_size").cast("long").alias("stratum_size"),
+        "p",
+        "rate",
+    ).orderBy("lang")
+
+
+Q_ALPHA_MIXTURE_SQL = """
+WITH mass AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS stratum_size
+  FROM documents GROUP BY lang
+),
+powed AS (
+  SELECT lang, stratum_size,
+         pow(CAST(stratum_size AS DOUBLE), 0.3) AS w
+  FROM mass
+),
+tot AS (SELECT sum(w) AS tw FROM powed)
+SELECT lang, stratum_size,
+       round(w / tw, 6) AS p,
+       round(least(1.0, 100000 * round(w / tw, 6) / stratum_size), 6) AS rate
+FROM powed, tot
+ORDER BY lang
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration over the corpus: adjacent character
     pair frequencies of the word-frequency table (the corpus collapses
@@ -5089,8 +5128,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # re-gate in r05: tensor_rowstats, tensor_mean_by_label, iob_to_iob2,
     # unpack_semijoin, seq_windows, covering_span, neighbor_tokens,
     # spans_to_iob, extract_regex_tok, extract_split, lemmatize, simhash)
-    # new after the round-4 gate filled — eleven queries added late in the
-    # round (through split_divergence), each locally hash-verified at
+    # new after the round-4 gate filled — twelve queries added late in the
+    # round (through alpha_mixture), each locally hash-verified at
     # sf0.001 AND sf0.01 by scripts/check_oracle.py (ORACLE_LOCAL_r04.md):
     # gate them FIRST in r05, ahead of the twice-verified rotation backlog
     # listed above
@@ -5105,6 +5144,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "zorder_events": (q_zorder_events, Q_ZORDER_SQL),
     "contamination_report": (q_contamination_report, Q_CONTAMINATION_REPORT_SQL),
     "split_divergence": (q_split_divergence, Q_SPLIT_DIVERGENCE_SQL),
+    "alpha_mixture": (q_alpha_mixture, Q_ALPHA_MIXTURE_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
