@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: time flagship operators at 1x/4x/16x synthetic
+corpus scale and report the fitted scaling exponent (log-time vs log-size
+slope).  An exponent near 1.0 is the linear scaling the 100 TB design
+claims; a superlinear drift flags a hidden all-pairs or driver bottleneck
+long before a cluster run would.
+
+The synthetic scale-up replicates the sf0.1 documents table with offset
+doc ids and eight per-replica suffix tokens — enough shingle difference
+to push cross-replica Jaccard below the near-dup threshold, so the
+near-dup output grows linearly with scale instead of admitting the
+replicas themselves as an artificial quadratic pair set.
+
+Run:  python scripts/scale_probe.py   # prints one JSON line per (op, scale)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+SCALES = [4, 16, 64]
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def scaled_docs(spark, n: int):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    reps = spark.range(n).withColumnRenamed("id", "__rep")
+    # the suffix must scale with the DOCUMENT's own length: a fixed-size
+    # suffix leaves long documents' replicas above the Jaccard threshold
+    # (8 changed tokens out of 100 is still ~0.86 similar) and the pair
+    # output quadratic by construction.  One distinct replica token per
+    # ~2 base tokens pins cross-replica Jaccard near 0.5 at every length.
+    n_tok = F.size(F.split(F.col("text"), " "))
+    suffix = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n_tok / 2).cast("int")),
+            lambda i: F.concat(
+                F.lit("q"),
+                F.col("__rep").cast("string"),
+                F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+        " ",
+    )
+    return (
+        base.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("__rep") * 10_000_000).alias("doc_id"),
+            "source",
+            F.concat(F.col("text"), F.lit(" "), suffix).alias("text"),
+        )
+        .persist()
+    )
+
+
+def main() -> None:
+    from text_extensions_for_pandas_spark import get_spark
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        dedup_paragraphs,
+        exact_dedup,
+        near_dup_pairs,
+        remove_boilerplate,
+    )
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ops = {
+        "exact_dedup": lambda d: exact_dedup(d).count(),
+        "near_dup_pairs": lambda d: near_dup_pairs(d, threshold=0.8).count(),
+        "paragraph_dedup": lambda d: dedup_paragraphs(
+            d, sep_regex=" table ", join_sep=" "
+        ).count(),
+        "boilerplate": lambda d: remove_boilerplate(
+            d, min_docs=2, sep_regex=" table ", join_sep=" ",
+            group_col="source",
+        ).count(),
+        "det_shuffle": lambda d: deterministic_shuffle(d, n_shards=32).count(),
+    }
+
+    times: dict[str, list[tuple[int, float]]] = {k: [] for k in ops}
+    for n in SCALES:
+        docs = scaled_docs(spark, n)
+        n_docs = docs.count()  # materialize the replica view once
+        for name, fn in ops.items():
+            t0 = time.time()
+            rows = fn(docs)
+            dt = time.time() - t0
+            times[name].append((n, dt))
+            print(
+                json.dumps(
+                    {"op": name, "scale": n, "docs": n_docs,
+                     "rows": rows, "sec": round(dt, 2)}
+                )
+            )
+        docs.unpersist()
+
+    print("# fitted scaling exponents (slope of log t vs log n, 1x->16x):")
+    for name, pts in times.items():
+        (n0, t0), (n1, t1) = pts[0], pts[-1]
+        exp = math.log(t1 / t0) / math.log(n1 / n0)
+        print(json.dumps({"op": name, "exponent": round(exp, 2)}))
+    print("# exponent ~1 = linear; <1 = fixed-cost-dominated at this size")
+
+
+if __name__ == "__main__":
+    main()
