@@ -64,6 +64,21 @@ def scaled_docs(spark, n: int):
     )
 
 
+def scaled_embeddings(spark, n: int):
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    reps = spark.range(n).withColumnRenamed("id", "__rep")
+    return (
+        base.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("__rep") * 10_000_000).alias("vec_id"),
+            "embedding",
+        )
+        .persist()
+    )
+
+
 def main() -> None:
     from text_extensions_for_pandas_spark import get_spark
     from text_extensions_for_pandas_spark.operators.dedup import (
@@ -79,6 +94,27 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from text_extensions_for_pandas_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb_base = scaled_embeddings(spark, 1)
+    codebooks = pq_fit(emb_base, m=8, k=16, iterations=3).persist()
+    codebooks.count()
+    centroids = emb_base.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    ).persist()
+    queries5 = emb_base.filter(F.col("vec_id") < 5).persist()
+
+    emb_ops = {
+        "pq_encode": lambda e: pq_encode(e, codebooks).count(),
+        "ivf_assign": lambda e: ivf_assign(e, centroids).count(),
+        "ann_exact_5q": lambda e: brute_force_topk(e, queries5, k=10).count(),
+    }
+
     ops = {
         "exact_dedup": lambda d: exact_dedup(d).count(),
         "near_dup_pairs": lambda d: near_dup_pairs(d, threshold=0.8).count(),
@@ -93,6 +129,7 @@ def main() -> None:
     }
 
     times: dict[str, list[tuple[int, float]]] = {k: [] for k in ops}
+
     for n in SCALES:
         docs = scaled_docs(spark, n)
         n_docs = docs.count()  # materialize the replica view once
@@ -108,6 +145,22 @@ def main() -> None:
                 )
             )
         docs.unpersist()
+
+    for n in SCALES:
+        emb = scaled_embeddings(spark, n)
+        n_vec = emb.count()
+        for name, fn in emb_ops.items():
+            t0 = time.time()
+            rows = fn(emb)
+            dt = time.time() - t0
+            times.setdefault(name, []).append((n, dt))
+            print(
+                json.dumps(
+                    {"op": name, "scale": n, "vecs": n_vec,
+                     "rows": rows, "sec": round(dt, 2)}
+                )
+            )
+        emb.unpersist()
 
     print("# fitted scaling exponents (slope of log t vs log n, 1x->16x):")
     for name, pts in times.items():
