@@ -1,15 +1,18 @@
 #!/usr/bin/env python
-"""Empirical scaling probe: time flagship operators at 1x/4x/16x synthetic
-corpus scale and report the fitted scaling exponent (log-time vs log-size
-slope).  An exponent near 1.0 is the linear scaling the 100 TB design
+"""Empirical scaling probe: time flagship operators at 4x/16x/64x synthetic
+corpus scale (20k/80k/320k documents; 8k/32k/128k vectors) and report the
+endpoints scaling exponent (log-time vs log-size slope between the
+smallest and largest scale).  An exponent near 1.0 is the linear scaling the 100 TB design
 claims; a superlinear drift flags a hidden all-pairs or driver bottleneck
 long before a cluster run would.
 
 The synthetic scale-up replicates the sf0.1 documents table with offset
-doc ids and eight per-replica suffix tokens — enough shingle difference
-to push cross-replica Jaccard below the near-dup threshold, so the
-near-dup output grows linearly with scale instead of admitting the
-replicas themselves as an artificial quadratic pair set.
+doc ids and a LENGTH-PROPORTIONAL distinct suffix (~one replica token per
+two base tokens) — enough shingle difference at every document length to
+push cross-replica Jaccard below the near-dup threshold, so the near-dup
+output grows linearly with scale instead of admitting the replicas
+themselves as an artificial quadratic pair set (a fixed-size suffix
+leaves LONG documents' replicas above threshold; measured before fixing).
 
 Run:  python scripts/scale_probe.py   # prints one JSON line per (op, scale)
 """
@@ -162,7 +165,10 @@ def main() -> None:
             )
         emb.unpersist()
 
-    print("# fitted scaling exponents (slope of log t vs log n, 1x->16x):")
+    print(
+        "# endpoints scaling exponents "
+        f"(slope of log t vs log n, {SCALES[0]}x->{SCALES[-1]}x):"
+    )
     for name, pts in times.items():
         (n0, t0), (n1, t1) = pts[0], pts[-1]
         exp = math.log(t1 / t0) / math.log(n1 / n0)

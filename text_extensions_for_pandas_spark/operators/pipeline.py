@@ -266,11 +266,15 @@ def prep_and_shard(
     function of the input, so reruns, retries, and repartitions emit the
     identical corpus in the identical order, with no Python anywhere.
 
-    ``checkpoint=True`` (default) cuts lineage after each text-rebuild
-    stage: without it the fully-lazy plan re-derives the documents scan
+    ``checkpoint=True`` (default) persists each text-rebuild stage's
+    output: without it the fully-lazy plan re-derives the documents scan
     per downstream branch (7 scans measured) — at corpus scale you want
     each stage's (smaller) output materialized once, which is also what a
     production pipeline persisting stage outputs to parquet would do.
+    ``persist()`` rather than ``localCheckpoint`` deliberately: a
+    checkpoint truncates the explain plan to ``Scan ExistingRDD``, which
+    would blind the repo's plan audits (PLANS.md, the nested-loop guard)
+    to everything upstream.
     """
     from text_extensions_for_pandas_spark.functions.text import gopher_rules
     from text_extensions_for_pandas_spark.operators.dedup import (
@@ -298,7 +302,7 @@ def prep_and_shard(
         .select(doc_col, F.col("clean_text").alias(text_col))
     )
     if checkpoint:
-        cleaned = cleaned.localCheckpoint(eager=False)
+        cleaned = cleaned.persist()
     gopher_kwargs = (
         {"required_words": required_words} if required_words is not None else {}
     )
@@ -314,7 +318,7 @@ def prep_and_shard(
         .select(doc_col, F.col("dedup_text").alias(text_col))
     )
     if checkpoint:
-        paras = paras.localCheckpoint(eager=False)
+        paras = paras.persist()
     w = Window.partitionBy(F.md5(text_col)).orderBy(doc_col)
     exact = (
         paras.withColumn("__rk", F.row_number().over(w))

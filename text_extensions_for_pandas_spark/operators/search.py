@@ -326,9 +326,10 @@ def doc_perplexity(
         .withColumn("w2", F.lead("w1").over(w))
         .filter(F.col("w2").isNotNull())
         # referenced five times below (three model tables, the normalizer,
-        # and the scoring join): cut lineage so the per-doc lead window
-        # runs once, not per branch
-        .localCheckpoint(eager=False)
+        # and the scoring join): persist so the per-doc lead window runs
+        # once, not per branch (persist, not localCheckpoint — a
+        # checkpoint would hide the upstream plan from the plan audits)
+        .persist()
     )
     bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
     ctx = pairs.groupBy("w1").agg(F.count("*").alias("__c1"))
