@@ -700,3 +700,77 @@ def test_boilerplate_removal_stream_batch_parity(spark, tmp_path):
         for r in spark.read.parquet(out_path).collect()
     }
     assert got == want and len(got) == docs.count()
+
+
+def test_streaming_prep_ingest_end_to_end(spark, tmp_path):
+    """Continuous prep: two micro-batches through boilerplate removal,
+    Gopher gate, incremental paragraph dedup, incremental exact dedup,
+    and shard landing with continuing positions."""
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        boilerplate_lines,
+    )
+    from text_extensions_for_pandas_spark.streaming.ops import (
+        streaming_prep_ingest,
+    )
+
+    # mean word length must clear gopher's [3, 10] band
+    words = " ".join(f"the data window w{i}xx" for i in range(10))
+    nav = "NAVBAR"
+    rows = [
+        # batch 1 (even ids): two docs sharing the nav line; one clean doc
+        (0, "s1", f"{nav}\n{words} zero"),
+        (2, "s1", f"{nav}\n{words} two"),
+        (4, "s2", f"{words} four"),
+        (6, "s1", "too short"),                      # fails gopher
+        # batch 2 (odd ids)
+        (1, "s1", f"{nav}\n{words} zero"),           # exact dup of doc 0's cleaned text? no: has ' zero'
+        (3, "s1", f"{words} zero"),                  # paragraph seen in batch 1 -> emptied
+        (5, "s2", f"{words} five"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    # the static boilerplate set comes from the SEED corpus (batch 1 docs):
+    # building it over future arrivals would make doc 0/1/3's shared
+    # content line "boilerplate" and empty them all
+    bp = boilerplate_lines(
+        docs.filter("doc_id % 2 = 0"), min_docs=2, group_col="source"
+    ).cache()
+    bp.count()
+
+    src = str(tmp_path / "src")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = streaming_prep_ingest(
+        stream,
+        bp,
+        state_dir=str(tmp_path / "state"),
+        out_path=out,
+        checkpoint=str(tmp_path / "ckpt"),
+        min_words=30,
+        required_words=("the", "data"),
+        n_shards=2,
+    ).start()
+    q.awaitTermination(300)
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    # doc 6 failed the gopher word count; doc 3's single paragraph was
+    # already accepted from doc 0's batch-1 text ("<words> zero")?  no —
+    # doc 0's paragraph is "<words> zero" AFTER nav removal, doc 3's text
+    # is identical, arriving in batch 2 -> paragraph-deduped away
+    assert 6 not in got and 3 not in got
+    # doc 1's cleaned text == doc 0's cleaned text -> exact/para dup, dropped
+    assert 1 not in got
+    assert set(got) == {0, 2, 4, 5}
+    # nav line removed everywhere
+    assert all(nav not in r["text"] for r in got.values())
+    # positions are dense per shard ACROSS batches
+    by_shard = {}
+    for r in got.values():
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))

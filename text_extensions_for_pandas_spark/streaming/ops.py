@@ -486,3 +486,155 @@ def streaming_paragraph_dedup(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def streaming_prep_ingest(
+    documents: DataFrame,
+    boilerplate: DataFrame,
+    state_dir: str,
+    out_path: str,
+    checkpoint: str,
+    sep_regex: str = "\n+",
+    join_sep: str = "\n",
+    min_words: int = 30,
+    required_words: tuple[str, ...] | None = None,
+    group_col: str = "source",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "epoch0",
+):
+    """The modern prep recipe as a continuous ingest loop — each
+    micro-batch runs boilerplate removal (stream-static join against a
+    precomputed :func:`..operators.dedup.boilerplate_lines` table), the
+    Gopher gate (row-local), CCNet paragraph dedup against the persisted
+    paragraph-hash index, exact dedup against the persisted text-hash
+    index, and lands survivors into shard files with positions continuing
+    from the previous batch.
+
+    The batch twin is :func:`..operators.pipeline.prep_and_shard`; the
+    streaming differences are inherent to ingest: keep-first follows
+    ARRIVAL order across batches, per-shard ``pos`` is contiguous but
+    ordered by arrival-then-hash rather than pure hash, and corpus-global
+    stages (per-domain caps) belong in a periodic compaction pass, not
+    the ingest loop.
+
+    State: ``{state_dir}/para_index`` and ``{state_dir}/text_index``
+    (append-only hash deltas, O(batch) maintenance) and
+    ``{state_dir}/shard_counts`` (per-batch (shard, n) deltas, summed on
+    read).  Returns the writer — call ``.start()`` at the ingest site.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    from text_extensions_for_pandas_spark.functions.text import gopher_rules
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        dedup_paragraphs_incremental,
+        remove_boilerplate,
+    )
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        hash_fraction,
+    )
+
+    para_index = f"{state_dir}/para_index"
+    text_index = f"{state_dir}/text_index"
+    shard_counts = f"{state_dir}/shard_counts"
+    gopher_kwargs = (
+        {"required_words": required_words} if required_words is not None else {}
+    )
+
+    def _read_or_none(spark, path):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return None
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        meta = batch_df.select(doc_col, group_col)
+
+        cleaned = (
+            remove_boilerplate(
+                batch_df,
+                boilerplate=boilerplate,
+                sep_regex=sep_regex,
+                join_sep=join_sep,
+                text_col=text_col,
+                doc_col=doc_col,
+                group_col=group_col,
+            )
+            .join(meta, doc_col)
+            .filter(F.length("clean_text") > 0)
+            .select(doc_col, group_col, F.col("clean_text").alias(text_col))
+        )
+        gated = cleaned.filter(
+            gopher_rules(text_col, min_words=min_words, **gopher_kwargs)["passes"]
+        )
+        rebuilt, new_hashes = dedup_paragraphs_incremental(
+            gated.select(doc_col, text_col),
+            _read_or_none(spark, para_index),
+            sep_regex,
+            join_sep,
+            text_col,
+            doc_col,
+        )
+        paras = (
+            rebuilt.filter(F.length("dedup_text") > 0)
+            .select(doc_col, F.col("dedup_text").alias(text_col))
+            .join(gated.select(doc_col, group_col), doc_col)
+        )
+        hashed = paras.withColumn("__th", F.md5(F.col(text_col)))
+        tindex = _read_or_none(spark, text_index)
+        if tindex is not None:
+            hashed = hashed.join(tindex, hashed["__th"] == tindex["text_hash"], "left_anti")
+        w = Window.partitionBy("__th").orderBy(doc_col)
+        exact = (
+            hashed.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+
+        frac = hash_fraction(
+            F.concat(F.lit(salt), F.col(doc_col).cast("string"))
+        )
+        sharded = exact.select(
+            F.least(
+                F.floor(frac * n_shards).cast("int"), F.lit(n_shards - 1)
+            ).alias("shard"),
+            frac.alias("__frac"),
+            doc_col,
+            group_col,
+            F.length(text_col).cast("long").alias("n_chars"),
+            text_col,
+            "__th",
+        )
+        prev = _read_or_none(spark, shard_counts)
+        if prev is not None:
+            offsets = prev.groupBy("shard").agg(F.sum("n").alias("__off"))
+            sharded = sharded.join(F.broadcast(offsets), "shard", "left")
+        else:
+            sharded = sharded.withColumn("__off", F.lit(None).cast("long"))
+        ws = Window.partitionBy("shard").orderBy("__frac", doc_col)
+        final = sharded.withColumn(
+            "pos",
+            (F.row_number().over(ws) + F.coalesce("__off", F.lit(0))).cast("long"),
+        ).localCheckpoint()
+
+        final.select(
+            "shard", "pos", doc_col, group_col, "n_chars", text_col
+        ).write.mode("append").parquet(out_path)
+        # append-only state deltas: O(batch) maintenance per ingest
+        new_hashes.write.mode("append").parquet(para_index)
+        final.select(F.col("__th").alias("text_hash")).distinct().write.mode(
+            "append"
+        ).parquet(text_index)
+        final.groupBy("shard").agg(F.count("*").alias("n")).write.mode(
+            "append"
+        ).parquet(shard_counts)
+
+    return (
+        documents.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
