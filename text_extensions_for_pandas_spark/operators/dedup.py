@@ -1088,9 +1088,10 @@ def fingerprint_overlap_pairs(
     keep = fps.groupBy("fp").agg(F.count("*").alias("__nd")).filter(
         F.col("__nd") <= max_docs_per_fp
     )
-    ff = fps.join(keep.select("fp"), "fp", "left_semi").localCheckpoint(
-        eager=False
-    )
+    # persist, not localCheckpoint: the filtered fp rows feed both the
+    # per-doc counts and the pair join, and a checkpoint would hide the
+    # upstream plan from the repo's plan audits
+    ff = fps.join(keep.select("fp"), "fp", "left_semi").persist()
     cnt = ff.groupBy(doc_col).agg(F.count("*").alias("__c"))
     a = ff.select(F.col(doc_col).alias("doc_a"), "fp")
     b = ff.select(F.col(doc_col).alias("doc_b"), F.col("fp").alias("__fpb"))
