@@ -148,6 +148,30 @@ def main() -> None:
         F.round(F.first("rate"), 4).alias("rate"),
     ).orderBy("lang").show()
 
+    # 7. Or run the whole modern recipe as ONE operator: boilerplate
+    #    removal -> Gopher gate -> paragraph dedup -> exact dedup ->
+    #    per-domain caps -> epoch-stable shard shuffle.  Every stage is a
+    #    pure function of the input; write partitionBy("shard") and train.
+    from text_extensions_for_pandas_spark.operators.pipeline import (
+        prep_and_shard,
+    )
+
+    sharded = prep_and_shard(
+        docs.select("doc_id", "source", "text"),
+        sep_regex=" table ",
+        join_sep=" ",
+        min_words=30,
+        required_words=("the", "a", "data", "key", "line", "row"),
+        max_docs_per_domain=20,
+        max_chars_per_domain=50_000,
+        n_shards=4,
+        salt="epoch0",
+    )
+    print("=== prep_and_shard: docs and chars per training shard ===")
+    sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    ).orderBy("shard").show()
+
     spark.stop()
 
 
