@@ -303,3 +303,29 @@ def test_alpha_mixture_rates_temperature_semantics(spark):
     assert all(0 < v <= 1 for v in rates.values())
     assert rates["small"] == 1.0  # 2000 * p_small > 100 chars of mass
     assert rates["big"] < 1.0
+
+
+def test_deterministic_shuffle_order_cols_groups_clusters(spark):
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    rows = [(i, i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "cluster_id"])
+    out = deterministic_shuffle(
+        df, n_shards=2, salt="s", order_cols=["cluster_id"]
+    ).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rs in by_shard.values():
+        ordered = sorted(rs, key=lambda r: r["pos"])
+        clusters = [r["cluster_id"] for r in ordered]
+        # within a shard, cluster members are contiguous (non-decreasing)
+        assert clusters == sorted(clusters)
+    # shard membership identical to the plain shuffle: ordering is the
+    # only thing order_cols changes
+    plain = deterministic_shuffle(df, n_shards=2, salt="s")
+    a = {r["doc_id"]: r["shard"] for r in out}
+    b = {r["doc_id"]: r["shard"] for r in plain.collect()}
+    assert a == b

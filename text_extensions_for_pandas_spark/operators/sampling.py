@@ -474,6 +474,7 @@ def deterministic_shuffle(
     n_shards: int = 64,
     key_col: str = "doc_id",
     salt: str = "",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Globally-shuffled, shard-addressed training order: every row gets a
     ``(shard, pos)`` that is a pure function of ``(salt, key)`` — the
@@ -492,6 +493,12 @@ def deterministic_shuffle(
     Existing ``shard``/``pos`` columns on the input (e.g. re-sharding a
     previous epoch's output under a new salt) are replaced, not
     duplicated.
+
+    ``order_cols`` prefixes the within-shard order (hash order breaks the
+    remaining ties) — pass a similarity-cluster id to group related
+    documents adjacently in the training stream (in-context pretraining,
+    Shi et al. 2023), or a quality band for curriculum schedules.  Shard
+    membership stays pure hash, so the stream is still globally mixed.
     """
     from pyspark.sql import Window
 
@@ -500,7 +507,10 @@ def deterministic_shuffle(
     shard = F.least(
         F.floor(frac * n_shards).cast("int"), F.lit(n_shards - 1)
     ).alias("shard")
-    w = Window.partitionBy("shard").orderBy("__frac", key_col)
+    order = [F.col(c) for c in (order_cols or [])] + [
+        F.col("__frac"), F.col(key_col)
+    ]
+    w = Window.partitionBy("shard").orderBy(*order)
     return (
         df.select(shard, frac.alias("__frac"), *df.columns)
         .withColumn("pos", F.row_number().over(w).cast("long"))

@@ -4721,6 +4721,67 @@ ORDER BY lang
 """
 
 
+def q_incontext_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-context-pretraining order (Shi et al. 2023): embed-cluster the
+    corpus (16 fixed centroids, the ivf_clusters idiom), then shard by
+    hash with SIMILAR documents adjacent within each shard —
+    deterministic_shuffle's order_cols knob carries the cluster id, hash
+    order breaks ties, shard membership stays globally mixed."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = SIM.ivf_assign(emb, centroids).select("vec_id", "cluster_id")
+    out = deterministic_shuffle(
+        assigned, n_shards=4, key_col="vec_id", salt="icp",
+        order_cols=["cluster_id"],
+    )
+    return out.select(
+        "vec_id",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("shard").cast("int").alias("shard"),
+        "pos",
+    ).orderBy("shard", "pos")
+
+
+Q_INCONTEXT_ORDER_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_DOT.format(a='e.embedding', b='c.ce')}
+         / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) * sqrt({_DOT.format(a='c.ce', b='c.ce')}))
+           AS score
+  FROM embeddings e, c
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS cluster_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+  FROM scored
+),
+fr AS (
+  SELECT vec_id, cluster_id,
+         CAST(('0x' || substring(md5('icp' || CAST(vec_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS frac
+  FROM assigned WHERE rn = 1
+),
+sharded AS (
+  SELECT vec_id, cluster_id, frac,
+         least(CAST(floor(frac * 4) AS INTEGER), 3) AS shard
+  FROM fr
+)
+SELECT vec_id, cluster_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY cluster_id, frac, vec_id)
+            AS BIGINT) AS pos
+FROM sharded
+ORDER BY shard, pos
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration over the corpus: adjacent character
     pair frequencies of the word-frequency table (the corpus collapses
@@ -5128,8 +5189,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # re-gate in r05: tensor_rowstats, tensor_mean_by_label, iob_to_iob2,
     # unpack_semijoin, seq_windows, covering_span, neighbor_tokens,
     # spans_to_iob, extract_regex_tok, extract_split, lemmatize, simhash)
-    # new after the round-4 gate filled — twelve queries added late in the
-    # round (through alpha_mixture), each locally hash-verified at
+    # new after the round-4 gate filled — thirteen queries added late in the
+    # round (through incontext_order), each locally hash-verified at
     # sf0.001 AND sf0.01 by scripts/check_oracle.py (ORACLE_LOCAL_r04.md):
     # gate them FIRST in r05, ahead of the twice-verified rotation backlog
     # listed above
@@ -5145,6 +5206,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "contamination_report": (q_contamination_report, Q_CONTAMINATION_REPORT_SQL),
     "split_divergence": (q_split_divergence, Q_SPLIT_DIVERGENCE_SQL),
     "alpha_mixture": (q_alpha_mixture, Q_ALPHA_MIXTURE_SQL),
+    "incontext_order": (q_incontext_order, Q_INCONTEXT_ORDER_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
