@@ -348,6 +348,7 @@ def test_no_accidental_nested_loop_joins_across_registry(spark):
         "zorder_events",  # 1-row min/max scaling bounds broadcast
         "split_divergence",  # 1-row totals broadcast into the vocab join
         "alpha_mixture",  # 1-row normalizer broadcast over strata rows
+        "incontext_order",  # ivf_assign's k-centroid broadcast (as ivf_clusters)
         "q11_important_parts",  # Q11's grand-total scalar: 1-row broadcast
         # broadcast-bounded build sides: dictionary frame (length-gated
         # entry join), k centroids, corpus-constant scalar
