@@ -738,6 +738,16 @@ def test_streaming_prep_ingest_end_to_end(spark, tmp_path):
 
     src = str(tmp_path / "src")
     docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+    # FileStreamSource orders unseen files by modification time; force the
+    # even-ids file strictly earlier so batch order is deterministic even
+    # on coarse-mtime filesystems
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    for f in _glob.glob(f"{src}/part-*.parquet"):
+        early = _time.time() - 60
+        _os.utime(f, (early, early))
     docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
     stream = (
         spark.readStream.schema("doc_id long, source string, text string")
@@ -774,3 +784,29 @@ def test_streaming_prep_ingest_end_to_end(spark, tmp_path):
         by_shard.setdefault(r["shard"], []).append(r["pos"])
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    # replay: a fresh checkpoint reprocesses both batches under the SAME
+    # batch ids; batch<id state reads + per-batch overwrite writes must
+    # make the rerun a byte-identical no-op (the at-least-once contract)
+    before = sorted(
+        map(tuple, spark.read.parquet(out).select(
+            "shard", "pos", "doc_id", "source", "n_chars", "text"
+        ).collect())
+    )
+    q2 = streaming_prep_ingest(
+        stream,
+        bp,
+        state_dir=str(tmp_path / "state"),
+        out_path=out,
+        checkpoint=str(tmp_path / "ckpt2"),
+        min_words=30,
+        required_words=("the", "data"),
+        n_shards=2,
+    ).start()
+    q2.awaitTermination(300)
+    after = sorted(
+        map(tuple, spark.read.parquet(out).select(
+            "shard", "pos", "doc_id", "source", "n_chars", "text"
+        ).collect())
+    )
+    assert after == before

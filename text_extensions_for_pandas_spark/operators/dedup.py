@@ -1090,7 +1090,11 @@ def fingerprint_overlap_pairs(
     )
     # persist, not localCheckpoint: the filtered fp rows feed both the
     # per-doc counts and the pair join, and a checkpoint would hide the
-    # upstream plan from the repo's plan audits
+    # upstream plan from the repo's plan audits.  Like near_dup_pairs'
+    # shingle persist, the cache is session-scoped with no unpersist
+    # handle — MEMORY_AND_DISK blocks are LRU-evictable, and callers
+    # running many corpora through one session should spark.catalog
+    # .clearCache() between them
     ff = fps.join(keep.select("fp"), "fp", "left_semi").persist()
     cnt = ff.groupBy(doc_col).agg(F.count("*").alias("__c"))
     a = ff.select(F.col(doc_col).alias("doc_a"), "fp")

@@ -512,17 +512,26 @@ def streaming_prep_ingest(
     index, and lands survivors into shard files with positions continuing
     from the previous batch.
 
-    The batch twin is :func:`..operators.pipeline.prep_and_shard`; the
+    The batch twin is :func:`..operators.pipeline.prep_and_shard` — the
+    shard/pos math IS :func:`..operators.sampling.deterministic_shuffle`
+    (called, not re-implemented) plus the per-shard offset — and the
     streaming differences are inherent to ingest: keep-first follows
     ARRIVAL order across batches, per-shard ``pos`` is contiguous but
     ordered by arrival-then-hash rather than pure hash, and corpus-global
     stages (per-domain caps) belong in a periodic compaction pass, not
     the ingest loop.
 
-    State: ``{state_dir}/para_index`` and ``{state_dir}/text_index``
-    (append-only hash deltas, O(batch) maintenance) and
-    ``{state_dir}/shard_counts`` (per-batch (shard, n) deltas, summed on
-    read).  Returns the writer — call ``.start()`` at the ingest site.
+    **Exactly-once under foreachBatch's at-least-once replay**: every
+    write — the output and all three state tables — lands in a
+    ``batch=<id>`` subdirectory with ``mode("overwrite")``, and every
+    read filters to ``batch < <id>``, so a replayed batch sees exactly
+    the pre-batch state and rewrites exactly its own outputs.  State:
+    ``{state_dir}/para_index`` and ``{state_dir}/text_index`` (hash
+    deltas, O(batch) maintenance) and ``{state_dir}/shard_totals``
+    (CUMULATIVE per-shard counts per batch — the latest prior row set is
+    the offset, so reads stay O(n_shards) rows however long the ingest
+    runs; compact old batch directories periodically).  Returns the
+    writer — call ``.start()`` at the ingest site.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window
@@ -533,21 +542,22 @@ def streaming_prep_ingest(
         remove_boilerplate,
     )
     from text_extensions_for_pandas_spark.operators.sampling import (
-        hash_fraction,
+        deterministic_shuffle,
     )
 
     para_index = f"{state_dir}/para_index"
     text_index = f"{state_dir}/text_index"
-    shard_counts = f"{state_dir}/shard_counts"
+    shard_totals = f"{state_dir}/shard_totals"
     gopher_kwargs = (
         {"required_words": required_words} if required_words is not None else {}
     )
 
-    def _read_or_none(spark, path):
+    def _read_prior(spark, path, batch_id):
         try:
-            return spark.read.parquet(path)
+            df = spark.read.parquet(path)
         except AnalysisException:
             return None
+        return df.filter(F.col("batch") < batch_id)
 
     def _process(batch_df, batch_id):
         spark = batch_df.sparkSession
@@ -570,10 +580,12 @@ def streaming_prep_ingest(
         )
         gated = cleaned.filter(
             gopher_rules(text_col, min_words=min_words, **gopher_kwargs)["passes"]
-        )
+        ).localCheckpoint()  # both dedup outputs derive from here: run once
+
+        prior_paras = _read_prior(spark, para_index, batch_id)
         rebuilt, new_hashes = dedup_paragraphs_incremental(
             gated.select(doc_col, text_col),
-            _read_or_none(spark, para_index),
+            prior_paras.select("para_hash") if prior_paras is not None else None,
             sep_regex,
             join_sep,
             text_col,
@@ -585,53 +597,68 @@ def streaming_prep_ingest(
             .join(gated.select(doc_col, group_col), doc_col)
         )
         hashed = paras.withColumn("__th", F.md5(F.col(text_col)))
-        tindex = _read_or_none(spark, text_index)
+        tindex = _read_prior(spark, text_index, batch_id)
         if tindex is not None:
-            hashed = hashed.join(tindex, hashed["__th"] == tindex["text_hash"], "left_anti")
+            hashed = hashed.join(
+                tindex, hashed["__th"] == tindex["text_hash"], "left_anti"
+            )
         w = Window.partitionBy("__th").orderBy(doc_col)
         exact = (
             hashed.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
             .drop("__rk")
+            .withColumn("n_chars", F.length(text_col).cast("long"))
         )
 
-        frac = hash_fraction(
-            F.concat(F.lit(salt), F.col(doc_col).cast("string"))
+        sharded = deterministic_shuffle(
+            exact, n_shards=n_shards, key_col=doc_col, salt=salt
         )
-        sharded = exact.select(
-            F.least(
-                F.floor(frac * n_shards).cast("int"), F.lit(n_shards - 1)
-            ).alias("shard"),
-            frac.alias("__frac"),
-            doc_col,
-            group_col,
-            F.length(text_col).cast("long").alias("n_chars"),
-            text_col,
-            "__th",
-        )
-        prev = _read_or_none(spark, shard_counts)
-        if prev is not None:
-            offsets = prev.groupBy("shard").agg(F.sum("n").alias("__off"))
+        prior_totals = _read_prior(spark, shard_totals, batch_id)
+        if prior_totals is not None:
+            latest = prior_totals.agg(F.max("batch").alias("__b")).first()["__b"]
+            offsets = (
+                prior_totals.filter(F.col("batch") == latest)
+                .select("shard", F.col("n").alias("__off"))
+                if latest is not None
+                else None
+            )
+        else:
+            offsets = None
+        if offsets is not None:
             sharded = sharded.join(F.broadcast(offsets), "shard", "left")
         else:
             sharded = sharded.withColumn("__off", F.lit(None).cast("long"))
-        ws = Window.partitionBy("shard").orderBy("__frac", doc_col)
         final = sharded.withColumn(
-            "pos",
-            (F.row_number().over(ws) + F.coalesce("__off", F.lit(0))).cast("long"),
+            "pos", (F.col("pos") + F.coalesce("__off", F.lit(0))).cast("long")
         ).localCheckpoint()
 
+        # idempotent writes: per-batch directories, overwritten on replay
         final.select(
             "shard", "pos", doc_col, group_col, "n_chars", text_col
-        ).write.mode("append").parquet(out_path)
-        # append-only state deltas: O(batch) maintenance per ingest
-        new_hashes.write.mode("append").parquet(para_index)
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+        new_hashes.write.mode("overwrite").parquet(
+            f"{para_index}/batch={batch_id}"
+        )
         final.select(F.col("__th").alias("text_hash")).distinct().write.mode(
-            "append"
-        ).parquet(text_index)
-        final.groupBy("shard").agg(F.count("*").alias("n")).write.mode(
-            "append"
-        ).parquet(shard_counts)
+            "overwrite"
+        ).parquet(f"{text_index}/batch={batch_id}")
+        batch_counts = final.groupBy("shard").agg(F.count("*").alias("__bn"))
+        base = (
+            offsets
+            if offsets is not None
+            else spark.range(n_shards).select(
+                F.col("id").cast("int").alias("shard"),
+                F.lit(0).cast("long").alias("__off"),
+            )
+        )
+        totals = (
+            base.join(batch_counts, "shard", "left")
+            .select(
+                "shard",
+                (F.col("__off") + F.coalesce("__bn", F.lit(0))).cast("long").alias("n"),
+            )
+        )
+        totals.write.mode("overwrite").parquet(f"{shard_totals}/batch={batch_id}")
 
     return (
         documents.writeStream.foreachBatch(_process)
