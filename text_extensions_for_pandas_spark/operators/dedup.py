@@ -1,10 +1,15 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 Beyond-reference surface (BASELINE.json north star): exact dedup,
-MinHash+LSH near-dup candidate generation, n-gram Jaccard verification,
-SimHash.  Everything except SimHash is pure built-in-function SQL — the
-hashes are ``md5`` so results are deterministic and engine-independent
-(verified against a DuckDB oracle).
+MinHash+LSH near-dup candidate generation, n-gram Jaccard AND asymmetric
+containment verification, SimHash, CCNet paragraph-level dedup (corpus
+keep-first and intra-document scopes, plus an incremental index variant),
+C4-style boilerplate line removal, MOSS-style winnowing-fingerprint
+overlap pairs, exact-substring span dedup, and benchmark decontamination
+(single eval set, multi-benchmark report, and a stream-safe Bloom tier).
+Everything except SimHash is pure built-in-function SQL — the hashes are
+``md5`` so results are deterministic and engine-independent (verified
+against a DuckDB oracle).
 
 Scale design:
 

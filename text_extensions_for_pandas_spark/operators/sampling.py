@@ -15,10 +15,17 @@ Operators:
 * :func:`stratified_sample` — per-stratum rates (dict or default);
 * :func:`importance_sample` — per-row keep probability from a weight
   column (quality-score resampling);
-* :func:`mixture_rates` / :func:`sample_mixture` — corpus mixing: given
-  target mixture weights over strata and a token budget, derive each
-  stratum's sampling rate from its token mass (one small aggregate joined
-  back — the only wide op) and sample to hit the mixture.
+* :func:`mixture_rates` / :func:`sample_mixture` — corpus mixing to
+  hand-specified target weights under a token budget;
+* :func:`alpha_mixture_rates` — temperature-scaled weights derived from
+  stratum mass (the mT5/XLM-R multilingual schedule);
+* :func:`dsir_llr_table` / :func:`dsir_score` / :func:`dsir_log_weights`
+  — Data Selection via Importance Resampling;
+* :func:`cap_per_domain` — RefinedWeb/C4 anti-host-dominance budgets;
+* :func:`deterministic_shuffle` — epoch-stable (shard, pos) training
+  order (with ``order_cols`` for in-context/curriculum grouping);
+* :func:`unigram_divergence` / :func:`source_divergence` — KL/JS
+  distribution-drift checks.
 """
 
 from __future__ import annotations
