@@ -1,16 +1,25 @@
 """Similarity search over embedding columns (``ARRAY<FLOAT>``).
 
-Beyond-reference surface (BASELINE.json north star).  Two tiers:
+Beyond-reference surface (BASELINE.json north star).  The tiers:
 
 * ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
   set, score every corpus vector with JVM-side higher-order functions
   (``zip_with`` + ``aggregate``; no Python, no shuffle until the final
   per-query top-k window), then ``row_number`` per query.
 * ``ivf_assign`` / ``ivf_topk`` — IVF-style scale path: assign each vector
-  to its nearest centroid once (an O(n·k) narrow map), then restrict query
-  scoring to the ``nprobe`` nearest clusters — at 100 TB this turns a full
-  scan per query into a pruned partition read (pair it with
-  ``partitionBy(cluster_id)`` at write time).
+  to its nearest centroid once (an O(n·k) narrow map, cosine or l2), then
+  restrict query scoring to the ``nprobe`` nearest clusters — at 100 TB
+  this turns a full scan per query into a pruned partition read (pair it
+  with ``partitionBy(cluster_id)`` at write time).
+* ``lsh_hyperplane_buckets`` / ``lsh_topk`` — training-free signed-random-
+  projection bucketing.
+* ``pq_fit`` / ``pq_encode`` / ``pq_topk`` — product quantization: the
+  index shrinks 32-64x (m small codes per vector) and queries score via
+  broadcast per-query lookup tables (ADC).
+* ``ivfpq_topk`` — the faiss IndexIVFPQ composition: nprobe cluster
+  pruning over the compressed codes.
+* ``kmeans_fit`` — deterministic distributed Lloyd's (cosine or l2),
+  training both the IVF centroids and the PQ subspace codebooks.
 
 All arithmetic is double-precision sequential fold over the array — the
 same order DuckDB's ``list_sum(list_transform(...))`` uses, so results are
