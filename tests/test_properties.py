@@ -352,3 +352,78 @@ def test_deterministic_shuffle_is_bijective(spark, n, shards):
     assert len({r["doc_id"] for r in rows}) == n
     slots = {(r["shard"], r["pos"]) for r in rows}
     assert len(slots) == n  # no two rows share a training slot
+
+
+# -- containment / jaccard verify vs a brute-force set oracle ---------------
+
+def _shingles_ref(text, n=3):
+    toks = text.lower().strip().split()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+word_pool = ["aa", "bb", "cc", "dd", "ee"]
+text_strategy = st.lists(
+    st.sampled_from(word_pool), min_size=3, max_size=12
+).map(" ".join)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ta=text_strategy, tb=text_strategy)
+def test_containment_matches_set_oracle(spark, ta, tb):
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        containment_for_pairs,
+        doc_shingles,
+    )
+
+    docs = spark.createDataFrame([(1, ta), (2, tb)], ["doc_id", "text"])
+    sh = doc_shingles(docs, shingle_n=3)
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    row = containment_for_pairs(pairs, sh).collect()[0]
+    a, b = _shingles_ref(ta), _shingles_ref(tb)
+    inter = len(a & b)
+    assert row["containment_a"] == round(inter / len(a), 6)
+    assert row["containment_b"] == round(inter / len(b), 6)
+    assert row["jaccard"] == round(inter / len(a | b), 6)
+
+
+# -- gopher word-count / mean-length rules vs direct arithmetic -------------
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abcdef", min_size=1, max_size=12),
+            min_size=1,
+            max_size=20,
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_gopher_count_rules_match_python(spark, texts):
+    from text_extensions_for_pandas_spark.functions.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", gopher_rules("text", min_words=3, max_words=10).alias("g")
+        ).select("doc_id", "g.*").collect()
+    }
+    for i, t in enumerate(texts):
+        words = t.lower().strip().split()
+        assert out[i]["word_count_ok"] == (3 <= len(words) <= 10)
+        mean = sum(map(len, words)) / max(len(words), 1)
+        assert out[i]["mean_word_len_ok"] == (3 <= mean <= 10)
+        # all-alphabetic pool: alpha rule always true
+        assert out[i]["alpha_ratio_ok"] is True
