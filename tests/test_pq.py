@@ -207,3 +207,40 @@ def test_pq_encode_stream_batch_parity(spark, emb, codebooks, tmp_path):
         for r in spark.read.parquet(out_path).collect()
     }
     assert got == want and len(got) == emb.count()
+
+
+def test_semantic_dedup_keeps_one_per_component(spark):
+    import numpy as np
+
+    from text_extensions_for_pandas_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_dedup,
+    )
+
+    # 5 prototypes; ids 0-4 are the prototypes, ids 10-14 are near-copies
+    # (semantic dups), ids 20-24 are distinct directions
+    rng = np.random.default_rng(3)
+    protos = rng.normal(size=(5, 16))
+    rows = []
+    for i, v in enumerate(protos):
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    for i, v in enumerate(protos):
+        w = v + 0.01 * rng.normal(size=16)
+        rows.append((10 + i, [float(x) for x in w / np.linalg.norm(w)]))
+    extra = rng.normal(size=(5, 16))
+    for i, v in enumerate(extra):
+        rows.append((20 + i, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    centroids = kmeans_fit(emb, k=4, iterations=4)
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, centroids, 0.95).collect()}
+    assert len(out) == 15
+    # each prototype pair (i, 10+i) forms a component; the lower id wins
+    for i in range(5):
+        assert out[i]["keep"] is True
+        assert out[10 + i]["keep"] is False
+        assert out[i]["component"] == out[10 + i]["component"]
+        assert out[i]["cluster_size"] >= 2
+    # kept set has exactly one member per component plus all singletons
+    kept = [r for r in out.values() if r["keep"]]
+    comps = [r["component"] for r in kept if r["component"] is not None]
+    assert len(comps) == len(set(comps))

@@ -787,3 +787,55 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop semantic near-duplicates that
+    share no surface text — embeddings are IVF-bucketed, within-cluster
+    cosine pairs above ``threshold`` become edges, connected components
+    group the duplicates, and the lowest id of every component is kept.
+
+    A pure composition of verified operators
+    (:func:`embedding_near_dups` → ``graph.connected_components``); named
+    because it's the recognized recipe.  Returns one row per input
+    vector: ``(id_col, component, cluster_size, keep)`` — ``component``
+    is null for vectors with no semantic duplicate (always kept).
+
+    Scale shape: inherits the IVF bucketing (never all-pairs) and the
+    O(log diameter) label propagation; the keep decision is one min
+    aggregate over the (cluster-member-sized) component table.
+    """
+    from text_extensions_for_pandas_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = embedding_near_dups(
+        embeddings, centroids, threshold, id_col, vec_col
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    cc = connected_components(pairs)
+    keep = cc.groupBy("component").agg(F.min("node").alias("__keep_id"))
+    labeled = cc.join(keep, "component").join(
+        cc.groupBy("component").agg(F.count("*").alias("cluster_size")),
+        "component",
+    )
+    return (
+        embeddings.select(id_col)
+        .join(labeled.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            "component",
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            (
+                F.col("component").isNull()
+                | (F.col(id_col) == F.col("__keep_id"))
+            ).alias("keep"),
+        )
+    )
