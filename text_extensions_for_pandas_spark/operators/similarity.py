@@ -821,8 +821,10 @@ def semantic_dedup(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     cc = connected_components(pairs)
-    keep = cc.groupBy("component").agg(F.min("node").alias("__keep_id"))
-    labeled = cc.join(keep, "component").join(
+    # connected_components labels every node with the MINIMUM reachable
+    # id, so the keeper of a component is simply id == component — no
+    # extra min aggregate needed
+    labeled = cc.join(
         cc.groupBy("component").agg(F.count("*").alias("cluster_size")),
         "component",
     )
@@ -835,7 +837,7 @@ def semantic_dedup(
             F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
             (
                 F.col("component").isNull()
-                | (F.col(id_col) == F.col("__keep_id"))
+                | (F.col(id_col) == F.col("component"))
             ).alias("keep"),
         )
     )
