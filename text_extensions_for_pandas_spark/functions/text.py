@@ -246,7 +246,16 @@ def gopher_rules(
     )
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
     stop_arr = F.array(*[F.lit(w) for w in required_words])
-    n_stop = F.size(F.filter(stop_arr, lambda w: F.array_contains(toks, w)))
+    # membership is tested on punctuation-stripped tokens ("the." counts as
+    # "the") — the Gopher rule is word-level, and whitespace tokenization
+    # would otherwise under-count prose where required words precede
+    # punctuation
+    clean_toks = F.transform(
+        toks, lambda t: F.regexp_replace(t, r"^\W+|\W+$", "")
+    )
+    n_stop = F.size(
+        F.filter(stop_arr, lambda w: F.array_contains(clean_toks, w))
+    )
     rules = {
         "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
         "mean_word_len_ok": (mean_len >= 3) & (mean_len <= 10),

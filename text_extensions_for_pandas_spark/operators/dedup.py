@@ -1075,6 +1075,13 @@ def fingerprint_overlap_pairs(
     pair signal and are exactly what would otherwise make the self-join
     quadratic in hot keys (the same stop-key discipline MOSS applies).
 
+    NOTE on the score's denominator: ``|A|`` and ``|B|`` are the
+    POST-FILTER fingerprint counts (after the ``max_docs_per_fp`` drop) —
+    the MOSS convention, since both ``shared`` and the sizes then live in
+    the same filtered universe.  The score is a match-evidence ratio, not
+    absolute document coverage, and its values shift as
+    ``max_docs_per_fp`` changes.
+
     Complements MinHash-LSH: winnowing guarantees any shared run of
     ``k + window - 1`` chars yields a shared fingerprint (position-local
     evidence), while MinHash bounds whole-set resemblance.

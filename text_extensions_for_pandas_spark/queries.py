@@ -2929,32 +2929,97 @@ FROM b GROUP BY split ORDER BY split
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: synthesize binary image assets from
-    document bytes (deterministic fake decode — no codecs in container),
-    decode → resize → per-image features.  No oracle: the decode stub is
-    not SQL-expressible; the driver records the rows-only check."""
+    """REAL decode → resize → features pipeline under the value-hash
+    oracle (upgraded from the former rows-only fake-decode check, which
+    remains covered by tests): GRAYSCALE 16x16 PPM (P6) bytes are
+    synthesized arithmetically per document (pixel p's byte value =
+    (doc_id*11 + 17*p) mod 256 on all three channels), decoded by the
+    pure-numpy PPM decoder, nearest-neighbor resized to 8x8, and reduced
+    to channel means + gray stddev + the 8x8 average-hash fingerprint.
+    Grayscale makes every intermediate EXACT in IEEE double (gray =
+    3v/3 = v an integer; 64-value means are integer-sum / power-of-two;
+    deviations are multiples of 1/64) — so the phash threshold
+    ``gray > mean`` is a deterministic exact comparison in both engines
+    and the full feature row, perceptual hash included, hash-matches
+    DuckDB's closed-form recompute."""
+    import numpy as np
+    import pandas as pd
+
     from text_extensions_for_pandas_spark.operators import multimodal as MM
 
     docs = load(spark, sf_dir, "documents")
-    assets = docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("content"),
-        F.struct(
-            F.lit(24).alias("width"),
-            F.lit(16).alias("height"),
-            F.lit(3).alias("channels"),
-            F.lit(None).cast("int").alias("sample_rate"),
-            F.lit(None).cast("int").alias("n_frames"),
-            F.lit("fake/rgb").alias("format"),
-        ).alias("meta"),
+    header = b"P6\n16 16\n255\n"
+    # byte i belongs to pixel i//3 (3 channels): r=g=b by construction
+    p17 = 17 * (np.arange(768, dtype=np.int64) // 3)
+
+    def _gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": [
+                        header
+                        + ((int(d) * 11 + p17) % 256).astype(np.uint8).tobytes()
+                        for d in pdf["doc_id"]
+                    ],
+                    "meta": [
+                        (16, 16, 3, None, None, "image/x-portable-pixmap")
+                    ] * len(pdf),
+                }
+            )
+
+    assets = docs.select("doc_id").mapInPandas(_gen, schema=MM.ASSETS_DDL)
+    feats = MM.image_features(
+        MM.resize_images(MM.decode_images(assets), 8, 8)
     )
-    decoded = MM.resize_images(MM.decode_images(assets), 8, 8)
-    return (
-        MM.image_features(decoded)
-        .select("asset_id", "phash")
-        .orderBy("asset_id")
-    )
+    return feats.select(
+        F.col("asset_id").alias("doc_id"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+        "phash",
+    ).orderBy("doc_id")
+
+
+# DuckDB twin: the resized 8x8 image's pixel (y, x) maps to original pixel
+# (2y, 2x) under nearest-neighbor 16->8 (arange(8)*16//8 = evens), so
+# v(y, x) = (doc_id*11 + 17*(2y*16 + 2x)) mod 256; i = y*8 + x is the
+# row-major phash bit index (bit 0 = MSB); hi/lo 32-bit halves avoid
+# BIGINT overflow on a set MSB.
+Q_MULTIMODAL_FEATURES_SQL = """
+WITH g AS (
+  SELECT d.doc_id, s.i AS i,
+         CAST((d.doc_id * 11
+               + 17 * (((s.i // 8) * 2) * 16 + (s.i % 8) * 2)) % 256
+              AS DOUBLE) AS v
+  FROM documents d, (SELECT unnest(range(64)) AS i) s
+),
+m AS (SELECT doc_id, avg(v) AS mv FROM g GROUP BY doc_id),
+feats AS (
+  SELECT g.doc_id,
+         avg(g.v) AS mean_c,
+         sqrt(avg((g.v - m.mv) * (g.v - m.mv))) AS stdg,
+         printf('%08x%08x',
+           CAST(sum(CASE WHEN g.i < 32 AND g.v > m.mv
+                    THEN CAST(1 AS BIGINT) << CAST(31 - g.i AS INTEGER)
+                    ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN g.i >= 32 AND g.v > m.mv
+                    THEN CAST(1 AS BIGINT) << CAST(63 - g.i AS INTEGER)
+                    ELSE 0 END) AS BIGINT)) AS phash
+  FROM g JOIN m USING (doc_id)
+  GROUP BY g.doc_id
+)
+SELECT doc_id,
+       round(mean_c, 6) AS mean_r,
+       round(mean_c, 6) AS mean_g,
+       round(mean_c, 6) AS mean_b,
+       round(stdg, 6) AS std_gray,
+       phash
+FROM feats
+ORDER BY doc_id
+"""
 
 
 def q_multimodal_decode_means(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3018,6 +3083,338 @@ SELECT doc_id,
        round(CAST(sum(CASE WHEN ch = 1 THEN v END) AS DOUBLE) / 256, 6) AS mean_g,
        round(CAST(sum(CASE WHEN ch = 2 THEN v END) AS DOUBLE) / 256, 6) AS mean_b
 FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PQ / IVF-PQ ANN tiers + SemDeDup under the third-party oracle
+# ---------------------------------------------------------------------------
+
+def _pq_model(emb_d: DataFrame) -> DataFrame:
+    """Deterministic, SQL-reconstructable PQ codebooks for the oracle
+    queries: subspace ``s``'s codebook = the 8-dim slices of the first 16
+    corpus vectors (no k-means — ``kmeans_fit`` determinism is covered by
+    ``ivf_clusters`` and the pq differential tests; here the point is
+    verifying the ENCODE + ADC math against DuckDB, so the codebook must
+    be a closed-form function of the data)."""
+    return emb_d.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.posexplode(
+            F.array(*[F.slice("embedding", s * 8 + 1, 8) for s in range(8)])
+        ).alias("sub_id", "embedding"),
+    ).select("sub_id", "centroid_id", "embedding")
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with elements pre-cast FLOAT→DOUBLE (exact) so every
+    arithmetic step downstream is double in BOTH engines — the same
+    determinism contract the other ANN oracles use."""
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under the value-hash oracle: encode every
+    vector to 8 codes (argmin L2 per subspace against a data-derived
+    codebook), then rank by asymmetric distance (per-query LUT of
+    subspace inner products) — the compressed-index scale tier, verified
+    end-to-end against DuckDB's closed-form recompute."""
+    emb_d = _emb_double(spark, sf_dir)
+    cb = _pq_model(emb_d)
+    codes = SIM.pq_encode(emb_d, cb)
+    queries_df = emb_d.filter(F.col("vec_id") < 5)
+    out = SIM.pq_topk(codes, queries_df, cb, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+# DuckDB twin of pq_encode + pq_topk over the slice-codebook model: cb =
+# 8-dim slices of the first 16 vectors; codes = per-(vector, subspace)
+# argmin L2 centroid (ties -> lowest id, matching min_by's struct order);
+# ADC = per-query LUT of subspace inner products summed over the 8 codes.
+_PQ_CB_CTES = """
+ed AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+cb AS (
+  SELECT CAST(s.i AS INTEGER) AS sub_id, CAST(e.vec_id AS INTEGER) AS centroid_id,
+         e.emb[s.i * 8 + 1 : s.i * 8 + 8] AS cvec
+  FROM ed e, (SELECT unnest(range(8)) AS i) s
+  WHERE e.vec_id < 16
+),
+sv AS (
+  SELECT e.vec_id, CAST(s.i AS INTEGER) AS sub_id,
+         e.emb[s.i * 8 + 1 : s.i * 8 + 8] AS svec
+  FROM ed e, (SELECT unnest(range(8)) AS i) s
+),
+dist AS (
+  SELECT v.vec_id, v.sub_id, c.centroid_id,
+         list_sum(list_transform(range(1, 9),
+           j -> (v.svec[j] - c.cvec[j]) * (v.svec[j] - c.cvec[j]))) AS d
+  FROM sv v JOIN cb c ON c.sub_id = v.sub_id
+),
+codes AS (
+  SELECT vec_id, sub_id, centroid_id AS code FROM (
+    SELECT vec_id, sub_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d, centroid_id) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS qe FROM ed WHERE vec_id < 5
+),
+lut AS (
+  SELECT q.query_id, c.sub_id, c.centroid_id AS code,
+         list_sum(list_transform(range(1, 9),
+           j -> q.qe[c.sub_id * 8 + j] * c.cvec[j])) AS ip
+  FROM q, cb c
+)
+"""
+
+Q_PQ_TOPK_SQL = f"""
+WITH {_PQ_CB_CTES.strip().lstrip()},
+scored AS (
+  SELECT l.query_id, co.vec_id AS neighbor_id, sum(l.ip) AS score
+  FROM codes co
+  JOIN lut l ON l.sub_id = co.sub_id AND l.code = co.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (faiss IndexIVFPQ composition) under the value-hash oracle:
+    coarse cosine quantization prunes each query to nprobe=4 of 16
+    clusters, then the surviving candidates rank by asymmetric PQ
+    distance over their 8 codes — the tier a 100 TB embedding corpus
+    actually serves from (sublinear candidates AND a 32-64x smaller
+    index), here proven bit-equal to DuckDB's recompute."""
+    emb_d = _emb_double(spark, sf_dir)
+    centroids = emb_d.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = SIM.ivf_assign(emb_d, centroids)
+    cb = _pq_model(emb_d)
+    codes = SIM.pq_encode(emb_d, cb)
+    queries_df = emb_d.filter(F.col("vec_id") < 5)
+    out = SIM.ivfpq_topk(
+        assigned, codes, centroids, cb, queries_df, k=10, nprobe=4,
+        metric="cosine",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+Q_IVFPQ_TOPK_SQL = f"""
+WITH {_PQ_CB_CTES.strip().lstrip()},
+c AS (SELECT vec_id AS centroid_id, emb AS ce FROM ed WHERE vec_id < 16),
+ascore AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_DOT.format(a='e.emb', b='c.ce')}
+         / (sqrt({_DOT.format(a='e.emb', b='e.emb')}) * sqrt({_DOT.format(a='c.ce', b='c.ce')}))
+           AS score
+  FROM ed e, c
+),
+assigned AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+  FROM ascore
+),
+clustered AS (SELECT vec_id, centroid_id FROM assigned WHERE rn = 1),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_DOT.format(a='q.qe', b='c.ce')}
+             / (sqrt({_DOT.format(a='q.qe', b='q.qe')}) * sqrt({_DOT.format(a='c.ce', b='c.ce')})) DESC,
+             c.centroid_id) AS prn
+    FROM q, c
+  ) WHERE prn <= 4
+),
+cand AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id
+  FROM probes p
+  JOIN clustered v ON v.centroid_id = p.centroid_id
+  WHERE v.vec_id <> p.query_id
+),
+scored AS (
+  SELECT a.query_id, a.neighbor_id, sum(l.ip) AS score
+  FROM cand a
+  JOIN codes co ON co.vec_id = a.neighbor_id
+  JOIN lut l ON l.query_id = a.query_id AND l.sub_id = co.sub_id
+            AND l.code = co.code
+  GROUP BY a.query_id, a.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end under the oracle:
+    IVF-bucketed within-cluster cosine pairs >= 0.3 become edges,
+    connected components group the semantic duplicates, lowest id kept —
+    the named recipe proven as a composition (pairs → components → keep)
+    against DuckDB's recursive-CTE recompute.  ``component`` is -1 for
+    vectors with no semantic duplicate (null in the operator's output;
+    coalesced here for hash-stable comparison)."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = SIM.semantic_dedup(emb, centroids, threshold=0.3)
+    return out.select(
+        "vec_id",
+        F.coalesce("component", F.lit(-1)).cast("long").alias("component"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "keep",
+    ).orderBy("vec_id")
+
+
+Q_SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE
+c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 64),
+ascore AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_DOT.format(a='e.embedding', b='c.ce')}
+         / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) * sqrt({_DOT.format(a='c.ce', b='c.ce')}))
+           AS score
+  FROM embeddings e, c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+  FROM ascore
+),
+clustered AS (SELECT vec_id, embedding, centroid_id FROM assigned WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM clustered a JOIN clustered b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+        / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) * sqrt({_DOT.format(a='b.embedding', b='b.embedding')}))
+        >= 0.3
+),
+sym AS (
+  SELECT va AS node, vb AS peer FROM pairs
+  UNION SELECT vb, va FROM pairs
+),
+reach(node, r) AS (
+  SELECT node, node FROM (SELECT DISTINCT node FROM sym) n
+  UNION
+  SELECT s.node, re.r FROM sym s JOIN reach re ON re.node = s.peer
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT e.vec_id,
+       CAST(coalesce(cm.component, -1) AS BIGINT) AS component,
+       coalesce(s.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
+       (cm.component IS NULL OR e.vec_id = cm.component) AS keep
+FROM embeddings e
+LEFT JOIN comp cm ON cm.node = e.vec_id
+LEFT JOIN sizes s ON s.component = cm.component
+ORDER BY e.vec_id
+"""
+
+
+def q_gopher_rules_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher gate with the corpus-tuned required-word list — exercises
+    the stopword rule's NON-degenerate branch on this jargon corpus
+    (TESTDATA.md: of the canonical English list only "the"/"a" occur, so
+    the default-list gate query's stopword_ok is constant-false; with the
+    tuned list both branches appear and ``passes`` varies by row)."""
+    from text_extensions_for_pandas_spark.functions.text import gopher_rules
+
+    docs = load(spark, sf_dir, "documents")
+    g = gopher_rules(
+        "text",
+        min_words=30,
+        required_words=("the", "a", "data", "key", "line", "row"),
+    )
+    return (
+        docs.select("doc_id", g.alias("g"))
+        .select("doc_id", "g.*")
+        .orderBy("doc_id")
+    )
+
+
+Q_GOPHER_RULES_TUNED_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_words,
+         greatest(len(toks), 1) AS sw,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / greatest(len(toks), 1) AS mean_len,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3.0
+           + (length(text) - length(replace(text, '…', ''))) AS n_ell,
+         string_split(text, chr(10)) AS ls
+  FROM w
+),
+m2 AS (
+  SELECT doc_id, n_words, sw, mean_len, n_hash, n_ell,
+         greatest(len(ls), 1) AS n_lines,
+         len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•] '))) AS n_bullet,
+         len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS n_ell_line,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(['the','a','data','key','line','row'],
+                         g -> list_contains(
+                           list_transform(toks,
+                             t -> regexp_replace(t, '^\W+|\W+$', '', 'g')),
+                           g))) AS n_stop
+  FROM m
+)
+SELECT doc_id,
+       n_words BETWEEN 30 AND 100000 AS word_count_ok,
+       mean_len BETWEEN 3 AND 10 AS mean_word_len_ok,
+       (n_hash + n_ell) / sw <= 0.1 AS symbol_ratio_ok,
+       CAST(n_bullet AS DOUBLE) / n_lines <= 0.9 AS bullet_ok,
+       CAST(n_ell_line AS DOUBLE) / n_lines <= 0.3 AS ellipsis_ok,
+       CAST(n_alpha AS DOUBLE) / sw >= 0.8 AS alpha_ratio_ok,
+       n_stop >= 2 AS stopword_ok,
+       (n_words BETWEEN 30 AND 100000) AND (mean_len BETWEEN 3 AND 10)
+         AND ((n_hash + n_ell) / sw <= 0.1)
+         AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
+         AND (CAST(n_ell_line AS DOUBLE) / n_lines <= 0.3)
+         AND (CAST(n_alpha AS DOUBLE) / sw >= 0.8)
+         AND (n_stop >= 2) AS passes
+FROM m2
+ORDER BY doc_id
 """
 
 
@@ -4079,8 +4476,14 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_perplexity,
     )
 
-    return doc_perplexity(_tokens(spark, sf_dir), lam=0.9).orderBy("doc_id")
+    return doc_perplexity(_tokens(spark, sf_dir), lam=_PPL_LAM).orderBy("doc_id")
 
+
+# one shared constant interpolated into BOTH engines: Spark computes
+# F.lit(1.0 - lam) in Python, so the oracle must carry the exact same
+# double (repr(1.0 - 0.9) = 0.09999999999999998, NOT the decimal 0.1 —
+# a ~1e-17 mismatch that can flip a round() boundary)
+_PPL_LAM = 0.9
 
 Q_DOC_PERPLEXITY_SQL = f"""
 WITH {TOKS_CTE},
@@ -4096,7 +4499,8 @@ uni AS (SELECT w2, count(*) AS c2 FROM b GROUP BY w2),
 total AS (SELECT count(*) AS n FROM b),
 model AS (
   SELECT bi.w1, bi.w2,
-         0.9 * bi.c12 / ctx.c1 + 0.1 * uni.c2 / total.n AS p
+         CAST({_PPL_LAM!r} AS DOUBLE) * bi.c12 / ctx.c1
+           + CAST({1.0 - _PPL_LAM!r} AS DOUBLE) * uni.c2 / total.n AS p
   FROM bi JOIN ctx USING (w1) JOIN uni USING (w2), total
 )
 SELECT doc_id,
@@ -4263,7 +4667,10 @@ m2 AS (
          len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS n_ell_line,
          len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
          len(list_filter(['the','be','to','of','and','that','have','with'],
-                         g -> list_contains(toks, g))) AS n_stop
+                         g -> list_contains(
+                           list_transform(toks,
+                             t -> regexp_replace(t, '^\W+|\W+$', '', 'g')),
+                           g))) AS n_stop
   FROM m
 )
 SELECT doc_id,
@@ -4365,7 +4772,10 @@ gm AS (
          len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS n_ell_line,
          len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
          len(list_filter(['the','a','data','key','line','row'],
-                         g -> list_contains(toks, g))) AS n_stop
+                         g -> list_contains(
+                           list_transform(toks,
+                             t -> regexp_replace(t, '^\W+|\W+$', '', 'g')),
+                           g))) AS n_stop
   FROM gw
 ),
 gated AS (
@@ -5235,9 +5645,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
     "doc_surprisal": (q_doc_surprisal, Q_DOC_SURPRISAL_SQL),
     "events_retention": (q_events_retention, Q_EVENTS_RETENTION_SQL),
-    # non-SQL-expressible (stubbed binary decode inside mapInPandas / no
-    # xxhash64 in DuckDB): rows-only checks, no oracle by design
-    "multimodal_image_features": (q_multimodal_features, None),
+    # upgraded this round: real PPM decode end-to-end (decode → resize →
+    # features incl. the perceptual hash) under the value-hash oracle —
+    # formerly the last rows-only entry
+    "multimodal_image_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
+    # new this round: PQ + IVF-PQ ANN tiers, SemDeDup, tuned Gopher gate
+    "pq_topk": (q_pq_topk, Q_PQ_TOPK_SQL),
+    "ivfpq_topk": (q_ivfpq_topk, Q_IVFPQ_TOPK_SQL),
+    "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
+    "gopher_rules_tuned": (q_gopher_rules_tuned, Q_GOPHER_RULES_TUNED_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),

@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import shutil
 import urllib.parse
+import warnings
 import urllib.request
 from zipfile import ZipFile
 
@@ -122,6 +123,16 @@ def maybe_download_dataset_data(
             if fname is not None and fname in names:
                 zipf.extract(fname, target_dir)
                 return full_path
+            if fname is not None:
+                # the documented contract is "return full_path when fname
+                # hit"; falling through to extract-everything is the
+                # reference's behavior but surprises callers, so say so
+                warnings.warn(
+                    f"maybe_download_dataset_data: {fname!r} not found in "
+                    f"{document_url!r} (members: {names[:5]}...); extracting "
+                    "all members and returning the member-list shape instead",
+                    stacklevel=2,
+                )
             for member in names:
                 if not os.path.exists(os.path.join(target_dir, member)):
                     zipf.extract(member, target_dir)
