@@ -90,6 +90,12 @@ def main() -> None:
         near_dup_pairs,
         remove_boilerplate,
     )
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+    )
+    from text_extensions_for_pandas_spark.operators.pipeline import (
+        prep_and_shard,
+    )
     from text_extensions_for_pandas_spark.operators.sampling import (
         deterministic_shuffle,
     )
@@ -129,11 +135,35 @@ def main() -> None:
             group_col="source",
         ).count(),
         "det_shuffle": lambda d: deterministic_shuffle(d, n_shards=32).count(),
+        # the two priciest bench composites: MOSS winnowing pairs (the
+        # max_docs_per_fp stop-key cap predicts <= linear shuffle; replicas
+        # make base-text fingerprints hot keys, so the cap is exercised
+        # hard) and the full prep pipeline (caps set effectively unbounded
+        # so the per-domain sort/window work scales with the corpus)
+        "fingerprint_overlap": lambda d: fingerprint_overlap_pairs(d).count(),
+        "training_prep": lambda d: prep_and_shard(
+            d, sep_regex=" table ", join_sep=" ", boiler_min_docs=2,
+            min_words=30,
+            required_words=("the", "a", "data", "key", "line", "row"),
+            max_docs_per_domain=1_000_000_000,
+            max_chars_per_domain=1 << 60, n_shards=32, salt="p",
+        ).count(),
     }
+
+    # optional argv filter: probe only the named ops (e.g.
+    # `python scripts/scale_probe.py fingerprint_overlap training_prep bpe`)
+    # — the full sweep exceeds a single coarse timeout window
+    only = set(sys.argv[1:])
+    if only:
+        ops = {k: v for k, v in ops.items() if k in only}
+        emb_ops = {k: v for k, v in emb_ops.items() if k in only}
+    run_bpe = not only or "bpe" in only
 
     times: dict[str, list[tuple[int, float]]] = {k: [] for k in ops}
 
     for n in SCALES:
+        if not ops:
+            break
         docs = scaled_docs(spark, n)
         n_docs = docs.count()  # materialize the replica view once
         for name, fn in ops.items():
@@ -150,6 +180,8 @@ def main() -> None:
         docs.unpersist()
 
     for n in SCALES:
+        if not emb_ops:
+            break
         emb = scaled_embeddings(spark, n)
         n_vec = emb.count()
         for name, fn in emb_ops.items():
@@ -165,11 +197,52 @@ def main() -> None:
             )
         emb.unpersist()
 
+    # BPE merge-loop boundedness: ~1k merges must complete in bounded
+    # wall-clock on the in-memory path (the distributed per-merge loop is
+    # one Spark job per merge — the documented wall-clock killer at 32k+
+    # merges), with the first rounds identical to the distributed loop.
+    from text_extensions_for_pandas_spark.operators.bpe import train_bpe
+
+    if not run_bpe:
+        _report(times)
+        return
+    bpe_docs = scaled_docs(spark, 4)
+    bpe_docs.count()
+    t0 = time.time()
+    fast_merges, _ = train_bpe(bpe_docs, n_merges=1000, min_pair_count=2)
+    dt_fast = time.time() - t0
+    print(
+        json.dumps(
+            {"op": "train_bpe_inmemory_1k", "merges": len(fast_merges),
+             "sec": round(dt_fast, 2)}
+        )
+    )
+    t0 = time.time()
+    slow_merges, _ = train_bpe(
+        bpe_docs, n_merges=16, max_driver_words=None
+    )
+    dt_slow16 = time.time() - t0
+    assert fast_merges[: len(slow_merges)] == slow_merges, (
+        "BPE in-memory/distributed path divergence"
+    )
+    print(
+        json.dumps(
+            {"op": "train_bpe_distributed_16", "merges": len(slow_merges),
+             "sec": round(dt_slow16, 2), "parity_first_16": True}
+        )
+    )
+    bpe_docs.unpersist()
+    _report(times)
+
+
+def _report(times: dict[str, list[tuple[int, float]]]) -> None:
     print(
         "# endpoints scaling exponents "
         f"(slope of log t vs log n, {SCALES[0]}x->{SCALES[-1]}x):"
     )
     for name, pts in times.items():
+        if len(pts) < 2:
+            continue
         (n0, t0), (n1, t1) = pts[0], pts[-1]
         exp = math.log(t1 / t0) / math.log(n1 / n0)
         print(json.dumps({"op": name, "exponent": round(exp, 2)}))

@@ -165,3 +165,30 @@ def test_apply_merge_randomized_differential(spark):
         for w in got:
             assert got[w] == py_merge(list(w), a, b), (w, a, b, got[w])
             assert "".join(got[w]) == w
+
+
+def test_train_bpe_driver_and_distributed_paths_identical(spark):
+    """The in-memory finish (default) and the per-merge distributed loop
+    must produce identical merges AND identical final segmentations —
+    the parity contract that makes the fast path safe to default to."""
+    import random
+
+    rng = random.Random(7)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 7)))
+            for _ in range(30)
+        )
+        for _ in range(20)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    fast_merges, fast_words = bpe.train_bpe(docs, n_merges=24)
+    slow_merges, slow_words = bpe.train_bpe(
+        docs, n_merges=24, max_driver_words=None
+    )
+    assert fast_merges == slow_merges
+    fast = {r["word"]: (r["count"], list(r["symbols"])) for r in fast_words.collect()}
+    slow = {r["word"]: (r["count"], list(r["symbols"])) for r in slow_words.collect()}
+    assert fast == slow

@@ -96,6 +96,77 @@ def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
+def _train_bpe_in_memory(
+    vocab: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> tuple[list[tuple[str, str]], dict[str, list[str]]]:
+    """Classic in-memory BPE over a collected word-frequency table, with
+    the exact semantics of the distributed loop: greedy left-to-right
+    non-overlapping merges, best pair = highest count then lexicographic
+    ``(a, b)`` (Python str comparison and Spark string ordering agree on
+    the BMP — tokenizer symbols in practice).
+
+    Incremental pair maintenance (pair→word index + a lazy-invalidation
+    heap, the Sennrich ``learn_bpe`` bookkeeping): each merge touches only
+    the words containing the merged pair, so 32k–64k merges cost
+    O(touched symbols), not O(n_merges × vocabulary).
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    syms: list[list[str]] = [list(w) for w, _ in vocab]
+    counts: list[int] = [c for _, c in vocab]
+    pairs: Counter = Counter()
+    index: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, s in enumerate(syms):
+        c = counts[i]
+        for j in range(len(s) - 1):
+            p = (s[j], s[j + 1])
+            pairs[p] += c
+            index[p].add(i)
+    heap = [(-c, a, b) for (a, b), c in pairs.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        while heap:
+            negc, a, b = heap[0]
+            if pairs.get((a, b), 0) != -negc or -negc <= 0:
+                heapq.heappop(heap)  # stale entry — count has moved on
+                continue
+            best = (a, b, -negc)
+            break
+        if best is None or best[2] < min_pair_count:
+            break
+        a, b, _ = best
+        merges.append((a, b))
+        merged = a + b
+        # index entries can be stale (word no longer contains the pair
+        # after other merges): re-deriving a no-op word subtracts and
+        # re-adds the same pair counts — harmless and exact
+        for i in sorted(index.pop((a, b), ())):
+            s, c = syms[i], counts[i]
+            for j in range(len(s) - 1):
+                p = (s[j], s[j + 1])
+                pairs[p] -= c
+                heapq.heappush(heap, (-pairs[p], p[0], p[1]))
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            syms[i] = out
+            for j in range(len(out) - 1):
+                p = (out[j], out[j + 1])
+                pairs[p] += c
+                index[p].add(i)
+                heapq.heappush(heap, (-pairs[p], p[0], p[1]))
+        pairs.pop((a, b), None)
+    return merges, {w: syms[i] for i, (w, _) in enumerate(vocab)}
+
+
 def train_bpe(
     documents: DataFrame,
     n_merges: int = 16,
@@ -103,6 +174,7 @@ def train_bpe(
     doc_col: str = "doc_id",
     min_pair_count: int = 2,
     checkpoint_every: int = 4,
+    max_driver_words: int | None = 2_000_000,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -111,11 +183,43 @@ def train_bpe(
     every vocabulary word).  Stops early when no pair reaches
     ``min_pair_count``.  Ties are broken by highest count, then
     lexicographic ``(a, b)`` — fully deterministic, engine-independent.
+
+    Execution strategy: the corpus collapses to the word-frequency table
+    either way (the one corpus-scale aggregation); what differs is where
+    the merge loop runs.  When the vocabulary fits under
+    ``max_driver_words`` it is collected ONCE and the loop runs in-memory
+    (:func:`_train_bpe_in_memory`, incremental pair bookkeeping) — a real
+    32k–64k-merge training run is thousands of sequential top-1 Spark
+    jobs under the distributed loop (a wall-clock killer even though the
+    data never leaves the vocabulary-sized table), versus seconds
+    in-memory.  Both paths produce identical output (differential-tested);
+    heaps-law vocabularies put even a 100 TB corpus's word table in the
+    low tens of millions of rows, so the realistic default is the
+    in-memory path with the distributed loop as the unbounded-vocabulary
+    fallback (``max_driver_words=None`` forces it; memory contract is
+    roughly 100 bytes/word on the driver).
     """
     words = with_symbols(word_freq_table(documents, text_col, doc_col))
     words = words.persist()
-    words.count()  # materialize once before iterating
-    merges: list[tuple[str, str]] = []
+    n_vocab = words.count()  # materialize once before iterating
+    if max_driver_words is not None and n_vocab <= max_driver_words:
+        vocab_rows = words.select("word", "count").orderBy("word").collect()
+        merges, final_syms = _train_bpe_in_memory(
+            [(r["word"], r["count"]) for r in vocab_rows],
+            n_merges,
+            min_pair_count,
+        )
+        spark = documents.sparkSession
+        out = spark.createDataFrame(
+            [
+                (r["word"], r["count"], final_syms[r["word"]])
+                for r in vocab_rows
+            ],
+            schema="word string, count bigint, symbols array<string>",
+        )
+        words.unpersist()
+        return merges, out
+    merges = []
     prev = words
     for i in range(n_merges):
         top = (

@@ -754,6 +754,117 @@ def repeated_ngram_spans(
     ).drop("__island")
 
 
+def remove_repeated_substrings(
+    documents: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al., ACL'22 §3.2): cut every duplicated
+    char ``k``-gram occurrence except the globally FIRST one (ordered by
+    ``(doc_id, pos)``) out of the text.  :func:`repeated_ngram_spans`
+    reports the repeated passages; this operator performs the edit the
+    paper actually applies — the corpus keeps exactly one copy of each
+    duplicated passage, preserving the canonical occurrence's document
+    intact.
+
+    Flagging is per-OCCURRENCE (``row_number() > 1`` within each gram
+    hash), so within-document repetition is cut too, and the keep-first
+    rule is deterministic and engine-independent.  Flagged positions merge
+    into maximal ``[begin, end)`` islands per document (same running-max
+    window as :func:`repeated_ngram_spans`); the cleaned text is rebuilt
+    by folding the kept segments with one JVM-side ``aggregate`` over the
+    sorted span array — no Python anywhere.
+
+    Output: ``(doc_id, clean_text, n_cut_spans, n_cut_chars)`` — one row
+    per input document (docs without cuts pass through unchanged).
+
+    Scale shape: one narrow gram explode (xxhash64 long keys), one
+    hash-partitioned ``row_number`` per gram hash (the only gram-scale
+    shuffle; partition = one hash's occurrence list, bounded by that
+    gram's corpus frequency), a per-doc window for islands, and one
+    groupBy(doc) carrying (begin, end) pairs — never the text — until the
+    final join back to the (doc, text) table.
+    """
+    from pyspark.sql import Window
+
+    positions = F.when(
+        F.length(text_col) >= k, F.sequence(F.lit(0), F.length(text_col) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = documents.select(
+        F.col(doc_col),
+        F.explode(positions).alias("pos"),
+        F.col(text_col).alias("__t"),
+    ).select(
+        doc_col,
+        "pos",
+        F.xxhash64(
+            F.substring(F.col("__t"), F.col("pos") + 1, F.lit(k))
+        ).alias("__h"),
+    )
+    wh = Window.partitionBy("__h").orderBy(doc_col, "pos")
+    flagged = (
+        grams.withColumn("__rn", F.row_number().over(wh))
+        .filter(F.col("__rn") >= 2)
+        .select(doc_col, "pos", (F.col("pos") + k).alias("__end"))
+    )
+    wd = Window.partitionBy(doc_col).orderBy("pos")
+    prev_max_end = F.max("__end").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = flagged.withColumn(
+        "__island",
+        F.sum(
+            F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1)
+            .otherwise(0)
+        ).over(wd),
+    )
+    spans = (
+        islands.groupBy(doc_col, "__island")
+        .agg(F.min("pos").alias("b"), F.max("__end").alias("e"))
+        .groupBy(doc_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("b", "e"))).alias("__spans")
+        )
+    )
+    joined = documents.select(doc_col, F.col(text_col).alias("__t")).join(
+        spans, doc_col, "left"
+    )
+    sp = F.coalesce("__spans", F.array().cast("array<struct<b:int,e:int>>"))
+    # fold kept segments: acc = (chars consumed, cleaned prefix)
+    acc0 = F.struct(
+        F.lit(0).alias("p"), F.lit("").cast("string").alias("s")
+    )
+    folded = F.aggregate(
+        sp,
+        acc0,
+        lambda acc, s: F.struct(
+            s["e"].alias("p"),
+            F.concat(
+                acc["s"],
+                F.substring(
+                    F.col("__t"), acc["p"] + 1, s["b"] - acc["p"]
+                ),
+            ).alias("s"),
+        ),
+        lambda acc: F.concat(
+            acc["s"],
+            F.substring(
+                F.col("__t"), acc["p"] + 1, F.length("__t") - acc["p"]
+            ),
+        ),
+    )
+    cut_chars = F.aggregate(
+        sp, F.lit(0), lambda a, s: a + (s["e"] - s["b"])
+    )
+    return joined.select(
+        doc_col,
+        folded.alias("clean_text"),
+        F.size(sp).cast("long").alias("n_cut_spans"),
+        cut_chars.cast("long").alias("n_cut_chars"),
+    )
+
+
 def dedup_paragraphs(
     documents: DataFrame,
     sep_regex: str = "\n+",

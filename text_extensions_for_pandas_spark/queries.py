@@ -3618,6 +3618,81 @@ FROM islands GROUP BY doc_id, island ORDER BY doc_id, begin
 """
 
 
+def q_exactsubstr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. ACL'22 §3.2) under the value-hash
+    oracle: every duplicated 20-char-gram occurrence except the globally
+    first is cut from the text; output is the cleaned text's md5 + length
+    and the per-doc cut stats.  ``repeated_substrings`` reports the
+    passages; this proves the edit itself (keep-first flagging, island
+    union, segment-fold rebuild) end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    out = D.remove_repeated_substrings(docs, k=20)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("int").alias("clean_len"),
+        "n_cut_spans",
+        "n_cut_chars",
+    ).orderBy("doc_id")
+
+
+# DuckDB twin of remove_repeated_substrings: occurrences ranked per gram
+# hash by (doc_id, pos) — rank >= 2 is cut; islands by the same
+# running-max window; the cleaned text rebuilt from kept segments with
+# lag(end) providing each segment's start.  (Spark groups on xxhash64,
+# the oracle on md5 — flags depend only on gram equality.)
+Q_EXACTSUBSTR_CLEAN_SQL = """
+WITH grams AS (
+  SELECT doc_id, i AS pos, md5(substr(text, i + 1, 20)) AS h
+  FROM documents, unnest(range(length(text) - 19)) AS t(i)
+  WHERE length(text) >= 20
+),
+fl AS (
+  SELECT doc_id, pos, pos + 20 AS e FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM grams
+  ) WHERE rn >= 2
+),
+pm AS (
+  SELECT doc_id, pos, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM fl
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         sum(CASE WHEN pos > coalesce(pme, -1) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM pm
+),
+sp AS (
+  SELECT doc_id, island, min(pos) AS b, max(e) AS e
+  FROM isl GROUP BY doc_id, island
+),
+segd AS (
+  SELECT doc_id, b, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY b), 0) AS pe
+  FROM sp
+),
+rebuilt AS (
+  SELECT d.doc_id,
+         coalesce(string_agg(substr(d.text, s.pe + 1, s.b - s.pe), ''
+                             ORDER BY s.b), '')
+           || substr(d.text, coalesce(max(s.e), 0) + 1) AS clean_text,
+         CAST(count(s.b) AS BIGINT) AS n_cut_spans,
+         CAST(coalesce(sum(s.e - s.b), 0) AS BIGINT) AS n_cut_chars
+  FROM documents d LEFT JOIN segd s USING (doc_id)
+  GROUP BY d.doc_id, d.text
+)
+SELECT doc_id, md5(clean_text) AS clean_md5,
+       CAST(length(clean_text) AS INTEGER) AS clean_len,
+       n_cut_spans, n_cut_chars
+FROM rebuilt ORDER BY doc_id
+"""
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each error event paired with the user's most recent
     earlier click.  Spark has no native as-of join; the union+window form
@@ -5512,98 +5587,27 @@ ORDER BY d.lang
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-4 order: [1] f1_report, the only entry never hash-verified
-# (BIGINT-cast fix from r2 pending driver proof); then the entries r03
-# did not gate (minus ten twice-verified (r01+r02) unchanged entries
-# rotated below the boundary: iob_to_iob2, unpack_semijoin, seq_windows,
+# Round-5 order (the r04 rotation note's promise, executed): [1-13] the
+# thirteen late-round-4 entries never driver-verified
+# (boilerplate_removal ... incontext_order — each locally hash-verified at
+# both SFs in ORACLE_LOCAL_r04.md); [14-18] the five entries NEW or
+# oracle-upgraded this round (pq_topk, ivfpq_topk, semantic_dedup,
+# multimodal_image_features — formerly the last rows-only entry, now under
+# the real-PPM-decode value-hash oracle — and gopher_rules_tuned, which
+# exercises the required-word rule's non-degenerate branch; gopher_rules
+# itself ALSO changed this round (punctuation-stripped membership) and is
+# already in slot 6); [19-30] the twelve twice-verified entries rotated
+# out in r04 with the explicit re-gate-in-r05 note (tensor_rowstats,
+# tensor_mean_by_label, iob_to_iob2, unpack_semijoin, seq_windows,
 # covering_span, neighbor_tokens, spans_to_iob, extract_regex_tok,
-# extract_split, lemmatize, simhash — re-gate in r05 with
-# tensor_rowstats / tensor_mean_by_label); the 7 TPC-H queries whose
-# broadcast hints were
-# removed this round; every query NEW or plan-changed this round
-# (stratified_sample, corpus_mixture, bigram_lm, q13/q15/q17/q21,
-# split_by_hash, multimodal_decode_means, classification_report,
-# f1_ensemble, chunk_documents, q2_min_cost_supplier, extract_dict,
-# surprisal_buckets, pack_multimodal, events_props_variant); the six
-# queries completing the TPC-H suite (q4/q9/q11/q12/q16/q20); and the
-# three new LLM-pipeline ops (dedup_paragraphs, bpe_pair_counts,
-# dsir_weights) — exactly 50, every slot either never-verified or
-# changed-this-round.  The FULL registry is locally hash-verified by
-# scripts/check_oracle.py at sf0.001 AND sf0.01 regardless of position.
+# extract_split, lemmatize, simhash); [31-50] the oldest-verified twenty
+# of the r03-gated backlog (fingerprint_winnow ... q18_large_volume).
+# Below the boundary: the remaining twenty r03-gated entries (q22 ...
+# iob_to_spans — rotate into the r06 gate first), then the fifty entries
+# the r04 gate just verified.  The FULL registry is locally hash-verified
+# by scripts/check_oracle.py at sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- never driver-verified (hash-failed r1/r2 on HUGEINT casts; fixed,
-    #    needs its green row) --
-    "f1_report": (q_f1_report, Q_F1_SQL),
-    # -- ungated in r03 (registry positions 51-78 last round) --
-    "accuracy_by_doc": (q_accuracy_by_doc, Q_ACCURACY_SQL),
-    "global_accuracy": (q_global_accuracy, Q_GLOBAL_ACCURACY_SQL),
-    "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
-    "dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
-    "near_dup_jaccard": (q_near_dup_jaccard, Q_NEAR_DUP_SQL),
-    "near_dup_embedding": (q_near_dup_embedding, Q_NEAR_DUP_EMB_SQL),
-    "ann_cosine_topk": (q_ann_topk, Q_ANN_SQL),
-    "ivf_clusters": (q_ivf_clusters, Q_IVF_SQL),
-    "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),
-    "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
-    "align_to_tokens": (q_align_to_tokens, Q_ALIGN_SQL),
-    "flag_suspicious": (q_flag_suspicious, Q_FLAG_SQL),
-    "doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
-    "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
-    "lang_id": (q_lang_id, Q_LANG_ID_SQL),
-    # -- plans changed this round (forced dim broadcasts removed) --
-    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
-    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
-    "q_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
-    "q8_market_share": (q8_market_share, Q8_SQL),
-    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
-    "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
-    "q_top3_per_nation": (q_top3_customers_per_nation, Q_TOP3_PER_NATION_SQL),
-    # -- new this round (need their first driver verification) --
-    "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
-    "corpus_mixture": (q_corpus_mixture, Q_CORPUS_MIXTURE_SQL),
-    "bigram_lm": (q_bigram_lm, Q_BIGRAM_LM_SQL),
-    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q17_small_qty_revenue": (q17_small_quantity_revenue, Q17_SQL),
-    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
-    # changed this round: md5 mode gained a real DuckDB oracle
-    "split_by_hash": (q_split_by_hash, Q_SPLIT_BY_HASH_SQL),
-    # new: the real PPM decode under the value-hash oracle
-    "multimodal_decode_means": (q_multimodal_decode_means, Q_MULTIMODAL_DECODE_SQL),
-    # new: sklearn-style token-classification report + per-model ensemble F1
-    "classification_report": (q_classification_report, Q_CLASSIFICATION_REPORT_SQL),
-    "f1_ensemble": (q_f1_ensemble, Q_F1_ENSEMBLE_SQL),
-    "chunk_documents": (q_chunk_documents, Q_CHUNK_DOCUMENTS_SQL),
-    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
-    # plan changed this round (hash-aggregate match grouping) — re-gate
-    "extract_dict": (q_extract_dict, Q_EXTRACT_DICT_SQL),
-    # new: CCNet-style per-language surprisal buckets; multi-budget packing
-    "surprisal_buckets": (q_surprisal_buckets, Q_SURPRISAL_BUCKETS_SQL),
-    "pack_multimodal": (q_pack_multimodal, Q_PACK_MULTIMODAL_SQL),
-    # new: VARIANT-typed semi-structured event properties
-    "events_props_variant": (q_events_props_variant, Q_EVENTS_PROPS_SQL),
-    # -- new this session: the six queries completing the TPC-H suite --
-    "q4_order_priority": (q4_order_priority, Q4_SQL),
-    "q9_product_profit": (q9_product_profit, Q9_SQL),
-    "q11_important_parts": (q11_important_parts, Q11_SQL),
-    "q12_priority_by_status": (q12_priority_by_status, Q12_SQL),
-    "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
-    "q20_promotion_suppliers": (q20_promotion_suppliers, Q20_SQL),
-    # new this session: CCNet paragraph-level dedup, BPE pair counting
-    "dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
-    "bpe_pair_counts": (q_bpe_pair_counts, Q_BPE_PAIR_COUNTS_SQL),
-    "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
-    "cap_per_domain": (q_cap_per_domain, Q_CAP_PER_DOMAIN_SQL),
-    # ------------------- gate boundary (position 50) -------------------
-    # (rotated out, all twice-verified (r01+r02) and unchanged since —
-    # re-gate in r05: tensor_rowstats, tensor_mean_by_label, iob_to_iob2,
-    # unpack_semijoin, seq_windows, covering_span, neighbor_tokens,
-    # spans_to_iob, extract_regex_tok, extract_split, lemmatize, simhash)
-    # new after the round-4 gate filled — thirteen queries added late in the
-    # round (through incontext_order), each locally hash-verified at
-    # sf0.001 AND sf0.01 by scripts/check_oracle.py (ORACLE_LOCAL_r04.md):
-    # gate them FIRST in r05, ahead of the twice-verified rotation backlog
-    # listed above
+    # -- [1-13] late round-4 additions: first driver verification --
     "boilerplate_removal": (q_boilerplate_removal, Q_BOILERPLATE_SQL),
     "doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
     "near_dup_containment": (q_near_dup_containment, Q_NEAR_DUP_CONTAINMENT_SQL),
@@ -5617,18 +5621,26 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "split_divergence": (q_split_divergence, Q_SPLIT_DIVERGENCE_SQL),
     "alpha_mixture": (q_alpha_mixture, Q_ALPHA_MIXTURE_SQL),
     "incontext_order": (q_incontext_order, Q_INCONTEXT_ORDER_SQL),
+    # -- [14-18] new or oracle-upgraded this round --
+    "pq_topk": (q_pq_topk, Q_PQ_TOPK_SQL),
+    "ivfpq_topk": (q_ivfpq_topk, Q_IVFPQ_TOPK_SQL),
+    "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
+    "multimodal_image_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
+    "gopher_rules_tuned": (q_gopher_rules_tuned, Q_GOPHER_RULES_TUNED_SQL),
+    # -- [19-30] the r04 rotated-out backlog (re-gate promised for r05) --
+    "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
+    "tensor_mean_by_label": (q_tensor_mean_by_label, Q_TENSOR_MEAN_SQL),
     "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
-    "simhash": (q_simhash, Q_SIMHASH_SQL),
-    "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
-    "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
-    "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
     "unpack_semijoin": (q_unpack_semijoin, Q_UNPACK_SQL),
     "seq_windows": (q_seq_windows, Q_SEQ_WINDOWS_SQL),
     "covering_span": (q_covering_span, Q_COVERING_SPAN_SQL),
     "neighbor_tokens": (q_neighbor_tokens, Q_NEIGHBOR_SQL),
     "spans_to_iob": (q_spans_to_iob, Q_SPANS_TO_IOB_SQL),
-    "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
-    "tensor_mean_by_label": (q_tensor_mean_by_label, Q_TENSOR_MEAN_SQL),
+    "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
+    "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
+    "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
+    "simhash": (q_simhash, Q_SIMHASH_SQL),
+    # -- [31-50] oldest-verified r03-gated backlog (2-round cadence) --
     "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
     "bm25_search": (q_bm25, Q_BM25_SQL),
     "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
@@ -5645,19 +5657,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
     "doc_surprisal": (q_doc_surprisal, Q_DOC_SURPRISAL_SQL),
     "events_retention": (q_events_retention, Q_EVENTS_RETENTION_SQL),
-    # upgraded this round: real PPM decode end-to-end (decode → resize →
-    # features incl. the perceptual hash) under the value-hash oracle —
-    # formerly the last rows-only entry
-    "multimodal_image_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
-    # new this round: PQ + IVF-PQ ANN tiers, SemDeDup, tuned Gopher gate
-    "pq_topk": (q_pq_topk, Q_PQ_TOPK_SQL),
-    "ivfpq_topk": (q_ivfpq_topk, Q_IVFPQ_TOPK_SQL),
-    "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
-    "gopher_rules_tuned": (q_gopher_rules_tuned, Q_GOPHER_RULES_TUNED_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
+    # ------------------- gate boundary (position 50) -------------------
+    # new after the round-5 gate order was fixed — locally hash-verified
+    # at sf0.001 AND sf0.01 (scripts/check_oracle.py); gate FIRST in r06
+    "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
+    # remaining r03-gated backlog — rotate into the r06 gate next
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
@@ -5671,7 +5679,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tokenize": (q_tokenize, Q_TOKENIZE_SQL),
     "extract_regex": (q_extract_regex, Q_EXTRACT_REGEX_SQL),
     "extract_regex_native": (q_extract_regex_native, Q_EXTRACT_REGEX_SQL),
-    # (extract_dict rotated into the gate this round — plan change)
     "extract_dict_rowwise": (q_extract_dict_rowwise, Q_EXTRACT_DICT_SQL),
     "adjacent_join": (q_adjacent_join, Q_ADJACENT_SQL),
     "overlap_join": (q_overlap_join, Q_OVERLAP_SQL),
@@ -5679,6 +5686,57 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "consolidate": (q_consolidate, Q_CONSOLIDATE_SQL),
     "consolidate_rowwise": (q_consolidate_rowwise, Q_CONSOLIDATE_SQL),
     "iob_to_spans": (q_iob_spans, Q_IOB_SPANS_SQL),
+    # -- verified by the r04 gate (all 50 green in CORRECTNESS_r04) --
+    "f1_report": (q_f1_report, Q_F1_SQL),
+    "accuracy_by_doc": (q_accuracy_by_doc, Q_ACCURACY_SQL),
+    "global_accuracy": (q_global_accuracy, Q_GLOBAL_ACCURACY_SQL),
+    "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
+    "near_dup_jaccard": (q_near_dup_jaccard, Q_NEAR_DUP_SQL),
+    "near_dup_embedding": (q_near_dup_embedding, Q_NEAR_DUP_EMB_SQL),
+    "ann_cosine_topk": (q_ann_topk, Q_ANN_SQL),
+    "ivf_clusters": (q_ivf_clusters, Q_IVF_SQL),
+    "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),
+    "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
+    "align_to_tokens": (q_align_to_tokens, Q_ALIGN_SQL),
+    "flag_suspicious": (q_flag_suspicious, Q_FLAG_SQL),
+    "doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
+    "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
+    "lang_id": (q_lang_id, Q_LANG_ID_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "q_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
+    "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
+    "q_top3_per_nation": (q_top3_customers_per_nation, Q_TOP3_PER_NATION_SQL),
+    "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
+    "corpus_mixture": (q_corpus_mixture, Q_CORPUS_MIXTURE_SQL),
+    "bigram_lm": (q_bigram_lm, Q_BIGRAM_LM_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q17_small_qty_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+    "split_by_hash": (q_split_by_hash, Q_SPLIT_BY_HASH_SQL),
+    "multimodal_decode_means": (q_multimodal_decode_means, Q_MULTIMODAL_DECODE_SQL),
+    "classification_report": (q_classification_report, Q_CLASSIFICATION_REPORT_SQL),
+    "f1_ensemble": (q_f1_ensemble, Q_F1_ENSEMBLE_SQL),
+    "chunk_documents": (q_chunk_documents, Q_CHUNK_DOCUMENTS_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "extract_dict": (q_extract_dict, Q_EXTRACT_DICT_SQL),
+    "surprisal_buckets": (q_surprisal_buckets, Q_SURPRISAL_BUCKETS_SQL),
+    "pack_multimodal": (q_pack_multimodal, Q_PACK_MULTIMODAL_SQL),
+    "events_props_variant": (q_events_props_variant, Q_EVENTS_PROPS_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q12_priority_by_status": (q12_priority_by_status, Q12_SQL),
+    "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
+    "q20_promotion_suppliers": (q20_promotion_suppliers, Q20_SQL),
+    "dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
+    "bpe_pair_counts": (q_bpe_pair_counts, Q_BPE_PAIR_COUNTS_SQL),
+    "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
+    "cap_per_domain": (q_cap_per_domain, Q_CAP_PER_DOMAIN_SQL),
 }
 
 
