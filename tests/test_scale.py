@@ -283,3 +283,66 @@ def test_zorder_layout_shrinks_rowgroup_spans(spark, tmp_path):
         z_span = mean_span(z, col)
         # both columns' per-row-group spans must shrink materially
         assert z_span < plain_span * 0.6, (col, z_span, plain_span)
+
+
+class TestCountMinSketch:
+    """Count-min sketch: overestimate guarantee, merge identity, and
+    bounded size."""
+
+    def _toks(self, spark, texts):
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        return df.select(F.explode(F.split("text", " ")).alias("token"))
+
+    def test_estimates_never_underestimate_and_top_tokens_exact(self, spark):
+        import pyspark.sql.functions as F
+
+        from text_extensions_for_pandas_spark.operators.sketch import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        toks = self._toks(
+            spark,
+            ["a a a a b b c d", "a b b e f g h", "a c c i j k l m"],
+        )
+        exact = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+        sk = cms_sketch(toks, "token", d=4, w=64)
+        est = cms_estimate(sk, exact.select("token"), "token", d=4, w=64)
+        joined = {
+            r["item"]: r["est"]
+            for r in est.collect()
+        }
+        for r in exact.collect():
+            assert joined[r["token"]] >= r["cnt"]
+        # with w=64 >> 13 distinct tokens, collisions are unlikely enough
+        # that the heavy hitter is exact
+        assert joined["a"] == 6
+
+    def test_merge_equals_direct_sketch(self, spark):
+        from tests.conftest import rows_to_tuples
+        from text_extensions_for_pandas_spark.operators.sketch import (
+            cms_merge,
+            cms_sketch,
+        )
+
+        t1 = self._toks(spark, ["x y z x", "p q r"])
+        t2 = self._toks(spark, ["x p p w", "z z q"])
+        direct = cms_sketch(t1.unionByName(t2), "token", d=3, w=32)
+        merged = cms_merge(
+            cms_sketch(t1, "token", d=3, w=32),
+            cms_sketch(t2, "token", d=3, w=32),
+        )
+        assert rows_to_tuples(direct, "row", "bucket", "cnt") == rows_to_tuples(
+            merged, "row", "bucket", "cnt"
+        )
+
+    def test_sketch_size_bounded_by_d_times_w(self, spark):
+        from text_extensions_for_pandas_spark.operators.sketch import (
+            cms_sketch,
+        )
+
+        toks = self._toks(spark, ["m n o p q r s t u v w x y z"])
+        sk = cms_sketch(toks, "token", d=2, w=8)
+        assert sk.count() <= 2 * 8

@@ -535,6 +535,60 @@ def encoding_metrics(text: Column | str) -> Column:
     )
 
 
+def line_repetition_metrics(
+    documents: "DataFrame",
+    sep_regex: str = r"\n+",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> "DataFrame":
+    """Gopher/FineWeb duplicate-LINE signals per document (Rae et al. 2021
+    §A1.1 "fraction of lines duplicated"; FineWeb carries the same pair as
+    ``dup_line_frac`` / ``dup_line_char_frac``): with lines split on
+    ``sep_regex`` (empties dropped),
+
+    * ``n_lines`` — surviving line count;
+    * ``dup_line_frac`` — fraction of line OCCURRENCES whose line occurs
+      more than once in the document;
+    * ``dup_line_char_frac`` — same fraction weighted by line length
+      (the signal Gopher actually gates on: a doc whose bulk is one
+      repeated paragraph);
+    * ``top_line_frac`` — occurrence share of the single most frequent
+      line.
+
+    Complements :func:`repetition_metrics` (word n-gram level) one
+    granularity up.  Plan: one narrow explode + two aggregations both
+    keyed by ``doc_id`` (the second reuses the first's partitioning) —
+    one shuffle of (doc, line) rows at corpus scale, same shape as the
+    n-gram metrics.  Documents with no surviving line produce no row.
+    """
+    lines = documents.select(
+        F.col(doc_col),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), sep_regex),
+                lambda s: F.length(s) > 0,
+            )
+        ).alias("__line"),
+    )
+    counts = lines.groupBy(doc_col, "__line").agg(
+        F.count("*").alias("__c"),
+        (F.count("*") * F.length("__line")).alias("__chars"),
+    )
+    dup = F.col("__c") > 1
+    return counts.groupBy(doc_col).agg(
+        F.sum("__c").cast("long").alias("n_lines"),
+        F.round(
+            F.sum(F.when(dup, F.col("__c")).otherwise(0)) / F.sum("__c"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(dup, F.col("__chars")).otherwise(0))
+            / F.sum("__chars"),
+            6,
+        ).alias("dup_line_char_frac"),
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_line_frac"),
+    )
+
+
 def repetition_metrics(
     documents: "DataFrame",
     n: int = 2,

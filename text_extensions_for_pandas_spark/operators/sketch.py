@@ -97,3 +97,106 @@ def distinct_rollup(
         hll_sketches(df, group_cols, value_col, lg_k)
         .select(*group_cols, F.col("estimate").alias("n_distinct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable point-frequency estimates
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(value_col, row: int, w: int):
+    """Deterministic bucket for hash row ``row``: first 8 hex chars of
+    md5("row:value") mod ``w`` — engine-independent (DuckDB computes the
+    identical integer), so sketches and estimates are oracle-exact."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row}:"), F.col(value_col))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) of ``value_col``'s
+    frequencies: ``d`` hash rows x ``w`` buckets, each cell the total
+    weight of values hashing there.  Output: ``(row, bucket, cnt)`` —
+    at most ``d*w`` rows, the whole sketch.
+
+    The scale contract mirrors the HLL tier: frequencies are not
+    distinct-counts, so a 100 TB corpus's token-frequency table is
+    vocabulary-sized — large.  The sketch caps the aggregation state at
+    ``d*w`` cells with map-side partials (shuffle volume independent of
+    cardinality), overestimates only (never under), and MERGES: sketches
+    of two shards add cell-wise (:func:`cms_merge`), so per-shard sketches
+    persist once and any union is answerable without rescanning.
+    """
+    weight = F.col(weight_col) if weight_col else F.lit(1)
+    rows = [
+        df.select(
+            F.lit(r).alias("row"),
+            _cms_bucket(value_col, r, w).alias("bucket"),
+            weight.alias("__w"),
+        )
+        for r in range(d)
+    ]
+    out = rows[0]
+    for rdf in rows[1:]:
+        out = out.unionByName(rdf)
+    return out.groupBy("row", "bucket").agg(
+        F.sum("__w").cast("long").alias("cnt")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the same (d, w): cell-wise sum.
+    The mergeability that makes per-shard sketches a persistent artifact."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``items``: per item, the MIN over the
+    ``d`` hash rows of its bucket's cell — the count-min guarantee
+    (estimate >= true count; error bounded by total_weight * e/w with
+    probability 1 - e^-d).
+
+    Plan: items replicate to ``d`` (row, bucket) probes and equijoin the
+    broadcast sketch (at most ``d*w`` rows); the min is a map-side-partial
+    aggregate.  No corpus access — estimates come entirely from the
+    persisted sketch.
+    """
+    probes = [
+        items.select(
+            F.col(item_col).alias("item"),
+            F.lit(r).alias("row"),
+            _cms_bucket(item_col, r, w).alias("bucket"),
+        )
+        for r in range(d)
+    ]
+    out = probes[0]
+    for p in probes[1:]:
+        out = out.unionByName(p)
+    return (
+        out.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("item")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )

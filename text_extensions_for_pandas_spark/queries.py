@@ -3477,6 +3477,105 @@ ORDER BY c.doc_id
 """
 
 
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/FineWeb duplicate-line fractions per document (count- and
+    char-weighted, plus the top line's share) — the line-granularity twin
+    of ``doc_repetition``, on ' table '-separated segments."""
+    return T.line_repetition_metrics(
+        load(spark, sf_dir, "documents"), sep_regex=" table "
+    ).orderBy("doc_id")
+
+
+Q_LINE_REPETITION_SQL = """
+WITH lines AS (
+  SELECT doc_id, l FROM (
+    SELECT doc_id, unnest(string_split_regex(text, ' table ')) AS l
+    FROM documents
+  ) WHERE length(l) > 0
+),
+c AS (
+  SELECT doc_id, l, count(*) AS c, count(*) * length(l) AS chars
+  FROM lines GROUP BY doc_id, l
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_lines,
+       round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / sum(c), 6) AS dup_line_frac,
+       round(CAST(sum(CASE WHEN c > 1 THEN chars ELSE 0 END) AS DOUBLE)
+             / sum(chars), 6) AS dup_line_char_frac,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_line_frac
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates for the corpus's top-20
+    tokens, alongside exact counts — the mergeable fixed-size (d x w)
+    frequency tier: deterministic md5 buckets make the sketch cell-exact
+    in both engines, so estimates (not just bounds) hash-match DuckDB.
+    At corpus scale the candidate set would come from per-shard top-k,
+    not the global exact table used here for verification."""
+    from text_extensions_for_pandas_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    toks = _tokens(spark, sf_dir).select("token")
+    sk = cms_sketch(toks, "token", d=4, w=1024)
+    exact = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    w20 = Window.orderBy(F.col("exact_cnt").desc(), "token")
+    top = (
+        exact.withColumn("__rn", F.row_number().over(w20))
+        .filter(F.col("__rn") <= 20)
+        .drop("__rn")
+    )
+    est = cms_estimate(sk, top.select("token"), "token", d=4, w=1024)
+    return (
+        top.join(est, top["token"] == est["item"])
+        .select("token", "exact_cnt", F.col("est").alias("cms_est"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )
+
+
+Q_CMS_HEAVY_HITTERS_SQL = f"""
+WITH {TOKS_CTE},
+tc AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM toks GROUP BY token
+),
+top AS (
+  SELECT token, exact_cnt FROM (
+    SELECT token, exact_cnt,
+           row_number() OVER (ORDER BY exact_cnt DESC, token) AS rn
+    FROM tc
+  ) WHERE rn <= 20
+),
+cells AS (
+  SELECT r.i AS row,
+         CAST(('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || t.token), 1, 8))
+              AS BIGINT) % 1024 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks t CROSS JOIN (SELECT unnest(range(4)) AS i) r
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT tp.token, min(c.cnt) AS est
+  FROM top tp
+  CROSS JOIN (SELECT unnest(range(4)) AS i) r
+  JOIN cells c
+    ON c.row = r.i
+   AND c.bucket = CAST(('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || tp.token), 1, 8))
+                       AS BIGINT) % 1024
+  GROUP BY tp.token
+)
+SELECT t.token, t.exact_cnt, CAST(e.est AS BIGINT) AS cms_est
+FROM top t JOIN est e USING (token)
+ORDER BY t.exact_cnt DESC, t.token
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_metrics(load(spark, sf_dir, "documents"), n=2).orderBy(
         "doc_id"
@@ -5665,6 +5764,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # new after the round-5 gate order was fixed — locally hash-verified
     # at sf0.001 AND sf0.01 (scripts/check_oracle.py); gate FIRST in r06
     "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
+    "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
     # remaining r03-gated backlog — rotate into the r06 gate next
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
