@@ -357,6 +357,9 @@ def test_no_accidental_nested_loop_joins_across_registry(spark):
         # ADC lookup tables, and the k-centroid probe broadcast — all
         # model-sized build sides, never corpus x corpus
         "pq_topk", "ivfpq_topk",
+        # recall measurement embeds the documented exact-ANN tier (small
+        # broadcast query set x corpus) as its ground truth
+        "ann_recall",
     }
     sf = "/root/testdata/sf0.001"
     bad = {}

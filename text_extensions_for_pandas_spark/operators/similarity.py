@@ -841,3 +841,113 @@ def semantic_dedup(
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Durable IVF-PQ index: write once, partition-pruned search forever
+# ---------------------------------------------------------------------------
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> None:
+    """Materialize the IVF-PQ index as an on-disk artifact:
+
+    * ``{path}/codes`` — the PQ codes, ``partitionBy(cluster_id)`` so a
+      search touching ``nprobe`` clusters READS ``nprobe`` directories
+      (real partition pruning, asserted on-disk in tests — the property
+      the in-memory tier can only claim);
+    * ``{path}/centroids``, ``{path}/codebooks`` — the model tables.
+
+    This is the shape a 100 TB embedding corpus actually serves from: the
+    corpus is scanned once at build time; every subsequent query reads
+    ``nprobe/k_clusters`` of a 32-64x compressed code table and never the
+    raw vectors.
+    """
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    assigned = ivf_assign(
+        embeddings, centroids, id_col, vec_col, metric=metric
+    ).select(id_col, "cluster_id")
+    (
+        codes.join(assigned, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{path}/codes")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Search a :func:`write_ivfpq_index` artifact: select each query's
+    ``nprobe`` closest centroids, PRUNE the code table's partitions to the
+    union of probed cluster ids (a static ``IN`` filter over the partition
+    column — Spark's scan skips every other directory), then rank the
+    surviving candidates by asymmetric PQ distance.
+
+    The probe-id collect is driver-side and bounded by
+    ``nprobe x n_queries`` integers (the same justified scalar-collect
+    class as the CC convergence check).  Results are identical to
+    :func:`ivfpq_topk` over the full tables — pruning removes only
+    clusters no query probes.
+    """
+    centroids = spark.read.parquet(f"{path}/centroids")
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    c = centroids.select(
+        F.col("centroid_id").alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    if metric == "cosine":
+        cscore = cosine(F.col("__qvec"), F.col("__cvec"))
+    else:
+        cscore = -F.aggregate(
+            F.zip_with(
+                F.col("__qvec"), F.col("__cvec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__cscore").desc(), F.col("__cid").asc()
+    )
+    probe_rows = (
+        q.crossJoin(F.broadcast(c))
+        .select("query_id", "__cid", cscore.alias("__cscore"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col("__cid").alias("cluster_id"))
+        .distinct()
+        .collect()
+    )
+    probe_ids = sorted(r["cluster_id"] for r in probe_rows)
+    pruned = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cluster_id").isin(probe_ids)
+    )
+    return ivfpq_topk(
+        assigned=pruned.select(id_col, "cluster_id"),
+        codes=pruned.select(id_col, "codes"),
+        centroids=centroids,
+        codebooks=codebooks,
+        queries=queries,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        metric=metric,
+    )

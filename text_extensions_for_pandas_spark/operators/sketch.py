@@ -140,19 +140,22 @@ def cms_sketch(
     persist once and any union is answerable without rescanning.
     """
     weight = F.col(weight_col) if weight_col else F.lit(1)
-    rows = [
-        df.select(
-            F.lit(r).alias("row"),
-            _cms_bucket(value_col, r, w).alias("bucket"),
-            weight.alias("__w"),
-        )
-        for r in range(d)
-    ]
-    out = rows[0]
-    for rdf in rows[1:]:
-        out = out.unionByName(rdf)
-    return out.groupBy("row", "bucket").agg(
-        F.sum("__w").cast("long").alias("cnt")
+    # ONE corpus scan: each value explodes to its d (row, bucket) cells
+    # inline (a union of d scans would read the corpus d times)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cms_bucket(value_col, r, w).alias("bucket"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("e"), weight.alias("__w"))
+        .select("e.row", "e.bucket", "__w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("__w").cast("long").alias("cnt"))
     )
 
 

@@ -3576,6 +3576,117 @@ ORDER BY t.exact_cnt DESC, t.token
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured (not guessed) ANN quality: recall@10 of the IVF tier
+    against the exact brute-force top-10, per query vector — the
+    accept/reject metric for an approximate index.  Both sides are
+    deterministic plans, so even the recall fractions hash-match DuckDB.
+    (Near-random test embeddings plateau recall well below 1.0 —
+    TESTDATA.md; the metric, not a high score, is the product.)"""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    assigned = SIM.ivf_assign(emb, centroids)
+    approx = SIM.ivf_topk(
+        assigned, centroids, queries_df, k=10, nprobe=4
+    ).select(
+        F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("query_id") == F.col("__q"))
+        & (F.col("neighbor_id") == F.col("__n")),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.sum(F.when(F.col("__n").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.round(
+                F.sum(F.when(F.col("__n").isNotNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+Q_ANN_RECALL_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+xscored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_DOT.format(a='q.qe', b='e.embedding')}
+         / (sqrt({_DOT.format(a='q.qe', b='q.qe')}) * sqrt({_DOT.format(a='e.embedding', b='e.embedding')}))
+           AS score
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM xscored
+  ) WHERE rank <= 10
+),
+ascore AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_DOT.format(a='e.embedding', b='c.ce')}
+         / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) * sqrt({_DOT.format(a='c.ce', b='c.ce')}))
+           AS score
+  FROM embeddings e, c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+  FROM ascore
+),
+clustered AS (SELECT vec_id, embedding, centroid_id FROM assigned WHERE rn = 1),
+probes AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.query_id, q.qe, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_DOT.format(a='q.qe', b='c.ce')}
+             / (sqrt({_DOT.format(a='q.qe', b='q.qe')}) * sqrt({_DOT.format(a='c.ce', b='c.ce')})) DESC,
+             c.centroid_id) AS prn
+    FROM q, c
+  ) WHERE prn <= 4
+),
+ascored AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id,
+         {_DOT.format(a='p.qe', b='v.embedding')}
+         / (sqrt({_DOT.format(a='p.qe', b='p.qe')}) * sqrt({_DOT.format(a='v.embedding', b='v.embedding')}))
+           AS score
+  FROM probes p JOIN clustered v ON v.centroid_id = p.centroid_id
+  WHERE v.vec_id <> p.query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM ascored
+  ) WHERE rank <= 10
+)
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS recall_at_10
+FROM exact x
+LEFT JOIN approx a ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_metrics(load(spark, sf_dir, "documents"), n=2).orderBy(
         "doc_id"
@@ -5766,6 +5877,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
     "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
     "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
+    "ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     # remaining r03-gated backlog — rotate into the r06 gate next
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
