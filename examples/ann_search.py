@@ -95,6 +95,31 @@ def main() -> None:
         f"index sizes per vector: exact {4 * dims} B (float32)"
         f" vs pq {m} codes (~{m // 2} B nibble-packed at k=16)"
     )
+
+    # ---- durable index: write once, partition-pruned search forever ----
+    import tempfile
+
+    from text_extensions_for_pandas_spark.operators.similarity import (
+        ivfpq_search_index,
+        write_ivfpq_index,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/ivfpq_index"
+        write_ivfpq_index(emb, centroids, codebooks, path)
+        served = _neighbor_sets(
+            ivfpq_search_index(spark, path, queries, k=K, nprobe=4)
+        )
+        in_mem = _neighbor_sets(
+            ivfpq_topk(
+                assigned, codes, centroids, codebooks, queries, k=K, nprobe=4
+            )
+        )
+        assert served == in_mem, "on-disk search must match the in-memory plan"
+        print(
+            "durable ivf-pq index: search reads nprobe=4 of 16 cluster"
+            " directories (partition pruning), results identical"
+        )
     print("OK")
 
 

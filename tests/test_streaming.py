@@ -810,3 +810,62 @@ def test_streaming_prep_ingest_end_to_end(spark, tmp_path):
         ).collect())
     )
     assert after == before
+
+
+def test_streaming_cms_matches_batch_sketch_and_replay_is_idempotent(
+    spark, tmp_path
+):
+    """Two-batch CMS ingest: the merged cell table equals the batch sketch
+    over all rows exactly, and re-running a batch (foreachBatch replay)
+    leaves totals unchanged."""
+    import pyspark.sql.functions as PF
+
+    from text_extensions_for_pandas_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    src = str(tmp_path / "src")
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 60")
+        .cache()
+    )
+    docs.filter("doc_id < 30").coalesce(1).write.parquet(src)
+    docs.filter("doc_id >= 30").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(PF.explode(PF.split("text", " ")).alias("token"))
+    )
+    index = str(tmp_path / "cms")
+    q = STR.streaming_cms_ingest(
+        stream, "token", index, checkpoint=str(tmp_path / "ckpt"), d=3, w=256
+    ).start()
+    q.awaitTermination(180)
+
+    merged = STR.cms_read(spark, index)
+    toks = docs.select(PF.explode(PF.split("text", " ")).alias("token"))
+    want = cms_sketch(toks, "token", d=3, w=256)
+    got_cells = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    want_cells = {(r.row, r.bucket): r.cnt for r in want.collect()}
+    assert got_cells == want_cells and len(got_cells) > 0
+
+    # estimates served from the streamed sketch match batch estimates
+    items = toks.distinct().limit(20)
+    got_est = {
+        r.item: r.est for r in cms_estimate(merged, items, "token", 3, 256).collect()
+    }
+    want_est = {
+        r.item: r.est for r in cms_estimate(want, items, "token", 3, 256).collect()
+    }
+    assert got_est == want_est
+
+    # replay idempotence: re-land batch 0's delta by hand — totals unchanged
+    batch0 = spark.read.parquet(f"{index}/batch=0")
+    batch0.write.mode("overwrite").parquet(f"{index}/batch=0")
+    again = {(r.row, r.bucket): r.cnt for r in STR.cms_read(spark, index).collect()}
+    assert again == got_cells

@@ -665,3 +665,51 @@ def streaming_prep_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def streaming_cms_ingest(
+    values: DataFrame,
+    value_col: str,
+    index_path: str,
+    checkpoint: str,
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
+):
+    """Continuous count-min sketch maintenance: each micro-batch's (d x w)
+    cell deltas land in their own ``batch=<id>`` subdirectory with
+    ``mode("overwrite")`` — a replayed batch overwrites its own partition
+    instead of double-counting, so cell totals are EXACTLY-ONCE under
+    foreachBatch's at-least-once replay (the same batch-scoped-overwrite
+    idempotence as :func:`streaming_prep_ingest`).  :func:`cms_read`
+    merges the landed deltas cell-wise; because CMS cells are additive and
+    order-insensitive, the merged sketch is IDENTICAL to a batch
+    :func:`..operators.sketch.cms_sketch` over the union of all rows
+    (asserted in test_streaming.py).
+
+    State on disk is at most ``batches x d x w`` cells; compact by
+    replacing the directory with :func:`cms_read`'s output whenever the
+    batch count grows.  Returns the configured writer — call ``.start()``.
+    """
+    from text_extensions_for_pandas_spark.operators.sketch import cms_sketch
+
+    def _process(batch_df, batch_id):
+        cms_sketch(batch_df, value_col, d, w, weight_col).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/batch={batch_id}")
+
+    return (
+        values.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def cms_read(spark: SparkSession, index_path: str) -> DataFrame:
+    """Merge every landed batch delta of a :func:`streaming_cms_ingest`
+    directory into the current sketch (cell-wise sum — the CMS merge)."""
+    return (
+        spark.read.parquet(index_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
