@@ -864,8 +864,13 @@ def test_streaming_cms_matches_batch_sketch_and_replay_is_idempotent(
     }
     assert got_est == want_est
 
-    # replay idempotence: re-land batch 0's delta by hand — totals unchanged
+    # replay idempotence: re-land batch 0's delta by hand — totals unchanged.
+    # Materialize first: a lazy read + same-path overwrite deletes the source
+    # files before the scan runs (FAILED_READ_FILE.FILE_NOT_EXIST).
     batch0 = spark.read.parquet(f"{index}/batch=0")
-    batch0.write.mode("overwrite").parquet(f"{index}/batch=0")
+    rows0 = batch0.collect()
+    spark.createDataFrame(rows0, batch0.schema).write.mode("overwrite").parquet(
+        f"{index}/batch=0"
+    )
     again = {(r.row, r.bucket): r.cnt for r in STR.cms_read(spark, index).collect()}
     assert again == got_cells
