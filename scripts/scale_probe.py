@@ -92,11 +92,13 @@ def main() -> None:
     )
     from text_extensions_for_pandas_spark.operators.dedup import (
         fingerprint_overlap_pairs,
+        remove_repeated_substrings,
     )
     from text_extensions_for_pandas_spark.operators.pipeline import (
         prep_and_shard,
     )
     from text_extensions_for_pandas_spark.operators.sampling import (
+        cap_per_domain,
         deterministic_shuffle,
     )
 
@@ -141,6 +143,38 @@ def main() -> None:
         # hard) and the full prep pipeline (caps set effectively unbounded
         # so the per-domain sort/window work scales with the corpus)
         "fingerprint_overlap": lambda d: fingerprint_overlap_pairs(d).count(),
+        # ExactSubstr removal with a PLANTED HOT GRAM: every document gets
+        # the same boilerplate prefix, so one composite gram hash collects
+        # n_docs occurrences — the exact skew shape that killed the old
+        # per-hash row_number window.  The min(struct) keep-first agg must
+        # hold the exponent <= ~linear.
+        # .agg(sum(length)) rather than .count(): a bare count lets
+        # Catalyst eliminate the distinct-keyed left join and skip the
+        # whole gram pipeline (measured: 0.4s flat at every scale)
+        "exactsubstr_remove_hot": lambda d: remove_repeated_substrings(
+            d.select(
+                "doc_id",
+                F.concat(
+                    F.lit("standard license boilerplate header line "),
+                    F.col("text"),
+                ).alias("text"),
+            ),
+            k=20,
+        ).agg(
+            F.sum(F.length("clean_text")), F.sum("n_cut_chars")
+        ).collect()[0][0],
+        # worst-case domain skew: EVERY document in one domain with a tiny
+        # cap — the shape the hash-threshold pre-filter exists for (the
+        # plain window would single-task sort the whole corpus)
+        "cap_mega_domain": lambda d: cap_per_domain(
+            d.select(
+                "doc_id",
+                F.lit("megahost").alias("source"),
+                F.length("text").alias("n_chars"),
+            ),
+            max_docs=100,
+            max_tokens=1_000_000,
+        ).count(),
         "training_prep": lambda d: prep_and_shard(
             d, sep_regex=" table ", join_sep=" ", boiler_min_docs=2,
             min_words=30,

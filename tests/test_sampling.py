@@ -189,6 +189,66 @@ def test_cap_per_domain_invariants(spark):
     assert k5b == k5
 
 
+def test_cap_per_domain_prefilter_matches_bruteforce_on_mega_domain(spark):
+    """The hash-threshold pre-filter must be bit-identical to the plain
+    exact window on adversarial shapes: a mega-domain with a tiny cap
+    (threshold far below 1), a domain whose budget exceeds its total
+    (every row kept), zero-token rows under a token budget, and a
+    single-row domain."""
+    from pyspark.sql import Window
+
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        cap_per_domain,
+        hash_fraction,
+    )
+
+    rows = (
+        [(i, "mega", (i * 37) % 200) for i in range(5000)]
+        + [(100_000 + i, "tiny", 0) for i in range(6)]  # zero-token rows
+        + [(200_000, "single", 50)]
+        + [(300_000 + i, "small", 10) for i in range(3)]  # tot < budget
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+
+    def brute(max_docs=None, max_tokens=None):
+        out = docs.withColumn("__frac", hash_fraction(F.col("doc_id")))
+        w = Window.partitionBy("source").orderBy("__frac", "doc_id")
+        cond = F.lit(True)
+        if max_docs is not None:
+            cond = cond & (F.row_number().over(w) <= max_docs)
+        if max_tokens is not None:
+            prefix = F.coalesce(
+                F.sum("n_chars").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            cond = cond & (prefix < max_tokens)
+        return {
+            r.doc_id
+            for r in out.withColumn("__keep", cond)
+            .filter("__keep")
+            .collect()
+        }
+
+    for kwargs in (
+        {"max_docs": 7},
+        {"max_tokens": 900},
+        {"max_docs": 25, "max_tokens": 900},
+        {"max_docs": 1},
+    ):
+        got = {r.doc_id for r in cap_per_domain(docs, **kwargs).collect()}
+        assert got == brute(**kwargs), kwargs
+    # doc-only cap must not require the token column at all
+    got = {
+        r.doc_id
+        for r in cap_per_domain(
+            docs.drop("n_chars"), max_docs=7
+        ).collect()
+    }
+    assert got == brute(max_docs=7)
+
+
 def test_unigram_divergence_identity_and_separation(spark):
     from text_extensions_for_pandas_spark.operators.sampling import (
         unigram_divergence,

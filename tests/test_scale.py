@@ -346,3 +346,31 @@ class TestCountMinSketch:
         toks = self._toks(spark, ["m n o p q r s t u v w x y z"])
         sk = cms_sketch(toks, "token", d=2, w=8)
         assert sk.count() <= 2 * 8
+
+    def test_null_values_excluded_like_count(self, spark):
+        """NULLs are dropped from both the sketch and the probe side (the
+        count(col) convention) — they must not create NULL-bucket cells
+        that vanish from totals, and a NULL item gets no estimate row."""
+        import pyspark.sql.functions as F
+
+        from text_extensions_for_pandas_spark.operators.sketch import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        vals = spark.createDataFrame(
+            [("a",), (None,), ("a",), ("b",), (None,)], ["token"]
+        )
+        sk = cms_sketch(vals, "token", d=3, w=16)
+        rows = sk.collect()
+        assert all(r.bucket is not None for r in rows)
+        assert sum(r.cnt for r in rows) == 3 * 3  # 3 non-null values x d
+        est = cms_estimate(
+            sk,
+            spark.createDataFrame([("a",), (None,)], ["token"]),
+            "token",
+            d=3,
+            w=16,
+        )
+        got = {r.item: r.est for r in est.collect()}
+        assert got == {"a": 2}

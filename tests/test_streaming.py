@@ -864,13 +864,67 @@ def test_streaming_cms_matches_batch_sketch_and_replay_is_idempotent(
     }
     assert got_est == want_est
 
-    # replay idempotence: re-land batch 0's delta by hand — totals unchanged.
-    # Materialize first: a lazy read + same-path overwrite deletes the source
-    # files before the scan runs (FAILED_READ_FILE.FILE_NOT_EXIST).
-    batch0 = spark.read.parquet(f"{index}/batch=0")
-    rows0 = batch0.collect()
-    spark.createDataFrame(rows0, batch0.schema).write.mode("overwrite").parquet(
-        f"{index}/batch=0"
+    # compaction: fold all but the newest batch into one snapshot — the
+    # merged sketch is unchanged, disk state shrinks to snapshot + 1 batch
+    t = STR.cms_compact(spark, index)
+    assert t >= 0
+    after_compact = {
+        (r.row, r.bucket): r.cnt for r in STR.cms_read(spark, index).collect()
+    }
+    assert after_compact == got_cells
+    import os
+
+    entries = sorted(
+        e for e in os.listdir(index) if "=" in e and not e.startswith(".")
+    )
+    assert entries == ["batch=1", f"compact_through={t}"]
+    # a second compaction with nothing new to fold is a no-op
+    assert STR.cms_compact(spark, index) == t
+
+    # ingest MORE after compacting: totals still equal the batch sketch
+    # over the union of all rows
+    more = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id >= 60 and doc_id < 90")
+        .cache()
+    )
+    more.coalesce(1).write.mode("append").parquet(src)
+    q3 = STR.streaming_cms_ingest(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(PF.explode(PF.split("text", " ")).alias("token")),
+        "token",
+        index,
+        checkpoint=str(tmp_path / "ckpt"),
+        d=3,
+        w=256,
+    ).start()
+    q3.awaitTermination(180)
+    all_toks = (
+        docs.select("doc_id", "text")
+        .unionByName(more)
+        .select(PF.explode(PF.split("text", " ")).alias("token"))
+    )
+    want_all = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_sketch(all_toks, "token", d=3, w=256).collect()
+    }
+    got_all = {
+        (r.row, r.bucket): r.cnt for r in STR.cms_read(spark, index).collect()
+    }
+    assert got_all == want_all
+    got_cells = got_all
+
+    # replay idempotence: re-land the newest (only replayable) batch's
+    # delta by hand — totals unchanged.  Materialize first: a lazy read +
+    # same-path overwrite deletes the source files before the scan runs
+    # (FAILED_READ_FILE.FILE_NOT_EXIST).
+    newest = spark.read.parquet(f"{index}/batch=2")
+    rows0 = newest.collect()
+    spark.createDataFrame(rows0, newest.schema).write.mode("overwrite").parquet(
+        f"{index}/batch=2"
     )
     again = {(r.row, r.bucket): r.cnt for r in STR.cms_read(spark, index).collect()}
     assert again == got_cells

@@ -768,29 +768,37 @@ def remove_repeated_substrings(
     duplicated passage, preserving the canonical occurrence's document
     intact.
 
-    Flagging is per-OCCURRENCE (``row_number() > 1`` within each gram
-    hash), so within-document repetition is cut too, and the keep-first
-    rule is deterministic and engine-independent.  Flagged positions merge
-    into maximal ``[begin, end)`` islands per document (same running-max
-    window as :func:`repeated_ngram_spans`); the cleaned text is rebuilt
-    by folding the kept segments with one JVM-side ``aggregate`` over the
-    sorted span array — no Python anywhere.
+    Flagging is per-OCCURRENCE: every occurrence that is not the gram's
+    globally-first ``(doc_id, pos)`` is cut, so within-document repetition
+    is cut too, and the keep-first rule is deterministic and
+    engine-independent.  Flagged positions merge into maximal
+    ``[begin, end)`` islands per document (same running-max window as
+    :func:`repeated_ngram_spans`); the cleaned text is rebuilt by folding
+    the kept segments with one JVM-side ``aggregate`` over the sorted span
+    array — no Python anywhere.
 
     Output: ``(doc_id, clean_text, n_cut_spans, n_cut_chars)`` — one row
     per input document (docs without cuts pass through unchanged).
 
-    Scale shape: one narrow gram explode (xxhash64 long keys), one
-    hash-partitioned ``row_number`` per gram hash (the only gram-scale
-    shuffle; partition = one hash's occurrence list, bounded by that
-    gram's corpus frequency), a per-doc window for islands, and one
-    groupBy(doc) carrying (begin, end) pairs — never the text — until the
-    final join back to the (doc, text) table.
+    Scale shape: one narrow gram explode; grams are keyed by a COMPOSITE
+    128-bit hash (two independently-seeded xxhash64 longs — collision odds
+    ~2^-128, so the md5-keyed oracle and this engine agree; unlike the
+    report-only tiers, this operator mutates text, so the single-64-bit
+    collision risk is not accepted here).  The keep-first occurrence is a
+    map-side-combinable ``min(struct(doc, pos))`` per gram hash — NOT a
+    per-hash sort window — so a hot gram (whitespace runs, license
+    boilerplate: exactly what ExactSubstr targets) costs one partial-agg
+    cell per task instead of a single-task total sort.  Flagging is a
+    hash-join back (AQE splits any residual skewed join partition); the
+    per-doc island window and one groupBy(doc) carry (begin, end) pairs —
+    never the text — until the final join back to the (doc, text) table.
     """
     from pyspark.sql import Window
 
     positions = F.when(
         F.length(text_col) >= k, F.sequence(F.lit(0), F.length(text_col) - k)
     ).otherwise(F.array().cast("array<int>"))
+    gram = F.substring(F.col("__t"), F.col("pos") + 1, F.lit(k))
     grams = documents.select(
         F.col(doc_col),
         F.explode(positions).alias("pos"),
@@ -798,14 +806,15 @@ def remove_repeated_substrings(
     ).select(
         doc_col,
         "pos",
-        F.xxhash64(
-            F.substring(F.col("__t"), F.col("pos") + 1, F.lit(k))
-        ).alias("__h"),
+        F.xxhash64(gram).alias("__h"),
+        F.xxhash64(gram, F.lit(0x243F6A8885A308D3)).alias("__h2"),
     )
-    wh = Window.partitionBy("__h").orderBy(doc_col, "pos")
+    first = grams.groupBy("__h", "__h2").agg(
+        F.min(F.struct(doc_col, "pos")).alias("__first")
+    )
     flagged = (
-        grams.withColumn("__rn", F.row_number().over(wh))
-        .filter(F.col("__rn") >= 2)
+        grams.join(first, ["__h", "__h2"])
+        .filter(F.struct(F.col(doc_col), F.col("pos")) != F.col("__first"))
         .select(doc_col, "pos", (F.col("pos") + k).alias("__end"))
     )
     wd = Window.partitionBy(doc_col).orderBy("pos")

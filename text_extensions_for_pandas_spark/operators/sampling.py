@@ -312,10 +312,21 @@ def cap_per_domain(
     under repartitioning, and nested across caps (cap 10 ⊆ cap 20), so
     scaling a mixture down later keeps subsets consistent.
 
-    Scale shape: one window over (domain, hash-rank) — the same shuffle a
-    groupBy(domain) pays, with domains hashing independently; no domain's
-    rows concentrate anywhere except their own partition (salt upstream
-    if one domain is a mega-skew outlier).
+    Scale shape (mega-domain safe): the kept set is always a PREFIX of
+    each domain's ``(__frac, doc_id)`` order, so rows with a hash fraction
+    above a per-domain threshold can be discarded BEFORE the exact sort
+    window ever sees them.  The threshold is ``margin ×`` the expected
+    fraction needed to cover the cap (``max_docs/count`` for the doc cap,
+    ``max_tokens/sum(tokens)`` for the token budget); a cheap
+    map-side-combinable count/sum per domain derives it, and a second
+    aggregate VERIFIES the guarantee (survivors ≥ effective cap) — any
+    domain whose survivors fall short (probability ~e^-margin, e.g. hash
+    clustering on a tiny cap) falls back to its full row set, so the
+    result is bit-identical to the unfiltered window in every case.  A
+    domain with 10^9 docs and a cap of 10^4 therefore sorts ~margin×10^4
+    rows in one task instead of 10^9; the corpus-scale work is two
+    hash-joins against domain-cardinality tables (broadcast under AQE) —
+    splittable shuffles, not single-task sorts.
     """
     from pyspark.sql import Window
 
@@ -326,6 +337,57 @@ def cap_per_domain(
     # single Sort + single Window node (separate withColumns would each
     # re-derive the expression under a fresh id and force a second sort)
     out = df.withColumn("__frac", hash_fraction(F.col(doc_col)))
+    margin = 8.0
+    # the token column only exists/matters when a token budget is set; the
+    # doc cap alone must not reference it
+    tok = (
+        F.sum(F.coalesce(F.col(token_col), F.lit(0)))
+        if max_tokens is not None
+        else F.lit(0)
+    )
+    stats = out.groupBy(domain_col).agg(
+        F.count("*").alias("__cnt"), tok.alias("__tot")
+    )
+    # if max_docs is set the kept set is inside the first max_docs rows
+    # regardless of the token budget, so the doc threshold alone suffices
+    if max_docs is not None:
+        t_expr = F.least(
+            F.lit(1.0), F.lit(margin) * max_docs / F.col("__cnt")
+        )
+    else:
+        t_expr = F.least(
+            F.lit(1.0),
+            F.lit(margin) * max_tokens
+            / F.greatest(F.col("__tot"), F.lit(1)),
+        )
+    thr = stats.select(domain_col, t_expr.alias("__t"))
+    j = out.join(thr, domain_col)
+    surv = (F.col("__t") >= 1.0) | (F.col("__frac") < F.col("__t"))
+    schk = (
+        j.filter(surv)
+        .groupBy(domain_col)
+        .agg(F.count("*").alias("__scnt"), tok.alias("__stot"))
+    )
+    if max_docs is not None:
+        ok_expr = (F.col("__scnt") >= max_docs) | (
+            F.col("__scnt") == F.col("__cnt")
+        )
+    else:
+        ok_expr = (F.col("__stot") >= max_tokens) | (
+            F.col("__scnt") == F.col("__cnt")
+        )
+    flags = (
+        stats.join(schk, domain_col, "left")
+        .select(
+            domain_col,
+            F.coalesce(ok_expr, F.lit(False)).alias("__ok"),
+        )
+    )
+    out = (
+        j.join(flags, domain_col)
+        .filter(~F.col("__ok") | surv)
+        .drop("__t", "__ok")
+    )
     w = Window.partitionBy(domain_col).orderBy("__frac", doc_col)
     cols, conds = [], []
     if max_docs is not None:

@@ -138,8 +138,14 @@ def cms_sketch(
     cardinality), overestimates only (never under), and MERGES: sketches
     of two shards add cell-wise (:func:`cms_merge`), so per-shard sketches
     persist once and any union is answerable without rescanning.
+
+    NULL values are EXCLUDED from the sketch (the same convention as
+    ``count(col)``/``countDistinct``): they would otherwise hash to a NULL
+    bucket that silently drops from totals while never matching an
+    estimate probe.  :func:`cms_estimate` filters NULL items identically.
     """
     weight = F.col(weight_col) if weight_col else F.lit(1)
+    df = df.filter(F.col(value_col).isNotNull())
     # ONE corpus scan: each value explodes to its d (row, bucket) cells
     # inline (a union of d scans would read the corpus d times)
     cells = F.array(
@@ -185,8 +191,10 @@ def cms_estimate(
     Plan: items replicate to ``d`` (row, bucket) probes and equijoin the
     broadcast sketch (at most ``d*w`` rows); the min is a map-side-partial
     aggregate.  No corpus access — estimates come entirely from the
-    persisted sketch.
+    persisted sketch.  NULL items are excluded, matching
+    :func:`cms_sketch`'s NULL convention.
     """
+    items = items.filter(F.col(item_col).isNotNull())
     probes = [
         items.select(
             F.col(item_col).alias("item"),

@@ -3576,25 +3576,11 @@ ORDER BY t.exact_cnt DESC, t.token
 """
 
 
-def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured (not guessed) ANN quality: recall@10 of the IVF tier
-    against the exact brute-force top-10, per query vector — the
-    accept/reject metric for an approximate index.  Both sides are
-    deterministic plans, so even the recall fractions hash-match DuckDB.
-    (Near-random test embeddings plateau recall well below 1.0 —
-    TESTDATA.md; the metric, not a high score, is the product.)"""
-    emb = load(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    queries_df = emb.filter(F.col("vec_id") < 5)
-    exact = SIM.brute_force_topk(emb, queries_df, k=10).select(
-        "query_id", "neighbor_id"
-    )
-    assigned = SIM.ivf_assign(emb, centroids)
-    approx = SIM.ivf_topk(
-        assigned, centroids, queries_df, k=10, nprobe=4
-    ).select(
+def _recall_at_10(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@10 of an approximate (query_id, neighbor_id) set
+    against the exact one — the shared gauge behind every ANN tier's
+    quality row (``ann_recall``/``lsh_recall``/``ivfpq_recall``)."""
+    approx = approx.select(
         F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n")
     )
     hits = exact.join(
@@ -3618,6 +3604,26 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured (not guessed) ANN quality: recall@10 of the IVF tier
+    against the exact brute-force top-10, per query vector — the
+    accept/reject metric for an approximate index.  Both sides are
+    deterministic plans, so even the recall fractions hash-match DuckDB.
+    (Near-random test embeddings plateau recall well below 1.0 —
+    TESTDATA.md; the metric, not a high score, is the product.)"""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    assigned = SIM.ivf_assign(emb, centroids)
+    approx = SIM.ivf_topk(assigned, centroids, queries_df, k=10, nprobe=4)
+    return _recall_at_10(exact, approx)
 
 
 Q_ANN_RECALL_SQL = f"""

@@ -687,9 +687,10 @@ def streaming_cms_ingest(
     :func:`..operators.sketch.cms_sketch` over the union of all rows
     (asserted in test_streaming.py).
 
-    State on disk is at most ``batches x d x w`` cells; compact by
-    replacing the directory with :func:`cms_read`'s output whenever the
-    batch count grows.  Returns the configured writer — call ``.start()``.
+    State on disk is at most ``batches x d x w`` cells; :func:`cms_compact`
+    folds landed deltas into a single ``compact_through=<T>`` snapshot so
+    steady-state disk stays O(d x w) under continuous ingest.  Returns the
+    configured writer — call ``.start()``.
     """
     from text_extensions_for_pandas_spark.operators.sketch import cms_sketch
 
@@ -705,11 +706,108 @@ def streaming_cms_ingest(
     )
 
 
+def _cms_index_state(spark: SparkSession, index_path: str):
+    """List a CMS index directory through the Hadoop FileSystem API (works
+    on any Spark-supported FS, not just local): returns
+    ``(fs, root, batch_ids, compact_throughs)`` where compact snapshots
+    count only if their ``_SUCCESS`` marker exists (a crashed compaction
+    write is invisible to readers)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    batches: list[int] = []
+    compacts: list[int] = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if "=" not in name:
+                continue
+            prefix, _, val = name.partition("=")
+            try:
+                n = int(val)
+            except ValueError:
+                continue
+            if prefix == "batch":
+                batches.append(n)
+            elif prefix == "compact_through" and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            ):
+                compacts.append(n)
+    return fs, root, sorted(batches), sorted(compacts)
+
+
 def cms_read(spark: SparkSession, index_path: str) -> DataFrame:
-    """Merge every landed batch delta of a :func:`streaming_cms_ingest`
-    directory into the current sketch (cell-wise sum — the CMS merge)."""
+    """Current sketch of a :func:`streaming_cms_ingest` directory: the
+    newest complete ``compact_through=<T>`` snapshot (if any) plus every
+    ``batch=<id>`` delta with ``id > T``, summed cell-wise (the CMS merge).
+    Batch dirs at or below T are ignored even if a compaction crashed
+    before deleting them — reads are consistent at every crash point."""
+    _, _, batches, compacts = _cms_index_state(spark, index_path)
+    t = compacts[-1] if compacts else -1
+    paths = [f"{index_path}/compact_through={t}"] if t >= 0 else []
+    paths += [f"{index_path}/batch={b}" for b in batches if b > t]
+    if not paths:
+        return spark.createDataFrame([], "row int, bucket long, cnt long")
     return (
-        spark.read.parquet(index_path)
+        spark.read.parquet(*paths)
+        .select("row", "bucket", "cnt")
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def cms_compact(spark: SparkSession, index_path: str) -> int:
+    """Fold landed CMS deltas into one ``compact_through=<T>`` snapshot so
+    on-disk state stays O(d x w) under continuous ingest, crash-safe and
+    replay-safe:
+
+    - the NEWEST batch dir is never folded — it is the only one
+      foreachBatch can replay (earlier batches are committed in the stream
+      checkpoint once a later batch starts), and a replay overwrites its
+      own still-present ``batch=<id>`` dir exactly as before;
+    - the new snapshot (old snapshot + folded deltas) is written FIRST;
+      only after its ``_SUCCESS`` marker exists are the folded batch dirs
+      and older snapshots deleted.  A crash at any point leaves either the
+      old state (snapshot incomplete → ignored) or the new state (leftover
+      folded dirs ≤ T → ignored by :func:`cms_read`'s ``id > T`` rule) —
+      never a double count.
+
+    Returns the new fold horizon T (-1 if there was nothing to fold).
+    """
+    from text_extensions_for_pandas_spark.operators.sketch import cms_merge
+
+    jvm = spark._jvm
+    fs, _, batches, compacts = _cms_index_state(spark, index_path)
+    t = compacts[-1] if compacts else -1
+    fold = [b for b in batches if t < b < (batches[-1] if batches else 0)]
+    if not fold:
+        return t
+    new_t = fold[-1]
+    parts = [
+        spark.read.parquet(f"{index_path}/batch={b}").select(
+            "row", "bucket", "cnt"
+        )
+        for b in fold
+    ]
+    if t >= 0:
+        parts.append(
+            spark.read.parquet(f"{index_path}/compact_through={t}").select(
+                "row", "bucket", "cnt"
+            )
+        )
+    cms_merge(*parts).write.parquet(
+        f"{index_path}/compact_through={new_t}"
+    )
+    # cleanup only after the snapshot is fully committed
+    for b in fold:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{index_path}/batch={b}"), True
+        )
+    for c in compacts:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{index_path}/compact_through={c}"
+            ),
+            True,
+        )
+    return new_t
