@@ -251,6 +251,45 @@ def main() -> None:
              "sec": round(dt_fast, 2)}
         )
     )
+    # tokenizer-scale budget: even at min_pair_count=1 the synthetic
+    # corpus's pair inventory exhausts at ~305 merges (few hundred
+    # distinct words), so an 8k budget cannot bind on real testdata —
+    # run the budget anyway to prove early-stop costs nothing extra
+    t0 = time.time()
+    big_merges, _ = train_bpe(bpe_docs, n_merges=8000, min_pair_count=1)
+    dt_big = time.time() - t0
+    print(
+        json.dumps(
+            {"op": "train_bpe_inmemory_8k_budget", "merges": len(big_merges),
+             "sec": round(dt_big, 2)}
+        )
+    )
+    # ... and measure a REAL 32k-merge run on a synthetic 100k-word
+    # Zipf vocabulary (deterministic md5-hex words), exercising the
+    # in-memory trainer's incremental bookkeeping at tokenizer scale —
+    # the wall-clock a production vocab-training run pays after the
+    # corpus collapses to its word-frequency table
+    import hashlib
+
+    from text_extensions_for_pandas_spark.operators.bpe import (
+        _train_bpe_in_memory,
+    )
+
+    synth_vocab = [
+        (hashlib.md5(str(i).encode()).hexdigest(), max(1, 100_000 // (i + 1)))
+        for i in range(100_000)
+    ]
+    t0 = time.time()
+    synth_merges, _ = _train_bpe_in_memory(
+        synth_vocab, n_merges=32_000, min_pair_count=2
+    )
+    dt_synth = time.time() - t0
+    print(
+        json.dumps(
+            {"op": "train_bpe_inmemory_32k_synth100k",
+             "merges": len(synth_merges), "sec": round(dt_synth, 2)}
+        )
+    )
     t0 = time.time()
     slow_merges, _ = train_bpe(
         bpe_docs, n_merges=16, max_driver_words=None

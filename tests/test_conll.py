@@ -210,6 +210,51 @@ def test_render_spans_region_types(spark):
     assert "&lt;x&gt;" in solo and "<br>fff" in solo
 
 
+def test_dataframe_widget_static_subset(spark):
+    """The static DataFrameWidget renders both panes (row table + span
+    view), honors the selection column, bounds rows, and refuses
+    interactive editing with the documented scope note."""
+    import pytest as _pytest
+
+    from text_extensions_for_pandas_spark.display import DataFrameWidget
+
+    text = "aaa bbb ccc"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(0, (0, 3), "A", True), (0, (4, 7), "B", False)],
+        "doc_id long, span struct<begin:int,end:int>, lbl string, sel boolean",
+    )
+
+    w = DataFrameWidget(
+        spans, docs, metadata_column="sel", label_col="lbl", max_rows=10
+    )
+    html = w.to_html()
+    # both panes present
+    assert "tep-widget-table" in html and "span-array" in html
+    # table pane has the rows; span pane has the marked document text
+    assert "<th>lbl</th>" in html and "<td>A</td>" in html
+    assert "<mark title='A'>aaa</mark>" in html
+    # _repr_html_ is the notebook hook
+    assert w._repr_html_() == html
+
+    assert list(w.selected()) == [True, False]
+    # no metadata column -> all-False selection
+    assert list(
+        DataFrameWidget(spans.drop("sel"), docs).selected()
+    ) == [False, False]
+
+    # bounded: max_rows rows survive, like the reference display limit
+    assert len(DataFrameWidget(spans, docs, max_rows=1).to_dataframe()) == 1
+
+    with _pytest.raises(NotImplementedError):
+        w.set_interactive_columns(["lbl"])
+
+    # without documents: table pane only, no span pane
+    table_only = DataFrameWidget(spans).to_html()
+    assert "tep-widget-table" in table_only
+    assert "span-array" not in table_only
+
+
 def test_conll_u_default_helpers():
     from text_extensions_for_pandas_spark.sources.conll import (
         CONLL_U_SCHEMA,

@@ -357,9 +357,11 @@ def test_no_accidental_nested_loop_joins_across_registry(spark):
         # ADC lookup tables, and the k-centroid probe broadcast — all
         # model-sized build sides, never corpus x corpus
         "pq_topk", "ivfpq_topk",
+        # same PQ model-broadcast shape over the durable on-disk index
+        "ivfpq_index_search",
         # recall measurement embeds the documented exact-ANN tier (small
         # broadcast query set x corpus) as its ground truth
-        "ann_recall",
+        "ann_recall", "lsh_recall", "ivfpq_recall",
     }
     sf = "/root/testdata/sf0.001"
     bad = {}

@@ -1212,8 +1212,11 @@ def test_reference_namespace_compatibility(ref):
     ``tp.cleaning.{analysis,ensemble,preprocess}`` functions, and
     ``tp.jupyter.pretty_print_html`` exist under the Spark package's alias
     namespaces.  Documented absences: downloaders (no network),
-    ``run_with_progress_bar`` (Spark UI), ``DataFrameWidget`` (interactive
-    ipywidgets), ``create_bert_actor_class`` (Ray — Spark IS the runtime).
+    ``run_with_progress_bar`` (Spark UI), ``create_bert_actor_class``
+    (Ray — Spark IS the runtime).  ``DataFrameWidget`` exists as the
+    STATIC subset (``display.py``): display/to_dataframe/selected/
+    ``_repr_html_`` without browser-side editing
+    (``set_interactive_columns`` raises with a scope note).
     """
     import importlib
     import inspect

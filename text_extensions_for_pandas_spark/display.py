@@ -211,3 +211,121 @@ def render_spans_html(
 # takes a SpanArray + show_offsets flag; the Spark-first equivalent takes
 # the (spans, documents) DataFrames.  Same static rendering semantics.
 pretty_print_html = render_spans_html
+
+
+class DataFrameWidget:
+    """Static (non-interactive) subset of the reference's
+    ``jupyter/widget/core.py:43`` ``DataFrameWidget``: the same
+    two-pane structure — a row table of the DataFrame beside the span
+    visualization in document context — rendered as plain HTML with no
+    ipywidgets/JS dependency, so it works in any notebook or saved HTML
+    report.
+
+    Surface parity (reference methods, ``jupyter/widget/core.py``):
+
+    * ``to_dataframe()`` (ref :115-129) — the bounded rows as pandas;
+    * ``selected()`` (ref :115) — the metadata (selection) column;
+    * ``display()`` (ref :119) — IPython.display when available, else
+      returns the HTML object;
+    * ``_repr_html_`` — renders inline in Jupyter automatically.
+
+    Deliberately NOT ported (interactive editing): in-place span
+    begin/end editing, add-row, tag/color-mode dropdowns
+    (``jupyter/widget/table.py:39-141``).  ``set_interactive_columns``
+    raises ``NotImplementedError`` with this scope note — editing
+    DataFrame cells through browser callbacks has no Spark-side
+    equivalent (plans are immutable; re-run the pipeline instead).
+
+    Driver-side by design, like :func:`render_spans_html`: rows are
+    bounded by ``max_rows`` before collecting.
+    """
+
+    def __init__(
+        self,
+        dataframe: DataFrame,
+        documents: DataFrame | None = None,
+        metadata_column: str | None = None,
+        span_col: str = "span",
+        doc_col: str = "doc_id",
+        label_col: str | None = None,
+        max_rows: int = 50,
+    ) -> None:
+        self._df = dataframe.limit(max_rows)
+        self._documents = documents
+        self._metadata_column = metadata_column
+        self._span_col = span_col
+        self._doc_col = doc_col
+        self._label_col = label_col
+        self._max_rows = max_rows
+
+    def to_dataframe(self):
+        """The widget's current rows as a pandas DataFrame (bounded)."""
+        return self._df.toPandas()
+
+    def selected(self):
+        """The selection column (reference ``metadata_column``): a pandas
+        boolean Series, all-False when none was provided — the static
+        widget has no checkboxes to flip it."""
+        import pandas as pd
+
+        pdf = self.to_dataframe()
+        if self._metadata_column and self._metadata_column in pdf.columns:
+            return pdf[self._metadata_column].astype(bool)
+        return pd.Series([False] * len(pdf))
+
+    def set_interactive_columns(self, columns: list) -> None:
+        raise NotImplementedError(
+            "Interactive column editing is out of scope for the static "
+            "widget: Spark plans are immutable, so cell edits have no "
+            "engine-side meaning. Re-derive the DataFrame instead. "
+            "(Reference: jupyter/widget/core.py:131.)"
+        )
+
+    def to_html(self) -> str:
+        """The two-pane HTML: row table, then (when ``documents`` was
+        given and a span column exists) the span visualization."""
+        pdf = self.to_dataframe()
+        head = "".join(
+            f"<th>{_sanitize(str(c))}</th>" for c in ["index", *pdf.columns]
+        )
+        body = []
+        for idx, row in pdf.iterrows():
+            cells = "".join(
+                f"<td>{_sanitize(str(v))}</td>" for v in [idx, *row.tolist()]
+            )
+            body.append(f"<tr>{cells}</tr>")
+        parts = [
+            "<div class='tep-dataframe-widget'>",
+            "<table class='tep-widget-table'>",
+            f"<thead><tr>{head}</tr></thead>",
+            f"<tbody>{''.join(body)}</tbody>",
+            "</table>",
+        ]
+        if (
+            self._documents is not None
+            and self._span_col in self._df.columns
+        ):
+            parts.append(
+                render_spans_html(
+                    self._df,
+                    self._documents,
+                    span_col=self._span_col,
+                    doc_col=self._doc_col,
+                    label_col=self._label_col,
+                    max_docs=self._max_rows,
+                )
+            )
+        parts.append("</div>")
+        return "".join(parts)
+
+    _repr_html_ = to_html
+
+    def display(self):
+        """Show the widget (IPython when present, else return the HTML)."""
+        try:
+            from IPython.display import HTML, display as ipy_display
+        except ImportError:
+            return self.to_html()
+        html = HTML(self.to_html())
+        ipy_display(html)
+        return html

@@ -3692,6 +3692,222 @@ GROUP BY x.query_id
 ORDER BY x.query_id
 """
 
+# shared recall tail: exact top-10 LEFT JOIN an approx tier's top-10
+_RECALL_TAIL = """
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS recall_at_10
+FROM exact x
+LEFT JOIN approx a ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+"""
+
+# exact cosine top-10 over the raw embeddings table (recall ground truth)
+_EXACT_TOP10_CTES = f"""
+xscored AS (
+  SELECT q0.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_DOT.format(a='q0.embedding', b='e.embedding')}
+         / (sqrt({_DOT.format(a='q0.embedding', b='q0.embedding')})
+            * sqrt({_DOT.format(a='e.embedding', b='e.embedding')})) AS score
+  FROM embeddings q0, embeddings e
+  WHERE q0.vec_id < 5 AND e.vec_id <> q0.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM xscored
+  ) WHERE rank <= 10
+)
+"""
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 gauge for the hyperplane-LSH tier (same construction as
+    ``ann_recall``): every approximate tier ships with a measured quality
+    row, not an asserted one.  LSH candidate pruning on the near-random
+    test embeddings recalls far below 1.0 (TESTDATA.md) — the gauge is
+    the product."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = SIM.lsh_topk(emb, queries_df, k=10, n_tables=4, n_planes=6)
+    return _recall_at_10(exact, approx)
+
+
+Q_LSH_RECALL_SQL = f"""
+WITH w AS (
+  SELECT t.t, p.p, d.d,
+         ((1103515245 * ((t.t*6 + p.p)*64 + d.d) + 12345) % 65536) - 32768 AS w
+  FROM range(4) t(t), range(6) p(p), range(64) d(d)
+),
+vq AS (
+  SELECT vec_id, d.d,
+         CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 16777216.0) AS BIGINT) AS vq
+  FROM embeddings, range(64) d(d)
+),
+dots AS (
+  SELECT vq.vec_id, w.t, w.p, sum(vq.vq * w.w) AS dp
+  FROM vq JOIN w ON vq.d = w.d
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, t AS table_id,
+         sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets v ON q.table_id = v.table_id AND q.bucket = v.bucket
+  WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id
+),
+ascored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_DOT.format(a='qe.embedding', b='ne.embedding')}
+         / (sqrt({_DOT.format(a='qe.embedding', b='qe.embedding')})
+            * sqrt({_DOT.format(a='ne.embedding', b='ne.embedding')})) AS score
+  FROM cands c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM ascored
+  ) WHERE rank <= 10
+),
+{_EXACT_TOP10_CTES.strip().lstrip()}
+{_RECALL_TAIL.strip()}
+"""
+
+
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 gauge for the IVF-PQ tier: coarse-probe pruning AND code
+    compression both cost recall; this row measures the combined loss
+    against the exact (double-cast) top-10 — completing measured quality
+    rows for every ANN tier (exact is the definitionally-1.0 baseline;
+    IVF via ``ann_recall``, LSH via ``lsh_recall``)."""
+    emb_d = _emb_double(spark, sf_dir)
+    centroids = emb_d.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries_df = emb_d.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb_d, queries_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    assigned = SIM.ivf_assign(emb_d, centroids)
+    cb = _pq_model(emb_d)
+    codes = SIM.pq_encode(emb_d, cb)
+    approx = SIM.ivfpq_topk(
+        assigned, codes, centroids, cb, queries_df, k=10, nprobe=4,
+        metric="cosine",
+    )
+    return _recall_at_10(exact, approx)
+
+
+Q_IVFPQ_RECALL_SQL = f"""
+WITH {_PQ_CB_CTES.strip().lstrip()},
+c AS (SELECT vec_id AS centroid_id, emb AS ce FROM ed WHERE vec_id < 16),
+ascore AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_DOT.format(a='e.emb', b='c.ce')}
+         / (sqrt({_DOT.format(a='e.emb', b='e.emb')}) * sqrt({_DOT.format(a='c.ce', b='c.ce')}))
+           AS score
+  FROM ed e, c
+),
+assigned AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+  FROM ascore
+),
+clustered AS (SELECT vec_id, centroid_id FROM assigned WHERE rn = 1),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_DOT.format(a='q.qe', b='c.ce')}
+             / (sqrt({_DOT.format(a='q.qe', b='q.qe')}) * sqrt({_DOT.format(a='c.ce', b='c.ce')})) DESC,
+             c.centroid_id) AS prn
+    FROM q, c
+  ) WHERE prn <= 4
+),
+cand AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id
+  FROM probes p
+  JOIN clustered v ON v.centroid_id = p.centroid_id
+  WHERE v.vec_id <> p.query_id
+),
+ascored AS (
+  SELECT a.query_id, a.neighbor_id, sum(l.ip) AS score
+  FROM cand a
+  JOIN codes co ON co.vec_id = a.neighbor_id
+  JOIN lut l ON l.query_id = a.query_id AND l.sub_id = co.sub_id
+            AND l.code = co.code
+  GROUP BY a.query_id, a.neighbor_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM ascored
+  ) WHERE rank <= 10
+),
+xscored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_DOT.format(a='q.qe', b='e.emb')}
+         / (sqrt({_DOT.format(a='q.qe', b='q.qe')}) * sqrt({_DOT.format(a='e.emb', b='e.emb')})) AS score
+  FROM q, ed e WHERE e.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM xscored
+  ) WHERE rank <= 10
+)
+{_RECALL_TAIL.strip()}
+"""
+
+
+def q_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable-index ANN path end-to-end under the value-hash oracle:
+    :func:`~.operators.similarity.write_ivfpq_index` materializes
+    partitioned PQ codes + model tables into a session temp dir, then
+    :func:`~.operators.similarity.ivfpq_search_index` searches THE
+    WRITTEN FILES with on-disk partition pruning (only the probed
+    ``cluster_id=`` directories are read).  Pruning removes only clusters
+    no query probes, so the result is bit-equal to the in-memory
+    ``ivfpq_topk`` — and to its DuckDB recompute."""
+    import tempfile
+
+    emb_d = _emb_double(spark, sf_dir)
+    centroids = emb_d.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cb = _pq_model(emb_d)
+    path = tempfile.mkdtemp(prefix="tep_ivfpq_index_")
+    SIM.write_ivfpq_index(emb_d, centroids, cb, path)
+    out = SIM.ivfpq_search_index(
+        spark,
+        path,
+        emb_d.filter(F.col("vec_id") < 5),
+        k=10,
+        nprobe=4,
+        metric="cosine",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_metrics(load(spark, sf_dir, "documents"), n=2).orderBy(
@@ -5519,6 +5735,73 @@ LIMIT 30
 """
 
 
+# Fixed merge list for the bpe_encode oracle.  The DuckDB twin applies
+# each merge as a sequential string replace over a \x01-prefix-delimited
+# symbol encoding — exactly equivalent to the Spark fold's greedy
+# left-to-right non-overlapping semantics PROVIDED no symbol ever has a
+# merge's right side as a proper prefix.  These four merges produce only
+# th/er/ow/in (starting t/e/o/i), so the patterns ,t,h ,e,r ,o,w ,i,n can
+# never false-match a longer symbol; chained merges (e.g. th+e) would
+# break the property and need the fold-side oracle instead.
+BPE_ENCODE_MERGES = [("t", "h"), ("e", "r"), ("o", "w"), ("i", "n")]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under a trained merge list
+    (:func:`~.operators.bpe.bpe_encode_corpus`): the merge chain runs
+    once per VOCABULARY word (the fold never touches the corpus), and the
+    corpus pays one explode + one equijoin against that segmentation
+    table — the join shape a 100 TB tokenization actually executes.
+    Verified value-exact against DuckDB's replace-chain recompute."""
+    from text_extensions_for_pandas_spark.operators.bpe import (
+        bpe_encode_corpus,
+    )
+
+    out = bpe_encode_corpus(
+        load(spark, sf_dir, "documents"), BPE_ENCODE_MERGES
+    )
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        "word",
+        F.array_join("subtokens", " ").alias("subtokens"),
+    ).orderBy("doc_id", "pos")
+
+
+Q_BPE_ENCODE_SQL = r"""
+WITH dtoks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(text)), ' '),
+                     w -> length(w) > 0) AS tl
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) AS pos, tl[t.i + 1] AS word
+  FROM dtoks, unnest(range(len(tl))) AS t(i)
+),
+vocab AS (SELECT DISTINCT word FROM occ),
+seg AS (
+  SELECT word,
+         array_to_string(
+           string_split(
+             substr(
+               replace(replace(replace(replace(
+                 regexp_replace(word, '(.)', e'\x01\\1', 'g'),
+                 e'\x01t\x01h', e'\x01th'),
+                 e'\x01e\x01r', e'\x01er'),
+                 e'\x01o\x01w', e'\x01ow'),
+                 e'\x01i\x01n', e'\x01in'),
+               2),
+             e'\x01'),
+           ' ') AS subtokens
+  FROM vocab
+)
+SELECT o.doc_id, o.pos, o.word, s.subtokens
+FROM occ o JOIN seg s USING (word)
+ORDER BY doc_id, pos
+"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al., NeurIPS'23): score every
     document by hashed-unigram log-likelihood ratio between a target
@@ -5803,88 +6086,37 @@ ORDER BY d.lang
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-5 order (the r04 rotation note's promise, executed): [1-13] the
-# thirteen late-round-4 entries never driver-verified
-# (boilerplate_removal ... incontext_order — each locally hash-verified at
-# both SFs in ORACLE_LOCAL_r04.md); [14-18] the five entries NEW or
-# oracle-upgraded this round (pq_topk, ivfpq_topk, semantic_dedup,
-# multimodal_image_features — formerly the last rows-only entry, now under
-# the real-PPM-decode value-hash oracle — and gopher_rules_tuned, which
-# exercises the required-word rule's non-degenerate branch; gopher_rules
-# itself ALSO changed this round (punctuation-stripped membership) and is
-# already in slot 6); [19-30] the twelve twice-verified entries rotated
-# out in r04 with the explicit re-gate-in-r05 note (tensor_rowstats,
-# tensor_mean_by_label, iob_to_iob2, unpack_semijoin, seq_windows,
-# covering_span, neighbor_tokens, spans_to_iob, extract_regex_tok,
-# extract_split, lemmatize, simhash); [31-50] the oldest-verified twenty
-# of the r03-gated backlog (fingerprint_winnow ... q18_large_volume).
-# Below the boundary: the remaining twenty r03-gated entries (q22 ...
-# iob_to_spans — rotate into the r06 gate first), then the fifty entries
-# the r04 gate just verified.  The FULL registry is locally hash-verified
-# by scripts/check_oracle.py at sf0.001 AND sf0.01 regardless of position.
+# Round-6 order (the r05 rotation note's promise, executed): [1-4] the
+# four late-round-5 entries never driver-verified (exactsubstr_clean,
+# line_repetition, cms_heavy_hitters, ann_recall — locally hash-verified
+# at both SFs last round AND again this round after the de-skew rewrite);
+# [5-8] the four entries NEW this round (ivfpq_index_search — the durable
+# on-disk IVF-PQ index path; bpe_encode — corpus tokenization under a
+# trained merge list; lsh_recall / ivfpq_recall — measured recall@10 rows
+# completing quality gauges for every ANN tier); [9] cap_per_domain,
+# whose plan changed this round (mega-domain hash-threshold pre-filter);
+# [10-29] the twenty remaining r03-gated backlog entries
+# (q22_sales_opportunity ... iob_to_spans); [30-50] the twenty-one
+# oldest r04-verified entries (f1_report ... q14_promo_effect), now two
+# rounds stale.  Below the boundary: the remaining twenty-eight
+# r04-verified entries (q19_discounted_revenue ... dsir_weights — rotate
+# into the r07 gate FIRST), then the fifty entries the r05 gate just
+# verified.  The FULL registry is locally hash-verified by
+# scripts/check_oracle.py at sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- [1-13] late round-4 additions: first driver verification --
-    "boilerplate_removal": (q_boilerplate_removal, Q_BOILERPLATE_SQL),
-    "doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
-    "near_dup_containment": (q_near_dup_containment, Q_NEAR_DUP_CONTAINMENT_SQL),
-    "source_divergence": (q_source_divergence, Q_SOURCE_DIVERGENCE_SQL),
-    "corpus_shuffle": (q_corpus_shuffle, Q_CORPUS_SHUFFLE_SQL),
-    "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
-    "training_prep_e2e": (q_training_prep_e2e, Q_TRAINING_PREP_SQL),
-    "fingerprint_overlap": (q_fingerprint_overlap, Q_FINGERPRINT_OVERLAP_SQL),
-    "zorder_events": (q_zorder_events, Q_ZORDER_SQL),
-    "contamination_report": (q_contamination_report, Q_CONTAMINATION_REPORT_SQL),
-    "split_divergence": (q_split_divergence, Q_SPLIT_DIVERGENCE_SQL),
-    "alpha_mixture": (q_alpha_mixture, Q_ALPHA_MIXTURE_SQL),
-    "incontext_order": (q_incontext_order, Q_INCONTEXT_ORDER_SQL),
-    # -- [14-18] new or oracle-upgraded this round --
-    "pq_topk": (q_pq_topk, Q_PQ_TOPK_SQL),
-    "ivfpq_topk": (q_ivfpq_topk, Q_IVFPQ_TOPK_SQL),
-    "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
-    "multimodal_image_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
-    "gopher_rules_tuned": (q_gopher_rules_tuned, Q_GOPHER_RULES_TUNED_SQL),
-    # -- [19-30] the r04 rotated-out backlog (re-gate promised for r05) --
-    "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
-    "tensor_mean_by_label": (q_tensor_mean_by_label, Q_TENSOR_MEAN_SQL),
-    "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
-    "unpack_semijoin": (q_unpack_semijoin, Q_UNPACK_SQL),
-    "seq_windows": (q_seq_windows, Q_SEQ_WINDOWS_SQL),
-    "covering_span": (q_covering_span, Q_COVERING_SPAN_SQL),
-    "neighbor_tokens": (q_neighbor_tokens, Q_NEIGHBOR_SQL),
-    "spans_to_iob": (q_spans_to_iob, Q_SPANS_TO_IOB_SQL),
-    "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
-    "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
-    "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
-    "simhash": (q_simhash, Q_SIMHASH_SQL),
-    # -- [31-50] oldest-verified r03-gated backlog (2-round cadence) --
-    "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
-    "bm25_search": (q_bm25, Q_BM25_SQL),
-    "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
-    "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
-    "prob_product": (q_prob_product, Q_PROB_PRODUCT_SQL),
-    "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
-    "doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
-    "decontam_overlap": (q_decontam_overlap, Q_DECONTAM_SQL),
-    "tfidf_top_terms": (q_tfidf_top_terms, Q_TFIDF_SQL),
-    "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
-    "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
-    "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
-    "doc_length_quantiles": (q_doc_length_quantiles, Q_DOC_LENGTH_QUANTILES_SQL),
-    "pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
-    "doc_surprisal": (q_doc_surprisal, Q_DOC_SURPRISAL_SQL),
-    "events_retention": (q_events_retention, Q_EVENTS_RETENTION_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
-    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
-    # ------------------- gate boundary (position 50) -------------------
-    # new after the round-5 gate order was fixed — locally hash-verified
-    # at sf0.001 AND sf0.01 (scripts/check_oracle.py); gate FIRST in r06
+    # -- [1-4] late round-5 additions: first driver verification --
     "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
     "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
     "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
     "ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
-    # remaining r03-gated backlog — rotate into the r06 gate next
+    # -- [5-8] new this round --
+    "ivfpq_index_search": (q_ivfpq_index_search, Q_IVFPQ_TOPK_SQL),
+    "bpe_encode": (q_bpe_encode, Q_BPE_ENCODE_SQL),
+    "lsh_recall": (q_lsh_recall, Q_LSH_RECALL_SQL),
+    "ivfpq_recall": (q_ivfpq_recall, Q_IVFPQ_RECALL_SQL),
+    # -- [9] plan changed this round (mega-domain pre-filter) --
+    "cap_per_domain": (q_cap_per_domain, Q_CAP_PER_DOMAIN_SQL),
+    # -- [10-29] remaining r03-gated backlog (2-round cadence) --
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
@@ -5905,7 +6137,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "consolidate": (q_consolidate, Q_CONSOLIDATE_SQL),
     "consolidate_rowwise": (q_consolidate_rowwise, Q_CONSOLIDATE_SQL),
     "iob_to_spans": (q_iob_spans, Q_IOB_SPANS_SQL),
-    # -- verified by the r04 gate (all 50 green in CORRECTNESS_r04) --
+    # -- [30-50] oldest r04-verified entries (2 rounds stale) --
     "f1_report": (q_f1_report, Q_F1_SQL),
     "accuracy_by_doc": (q_accuracy_by_doc, Q_ACCURACY_SQL),
     "global_accuracy": (q_global_accuracy, Q_GLOBAL_ACCURACY_SQL),
@@ -5927,6 +6159,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q14_promo_effect": (q14_promo_effect, Q14_SQL),
+    # ------------------- gate boundary (position 50) -------------------
+    # remaining r04-verified entries — rotate into the r07 gate FIRST
     "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
     "q_top3_per_nation": (q_top3_customers_per_nation, Q_TOP3_PER_NATION_SQL),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
@@ -5955,7 +6189,57 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
     "bpe_pair_counts": (q_bpe_pair_counts, Q_BPE_PAIR_COUNTS_SQL),
     "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
-    "cap_per_domain": (q_cap_per_domain, Q_CAP_PER_DOMAIN_SQL),
+    # -- verified by the r05 gate (all 50 green in CORRECTNESS_r05) --
+    "boilerplate_removal": (q_boilerplate_removal, Q_BOILERPLATE_SQL),
+    "doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
+    "near_dup_containment": (q_near_dup_containment, Q_NEAR_DUP_CONTAINMENT_SQL),
+    "source_divergence": (q_source_divergence, Q_SOURCE_DIVERGENCE_SQL),
+    "corpus_shuffle": (q_corpus_shuffle, Q_CORPUS_SHUFFLE_SQL),
+    "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
+    "training_prep_e2e": (q_training_prep_e2e, Q_TRAINING_PREP_SQL),
+    "fingerprint_overlap": (q_fingerprint_overlap, Q_FINGERPRINT_OVERLAP_SQL),
+    "zorder_events": (q_zorder_events, Q_ZORDER_SQL),
+    "contamination_report": (q_contamination_report, Q_CONTAMINATION_REPORT_SQL),
+    "split_divergence": (q_split_divergence, Q_SPLIT_DIVERGENCE_SQL),
+    "alpha_mixture": (q_alpha_mixture, Q_ALPHA_MIXTURE_SQL),
+    "incontext_order": (q_incontext_order, Q_INCONTEXT_ORDER_SQL),
+    "pq_topk": (q_pq_topk, Q_PQ_TOPK_SQL),
+    "ivfpq_topk": (q_ivfpq_topk, Q_IVFPQ_TOPK_SQL),
+    "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
+    "multimodal_image_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
+    "gopher_rules_tuned": (q_gopher_rules_tuned, Q_GOPHER_RULES_TUNED_SQL),
+    "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
+    "tensor_mean_by_label": (q_tensor_mean_by_label, Q_TENSOR_MEAN_SQL),
+    "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
+    "unpack_semijoin": (q_unpack_semijoin, Q_UNPACK_SQL),
+    "seq_windows": (q_seq_windows, Q_SEQ_WINDOWS_SQL),
+    "covering_span": (q_covering_span, Q_COVERING_SPAN_SQL),
+    "neighbor_tokens": (q_neighbor_tokens, Q_NEIGHBOR_SQL),
+    "spans_to_iob": (q_spans_to_iob, Q_SPANS_TO_IOB_SQL),
+    "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
+    "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
+    "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
+    "simhash": (q_simhash, Q_SIMHASH_SQL),
+    "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
+    "bm25_search": (q_bm25, Q_BM25_SQL),
+    "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
+    "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
+    "prob_product": (q_prob_product, Q_PROB_PRODUCT_SQL),
+    "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
+    "doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
+    "decontam_overlap": (q_decontam_overlap, Q_DECONTAM_SQL),
+    "tfidf_top_terms": (q_tfidf_top_terms, Q_TFIDF_SQL),
+    "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
+    "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
+    "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
+    "doc_length_quantiles": (q_doc_length_quantiles, Q_DOC_LENGTH_QUANTILES_SQL),
+    "pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
+    "doc_surprisal": (q_doc_surprisal, Q_DOC_SURPRISAL_SQL),
+    "events_retention": (q_events_retention, Q_EVENTS_RETENTION_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
 }
 
 
