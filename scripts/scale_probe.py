@@ -264,11 +264,13 @@ def main() -> None:
              "sec": round(dt_big, 2)}
         )
     )
-    # ... and measure a REAL 32k-merge run on a synthetic 100k-word
-    # Zipf vocabulary (deterministic md5-hex words), exercising the
+    # ... and measure a REAL 8k-merge run on a synthetic 50k-word Zipf
+    # vocabulary (deterministic 12-char md5-prefix words), exercising the
     # in-memory trainer's incremental bookkeeping at tokenizer scale —
     # the wall-clock a production vocab-training run pays after the
-    # corpus collapses to its word-frequency table
+    # corpus collapses to its word-frequency table.  (A hex alphabet is
+    # the WORST case for the bookkeeping: the ~256 hot early pairs touch
+    # nearly every word; natural-language vocabularies are far sparser.)
     import hashlib
 
     from text_extensions_for_pandas_spark.operators.bpe import (
@@ -276,17 +278,20 @@ def main() -> None:
     )
 
     synth_vocab = [
-        (hashlib.md5(str(i).encode()).hexdigest(), max(1, 100_000 // (i + 1)))
-        for i in range(100_000)
+        (
+            hashlib.md5(str(i).encode()).hexdigest()[:12],
+            max(1, 50_000 // (i + 1)),
+        )
+        for i in range(50_000)
     ]
     t0 = time.time()
     synth_merges, _ = _train_bpe_in_memory(
-        synth_vocab, n_merges=32_000, min_pair_count=2
+        synth_vocab, n_merges=8_000, min_pair_count=2
     )
     dt_synth = time.time() - t0
     print(
         json.dumps(
-            {"op": "train_bpe_inmemory_32k_synth100k",
+            {"op": "train_bpe_inmemory_8k_synth50k",
              "merges": len(synth_merges), "sec": round(dt_synth, 2)}
         )
     )

@@ -49,6 +49,81 @@ def tensor_isna(a: Column | str) -> Column:
     return F.forall(_c(a), F.isnan)
 
 
+# -- arbitrary-rank elementwise surface --------------------------------------
+#
+# The reference's ``__array_ufunc__`` (``array/tensor.py:640-667``) applies
+# numpy ufuncs to tensors of ANY rank.  Spark's mapping nests arrays, and
+# column expressions are built before any schema is known, so the rank is
+# an explicit parameter: the expression recurses ``zip_with``/``transform``
+# down to the scalar leaves.  Rank 1 degenerates to the functions above.
+
+def elementwise_nd(
+    a: Column | str, b: Column | str, op: str = "+", rank: int = 1
+) -> Column:
+    """Elementwise arithmetic between two equal-shape tensors of rank
+    ``rank`` (1 = ``ARRAY<number>``, 2 = ``ARRAY<ARRAY<number>>``, ...)."""
+    ops = {
+        "+": lambda x, y: x + y,
+        "-": lambda x, y: x - y,
+        "*": lambda x, y: x * y,
+        "/": lambda x, y: x / y,
+    }
+    leaf = ops[op]
+
+    def rec(x: Column, y: Column, r: int) -> Column:
+        if r <= 1:
+            return F.zip_with(x, y, leaf)
+        return F.zip_with(x, y, lambda xa, ya: rec(xa, ya, r - 1))
+
+    return rec(_c(a), _c(b), rank)
+
+
+def scale_nd(
+    a: Column | str,
+    factor: Column | float,
+    offset: Column | float = 0.0,
+    rank: int = 1,
+) -> Column:
+    """``a * factor + offset`` elementwise at any rank (scalar broadcast,
+    the reference's tensor-scalar ufunc path)."""
+
+    def rec(x: Column, r: int) -> Column:
+        if r <= 1:
+            return F.transform(x, lambda v: v * factor + offset)
+        return F.transform(x, lambda xa: rec(xa, r - 1))
+
+    return rec(_c(a), rank)
+
+
+def apply_ufunc_nd(a: Column | str, fn, rank: int = 1) -> Column:
+    """Apply a scalar Column function (``F.exp``, ``F.abs``, a lambda…)
+    to every leaf element of a rank-``rank`` tensor — the generic unary
+    ufunc surface."""
+
+    def rec(x: Column, r: int) -> Column:
+        if r <= 1:
+            return F.transform(x, fn)
+        return F.transform(x, lambda xa: rec(xa, r - 1))
+
+    return rec(_c(a), rank)
+
+
+def flatten_nd(a: Column | str, rank: int = 1) -> Column:
+    """Flatten a rank-``rank`` tensor to its rank-1 leaf sequence
+    (row-major, numpy ``ravel``), enabling any rank-1 reduction above
+    (``vsum``/``vmean``/``l2_norm``/``argmax``) on higher-rank tensors."""
+    out = _c(a)
+    for _ in range(max(0, rank - 1)):
+        out = F.flatten(out)
+    return out
+
+
+def tensor_isna_nd(a: Column | str, rank: int = 1) -> Column:
+    """NA tensor = all leaves NaN, at any rank (reference
+    ``array/tensor.py:348-363`` generalized)."""
+    return F.forall(flatten_nd(a, rank), F.isnan)
+
+
 # -- per-row reductions (axis 1) --------------------------------------------
 
 def vsum(a: Column | str) -> Column:
