@@ -708,6 +708,10 @@ def repeated_ngram_spans(
     positions = F.when(
         F.length(text_col) >= k, F.sequence(F.lit(0), F.length(text_col) - k)
     ).otherwise(F.array().cast("array<int>"))
+    # one explicit repartition by the gram hash, consumed by both the
+    # cross-doc frequency aggregate and the semi join back — Catalyst
+    # reuses the exchange, so the explode/hash runs once and shuffles once
+    # (the same measured ~2x win as remove_repeated_substrings)
     grams = documents.select(
         F.col(doc_col),
         F.explode(positions).alias("pos"),
@@ -716,7 +720,7 @@ def repeated_ngram_spans(
         doc_col,
         "pos",
         F.xxhash64(F.substring(F.col("__t"), F.col("pos") + 1, F.lit(k))).alias("__h"),
-    )
+    ).repartition(F.col("__h"))
     if min_docs == 2:
         # "≥2 distinct docs" ⇔ min(doc) != max(doc): plain min/max partial
         # aggregates, no distinct-expand — much cheaper at corpus scale
