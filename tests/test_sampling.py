@@ -249,6 +249,56 @@ def test_cap_per_domain_prefilter_matches_bruteforce_on_mega_domain(spark):
     assert got == brute(max_docs=7)
 
 
+def test_cluster_balanced_sample_invariants(spark):
+    """Diversity sampling: per-cluster counts never exceed the cap, every
+    non-empty cluster stays represented, the kept set nests across cap
+    sizes and is repartition-stable."""
+    import numpy as np
+
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    rng = np.random.RandomState(7)
+    # three planted modes with very different populations (60/25/5)
+    centers = np.array([[10.0, 0.0], [0.0, 10.0], [-10.0, -10.0]])
+    rows = []
+    for i, n in enumerate([60, 25, 5]):
+        pts = centers[i] + rng.randn(n, 2) * 0.1
+        rows += [
+            (len(rows) + j, [float(x) for x in p]) for j, p in enumerate(pts)
+        ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id long, embedding array<double>",
+    )
+
+    kept10 = cluster_balanced_sample(emb, cents, per_cluster=10)
+    by_cluster = {
+        r.cluster_id: r.n
+        for r in kept10.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # over-represented modes capped, small mode fully kept
+    assert by_cluster == {0: 10, 1: 10, 2: 5}
+
+    k10 = {r.vec_id for r in kept10.collect()}
+    k20 = {
+        r.vec_id
+        for r in cluster_balanced_sample(emb, cents, per_cluster=20).collect()
+    }
+    assert k10 <= k20  # nesting
+    k10b = {
+        r.vec_id
+        for r in cluster_balanced_sample(
+            emb.repartition(7), cents, per_cluster=10
+        ).collect()
+    }
+    assert k10b == k10  # determinism
+
+
 def test_unigram_divergence_identity_and_separation(spark):
     from text_extensions_for_pandas_spark.operators.sampling import (
         unigram_divergence,

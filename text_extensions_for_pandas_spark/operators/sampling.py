@@ -409,6 +409,45 @@ def cap_per_domain(
     return out.filter(cond).drop("__rk", "__prefix", "__frac")
 
 
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: assign every vector to its
+    nearest centroid, then keep a deterministic hash-ordered cap of
+    ``per_cluster`` rows per cluster — the cluster-coverage selection step
+    of diversity-aware data curation (cap the over-represented modes, keep
+    every mode represented), e.g. the cluster-balanced sampling in
+    SemDeDup-style pipelines.
+
+    Pure composition of two scale-proven pieces: ``ivf_assign``'s
+    broadcast-centroid argmin (one corpus pass, no shuffle) and
+    :func:`cap_per_domain`'s pre-filtered hash-order window keyed by
+    ``cluster_id`` (mega-cluster safe).  Deterministic: the kept set is a
+    pure function of ids, nested across cap sizes.
+
+    Output: the assigned frame (id, original columns, ``cluster_id``)
+    restricted to the kept rows.
+    """
+    from text_extensions_for_pandas_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    assigned = ivf_assign(
+        embeddings, centroids, id_col, vec_col, metric=metric
+    )
+    return cap_per_domain(
+        assigned,
+        max_docs=per_cluster,
+        domain_col="cluster_id",
+        doc_col=id_col,
+    )
+
+
 def unigram_divergence(
     tokens_a: DataFrame,
     tokens_b: DataFrame,

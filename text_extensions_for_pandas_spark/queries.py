@@ -3909,6 +3909,57 @@ def q_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: nearest-centroid assignment
+    (broadcast argmin, one corpus pass) + a deterministic hash-ordered
+    cap of 20 vectors per cluster (the mega-cluster-safe pre-filtered
+    window) — cap the over-represented embedding modes while keeping
+    every mode represented."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = cluster_balanced_sample(emb, centroids, per_cluster=20)
+    return out.select(
+        "vec_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    ).orderBy("vec_id")
+
+
+Q_CLUSTER_SAMPLE_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+ascore AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_DOT.format(a='e.embedding', b='c.ce')}
+         / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) * sqrt({_DOT.format(a='c.ce', b='c.ce')}))
+           AS score
+  FROM embeddings e, c
+),
+assigned AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+  FROM ascore
+),
+clustered AS (SELECT vec_id, centroid_id AS cluster_id FROM assigned WHERE rn = 1),
+fr AS (
+  SELECT vec_id, cluster_id,
+         CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS frac
+  FROM clustered
+),
+ranked AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY frac, vec_id) AS rk
+  FROM fr
+)
+SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id
+FROM ranked WHERE rk <= 20 ORDER BY vec_id
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_metrics(load(spark, sf_dir, "documents"), n=2).orderBy(
         "doc_id"
@@ -6090,31 +6141,33 @@ ORDER BY d.lang
 # four late-round-5 entries never driver-verified (exactsubstr_clean,
 # line_repetition, cms_heavy_hitters, ann_recall — locally hash-verified
 # at both SFs last round AND again this round after the de-skew rewrite);
-# [5-8] the four entries NEW this round (ivfpq_index_search — the durable
+# [5-9] the five entries NEW this round (ivfpq_index_search — the durable
 # on-disk IVF-PQ index path; bpe_encode — corpus tokenization under a
 # trained merge list; lsh_recall / ivfpq_recall — measured recall@10 rows
-# completing quality gauges for every ANN tier); [9] cap_per_domain,
-# whose plan changed this round (mega-domain hash-threshold pre-filter);
-# [10-29] the twenty remaining r03-gated backlog entries
-# (q22_sales_opportunity ... iob_to_spans); [30-50] the twenty-one
-# oldest r04-verified entries (f1_report ... q14_promo_effect), now two
-# rounds stale.  Below the boundary: the remaining twenty-eight
-# r04-verified entries (q19_discounted_revenue ... dsir_weights — rotate
-# into the r07 gate FIRST), then the fifty entries the r05 gate just
-# verified.  The FULL registry is locally hash-verified by
-# scripts/check_oracle.py at sf0.001 AND sf0.01 regardless of position.
+# completing quality gauges for every ANN tier; cluster_sample —
+# cluster-balanced diversity sampling); [10] cap_per_domain, whose plan
+# changed this round (mega-domain hash-threshold pre-filter);
+# [11-30] the twenty remaining r03-gated backlog entries
+# (q22_sales_opportunity ... iob_to_spans); [31-50] the twenty oldest
+# r04-verified entries (f1_report ... q8_market_share), now two rounds
+# stale.  Below the boundary: the remaining twenty-nine r04-verified
+# entries (q14_promo_effect ... dsir_weights — rotate into the r07 gate
+# FIRST), then the fifty entries the r05 gate just verified.  The FULL
+# registry is locally hash-verified by scripts/check_oracle.py at
+# sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- [1-4] late round-5 additions: first driver verification --
     "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
     "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
     "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
     "ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
-    # -- [5-8] new this round --
+    # -- [5-9] new this round --
     "ivfpq_index_search": (q_ivfpq_index_search, Q_IVFPQ_TOPK_SQL),
     "bpe_encode": (q_bpe_encode, Q_BPE_ENCODE_SQL),
     "lsh_recall": (q_lsh_recall, Q_LSH_RECALL_SQL),
     "ivfpq_recall": (q_ivfpq_recall, Q_IVFPQ_RECALL_SQL),
-    # -- [9] plan changed this round (mega-domain pre-filter) --
+    "cluster_sample": (q_cluster_sample, Q_CLUSTER_SAMPLE_SQL),
+    # -- [10] plan changed this round (mega-domain pre-filter) --
     "cap_per_domain": (q_cap_per_domain, Q_CAP_PER_DOMAIN_SQL),
     # -- [10-29] remaining r03-gated backlog (2-round cadence) --
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
@@ -6158,9 +6211,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "q_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
-    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
     # ------------------- gate boundary (position 50) -------------------
     # remaining r04-verified entries — rotate into the r07 gate FIRST
+    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
     "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
     "q_top3_per_nation": (q_top3_customers_per_nation, Q_TOP3_PER_NATION_SQL),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
