@@ -917,6 +917,32 @@ def test_streaming_cms_matches_batch_sketch_and_replay_is_idempotent(
     assert got_all == want_all
     got_cells = got_all
 
+    # crash consistency: a compaction that died AFTER committing its
+    # snapshot but BEFORE deleting the folded batch dirs leaves stale
+    # batch dirs at/below the horizon — cms_read must ignore them (no
+    # double count), per the id > T rule
+    t2 = STR.cms_compact(spark, index)
+    stale = spark.createDataFrame(
+        [(0, 1, 999)], "row int, bucket long, cnt long"
+    )
+    stale.write.parquet(f"{index}/batch=0")
+    leftover = {
+        (r.row, r.bucket): r.cnt for r in STR.cms_read(spark, index).collect()
+    }
+    assert leftover == got_cells
+    # ... and an INCOMPLETE snapshot (no _SUCCESS) is invisible to readers
+    import shutil
+
+    shutil.copytree(
+        f"{index}/compact_through={t2}", f"{index}/compact_through=99"
+    )
+    os.remove(f"{index}/compact_through=99/_SUCCESS")
+    assert {
+        (r.row, r.bucket): r.cnt for r in STR.cms_read(spark, index).collect()
+    } == got_cells
+    shutil.rmtree(f"{index}/compact_through=99")
+    shutil.rmtree(f"{index}/batch=0")
+
     # replay idempotence: re-land the newest (only replayable) batch's
     # delta by hand — totals unchanged.  Materialize first: a lazy read +
     # same-path overwrite deletes the source files before the scan runs
