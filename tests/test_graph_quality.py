@@ -116,6 +116,76 @@ def test_read_text_and_jsonl_corpus(spark, tmp_path):
     assert all(r.n_chars == len(r.text) for r in jout)
 
 
+def _wet_record(warc_type, text, url="", rec_id="<urn:uuid:1>"):
+    payload = text.encode("utf-8")
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        + (f"WARC-Target-URI: {url}\r\n" if url else "")
+        + f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"WARC-Record-ID: {rec_id}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode("utf-8")
+    return head + payload + b"\r\n\r\n"
+
+
+def test_read_wet_corpus(spark, tmp_path):
+    """Common Crawl WET shards: conversion records become documents
+    (warcinfo skipped), gzipped and plain shards both parse, malformed
+    tails are tolerated, and doc ids are deterministic content hashes."""
+    import gzip
+
+    from text_extensions_for_pandas_spark.sources import corpus as docs
+
+    wet = (
+        _wet_record("warcinfo", "robots: obey\r\n")
+        + _wet_record(
+            "conversion",
+            "First page text.\nSecond line.",
+            url="http://a.example/x",
+            rec_id="<urn:uuid:a>",
+        )
+        + _wet_record(
+            "conversion",
+            "Another document body",
+            url="http://b.example/y",
+            rec_id="<urn:uuid:b>",
+        )
+        + b"TRAILING GARBAGE NOT A RECORD"
+    )
+    (tmp_path / "shard0.warc.wet").write_bytes(wet)
+    # gzipped shard with one more record
+    gz = _wet_record(
+        "conversion", "Gzipped shard doc", url="http://c.example/z",
+        rec_id="<urn:uuid:c>",
+    )
+    (tmp_path / "shard1.warc.wet.gz").write_bytes(gzip.compress(gz))
+
+    out = docs.read_wet_corpus(spark, str(tmp_path)).collect()
+    by_url = {r.url: r for r in out}
+    assert set(by_url) == {
+        "http://a.example/x", "http://b.example/y", "http://c.example/z"
+    }
+    a = by_url["http://a.example/x"]
+    assert a.text == "First page text.\nSecond line."
+    assert a.n_chars == len(a.text)
+    assert a.warc_date == "2024-01-01T00:00:00Z"
+    assert a.record_id == "<urn:uuid:a>"
+    assert by_url["http://c.example/z"].text == "Gzipped shard doc"
+    assert all(r.doc_id >= 0 for r in out)
+    # deterministic across reruns
+    again = {r.doc_id for r in docs.read_wet_corpus(spark, str(tmp_path)).collect()}
+    assert {r.doc_id for r in out} == again
+    # a truncated final record yields its available prefix, earlier
+    # records unharmed
+    cut = wet[: len(wet) - len(b"TRAILING GARBAGE NOT A RECORD") - 30]
+    (tmp_path / "shard0.warc.wet").write_bytes(cut)
+    (tmp_path / "shard1.warc.wet.gz").unlink()
+    cut_out = docs.read_wet_corpus(spark, str(tmp_path)).collect()
+    assert "http://a.example/x" in {r.url for r in cut_out}
+
+
 def test_incremental_candidates_match_full_recompute(spark, tmp_path):
     from text_extensions_for_pandas_spark.operators.dedup import (
         doc_shingles,

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["read_jsonl_corpus", "read_text_corpus", "stable_doc_id"]
+__all__ = [
+    "read_jsonl_corpus",
+    "read_text_corpus",
+    "read_wet_corpus",
+    "stable_doc_id",
+]
 
 
 def stable_doc_id(*cols) -> "F.Column":
@@ -94,3 +99,122 @@ def read_text_corpus(
     else:
         raise ValueError(f"doc_per must be 'line' or 'file', got {doc_per!r}")
     return _to_documents(raw, F.col("value"), unique_ids, [])
+
+
+# ---------------------------------------------------------------------------
+# WARC / WET (Common Crawl) ingestion
+# ---------------------------------------------------------------------------
+
+def _iter_warc_records(data: bytes):
+    """Yield ``(headers: dict, payload: bytes)`` for each record of a WARC
+    byte stream (ISO 28500: ``WARC/1.x`` header block, blank line,
+    ``Content-Length`` payload, blank separator).  Tolerant of trailing
+    garbage and truncated final records — a crawl shard with a bad tail
+    should yield its good records, not throw."""
+    i, n = 0, len(data)
+    while i < n:
+        head_end = data.find(b"\r\n\r\n", i)
+        if head_end < 0:
+            return
+        head = data[i:head_end].decode("utf-8", errors="replace")
+        lines = head.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            # resync: find the next record marker
+            nxt = data.find(b"WARC/", head_end)
+            if nxt < 0:
+                return
+            i = nxt
+            continue
+        headers = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            if _:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        start = head_end + 4
+        payload = data[start : start + length]
+        yield headers, payload
+        i = start + length
+        # skip the record separator (two CRLFs) if present
+        while data[i : i + 2] == b"\r\n":
+            i += 2
+
+
+def read_wet_corpus(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("conversion",),
+    min_chars: int = 1,
+) -> DataFrame:
+    """Common Crawl WET/WARC shards → the canonical ``documents`` table:
+    ``doc_id, text, source, n_chars, url, warc_date, record_id``.
+
+    The scale shape crawl processing actually uses: the FILE is the unit
+    of parallelism (``binaryFile`` source — whole shards are gzip members,
+    unsplittable anyway), and record parsing runs in an Arrow-batched
+    ``mapInPandas`` island with a stdlib-only WARC parser (gzip + header
+    scan, no external warcio dependency).  ``record_types`` defaults to
+    WET ``conversion`` records (extracted text); pass ``("response",)``
+    for raw WARC payloads (bytes decoded utf-8-replace — real HTML
+    parsing is downstream's job).  Malformed records are skipped, not
+    fatal; truncated payloads of a cut-off shard yield what they have.
+
+    Doc ids are content hashes (the same :func:`stable_doc_id` discipline
+    as the other readers), so reruns and re-partitions agree.
+    """
+    import gzip as _gzip
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    out_schema = (
+        "text string, source string, url string, warc_date string, "
+        "record_id string"
+    )
+    wanted = tuple(t.lower() for t in record_types)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for path_, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":
+                    try:
+                        data = _gzip.decompress(data)
+                    except OSError:
+                        continue  # corrupt member: skip the shard
+                for headers, payload in _iter_warc_records(data):
+                    if headers.get("warc-type", "").lower() not in wanted:
+                        continue
+                    text = payload.decode("utf-8", errors="replace")
+                    if len(text) < min_chars:
+                        continue
+                    rows.append(
+                        (
+                            text,
+                            path_,
+                            headers.get("warc-target-uri", ""),
+                            headers.get("warc-date", ""),
+                            headers.get("warc-record-id", ""),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["text", "source", "url", "warc_date", "record_id"],
+            )
+
+    raw = files.mapInPandas(parse, out_schema)
+    return raw.select(
+        stable_doc_id(F.col("text")).alias("doc_id"),
+        "text",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        "url",
+        "warc_date",
+        "record_id",
+    )
