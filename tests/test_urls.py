@@ -1,0 +1,97 @@
+"""URL/domain operators: part extraction, suffix-chain blocklist
+filtering, normalization, and same-page crawl dedup."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_extract_url_parts(spark):
+    from text_extensions_for_pandas_spark.operators.urls import (
+        extract_url_parts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://Sub.Example.COM/Path/Page?q=1#frag",),
+            ("not a url",),
+        ],
+        "url string",
+    )
+    rows = {r.url: r for r in extract_url_parts(df).collect()}
+    good = rows["HTTPS://Sub.Example.COM/Path/Page?q=1#frag"]
+    assert good.scheme == "https"
+    assert good.host == "sub.example.com"
+    assert good.path == "/Path/Page"
+    assert good.query == "q=1"
+    assert rows["not a url"].host is None
+
+
+def test_filter_blocked_domains_suffix_semantics(spark):
+    from text_extensions_for_pandas_spark.operators.urls import (
+        filter_blocked_domains,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://ads.tracker.example/x"),  # blocked via parent
+            (2, "http://tracker.example/y"),      # blocked exactly
+            (3, "http://example.com/ok"),          # kept
+            (4, "http://nottracker.example.com/ok"),  # NOT a suffix match
+            (5, "garbage"),                        # unparseable
+        ],
+        "doc_id long, url string",
+    )
+    kept = filter_blocked_domains(df, ["tracker.example", "Spam.Org"])
+    assert {r.doc_id for r in kept.collect()} == {3, 4}
+    # unparseable hosts kept on request
+    kept2 = filter_blocked_domains(
+        df, ["tracker.example"], keep_unparseable=True
+    )
+    assert {r.doc_id for r in kept2.collect()} == {3, 4, 5}
+    # DataFrame blocklist, pre-extracted host column
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    kept3 = filter_blocked_domains(
+        df.withColumn("h", F.lower(F.try_parse_url("url", F.lit("HOST")))),
+        bl,
+        host_col="h",
+    )
+    assert {r.doc_id for r in kept3.collect()} == {1, 2}
+    # original columns intact, helper column gone
+    assert set(kept.columns) == {"doc_id", "url"}
+
+
+def test_normalize_and_dedup_by_url(spark):
+    from text_extensions_for_pandas_spark.operators.urls import (
+        dedup_by_url,
+        normalize_url,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("HTTP://A.example/page/", "2024-01-01", "old"),
+            ("http://a.example/page#frag", "2024-02-01", "new"),
+            ("http://a.example/other", "2024-01-15", "other"),
+            ("http://a.example", "2024-01-01", "root"),
+            ("http://a.example/?", "2024-01-02", "root2"),
+        ],
+        "url string, warc_date string, text string",
+    )
+    norms = {
+        r.text: r.n
+        for r in df.select("text", normalize_url("url").alias("n")).collect()
+    }
+    assert norms["old"] == norms["new"] == "http://a.example/page"
+    assert norms["root"] == norms["root2"] == "http://a.example/"
+
+    latest = dedup_by_url(df, keep="last")
+    by_text = {r.text for r in latest.collect()}
+    assert "new" in by_text and "old" not in by_text
+    assert "other" in by_text
+    # exactly one of the two root crawls survives (the newer)
+    assert ("root2" in by_text) and ("root" not in by_text)
+    assert set(latest.columns) == {"url", "warc_date", "text"}
+
+    first = dedup_by_url(df, keep="first")
+    t = {r.text for r in first.collect()}
+    assert "old" in t and "new" not in t and "root" in t

@@ -1,0 +1,138 @@
+"""URL/domain operators — the crawl-processing half that pairs with
+:func:`..sources.corpus.read_wet_corpus`.
+
+Beyond-reference surface (the reference has no notion of URLs); this is
+the standard front of a web-scale training-data pipeline: split URLs into
+parts, drop blocklisted hosts (UT1/category-blocklist style), and collapse
+repeated crawls of the same page.
+
+Scale shape: everything is codegen ``parse_url``/``split``/``transform``
+projections plus broadcast/aggregate joins — no Python, no window sorts.
+Host-suffix matching explodes each host into its suffix chain (``a.b.c``
+→ ``a.b.c``, ``b.c``, ``c`` — at most ~label-count rows, bounded) and
+semi-joins the blocklist, so a million-entry blocklist is one broadcast
+hash join, never a regex union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "extract_url_parts",
+    "filter_blocked_domains",
+    "dedup_by_url",
+    "normalize_url",
+]
+
+
+def extract_url_parts(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Add ``scheme``, ``host``, ``path``, ``query`` columns parsed from
+    ``url_col`` (JVM ``parse_url`` — codegen, NULL for unparseable)."""
+    u = F.col(url_col)
+    return df.withColumns(
+        {
+            "scheme": F.lower(F.try_parse_url(u, F.lit("PROTOCOL"))),
+            "host": F.lower(F.try_parse_url(u, F.lit("HOST"))),
+            "path": F.try_parse_url(u, F.lit("PATH")),
+            "query": F.try_parse_url(u, F.lit("QUERY")),
+        }
+    )
+
+
+def _suffix_chain(host):
+    """``a.b.c`` → ``["a.b.c", "b.c", "c"]`` as a Column expression."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: DataFrame | list[str],
+    url_col: str = "url",
+    host_col: str | None = None,
+    keep_unparseable: bool = False,
+) -> DataFrame:
+    """Drop rows whose host — or ANY parent domain of it — appears in the
+    blocklist (``ads.tracker.example`` is blocked by an entry
+    ``tracker.example``), the UT1-category-blocklist semantics.
+
+    ``blocked``: a one-column DataFrame (``domain``) or a Python list.
+    Matching is by exploded host-suffix chain + left-anti equijoin: the
+    corpus pays one narrow projection and one (broadcastable) join,
+    whatever the blocklist size.  Rows with an unparseable host are
+    dropped unless ``keep_unparseable``.
+    """
+    spark = df.sparkSession
+    if not isinstance(blocked, DataFrame):
+        blocked = spark.createDataFrame(
+            [(d,) for d in blocked], "domain string"
+        )
+    bl = blocked.select(F.lower(F.col("domain")).alias("__bad")).distinct()
+    host = (
+        F.lower(F.col(host_col))
+        if host_col
+        else F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    )
+    tagged = df.withColumn("__host", host)
+    hit = (
+        tagged.select("__host")
+        .distinct()
+        .select("__host", F.explode(_suffix_chain(F.col("__host"))).alias("__sfx"))
+        .join(bl, F.col("__sfx") == F.col("__bad"), "left_semi")
+        .select("__host")
+        .distinct()
+    )
+    kept = tagged.join(hit, "__host", "left_anti")
+    if not keep_unparseable:
+        kept = kept.filter(F.col("__host").isNotNull())
+    return kept.drop("__host")
+
+
+def normalize_url(url_col: str = "url"):
+    """Canonical URL form for same-page dedup: lowercase scheme+host,
+    fragment stripped, trailing ``?`` / ``/`` trimmed, default path ``/``
+    made explicit.  A Column expression (codegen regex/string ops)."""
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")  # fragment
+    u = F.regexp_replace(u, r"\?$", "")
+    # lowercase the scheme://host prefix only (paths are case-sensitive)
+    prefix = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    rest = F.substring(u, F.length(prefix) + 1, F.lit(1 << 30))
+    rest = F.regexp_replace(rest, "/+$", "")  # trailing slashes
+    rest = F.when(F.length(rest) == 0, F.lit("/")).otherwise(rest)
+    return F.when(
+        F.length(prefix) > 0, F.concat(F.lower(prefix), rest)
+    ).otherwise(u)
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "url",
+    order_col: str = "warc_date",
+    keep: str = "last",
+) -> DataFrame:
+    """One row per (normalized) URL: keep the newest crawl
+    (``keep="last"`` by ``order_col``) or the oldest (``keep="first"``);
+    ties break on the remaining columns' struct order, so the kept row is
+    deterministic.  A ``max_by``/``min_by`` hash aggregate — map-side
+    combinable, no window sort, skew-bounded by the hottest URL's crawl
+    count."""
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+    norm = normalize_url(url_col)
+    tagged = df.withColumn("__u", norm)
+    pick = F.max_by if keep == "last" else F.min_by
+    others = [c for c in df.columns]
+    best = tagged.groupBy("__u").agg(
+        pick(
+            F.struct(*others), F.struct(F.col(order_col), *others)
+        ).alias("__best")
+    )
+    return best.select("__best.*")
