@@ -47,6 +47,11 @@ def test_label_cleaning_example():
     assert "per-model F1 report" in out
 
 
+def test_crawl_prep_example():
+    out = _run("crawl_prep.py", 300)
+    assert "OK crawl front end-to-end" in out
+
+
 def test_tokenizer_training_example():
     out = _run("tokenizer_training.py", 300)
     assert "learned" in out and "chars_per_subtoken" in out
