@@ -353,6 +353,7 @@ def test_no_accidental_nested_loop_joins_across_registry(spark):
         # broadcast-bounded build sides: dictionary frame (length-gated
         # entry join), k centroids, corpus-constant scalar
         "extract_dict_rowwise", "ivf_clusters", "tfidf_top_terms",
+        "cluster_sample",  # ivf_assign's k-centroid broadcast (as ivf_clusters)
         # PQ tiers: queries x broadcast codebooks (m*k-row model) for the
         # ADC lookup tables, and the k-centroid probe broadcast — all
         # model-sized build sides, never corpus x corpus
