@@ -61,6 +61,39 @@ def test_filter_blocked_domains_suffix_semantics(spark):
     assert set(kept.columns) == {"doc_id", "url"}
 
 
+def test_url_op_plan_shapes(spark):
+    """Physical-shape guard: blocklist filtering is hash joins (no
+    nested loop), page dedup is a partial-aggregated max_by — no window
+    sort anywhere in either plan."""
+    import contextlib
+    import io
+
+    from text_extensions_for_pandas_spark.operators.urls import (
+        dedup_by_url,
+        filter_blocked_domains,
+    )
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, "http://a.example/x", "2024-01-01")],
+        "doc_id long, url string, warc_date string",
+    )
+    p1 = plan_of(filter_blocked_domains(df, ["spam.example"]))
+    assert "BroadcastNestedLoopJoin" not in p1 and "CartesianProduct" not in p1
+    assert "Window" not in p1
+
+    p2 = plan_of(dedup_by_url(df))
+    assert "Window" not in p2
+    assert "max_by" in p2 or "HashAggregate" in p2 or "SortAggregate" in p2
+    # partial aggregation before the exchange (map-side combine)
+    assert p2.count("Aggregate") >= 2
+
+
 def test_normalize_and_dedup_by_url(spark):
     from text_extensions_for_pandas_spark.operators.urls import (
         dedup_by_url,
