@@ -1,0 +1,119 @@
+"""Raw-corpus ingestion robustness.
+
+The stdlib WARC/WET parser ingests untrusted web bytes, so it must
+TERMINATE and yield every well-formed record on arbitrarily malformed
+input — corrupt records are skipped by resyncing forward to the next
+record marker, never by dropping the rest of the shard, and never by
+moving the cursor backwards (a crafted negative Content-Length must not
+hang an executor task).
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from text_extensions_for_pandas_spark.sources.corpus import (
+    _iter_warc_records,
+)
+
+
+def _rec(payload: bytes, warc_type: str = "conversion", length: int | None = None,
+         extra: str = "") -> bytes:
+    n = len(payload) if length is None else length
+    return (
+        b"WARC/1.0\r\n"
+        + f"WARC-Type: {warc_type}\r\n".encode()
+        + extra.encode()
+        + f"Content-Length: {n}\r\n".encode()
+        + b"\r\n"
+        + payload
+        + b"\r\n\r\n"
+    )
+
+
+def _payloads(data: bytes) -> list[bytes]:
+    return [p for _, p in _iter_warc_records(data)]
+
+
+def test_valid_stream_roundtrips():
+    recs = [f"doc {i} body".encode() for i in range(5)]
+    data = b"".join(_rec(p) for p in recs)
+    assert _payloads(data) == recs
+
+
+def test_negative_content_length_terminates_and_skips():
+    # the regression: int("-5") parses fine, i = start + (-5) used to move
+    # the cursor BACKWARDS — data.find(b"WARC/", ...) could re-find the
+    # same record forever.  Now the record is treated as corrupt and the
+    # parser resyncs forward.
+    data = (
+        _rec(b"good one")
+        + _rec(b"evil", length=-5)
+        + _rec(b"good two")
+    )
+    assert _payloads(data) == [b"good one", b"good two"]
+
+
+def test_unparseable_and_missing_content_length_resync_forward():
+    bad_unparseable = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: xyz\r\n\r\njunk\r\n\r\n"
+    )
+    bad_missing = b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\njunk\r\n\r\n"
+    data = _rec(b"first") + bad_unparseable + _rec(b"second") + bad_missing + _rec(b"third")
+    # the docstring's tolerance claim: later good records survive a bad one
+    assert _payloads(data) == [b"first", b"second", b"third"]
+
+
+def test_garbage_between_records_and_truncated_tail():
+    data = (
+        _rec(b"alpha")
+        + b"NOT A RECORD AT ALL\x00\xff garbage"
+        + _rec(b"beta")
+        + _rec(b"gamma gamma gamma")[:-12]  # truncated final record
+    )
+    got = _payloads(data)
+    # beta survives even though the garbage sits between alpha and it
+    assert got[:2] == [b"alpha", b"beta"]
+    # truncated tail yields what it has (possibly short), never throws
+    assert len(got) <= 3
+    if len(got) == 3:
+        assert b"gamma" in got[2]
+
+
+def test_fuzz_corrupted_streams_terminate_and_keep_untouched_records():
+    """Seeded fuzz: truncations, garbage insertions, byte flips, and
+    absurd/negative lengths anywhere in a multi-record stream.  The
+    parser must terminate without raising; on pure truncation it must
+    yield a prefix of the original records (last possibly short)."""
+    rng = random.Random(0xC0FFEE)
+    recs = [f"record {i} ".encode() * (i + 1) for i in range(6)]
+    base = b"".join(_rec(p) for p in recs)
+
+    for trial in range(300):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 3)):
+            op = rng.randrange(4)
+            pos = rng.randrange(len(data) + 1)
+            if op == 0:  # truncate
+                data = data[:pos]
+            elif op == 1:  # insert garbage
+                junk = bytes(rng.randrange(256) for _ in range(rng.randint(1, 40)))
+                data = data[:pos] + junk + data[pos:]
+            elif op == 2 and data:  # flip a byte
+                data[min(pos, len(data) - 1)] ^= 0xFF
+            else:  # splice in a corrupt header claiming a wild length
+                hdr = _rec(b"x", length=rng.choice([-(10**9), -1, 10**12]))
+                data = data[:pos] + hdr + data[pos:]
+        # islice bounds the number of YIELDS; termination of the internal
+        # scan is the property under test (a hang fails the test run)
+        out = list(itertools.islice(_iter_warc_records(bytes(data)), 1000))
+        for headers, _payload in out:
+            assert isinstance(headers, dict)
+
+    # pure-truncation property, every cut point modulo a stride
+    for cut in range(0, len(base), 97):
+        got = _payloads(base[:cut])
+        assert len(got) <= len(recs)
+        for want, have in zip(recs, got[:-1] if got else []):
+            assert have == want

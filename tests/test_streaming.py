@@ -954,3 +954,73 @@ def test_streaming_cms_matches_batch_sketch_and_replay_is_idempotent(
     )
     again = {(r.row, r.bucket): r.cnt for r in STR.cms_read(spark, index).collect()}
     assert again == got_cells
+
+
+def test_cms_compact_sweeps_crash_leftovers_and_guarantees_marker(
+    spark, tmp_path
+):
+    """Two crash/robustness properties of cms_compact:
+
+    (1) A compaction that died AFTER committing its snapshot but BEFORE
+        cleanup leaves batch dirs <= T and superseded snapshots on disk.
+        They are invisible to cms_read, but the O(d x w) steady-state
+        disk claim requires the NEXT cms_compact call to sweep them even
+        when it has nothing new to fold.
+    (2) With success markers disabled
+        (mapreduce.fileoutputcommitter.marksuccessfuljobs=false, common
+        with custom cloud committers), the committed snapshot would be
+        invisible under _cms_index_state's _SUCCESS rule while the folded
+        deltas get deleted — silently losing counts.  cms_compact must
+        write the marker explicitly before cleanup.
+    """
+    import os
+
+    index = str(tmp_path / "cms")
+
+    def mk(name, cnt):
+        spark.createDataFrame(
+            [(0, 0, cnt)], "row int, bucket long, cnt long"
+        ).coalesce(1).write.parquet(f"{index}/{name}")
+
+    # post-crash state: T=1 snapshot committed, cleanup never ran
+    mk("batch=0", 1)
+    mk("batch=1", 2)
+    mk("batch=2", 4)
+    mk("compact_through=0", 1)  # superseded older snapshot
+    mk("compact_through=1", 3)  # = batch0 + batch1 folded
+    read = lambda: {
+        (r.row, r.bucket): r.cnt for r in STR.cms_read(spark, index).collect()
+    }
+    assert read() == {(0, 0): 7}  # snapshot(3) + batch2(4); stale dirs ignored
+
+    # nothing new to fold (only the newest batch sits above T) — but the
+    # stale leftovers must be swept anyway
+    assert STR.cms_compact(spark, index) == 1
+    entries = sorted(
+        e for e in os.listdir(index) if "=" in e and not e.startswith(".")
+    )
+    assert entries == ["batch=2", "compact_through=1"]
+    assert read() == {(0, 0): 7}
+
+    # now a real fold with success markers DISABLED
+    mk("batch=3", 8)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    old = hconf.get(key)
+    hconf.set(key, "false")
+    try:
+        t2 = STR.cms_compact(spark, index)
+    finally:
+        if old is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, old)
+    assert t2 == 2
+    # the explicit marker exists, so the snapshot is visible and no
+    # counts were lost to the post-commit delta cleanup
+    assert os.path.exists(f"{index}/compact_through=2/_SUCCESS")
+    assert read() == {(0, 0): 15}
+    entries = sorted(
+        e for e in os.listdir(index) if "=" in e and not e.startswith(".")
+    )
+    assert entries == ["batch=3", "compact_through=2"]

@@ -128,3 +128,27 @@ def test_normalize_and_dedup_by_url(spark):
     first = dedup_by_url(df, keep="first")
     t = {r.text for r in first.collect()}
     assert "old" in t and "new" not in t and "root" in t
+
+
+def test_normalize_url_schemeless_tail_rules(spark):
+    """Scheme-less inputs get the same tail normalization as absolute
+    URLs: 'example.com/page/' collapses with 'example.com/page', and
+    'a.com/' with 'a.com' — previously only their schemeful twins did."""
+    from text_extensions_for_pandas_spark.operators.urls import normalize_url
+
+    df = spark.createDataFrame(
+        [
+            ("example.com/page/",),
+            ("example.com/page",),
+            ("a.com/",),
+            ("a.com",),
+            ("a.com/x?",),
+            ("///",),
+        ],
+        "url string",
+    )
+    norms = [r.n for r in df.select(normalize_url("url").alias("n")).collect()]
+    assert norms[0] == norms[1] == "example.com/page"
+    assert norms[2] == norms[3] == "a.com"
+    assert norms[4] == "a.com/x"
+    assert norms[5] == "/"

@@ -99,7 +99,14 @@ def filter_blocked_domains(
 def normalize_url(url_col: str = "url"):
     """Canonical URL form for same-page dedup: lowercase scheme+host,
     fragment stripped, trailing ``?`` / ``/`` trimmed, default path ``/``
-    made explicit.  A Column expression (codegen regex/string ops)."""
+    made explicit.  A Column expression (codegen regex/string ops).
+
+    Scheme-less inputs (no ``scheme://host`` prefix — WARC-Target-URI is
+    normally absolute, but hand-fed URL lists may not be) get the same
+    tail normalization: fragment/``?`` stripping plus trailing-slash
+    trimming, so ``example.com/page/`` and ``example.com/page`` collapse
+    just like their schemeful twins.  (No default-path rule there — with
+    no scheme the host/path split is ambiguous.)"""
     u = F.regexp_replace(F.col(url_col), "#.*$", "")  # fragment
     u = F.regexp_replace(u, r"\?$", "")
     # lowercase the scheme://host prefix only (paths are case-sensitive)
@@ -107,9 +114,11 @@ def normalize_url(url_col: str = "url"):
     rest = F.substring(u, F.length(prefix) + 1, F.lit(1 << 30))
     rest = F.regexp_replace(rest, "/+$", "")  # trailing slashes
     rest = F.when(F.length(rest) == 0, F.lit("/")).otherwise(rest)
+    bare = F.regexp_replace(u, "/+$", "")
+    bare = F.when(F.length(bare) == 0, F.lit("/")).otherwise(bare)
     return F.when(
         F.length(prefix) > 0, F.concat(F.lower(prefix), rest)
-    ).otherwise(u)
+    ).otherwise(bare)
 
 
 def dedup_by_url(

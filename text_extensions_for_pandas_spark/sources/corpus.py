@@ -119,8 +119,11 @@ def _iter_warc_records(data: bytes):
         head = data[i:head_end].decode("utf-8", errors="replace")
         lines = head.split("\r\n")
         if not lines or not lines[0].startswith("WARC/"):
-            # resync: find the next record marker
-            nxt = data.find(b"WARC/", head_end)
+            # resync: find the next record marker.  Search from the
+            # current cursor (not head_end) — garbage between records
+            # would otherwise swallow the next record's header, whose
+            # marker can sit BEFORE the blank line that ended this scan.
+            nxt = data.find(b"WARC/", i + 1)
             if nxt < 0:
                 return
             i = nxt
@@ -133,7 +136,19 @@ def _iter_warc_records(data: bytes):
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            return
+            length = -1
+        if length < 0:
+            # Missing, unparseable, or negative Content-Length: the record
+            # is corrupt but later records may be fine.  Resync FORWARD to
+            # the next record marker (same recovery as a malformed header
+            # block) — returning here would drop the rest of the shard,
+            # and a negative length would move the cursor backwards and
+            # could loop forever on crafted input.
+            nxt = data.find(b"WARC/", head_end)
+            if nxt < 0:
+                return
+            i = nxt
+            continue
         start = head_end + 4
         payload = data[start : start + length]
         yield headers, payload
@@ -164,6 +179,12 @@ def read_wet_corpus(
 
     Doc ids are content hashes (the same :func:`stable_doc_id` discipline
     as the other readers), so reruns and re-partitions agree.
+
+    Per-task memory bound: each task holds ONE shard decompressed in
+    memory (Common Crawl WET shards are ~100-400 MB inflated — fine for
+    normal executor sizing); the ``binaryFile`` source's 2 GB per-file
+    column limit is the hard edge.  Shards larger than that should be
+    split upstream.
     """
     import gzip as _gzip
 

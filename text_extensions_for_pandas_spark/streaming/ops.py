@@ -779,7 +779,25 @@ def cms_compact(spark: SparkSession, index_path: str) -> int:
     jvm = spark._jvm
     fs, _, batches, compacts = _cms_index_state(spark, index_path)
     t = compacts[-1] if compacts else -1
-    fold = [b for b in batches if t < b < (batches[-1] if batches else 0)]
+    # Sweep state a crashed post-commit cleanup left behind: batch dirs
+    # <= T and snapshots < T are already invisible to cms_read, so
+    # deleting them is safe at any crash point — without this, a crash
+    # between snapshot commit and cleanup leaks disk until the NEXT
+    # successful fold (violating the O(d x w) steady-state claim).
+    for b in (b for b in batches if b <= t):
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{index_path}/batch={b}"), True
+        )
+    for c in (c for c in compacts if c < t):
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{index_path}/compact_through={c}"
+            ),
+            True,
+        )
+    batches = [b for b in batches if b > t]
+    compacts = [c for c in compacts if c >= t]
+    fold = [b for b in batches if b < (batches[-1] if batches else 0)]
     if not fold:
         return t
     new_t = fold[-1]
@@ -798,7 +816,19 @@ def cms_compact(spark: SparkSession, index_path: str) -> int:
     cms_merge(*parts).write.parquet(
         f"{index_path}/compact_through={new_t}"
     )
-    # cleanup only after the snapshot is fully committed
+    # The snapshot is only VISIBLE to _cms_index_state if its _SUCCESS
+    # marker exists.  Sessions that disable success markers
+    # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false — common
+    # with custom cloud committers) would otherwise commit an invisible
+    # snapshot and then delete the deltas below — silently losing counts.
+    # write.parquet has returned, so the data is committed: write the
+    # marker explicitly if the committer didn't.
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{index_path}/compact_through={new_t}/_SUCCESS"
+    )
+    if not fs.exists(marker):
+        fs.create(marker, True).close()
+    # cleanup only after the snapshot is fully committed AND visible
     for b in fold:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(f"{index_path}/batch={b}"), True
