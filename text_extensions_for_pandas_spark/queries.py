@@ -3884,14 +3884,14 @@ def q_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cluster_id=`` directories are read).  Pruning removes only clusters
     no query probes, so the result is bit-equal to the in-memory
     ``ivfpq_topk`` — and to its DuckDB recompute."""
-    import tempfile
-
     emb_d = _emb_double(spark, sf_dir)
     centroids = emb_d.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     cb = _pq_model(emb_d)
-    path = tempfile.mkdtemp(prefix="tep_ivfpq_index_")
+    # session-scoped path, overwritten per run — a fresh mkdtemp per
+    # invocation accreted orphan index copies across bench/oracle runs
+    path = _session_tmp("ivfpq_index")
     SIM.write_ivfpq_index(emb_d, centroids, cb, path)
     out = SIM.ivfpq_search_index(
         spark,
@@ -6124,6 +6124,249 @@ ORDER BY d.lang
 
 
 # ---------------------------------------------------------------------------
+# Crawl-front queries: URL operators + raw-corpus readers
+# ---------------------------------------------------------------------------
+#
+# The URL corpus is synthesized deterministically from doc_id (the same
+# pattern cluster_sample uses for centroids), so the DuckDB oracle can
+# recompute it exactly.  The reader queries write a deterministic fixture
+# into one session-scoped temp dir and the oracle recomputes the expected
+# records from range() — no file dependency on the oracle side, so the
+# check is order-independent between the two engines.
+
+_SESSION_TMP: str | None = None
+
+
+def _session_tmp(sub: str) -> str:
+    """One temp dir per session, subdivided per use — repeated query/bench
+    invocations reuse (and overwrite) the same path instead of leaking a
+    fresh mkdtemp each run."""
+    global _SESSION_TMP
+    import os
+    import tempfile
+
+    if _SESSION_TMP is None:
+        _SESSION_TMP = tempfile.mkdtemp(prefix="tep_session_")
+    p = os.path.join(_SESSION_TMP, sub)
+    os.makedirs(p, exist_ok=True)
+    return p
+
+
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl URLs from doc_id: host ``s<id%3>.d<id%10>.<tld>``
+    with tld cycling com/org/net/example, page path ``/p/<id>``."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    tld = (
+        F.when(i % 4 == 0, F.lit("com"))
+        .when(i % 4 == 1, F.lit("org"))
+        .when(i % 4 == 2, F.lit("net"))
+        .otherwise(F.lit("example"))
+    )
+    host = F.concat(
+        F.lit("s"),
+        (i % 3).cast("string"),
+        F.lit(".d"),
+        (i % 10).cast("string"),
+        F.lit("."),
+        tld,
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("http://"), host, F.lit("/p/"), i.cast("string")).alias(
+            "url"
+        ),
+    )
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.urls.filter_blocked_domains` under the value-hash
+    oracle: UT1-style suffix-chain semantics — ``d3.com`` blocks every
+    ``*.d3.com`` host, ``s1.d7.org`` blocks exactly itself, and the bare
+    TLD entry ``net`` blocks every ``.net`` host.  The corpus pays one
+    suffix-explode projection + one broadcast semi-join."""
+    from text_extensions_for_pandas_spark.operators.urls import (
+        filter_blocked_domains,
+    )
+
+    kept = filter_blocked_domains(
+        _synth_urls(spark, sf_dir), ["d3.com", "s1.d7.org", "net"]
+    )
+    return kept.select("doc_id", "url").orderBy("doc_id")
+
+
+Q_URL_BLOCKLIST_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         concat('s', CAST(doc_id % 3 AS VARCHAR), '.d',
+                CAST(doc_id % 10 AS VARCHAR), '.',
+                CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                                WHEN 2 THEN 'net' ELSE 'example' END) AS host
+  FROM documents
+),
+lab AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM u),
+sfx AS (
+  SELECT doc_id, array_to_string(labels[i + 1 : len(labels)], '.') AS s
+  FROM lab, unnest(range(len(labels))) AS t(i)
+),
+blocked AS (
+  SELECT DISTINCT doc_id FROM sfx WHERE s IN ('d3.com', 's1.d7.org', 'net')
+)
+SELECT u.doc_id,
+       concat('http://', u.host, '/p/', CAST(u.doc_id AS VARCHAR)) AS url
+FROM u
+WHERE u.doc_id NOT IN (SELECT doc_id FROM blocked)
+ORDER BY doc_id
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.urls.dedup_by_url` keep-newest under the
+    value-hash oracle: each page is crawled three times with URL variants
+    that only normalization collapses (plain, uppercase-scheme+host with a
+    trailing slash, and a ``#fragment`` twin), pages are shared across
+    doc_ids (``doc_id % 200``), and crawl dates are unique zero-padded
+    counters so the kept row is fully determined.  One ``max_by`` hash
+    aggregate — no window sort."""
+    from text_extensions_for_pandas_spark.operators.urls import dedup_by_url
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    crawls = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("c")
+    )
+    hk = (i % 50).cast("string")
+    page = (i % 200).cast("string")
+    c = F.col("c")
+    url = (
+        F.when(
+            c == 0,
+            F.concat(F.lit("http://h"), hk, F.lit(".example/p/"), page),
+        )
+        .when(
+            c == 1,
+            F.concat(
+                F.lit("HTTP://H"), hk, F.lit(".EXAMPLE/p/"), page, F.lit("/")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://h"), hk, F.lit(".example/p/"), page, F.lit("#ref")
+            )
+        )
+    )
+    wd = F.lpad((i * 3 + c).cast("string"), 12, "0")
+    df = crawls.select("doc_id", url.alias("url"), wd.alias("warc_date"))
+    out = dedup_by_url(df, keep="last")
+    return out.select("doc_id", "url", "warc_date").orderBy("doc_id")
+
+
+Q_URL_DEDUP_SQL = """
+WITH crawls AS (
+  SELECT d.doc_id, t.c,
+         d.doc_id % 200 AS page, d.doc_id % 50 AS hk
+  FROM documents d, range(3) AS t(c)
+),
+u AS (
+  SELECT doc_id, page,
+         CASE c
+           WHEN 0 THEN concat('http://h', CAST(hk AS VARCHAR), '.example/p/',
+                              CAST(page AS VARCHAR))
+           WHEN 1 THEN concat('HTTP://H', CAST(hk AS VARCHAR), '.EXAMPLE/p/',
+                              CAST(page AS VARCHAR), '/')
+           ELSE concat('http://h', CAST(hk AS VARCHAR), '.example/p/',
+                       CAST(page AS VARCHAR), '#ref')
+         END AS url,
+         lpad(CAST(doc_id * 3 + c AS VARCHAR), 12, '0') AS warc_date
+  FROM crawls
+),
+r AS (
+  SELECT doc_id, url, warc_date,
+         row_number() OVER (PARTITION BY page ORDER BY warc_date DESC) AS rn
+  FROM u
+)
+SELECT doc_id, url, warc_date FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.sources.corpus.read_jsonl_corpus` end-to-end: write a
+    deterministic two-file JSONL fixture into the session temp dir, read
+    it back through the corpus reader (text field extraction, carried
+    ``keep_fields``, ``n_chars``), and let the oracle recompute the
+    expected records from ``range()`` — the check has no file dependency
+    on the DuckDB side.  (``doc_id`` is a Spark ``xxhash64`` content hash
+    with no DuckDB twin; id determinism is covered by pytest.)"""
+    import json
+    import os
+
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        read_jsonl_corpus,
+    )
+
+    path = _session_tmp("jsonl_fixture")
+    for fno in range(2):
+        with open(os.path.join(path, f"part{fno}.jsonl"), "w") as fh:
+            for j in range(50):
+                i = fno * 50 + j
+                fh.write(
+                    json.dumps(
+                        {"text": f"document {i} payload {i * i}",
+                         "tag": f"k{i % 5}"}
+                    )
+                    + "\n"
+                )
+    out = read_jsonl_corpus(spark, path, keep_fields=["tag"])
+    return out.select("text", "n_chars", "tag").orderBy("text")
+
+
+Q_JSONL_INGEST_SQL = """
+WITH recs AS (
+  SELECT i,
+         concat('document ', CAST(i AS VARCHAR), ' payload ',
+                CAST(i * i AS VARCHAR)) AS text,
+         concat('k', CAST(i % 5 AS VARCHAR)) AS tag
+  FROM range(100) t(i)
+)
+SELECT text, CAST(length(text) AS BIGINT) AS n_chars, tag
+FROM recs ORDER BY text
+"""
+
+
+def q_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.sources.corpus.read_text_corpus` (one document per line)
+    end-to-end over a deterministic two-shard fixture with interspersed
+    blank lines, which the reader must skip.  Oracle recomputes the lines
+    from ``range()``."""
+    import os
+
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        read_text_corpus,
+    )
+
+    path = _session_tmp("text_fixture")
+    for fno in range(2):
+        with open(os.path.join(path, f"shard{fno}.txt"), "w") as fh:
+            for j in range(40):
+                i = fno * 40 + j
+                fh.write(f"line doc {i} x {i * 7 % 13}\n")
+                if i % 10 == 0:
+                    fh.write("\n")  # blank lines must be skipped
+    out = read_text_corpus(spark, path, doc_per="line")
+    return out.select("text", "n_chars").orderBy("text")
+
+
+Q_TEXT_INGEST_SQL = """
+WITH recs AS (
+  SELECT concat('line doc ', CAST(i AS VARCHAR), ' x ',
+                CAST(i * 7 % 13 AS VARCHAR)) AS text
+  FROM range(80) t(i)
+)
+SELECT text, CAST(length(text) AS BIGINT) AS n_chars FROM recs ORDER BY text
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -6137,82 +6380,31 @@ ORDER BY d.lang
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-6 order (the r05 rotation note's promise, executed): [1-4] the
-# four late-round-5 entries never driver-verified (exactsubstr_clean,
-# line_repetition, cms_heavy_hitters, ann_recall — locally hash-verified
-# at both SFs last round AND again this round after the de-skew rewrite);
-# [5-9] the five entries NEW this round (ivfpq_index_search — the durable
-# on-disk IVF-PQ index path; bpe_encode — corpus tokenization under a
-# trained merge list; lsh_recall / ivfpq_recall — measured recall@10 rows
-# completing quality gauges for every ANN tier; cluster_sample —
-# cluster-balanced diversity sampling); [10] cap_per_domain, whose plan
-# changed this round (mega-domain hash-threshold pre-filter);
-# [11-30] the twenty remaining r03-gated backlog entries
-# (q22_sales_opportunity ... iob_to_spans); [31-50] the twenty oldest
-# r04-verified entries (f1_report ... q8_market_share), now two rounds
-# stale.  Below the boundary: the remaining twenty-nine r04-verified
-# entries (q14_promo_effect ... dsir_weights — rotate into the r07 gate
-# FIRST), then the fifty entries the r05 gate just verified.  The FULL
-# registry is locally hash-verified by scripts/check_oracle.py at
-# sf0.001 AND sf0.01 regardless of position.
+# Round-7 order: [1-4] the four crawl-front entries NEW this round
+# (url_blocklist / url_dedup — the UT1-suffix blocklist and keep-newest
+# page dedup over a doc_id-synthesized URL corpus; jsonl_ingest /
+# text_ingest — the raw-corpus readers over deterministic fixtures with
+# range()-recomputed oracles); [5] repeated_substrings, whose plan changed
+# in round 6 (gram-exchange reuse) without driver re-gating; [6-34] the
+# twenty-nine remaining r04-verified entries (q14_promo_effect ...
+# dsir_weights), now two rounds stale; [35-50] the sixteen oldest
+# r05-verified entries (boilerplate_removal ... semantic_dedup).  Below
+# the boundary: the remaining thirty-three r05-verified entries (rotate
+# into the r08 gate FIRST), then the fifty entries the r06 gate just
+# verified.  The FULL registry is locally hash-verified by
+# scripts/check_oracle.py at sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- [1-4] late round-5 additions: first driver verification --
-    "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
-    "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
-    "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
-    "ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
-    # -- [5-9] new this round --
-    "ivfpq_index_search": (q_ivfpq_index_search, Q_IVFPQ_TOPK_SQL),
-    "bpe_encode": (q_bpe_encode, Q_BPE_ENCODE_SQL),
-    "lsh_recall": (q_lsh_recall, Q_LSH_RECALL_SQL),
-    "ivfpq_recall": (q_ivfpq_recall, Q_IVFPQ_RECALL_SQL),
-    "cluster_sample": (q_cluster_sample, Q_CLUSTER_SAMPLE_SQL),
-    # -- [10] plan changed this round (mega-domain pre-filter) --
-    "cap_per_domain": (q_cap_per_domain, Q_CAP_PER_DOMAIN_SQL),
-    # -- [10-29] remaining r03-gated backlog (2-round cadence) --
-    "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
-    "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
-    "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q_order_priority": (q_order_priority, Q_ORDER_PRIORITY_SQL),
-    "q_idle_customers": (q_idle_customers, Q_IDLE_CUSTOMERS_SQL),
-    "q_events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
-    "q_events_sliding": (q_events_sliding, Q_EVENTS_SLIDING_SQL),
-    "q_events_sessionize": (q_events_sessionize, Q_EVENTS_SESSIONIZE_SQL),
-    "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
-    "tokenize": (q_tokenize, Q_TOKENIZE_SQL),
-    "extract_regex": (q_extract_regex, Q_EXTRACT_REGEX_SQL),
-    "extract_regex_native": (q_extract_regex_native, Q_EXTRACT_REGEX_SQL),
-    "extract_dict_rowwise": (q_extract_dict_rowwise, Q_EXTRACT_DICT_SQL),
-    "adjacent_join": (q_adjacent_join, Q_ADJACENT_SQL),
-    "overlap_join": (q_overlap_join, Q_OVERLAP_SQL),
-    "contain_join": (q_contain_join, Q_CONTAIN_SQL),
-    "consolidate": (q_consolidate, Q_CONSOLIDATE_SQL),
-    "consolidate_rowwise": (q_consolidate_rowwise, Q_CONSOLIDATE_SQL),
-    "iob_to_spans": (q_iob_spans, Q_IOB_SPANS_SQL),
-    # -- [30-50] oldest r04-verified entries (2 rounds stale) --
-    "f1_report": (q_f1_report, Q_F1_SQL),
-    "accuracy_by_doc": (q_accuracy_by_doc, Q_ACCURACY_SQL),
-    "global_accuracy": (q_global_accuracy, Q_GLOBAL_ACCURACY_SQL),
-    "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
-    "dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
-    "near_dup_jaccard": (q_near_dup_jaccard, Q_NEAR_DUP_SQL),
-    "near_dup_embedding": (q_near_dup_embedding, Q_NEAR_DUP_EMB_SQL),
-    "ann_cosine_topk": (q_ann_topk, Q_ANN_SQL),
-    "ivf_clusters": (q_ivf_clusters, Q_IVF_SQL),
-    "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),
-    "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
-    "align_to_tokens": (q_align_to_tokens, Q_ALIGN_SQL),
-    "flag_suspicious": (q_flag_suspicious, Q_FLAG_SQL),
-    "doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
-    "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
-    "lang_id": (q_lang_id, Q_LANG_ID_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
-    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
-    "q_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
-    "q8_market_share": (q8_market_share, Q8_SQL),
-    # ------------------- gate boundary (position 50) -------------------
-    # remaining r04-verified entries — rotate into the r07 gate FIRST
+    # -- [1-4] NEW this round: crawl-front URL operators + raw-corpus
+    # -- readers, first driver verification
+    "url_blocklist": (q_url_blocklist, Q_URL_BLOCKLIST_SQL),
+    "url_dedup": (q_url_dedup, Q_URL_DEDUP_SQL),
+    "jsonl_ingest": (q_jsonl_ingest, Q_JSONL_INGEST_SQL),
+    "text_ingest": (q_text_ingest, Q_TEXT_INGEST_SQL),
+    # -- [5] plan changed r6 (gram-exchange reuse) but never driver
+    # -- re-verified — plan-changed entries gate FIRST
+    "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
+    # -- [6-34] the twenty-nine remaining r04-verified entries, now two
+    # -- rounds stale (the r06 rotation note's promise, executed)
     "q14_promo_effect": (q14_promo_effect, Q14_SQL),
     "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
     "q_top3_per_nation": (q_top3_customers_per_nation, Q_TOP3_PER_NATION_SQL),
@@ -6242,7 +6434,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
     "bpe_pair_counts": (q_bpe_pair_counts, Q_BPE_PAIR_COUNTS_SQL),
     "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
-    # -- verified by the r05 gate (all 50 green in CORRECTNESS_r05) --
+    # -- [35-50] the sixteen oldest r05-verified entries
     "boilerplate_removal": (q_boilerplate_removal, Q_BOILERPLATE_SQL),
     "doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
     "near_dup_containment": (q_near_dup_containment, Q_NEAR_DUP_CONTAINMENT_SQL),
@@ -6259,6 +6451,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pq_topk": (q_pq_topk, Q_PQ_TOPK_SQL),
     "ivfpq_topk": (q_ivfpq_topk, Q_IVFPQ_TOPK_SQL),
     "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
+    # ------------------- gate boundary (position 50) -------------------
+    # remaining r05-verified entries — rotate into the r08 gate FIRST,
+    # followed by the oldest r06-verified entries
     "multimodal_image_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
     "gopher_rules_tuned": (q_gopher_rules_tuned, Q_GOPHER_RULES_TUNED_SQL),
     "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
@@ -6282,7 +6477,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
     "decontam_overlap": (q_decontam_overlap, Q_DECONTAM_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, Q_TFIDF_SQL),
-    "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
     "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
     "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
     "doc_length_quantiles": (q_doc_length_quantiles, Q_DOC_LENGTH_QUANTILES_SQL),
@@ -6293,6 +6487,57 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
+    # -- verified by the r06 gate (all 50 green in CORRECTNESS_r06) --
+    "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
+    "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
+    "ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
+    "ivfpq_index_search": (q_ivfpq_index_search, Q_IVFPQ_TOPK_SQL),
+    "bpe_encode": (q_bpe_encode, Q_BPE_ENCODE_SQL),
+    "lsh_recall": (q_lsh_recall, Q_LSH_RECALL_SQL),
+    "ivfpq_recall": (q_ivfpq_recall, Q_IVFPQ_RECALL_SQL),
+    "cluster_sample": (q_cluster_sample, Q_CLUSTER_SAMPLE_SQL),
+    "cap_per_domain": (q_cap_per_domain, Q_CAP_PER_DOMAIN_SQL),
+    "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
+    "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
+    "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q_order_priority": (q_order_priority, Q_ORDER_PRIORITY_SQL),
+    "q_idle_customers": (q_idle_customers, Q_IDLE_CUSTOMERS_SQL),
+    "q_events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
+    "q_events_sliding": (q_events_sliding, Q_EVENTS_SLIDING_SQL),
+    "q_events_sessionize": (q_events_sessionize, Q_EVENTS_SESSIONIZE_SQL),
+    "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
+    "tokenize": (q_tokenize, Q_TOKENIZE_SQL),
+    "extract_regex": (q_extract_regex, Q_EXTRACT_REGEX_SQL),
+    "extract_regex_native": (q_extract_regex_native, Q_EXTRACT_REGEX_SQL),
+    "extract_dict_rowwise": (q_extract_dict_rowwise, Q_EXTRACT_DICT_SQL),
+    "adjacent_join": (q_adjacent_join, Q_ADJACENT_SQL),
+    "overlap_join": (q_overlap_join, Q_OVERLAP_SQL),
+    "contain_join": (q_contain_join, Q_CONTAIN_SQL),
+    "consolidate": (q_consolidate, Q_CONSOLIDATE_SQL),
+    "consolidate_rowwise": (q_consolidate_rowwise, Q_CONSOLIDATE_SQL),
+    "iob_to_spans": (q_iob_spans, Q_IOB_SPANS_SQL),
+    "f1_report": (q_f1_report, Q_F1_SQL),
+    "accuracy_by_doc": (q_accuracy_by_doc, Q_ACCURACY_SQL),
+    "global_accuracy": (q_global_accuracy, Q_GLOBAL_ACCURACY_SQL),
+    "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
+    "near_dup_jaccard": (q_near_dup_jaccard, Q_NEAR_DUP_SQL),
+    "near_dup_embedding": (q_near_dup_embedding, Q_NEAR_DUP_EMB_SQL),
+    "ann_cosine_topk": (q_ann_topk, Q_ANN_SQL),
+    "ivf_clusters": (q_ivf_clusters, Q_IVF_SQL),
+    "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),
+    "ann_lsh_topk": (q_ann_lsh_topk, Q_ANN_LSH_SQL),
+    "align_to_tokens": (q_align_to_tokens, Q_ALIGN_SQL),
+    "flag_suspicious": (q_flag_suspicious, Q_FLAG_SQL),
+    "doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
+    "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
+    "lang_id": (q_lang_id, Q_LANG_ID_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "q_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
 }
 
 
