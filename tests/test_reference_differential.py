@@ -1211,7 +1211,7 @@ def test_reference_namespace_compatibility(ref):
     ``tp.spanner`` export, the ``tp.io`` module layout, the
     ``tp.cleaning.{analysis,ensemble,preprocess}`` functions, and
     ``tp.jupyter.pretty_print_html`` exist under the Spark package's alias
-    namespaces.  Documented absences: downloaders (no network),
+    namespaces.  Documented absences:
     ``run_with_progress_bar`` (Spark UI), ``create_bert_actor_class``
     (Ray — Spark IS the runtime).  ``DataFrameWidget`` exists as the
     STATIC subset (``display.py``): display/to_dataframe/selected/

@@ -1024,3 +1024,139 @@ def test_cms_compact_sweeps_crash_leftovers_and_guarantees_marker(
         e for e in os.listdir(index) if "=" in e and not e.startswith(".")
     )
     assert entries == ["batch=3", "compact_through=2"]
+
+
+def test_streaming_wet_crawl_ingest_end_to_end(spark, tmp_path):
+    """The crawl front's batch/stream duality: WET shards arriving as
+    files → read_wet_stream (the SAME parser island as the batch reader)
+    → streaming_prep_ingest, two shard batches landing exactly-once with
+    cross-batch dedup; the raw streamed rows equal the batch reader's;
+    a fresh-checkpoint replay is byte-identical."""
+    import glob as _glob
+    import gzip
+    import os
+    import time
+
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        boilerplate_lines,
+    )
+    from text_extensions_for_pandas_spark.sources import corpus as C
+    from text_extensions_for_pandas_spark.streaming.ops import (
+        read_wet_stream,
+        streaming_prep_ingest,
+    )
+
+    def rec(text, url, t="conversion"):
+        body = text.encode()
+        return (
+            b"WARC/1.0\r\n"
+            + f"WARC-Type: {t}\r\n".encode()
+            + (f"WARC-Target-URI: {url}\r\n".encode() if url else b"")
+            + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(body)}\r\n".encode()
+            + b"\r\n"
+            + body
+            + b"\r\n\r\n"
+        )
+
+    words = " ".join(f"the data page w{i}xx" for i in range(8))
+    nav = "NAVBAR MENU"
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    shard0 = (
+        rec("robots: obey", "", t="warcinfo")  # skipped by record_types
+        + rec(f"{nav}\n{words} alpha", "http://a.example/1")
+        + rec(f"{nav}\n{words} beta", "http://a.example/2")
+    )
+    (crawl / "shard0.warc.wet").write_bytes(shard0)
+    early = time.time() - 60
+    os.utime(crawl / "shard0.warc.wet", (early, early))
+
+    # the static boilerplate table comes from the SEED shard (batch 1),
+    # per the prep contract — nav repeats in 2 docs of the same source
+    bp = boilerplate_lines(
+        C.read_wet_corpus(spark, str(crawl)), min_docs=2, group_col="source"
+    ).cache()
+    assert bp.count() == 1  # exactly the nav line
+
+    # batch 2 (gzipped shard): one fresh doc + a crawl of the alpha page
+    # whose text equals alpha's CLEANED batch-1 text → cross-batch dup
+    shard1 = rec(f"{words} gamma", "http://b.example/3") + rec(
+        f"{words} alpha", "http://c.example/4"
+    )
+    (crawl / "shard1.warc.wet.gz").write_bytes(gzip.compress(shard1))
+
+    # raw stream parity: the streamed documents equal the batch reader's
+    raw_out = str(tmp_path / "raw_out")
+    q0 = (
+        read_wet_stream(spark, str(crawl), max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", raw_out)
+        .option("checkpointLocation", str(tmp_path / "raw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q0.awaitTermination(300)
+    streamed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(raw_out)
+        .select("doc_id", "text", "url", "warc_date", "n_chars")
+        .collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in C.read_wet_corpus(spark, str(crawl))
+        .select("doc_id", "text", "url", "warc_date", "n_chars")
+        .collect()
+    )
+    assert streamed == batch and len(streamed) == 4
+
+    # crawl → prepared corpus, two micro-batches (one file each)
+    out = str(tmp_path / "out")
+    q = streaming_prep_ingest(
+        read_wet_stream(spark, str(crawl), max_files_per_trigger=1),
+        bp,
+        state_dir=str(tmp_path / "state"),
+        out_path=out,
+        checkpoint=str(tmp_path / "ckpt"),
+        min_words=10,
+        required_words=("the", "data"),
+        n_shards=2,
+    ).start()
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out).collect()
+    texts = sorted(r["text"] for r in got)
+    # alpha and beta survive batch 1 with the nav line removed; gamma
+    # survives batch 2; the batch-2 alpha recrawl dedups away
+    assert texts == sorted(
+        [f"{words} alpha", f"{words} beta", f"{words} gamma"]
+    )
+    assert all(nav not in t for t in texts)
+    assert len({r["doc_id"] for r in got}) == 3
+    # two batch directories landed (exactly-once layout)
+    assert sorted(
+        e for e in os.listdir(out) if e.startswith("batch=")
+    ) == ["batch=0", "batch=1"]
+    # positions dense per shard ACROSS batches
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    # fresh-checkpoint replay is a byte-identical no-op
+    before = sorted(map(tuple, got))
+    q2 = streaming_prep_ingest(
+        read_wet_stream(spark, str(crawl), max_files_per_trigger=1),
+        bp,
+        state_dir=str(tmp_path / "state"),
+        out_path=out,
+        checkpoint=str(tmp_path / "ckpt2"),
+        min_words=10,
+        required_words=("the", "data"),
+        n_shards=2,
+    ).start()
+    q2.awaitTermination(300)
+    after = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert after == before

@@ -186,20 +186,35 @@ def read_wet_corpus(
     column limit is the hard edge.  Shards larger than that should be
     split upstream.
     """
-    import gzip as _gzip
-
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path).select(
         "path", "content"
     )
-    out_schema = (
-        "text string, source string, url string, warc_date string, "
-        "record_id string"
+    raw = files.mapInPandas(
+        _wet_parse_island(record_types, min_chars), WET_RAW_SCHEMA
     )
+    return _wet_documents(raw)
+
+
+# The parse island and projection are shared verbatim by the streaming
+# twin (streaming.ops.read_wet_stream) — batch and stream run the SAME
+# parser over the same (path, content) shape, so batch/stream duality is
+# by construction, not by parallel implementations.
+WET_RAW_SCHEMA = (
+    "text string, source string, url string, warc_date string, "
+    "record_id string"
+)
+
+
+def _wet_parse_island(record_types: tuple[str, ...], min_chars: int):
+    """Build the Arrow-batched ``mapInPandas`` function that turns
+    ``(path, content)`` shard rows into WET record rows."""
+    import gzip as _gzip
+
     wanted = tuple(t.lower() for t in record_types)
 
     def parse(batches):
+        import pandas as pd
+
         for pdf in batches:
             rows = []
             for path_, blob in zip(pdf["path"], pdf["content"]):
@@ -229,7 +244,11 @@ def read_wet_corpus(
                 columns=["text", "source", "url", "warc_date", "record_id"],
             )
 
-    raw = files.mapInPandas(parse, out_schema)
+    return parse
+
+
+def _wet_documents(raw: DataFrame) -> DataFrame:
+    """Project parsed WET record rows to the canonical documents shape."""
     return raw.select(
         stable_doc_id(F.col("text")).alias("doc_id"),
         "text",

@@ -73,6 +73,48 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_wet_stream(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("conversion",),
+    min_chars: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-arrival streaming twin of
+    :func:`..sources.corpus.read_wet_corpus`: WET/WARC shards landing in
+    ``path`` become micro-batches of canonical ``documents`` rows
+    (``doc_id, text, source, n_chars, url, warc_date, record_id``).
+
+    Same scale shape as the batch reader — the FILE is the unit of
+    parallelism (``binaryFile`` stream source) and record parsing is the
+    IDENTICAL Arrow-batched ``mapInPandas`` island
+    (``corpus._wet_parse_island``), so batch/stream results agree by
+    construction.  Compose with :func:`streaming_prep_ingest` for a
+    continuous crawl → prepared-corpus loop, or with
+    :func:`streaming_dedup_exact` / :func:`streaming_cms_ingest` like any
+    other documents stream.  Content-hash doc ids keep replays and
+    re-partitions consistent; each task holds one decompressed shard
+    (the batch reader's documented memory bound applies unchanged).
+    """
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        WET_RAW_SCHEMA,
+        _wet_documents,
+        _wet_parse_island,
+    )
+
+    # streaming file sources need a declared schema; binaryFile's is fixed
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    raw = files.mapInPandas(
+        _wet_parse_island(record_types, min_chars), WET_RAW_SCHEMA
+    )
+    return _wet_documents(raw)
+
+
 # ---------------------------------------------------------------------------
 # Stateless: the batch extract operators run unchanged on streams
 # ---------------------------------------------------------------------------
