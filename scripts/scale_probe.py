@@ -82,6 +82,26 @@ def scaled_embeddings(spark, n: int):
     )
 
 
+def _synth_url_rows(d):
+    """Worst-case-skew URL corpus from a documents frame: every EVEN doc
+    is a crawl of the same page on one hot domain, doc_id%7==3 hosts are
+    blocklisted, the rest spread over 1000 domains."""
+    i = F.col("doc_id")
+    host = (
+        F.when(i % 2 == 0, F.lit("hot.example"))
+        .when(i % 7 == 3, F.lit("ads.blocked.example"))
+        .otherwise(
+            F.concat(F.lit("d"), (i % 1000).cast("string"), F.lit(".example"))
+        )
+    )
+    page = F.when(i % 2 == 0, F.lit("samepage")).otherwise(i.cast("string"))
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("http://"), host, F.lit("/p/"), page).alias("url"),
+        F.lpad(i.cast("string"), 14, "0").alias("warc_date"),
+    )
+
+
 def main() -> None:
     from text_extensions_for_pandas_spark import get_spark
     from text_extensions_for_pandas_spark.operators.dedup import (
@@ -100,6 +120,10 @@ def main() -> None:
     from text_extensions_for_pandas_spark.operators.sampling import (
         cap_per_domain,
         deterministic_shuffle,
+    )
+    from text_extensions_for_pandas_spark.operators.urls import (
+        dedup_by_url,
+        filter_blocked_domains,
     )
 
     spark = get_spark("scale-probe")
@@ -181,6 +205,17 @@ def main() -> None:
             required_words=("the", "a", "data", "key", "line", "row"),
             max_docs_per_domain=1_000_000_000,
             max_chars_per_domain=1 << 60, n_shards=32, salt="p",
+        ).count(),
+        # crawl front under worst-case URL skew: HALF the corpus is crawls
+        # of ONE page on ONE hot domain (the suffix-explode runs over
+        # distinct hosts — tiny — and the keep-newest is a map-side
+        # combinable max_by agg, so both must hold <= linear; a window
+        # formulation would single-task sort the hot page's crawls)
+        "url_blocklist_hot": lambda d: filter_blocked_domains(
+            _synth_url_rows(d), ["blocked.example"]
+        ).count(),
+        "url_dedup_hotpage": lambda d: dedup_by_url(
+            _synth_url_rows(d), keep="last"
         ).count(),
     }
 
