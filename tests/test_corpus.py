@@ -65,6 +65,26 @@ def test_unparseable_and_missing_content_length_resync_forward():
     assert _payloads(data) == [b"first", b"second", b"third"]
 
 
+def test_corrupt_length_payload_quoting_warc_headers_yields_no_phantom():
+    """A corrupt-length record whose (unbounded) payload QUOTES WARC
+    headers must not produce phantom records parsed from payload bytes:
+    the resync hunts for the record-boundary marker CRLFCRLF+'WARC/',
+    not a bare 'WARC/' that can occur mid-payload (e.g. a crawl shard
+    whose pages discuss the WARC format)."""
+    phantom_bait = (
+        b"see the spec: WARC/1.0\r\n"
+        b"Content-Length: 7\r\n"
+        b"WARC-Type: conversion\r\n\r\nPHANTOM"
+    )
+    corrupt = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: -1\r\n\r\n"
+        + phantom_bait
+        + b"\r\n\r\n"
+    )
+    data = _rec(b"before") + corrupt + _rec(b"after")
+    assert _payloads(data) == [b"before", b"after"]
+
+
 def test_garbage_between_records_and_truncated_tail():
     data = (
         _rec(b"alpha")

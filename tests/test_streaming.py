@@ -1025,6 +1025,25 @@ def test_cms_compact_sweeps_crash_leftovers_and_guarantees_marker(
     )
     assert entries == ["batch=3", "compact_through=2"]
 
+    # (3) crash MID-snapshot-write: a partial compact_through=<new_t> dir
+    # with NO _SUCCESS marker.  It is invisible to cms_read (correct),
+    # but the next cms_compact recomputes the SAME new_t — with the
+    # default errorifexists write mode the leftover dir would make every
+    # future compaction throw, wedging the O(d x w) steady-state forever.
+    mk("batch=4", 16)
+    partial = f"{index}/compact_through=3"  # the new_t this fold computes
+    os.makedirs(partial, exist_ok=True)
+    with open(f"{partial}/part-00000.parquet", "wb") as fh:
+        fh.write(b"\x00not parquet, torn write")
+    assert read() == {(0, 0): 31}  # partial snapshot invisible
+    assert STR.cms_compact(spark, index) == 3  # must NOT throw
+    assert os.path.exists(f"{partial}/_SUCCESS")
+    assert read() == {(0, 0): 31}
+    entries = sorted(
+        e for e in os.listdir(index) if "=" in e and not e.startswith(".")
+    )
+    assert entries == ["batch=4", "compact_through=3"]
+
 
 def test_streaming_wet_crawl_ingest_end_to_end(spark, tmp_path):
     """The crawl front's batch/stream duality: WET shards arriving as

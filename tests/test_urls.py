@@ -130,6 +130,54 @@ def test_normalize_and_dedup_by_url(spark):
     assert "old" in t and "new" not in t and "root" in t
 
 
+def test_dedup_by_url_passes_null_and_blank_urls_through(spark):
+    """Documents with a missing URL (NULL, '' — the parser emits '' for
+    absent WARC-Target-URI — or whitespace) must pass through UN-deduped:
+    NULL normalizes to NULL and groupBy puts every NULL in one group, so
+    without the passthrough branch an entire URL-less shard would
+    silently collapse to one survivor."""
+    from text_extensions_for_pandas_spark.operators.urls import dedup_by_url
+
+    df = spark.createDataFrame(
+        [
+            (None, "2024-01-01", "n1"),
+            (None, "2024-01-02", "n2"),
+            ("", "2024-01-03", "e1"),
+            ("", "2024-01-04", "e2"),
+            ("  ", "2024-01-05", "w1"),
+            ("http://a.example/p", "2024-01-06", "u-old"),
+            ("http://a.example/p/", "2024-01-07", "u-new"),
+        ],
+        "url string, warc_date string, text string",
+    )
+    out = dedup_by_url(df, keep="last")
+    texts = sorted(r.text for r in out.collect())
+    # all five URL-less rows survive; the two real crawls dedup to one
+    assert texts == ["e1", "e2", "n1", "n2", "u-new", "w1"]
+    assert set(out.columns) == {"url", "warc_date", "text"}
+
+
+def test_normalize_url_schemeless_hosts_not_case_folded(spark):
+    """Pin the documented asymmetry: with no scheme the host/path split
+    is ambiguous, so scheme-less inputs get NO host case-folding —
+    'Example.com/p' and 'example.com/p' stay distinct while their
+    schemeful twins collapse."""
+    from text_extensions_for_pandas_spark.operators.urls import normalize_url
+
+    df = spark.createDataFrame(
+        [
+            ("Example.com/p",),
+            ("example.com/p",),
+            ("HTTP://Example.com/p",),
+            ("http://example.com/p",),
+        ],
+        "url string",
+    )
+    n = [r.n for r in df.select(normalize_url("url").alias("n")).collect()]
+    assert n[0] == "Example.com/p" and n[1] == "example.com/p"  # distinct
+    assert n[2] == n[3] == "http://example.com/p"  # schemeful twins collapse
+
+
 def test_normalize_url_schemeless_tail_rules(spark):
     """Scheme-less inputs get the same tail normalization as absolute
     URLs: 'example.com/page/' collapses with 'example.com/page', and

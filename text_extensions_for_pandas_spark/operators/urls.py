@@ -105,8 +105,10 @@ def normalize_url(url_col: str = "url"):
     normally absolute, but hand-fed URL lists may not be) get the same
     tail normalization: fragment/``?`` stripping plus trailing-slash
     trimming, so ``example.com/page/`` and ``example.com/page`` collapse
-    just like their schemeful twins.  (No default-path rule there — with
-    no scheme the host/path split is ambiguous.)"""
+    just like their schemeful twins.  (No default-path rule and NO host
+    case-folding there — with no scheme the host/path split is ambiguous,
+    so ``Example.com/p`` and ``example.com/p`` stay distinct; feed
+    absolute URLs when host case variants must collapse.)"""
     u = F.regexp_replace(F.col(url_col), "#.*$", "")  # fragment
     u = F.regexp_replace(u, r"\?$", "")
     # lowercase the scheme://host prefix only (paths are case-sensitive)
@@ -132,11 +134,19 @@ def dedup_by_url(
     ties break on the remaining columns' struct order, so the kept row is
     deterministic.  A ``max_by``/``min_by`` hash aggregate — map-side
     combinable, no window sort, skew-bounded by the hottest URL's crawl
-    count."""
+    count.
+
+    Rows with a NULL or blank ``url_col`` pass through UN-deduped: a
+    crawl shard with missing ``WARC-Target-URI`` headers must not have
+    all its URL-less documents silently collapsed into one survivor
+    (NULL normalizes to NULL and ``groupBy`` puts every NULL in one
+    group — the data-loss foot-gun this branch exists to close)."""
     if keep not in ("first", "last"):
         raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
-    norm = normalize_url(url_col)
-    tagged = df.withColumn("__u", norm)
+    u_raw = F.col(url_col)
+    missing = u_raw.isNull() | (F.trim(u_raw) == "")
+    passthrough = df.filter(missing)
+    tagged = df.filter(~missing).withColumn("__u", normalize_url(url_col))
     pick = F.max_by if keep == "last" else F.min_by
     others = [c for c in df.columns]
     best = tagged.groupBy("__u").agg(
@@ -144,4 +154,4 @@ def dedup_by_url(
             F.struct(*others), F.struct(F.col(order_col), *others)
         ).alias("__best")
     )
-    return best.select("__best.*")
+    return best.select("__best.*").unionByName(passthrough)

@@ -139,15 +139,20 @@ def _iter_warc_records(data: bytes):
             length = -1
         if length < 0:
             # Missing, unparseable, or negative Content-Length: the record
-            # is corrupt but later records may be fine.  Resync FORWARD to
-            # the next record marker (same recovery as a malformed header
-            # block) — returning here would drop the rest of the shard,
-            # and a negative length would move the cursor backwards and
-            # could loop forever on crafted input.
-            nxt = data.find(b"WARC/", head_end)
+            # is corrupt but later records may be fine.  Resync FORWARD —
+            # returning here would drop the rest of the shard, and a
+            # negative length would move the cursor backwards and could
+            # loop forever on crafted input.  The corrupt record's payload
+            # is UNBOUNDED here (no usable length), so resync on the
+            # record-BOUNDARY marker ``\r\n\r\nWARC/`` rather than a bare
+            # ``WARC/``: payload text that quotes WARC headers would
+            # otherwise yield phantom records parsed from payload bytes.
+            # (The malformed-header resync below stays lenient on purpose:
+            # garbage between records need not end with a blank line.)
+            nxt = data.find(b"\r\n\r\n" + b"WARC/", head_end)
             if nxt < 0:
                 return
-            i = nxt
+            i = nxt + 4
             continue
         start = head_end + 4
         payload = data[start : start + length]

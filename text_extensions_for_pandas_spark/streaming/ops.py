@@ -855,7 +855,14 @@ def cms_compact(spark: SparkSession, index_path: str) -> int:
                 "row", "bucket", "cnt"
             )
         )
-    cms_merge(*parts).write.parquet(
+    # mode("overwrite"): a crash MID-snapshot-write leaves a partial
+    # compact_through=<new_t> dir with no _SUCCESS — invisible to readers
+    # and to the sweep above (which only deletes marker-bearing snapshots
+    # < T), so the next compaction recomputes the SAME new_t and the
+    # default errorifexists mode would throw on the leftover dir forever.
+    # Overwriting is safe precisely because the dir stays invisible until
+    # its _SUCCESS marker exists.
+    cms_merge(*parts).write.mode("overwrite").parquet(
         f"{index_path}/compact_through={new_t}"
     )
     # The snapshot is only VISIBLE to _cms_index_state if its _SUCCESS
