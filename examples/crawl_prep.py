@@ -6,6 +6,16 @@ pipeline, end to end on synthetic Common Crawl WET shards:
     → same-page crawl dedup  (normalized URL, keep newest)
     → quality gate + dedup + split (prepare_training_corpus)
 
+plus the two companion modes:
+
+* **raw WARC responses** → :func:`extract_html_documents` (HTML→text)
+  for segments that carry markup instead of pre-extracted WET text;
+* **continuous ingest**: the SAME parser island as a Structured
+  Streaming source (`read_wet_stream` → `streaming_prep_ingest`) — new
+  shards landing in the crawl directory become micro-batches, with
+  cross-batch dedup and exactly-once output; a second arriving shard is
+  demonstrated below.
+
 The same code runs against real CC-MAIN WET segments on object storage:
 the file is the unit of parallelism, every stage after ingestion is a
 lazy Catalyst plan over the canonical documents table.
@@ -37,11 +47,12 @@ from text_extensions_for_pandas_spark.sources.corpus import (  # noqa: E402
 BLOCKLIST = ["spam.example", "tracker.example"]
 
 
-def _record(url: str, date: str, text: str) -> bytes:
+def _record(url: str, date: str, text: str,
+            warc_type: str = "conversion") -> bytes:
     payload = text.encode()
     head = (
         "WARC/1.0\r\n"
-        "WARC-Type: conversion\r\n"
+        f"WARC-Type: {warc_type}\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {date}\r\n"
         f"WARC-Record-ID: <urn:uuid:{abs(hash(url + date))}>\r\n"
@@ -111,9 +122,117 @@ def main() -> None:
         print(f"splits: {by_split}")
         assert n_raw == 5 and n_unblocked == 4 and n_pages == 3
         assert survivors["http://news.example/dup"].endswith("new crawl")
-        print("OK crawl front end-to-end")
+        print("OK crawl front end-to-end (batch)")
 
+    html_demo(spark)
+    streaming_demo(spark)
     spark.stop()
+
+
+def html_demo(spark) -> None:
+    """Raw WARC ``response`` records carry HTML, not extracted text —
+    read them with ``record_types=("response",)`` and run the HTML→text
+    stage before the prep funnel sees them."""
+    from text_extensions_for_pandas_spark.operators.html import (
+        extract_html_documents,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        page = (
+            "<html><head><style>p{}</style></head><body>"
+            "<nav>Home | About</nav><h1>Crawled page</h1>"
+            "<p>the real article text survives &amp; the chrome does not"
+            "</p><script>track();</script></body></html>"
+        )
+        with open(os.path.join(td, "seg.warc"), "wb") as f:
+            f.write(
+                _record("http://site.example/p", "2024-01-01T00:00:00Z",
+                        page, warc_type="response")
+            )
+        raw = read_wet_corpus(spark, td, record_types=("response",))
+        doc = extract_html_documents(raw).first()
+        print(f"html extracted: {doc.text!r}")
+        assert doc.text == (
+            "Crawled page\nthe real article text survives & the chrome "
+            "does not"
+        )
+        assert doc.n_chars == len(doc.text)
+        print("OK crawl front end-to-end (raw HTML responses)")
+
+
+def streaming_demo(spark) -> None:
+    """The continuous-crawl story: shards LAND over time; each
+    ``availableNow`` pass picks up only the new files (the stream
+    checkpoint remembers what was ingested), cleans, dedups against the
+    persisted cross-batch state, and appends exactly-once."""
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        boilerplate_lines,
+    )
+    from text_extensions_for_pandas_spark.streaming.ops import (
+        read_wet_stream,
+        streaming_prep_ingest,
+    )
+
+    words = " ".join(f"the data page w{i}xx" for i in range(8))
+    nav = "NAVBAR MENU"
+
+    with tempfile.TemporaryDirectory() as td:
+        crawl = os.path.join(td, "crawl")
+        out = os.path.join(td, "out")
+        os.makedirs(crawl)
+
+        # wave 1: one shard on disk before the first ingest pass
+        with open(os.path.join(crawl, "shard0.warc.wet"), "wb") as f:
+            f.write(
+                _record("http://a.example/1", "2024-01-01T00:00:00Z",
+                        f"{nav}\n{words} alpha")
+                + _record("http://a.example/2", "2024-01-01T00:00:00Z",
+                          f"{nav}\n{words} beta")
+            )
+        # static boilerplate table from the seed shard, per the contract
+        bp = boilerplate_lines(
+            read_wet_corpus(spark, crawl), min_docs=2, group_col="source"
+        ).cache()
+        bp.count()
+
+        def ingest_pass() -> None:
+            q = streaming_prep_ingest(
+                read_wet_stream(spark, crawl, max_files_per_trigger=1),
+                bp,
+                state_dir=os.path.join(td, "state"),
+                out_path=out,
+                checkpoint=os.path.join(td, "ckpt"),
+                min_words=10,
+                required_words=("the", "data"),
+                n_shards=2,
+            ).start()
+            q.awaitTermination(300)
+
+        ingest_pass()
+        n_wave1 = spark.read.parquet(out).count()
+
+        # wave 2 ARRIVES: a fresh page plus a recrawl whose cleaned text
+        # equals wave-1 alpha — the cross-batch dedup must drop it
+        with open(os.path.join(crawl, "shard1.warc.wet.gz"), "wb") as f:
+            f.write(
+                gzip.compress(
+                    _record("http://b.example/3", "2024-02-01T00:00:00Z",
+                            f"{words} gamma")
+                    + _record("http://c.example/4", "2024-02-01T00:00:00Z",
+                              f"{words} alpha")
+                )
+            )
+        ingest_pass()
+
+        got = spark.read.parquet(out).collect()
+        texts = sorted(r.text for r in got)
+        print(f"streaming ingest: wave1={n_wave1} docs, total={len(got)}")
+        assert n_wave1 == 2
+        assert texts == sorted(
+            [f"{words} alpha", f"{words} beta", f"{words} gamma"]
+        ), texts
+        assert all(nav not in t for t in texts)
+        print("OK crawl front end-to-end (streaming, 2 arrival waves)")
 
 
 if __name__ == "__main__":

@@ -102,6 +102,33 @@ def _synth_url_rows(d):
     )
 
 
+def _html_mod():
+    from text_extensions_for_pandas_spark.operators import html as H
+
+    return H
+
+
+def _write_wet_shard(path: str, n_records: int) -> None:
+    """One WET shard file with n_records small conversion records — a
+    single binaryFile task, so the probe times the parser LOOP itself
+    (decompression + header scan + payload slicing), not Spark overhead."""
+    import gzip
+
+    def rec(i: int) -> bytes:
+        body = f"wet probe record {i} body text {i % 997}".encode()
+        return (
+            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            + f"WARC-Target-URI: http://h{i % 100}.example/p/{i}\r\n".encode()
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+            + b"\r\n\r\n"
+        )
+
+    with gzip.open(path, "wb") as fh:
+        for i in range(n_records):
+            fh.write(rec(i))
+
+
 def main() -> None:
     from text_extensions_for_pandas_spark import get_spark
     from text_extensions_for_pandas_spark.operators.dedup import (
@@ -217,6 +244,18 @@ def main() -> None:
         "url_dedup_hotpage": lambda d: dedup_by_url(
             _synth_url_rows(d), keep="last"
         ).count(),
+        # HTML->text extraction: row-local Arrow-batched pandas UDF; the
+        # sum(length) sink keeps Catalyst from eliminating the projection
+        "html_extract": lambda d: d.select(
+            _html_mod().html_to_text(
+                F.concat(
+                    F.lit("<html><head><style>x{}</style></head><body>"
+                          "<nav>chrome</nav><h1>T</h1><p>"),
+                    F.col("text"),
+                    F.lit("</p><script>var j=1;</script></body></html>"),
+                )
+            ).alias("t")
+        ).agg(F.sum(F.length("t"))).collect()[0][0],
     }
 
     # optional argv filter: probe only the named ops (e.g.
@@ -265,6 +304,37 @@ def main() -> None:
                 )
             )
         emb.unpersist()
+
+    # WET parse island: one shard of 10k/40k/160k small records per scale
+    # (single file = single task), timing the parser loop itself.  The
+    # loop is a forward byte scan with O(record) slicing, so the exponent
+    # must sit at ~1 (linear in record count) with memory bounded by one
+    # decompressed shard.
+    if not only or "wet_parse" in only:
+        import tempfile
+
+        from text_extensions_for_pandas_spark.sources.corpus import (
+            read_wet_corpus,
+        )
+
+        wet_dir = tempfile.mkdtemp(prefix="wet_probe_")
+        for n in SCALES:
+            n_rec = 2_500 * n
+            shard_dir = os.path.join(wet_dir, f"s{n}")
+            os.makedirs(shard_dir, exist_ok=True)
+            _write_wet_shard(
+                os.path.join(shard_dir, "shard.warc.wet.gz"), n_rec
+            )
+            t0 = time.time()
+            rows = read_wet_corpus(spark, shard_dir).count()
+            dt = time.time() - t0
+            times.setdefault("wet_parse", []).append((n, dt))
+            print(
+                json.dumps(
+                    {"op": "wet_parse", "scale": n, "records": n_rec,
+                     "rows": rows, "sec": round(dt, 2)}
+                )
+            )
 
     # BPE merge-loop boundedness: ~1k merges must complete in bounded
     # wall-clock on the in-memory path (the distributed per-merge loop is

@@ -1,0 +1,176 @@
+"""HTML → text extraction: the stage between raw-crawl ingestion
+(:func:`..sources.corpus.read_wet_corpus` with ``record_types=
+("response",)``) and the ``documents``-table prep funnel.
+
+Beyond-reference surface (the reference ingests pre-tokenized NLP
+formats); for a web-scale training corpus this step is where most of the
+corpus quality is won: WET shards carry Common Crawl's own extraction,
+but raw WARC ``response`` payloads arrive as HTML and need boilerplate
+markup stripped before language-ID / quality / dedup see them.
+
+Extraction semantics (deterministic, stdlib-only ``html.parser``):
+
+* ``script`` / ``style`` / ``noscript`` / ``template`` / ``svg`` /
+  ``head`` / ``nav`` subtrees are dropped whole (code, CSS, and chrome
+  are not training text);
+* block-level elements (``p``/``div``/``li``/``h1``-``h6``/``tr``/
+  ``br``/…) open and close with a line break, inline elements
+  (``b``/``a``/``span``/…) do not — so visual line structure survives
+  into the text column the line-level operators
+  (:func:`~.dedup.remove_boilerplate`, line-repetition metrics) consume;
+* character/entity references decode (``&amp;`` → ``&``);
+* whitespace is normalized per line: runs collapse to one space (source
+  newlines are ordinary whitespace, exactly as a browser renders them —
+  only block elements break lines), blank lines drop, lines join with
+  ``\\n``.
+
+Malformed HTML TERMINATES and yields best-effort text, never raises: the
+parser is wrapped so a pathological page degrades to tag-stripped text
+rather than failing a 100 TB-scan task (fuzz-tested in
+tests/test_html.py).
+
+Scale shape: a scalar Arrow-batched pandas UDF — one Python call per
+Arrow batch, embarrassingly parallel, no shuffle, stream-transparent
+(usable in both batch and Structured Streaming plans).  The only memory
+knob is ``spark.sql.execution.arrow.maxRecordsPerBatch`` × page size.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "html_to_text",
+    "extract_html_documents",
+]
+
+# Subtrees dropped whole: non-content by construction.
+_SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "svg", "head", "nav"}
+)
+
+# Elements that imply a line break when they open AND when they close.
+_BLOCK_TAGS = frozenset(
+    {
+        "address", "article", "aside", "blockquote", "br", "caption",
+        "dd", "details", "div", "dl", "dt", "fieldset", "figcaption",
+        "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6",
+        "header", "hr", "li", "main", "ol", "option", "p", "pre",
+        "section", "summary", "table", "tbody", "td", "tfoot", "th",
+        "thead", "tr", "ul",
+    }
+)
+
+_WS_RUN = re.compile(r"\s+")
+_TAG_STRIP = re.compile(r"<[^>]*>")
+
+
+# Line breaks come ONLY from block tags, never from source-text newlines
+# (which are ordinary whitespace in HTML) — so breaks are marked with a
+# control-char sentinel that cannot be confused with page text.
+_BREAK = "\x1f"
+
+
+class _TextExtractor(HTMLParser):
+    """Streaming tag handler: collects text parts, depth-counts skip
+    subtrees (nested/unbalanced closers clamp at zero)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self.parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag in _BLOCK_TAGS:
+            self.parts.append(_BREAK)
+
+    # <br/> and other XHTML self-closers arrive here, not handle_starttag
+    def handle_startendtag(self, tag, attrs):
+        if tag in _BLOCK_TAGS:
+            self.parts.append(_BREAK)
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag in _BLOCK_TAGS:
+            self.parts.append(_BREAK)
+
+    def handle_data(self, data):
+        if not self._skip and data:
+            # a stray U+001F in page text must not fake a line break
+            self.parts.append(data.replace(_BREAK, " "))
+
+
+def _normalize_lines(raw: str) -> str:
+    lines = []
+    for line in raw.split(_BREAK):
+        line = _WS_RUN.sub(" ", line).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+def _html_to_text_py(html: str) -> str:
+    """Driver-side reference implementation (the UDF maps this)."""
+    try:
+        p = _TextExtractor()
+        p.feed(html)
+        p.close()
+        return _normalize_lines("".join(p.parts))
+    except Exception:
+        # html.parser is tolerant but not proven crash-free on arbitrary
+        # bytes; a 100 TB scan must not die on one pathological page.
+        # Degrade to tag-stripped text (entities left undecoded).
+        return _normalize_lines(_TAG_STRIP.sub(" ", html))
+
+
+def html_to_text(col) -> "F.Column":
+    """Column function: extract visible text from an HTML string column
+    (NULL in → NULL out).  Arrow-batched scalar pandas UDF — the slow
+    path is one Python call per batch, not per row."""
+
+    @F.pandas_udf("string")
+    def _extract(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda h: _html_to_text_py(h) if h is not None else None
+        )
+
+    return _extract(col)
+
+
+def extract_html_documents(
+    df: DataFrame,
+    html_col: str = "text",
+    min_chars: int = 1,
+    rehash_ids: bool = True,
+) -> DataFrame:
+    """Turn raw-HTML crawl rows (e.g. ``read_wet_corpus(...,
+    record_types=("response",))`` output) into canonical ``documents``
+    rows: ``html_col`` is replaced by its extracted text, ``n_chars`` is
+    recomputed, rows whose extraction came up shorter than ``min_chars``
+    are dropped, and — by default — ``doc_id`` is re-derived from the
+    EXTRACTED text (the :func:`~..sources.corpus.stable_doc_id`
+    content-hash discipline: ids must follow the bytes every downstream
+    dedup actually sees).  All other columns pass through unchanged.
+
+    Compose with :func:`~.dedup.remove_boilerplate` for the heuristic
+    (frequency-based) boilerplate pass; this operator only removes what
+    the markup itself declares to be non-content.
+    """
+    from text_extensions_for_pandas_spark.sources.corpus import stable_doc_id
+
+    out = df.withColumn(html_col, html_to_text(F.col(html_col)))
+    if "n_chars" in df.columns:
+        out = out.withColumn(
+            "n_chars", F.length(html_col).cast("long")
+        )
+    if rehash_ids and "doc_id" in df.columns:
+        out = out.withColumn("doc_id", stable_doc_id(F.col(html_col)))
+    return out.filter(F.length(html_col) >= min_chars)

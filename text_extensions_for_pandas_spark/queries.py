@@ -6181,30 +6181,63 @@ def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.operators.urls.filter_blocked_domains` under the value-hash
-    oracle: UT1-style suffix-chain semantics — ``d3.com`` blocks every
-    ``*.d3.com`` host, ``s1.d7.org`` blocks exactly itself, and the bare
-    TLD entry ``net`` blocks every ``.net`` host.  The corpus pays one
-    suffix-explode projection + one broadcast semi-join."""
+    oracle, ALL branches: UT1-style suffix-chain semantics — ``d3.com``
+    blocks every ``*.d3.com`` host, ``s1.d7.org`` blocks exactly itself,
+    the bare TLD entry ``net`` blocks every ``.net`` host — with
+    scheme-less garbage URLs planted every 25th doc.  The ``drop`` branch
+    runs the default path (parse host from ``url``, drop unparseable);
+    the ``keep`` branch runs the pre-extracted ``host_col`` fast path
+    with ``keep_unparseable=True``, so the gated row covers every flag.
+    The corpus pays one suffix-explode projection + one broadcast
+    semi-join per branch."""
     from text_extensions_for_pandas_spark.operators.urls import (
         filter_blocked_domains,
     )
 
-    kept = filter_blocked_domains(
-        _synth_urls(spark, sf_dir), ["d3.com", "s1.d7.org", "net"]
+    garbage = F.col("doc_id") % 25 == 7
+    urls = _synth_urls(spark, sf_dir).withColumn(
+        "url",
+        F.when(
+            garbage,
+            F.concat(F.lit("no-url-"), F.col("doc_id").cast("string")),
+        ).otherwise(F.col("url")),
     )
-    return kept.select("doc_id", "url").orderBy("doc_id")
+    bl = ["d3.com", "s1.d7.org", "net"]
+    drop = filter_blocked_domains(urls, bl).select(
+        F.lit("drop").alias("branch"), "doc_id", "url"
+    )
+    hosted = urls.withColumn(
+        "h", F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+    )
+    keep = filter_blocked_domains(
+        hosted, bl, host_col="h", keep_unparseable=True
+    ).select(F.lit("keep").alias("branch"), "doc_id", "url")
+    return drop.unionByName(keep).orderBy("branch", "doc_id")
 
 
 Q_URL_BLOCKLIST_SQL = """
 WITH u AS (
   SELECT doc_id,
-         concat('s', CAST(doc_id % 3 AS VARCHAR), '.d',
-                CAST(doc_id % 10 AS VARCHAR), '.',
-                CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-                                WHEN 2 THEN 'net' ELSE 'example' END) AS host
+         CASE WHEN doc_id % 25 = 7 THEN NULL
+              ELSE concat('s', CAST(doc_id % 3 AS VARCHAR), '.d',
+                          CAST(doc_id % 10 AS VARCHAR), '.',
+                          CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                                          WHEN 2 THEN 'net' ELSE 'example' END)
+         END AS host
   FROM documents
 ),
-lab AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM u),
+urls AS (
+  SELECT doc_id, host,
+         CASE WHEN host IS NULL
+              THEN concat('no-url-', CAST(doc_id AS VARCHAR))
+              ELSE concat('http://', host, '/p/', CAST(doc_id AS VARCHAR))
+         END AS url
+  FROM u
+),
+lab AS (
+  SELECT doc_id, string_split(host, '.') AS labels
+  FROM urls WHERE host IS NOT NULL
+),
 sfx AS (
   SELECT doc_id, array_to_string(labels[i + 1 : len(labels)], '.') AS s
   FROM lab, unnest(range(len(labels))) AS t(i)
@@ -6212,11 +6245,12 @@ sfx AS (
 blocked AS (
   SELECT DISTINCT doc_id FROM sfx WHERE s IN ('d3.com', 's1.d7.org', 'net')
 )
-SELECT u.doc_id,
-       concat('http://', u.host, '/p/', CAST(u.doc_id AS VARCHAR)) AS url
-FROM u
-WHERE u.doc_id NOT IN (SELECT doc_id FROM blocked)
-ORDER BY doc_id
+SELECT 'drop' AS branch, doc_id, url FROM urls
+WHERE host IS NOT NULL AND doc_id NOT IN (SELECT doc_id FROM blocked)
+UNION ALL
+SELECT 'keep' AS branch, doc_id, url FROM urls
+WHERE host IS NULL OR doc_id NOT IN (SELECT doc_id FROM blocked)
+ORDER BY branch, doc_id
 """
 
 
@@ -6366,6 +6400,132 @@ SELECT text, CAST(length(text) AS BIGINT) AS n_chars FROM recs ORDER BY text
 """
 
 
+def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.sources.corpus.read_wet_corpus` end-to-end under the
+    value-hash oracle: a deterministic two-shard WET fixture (one gzip
+    member, one plain) built from ``range()`` — 60 conversion records
+    with synthesized ``WARC-Target-URI``/``WARC-Date`` — plus three
+    planted hazards the parser must SKIP without losing neighbors: a
+    corrupt negative-``Content-Length`` record whose payload quotes WARC
+    headers (the phantom-record bait), a ``warcinfo`` record (filtered
+    by ``record_types``), and raw garbage between two records.  DuckDB
+    recomputes the expected ``(text, n_chars, url, warc_date)`` rows
+    from ``range()`` — no file dependency on the oracle side."""
+    import gzip
+    import os
+
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        read_wet_corpus,
+    )
+
+    def rec(i: int) -> bytes:
+        body = f"wet record {i} body {i * i % 97}".encode()
+        return (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + f"WARC-Target-URI: http://h{i % 7}.example/p/{i}\r\n".encode()
+            + f"WARC-Date: 2024-01-01T00:{i // 60:02d}:{i % 60:02d}Z\r\n".encode()
+            + f"WARC-Record-ID: <urn:uuid:{i:08d}>\r\n".encode()
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+            + b"\r\n\r\n"
+        )
+
+    corrupt = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: -9\r\n\r\n"
+        b"payload quoting WARC/1.0\r\nContent-Length: 5\r\n\r\nbait\r\n\r\n"
+    )
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\n"
+        b"info\r\n\r\n"
+    )
+    shard0 = (
+        b"".join(rec(i) for i in range(15))
+        + corrupt
+        + b"".join(rec(i) for i in range(15, 30))
+        + info
+    )
+    shard1 = (
+        b"".join(rec(i) for i in range(30, 45))
+        + b"\x00\xffnot a record\x00"
+        + b"".join(rec(i) for i in range(45, 60))
+    )
+    path = _session_tmp("wet_fixture")
+    with open(os.path.join(path, "s0.warc.wet.gz"), "wb") as fh:
+        fh.write(gzip.compress(shard0))
+    with open(os.path.join(path, "s1.warc.wet"), "wb") as fh:
+        fh.write(shard1)
+    out = read_wet_corpus(spark, path)
+    return out.select("text", "n_chars", "url", "warc_date").orderBy("text")
+
+
+Q_WET_INGEST_SQL = """
+WITH recs AS (
+  SELECT i,
+         concat('wet record ', CAST(i AS VARCHAR), ' body ',
+                CAST(i * i % 97 AS VARCHAR)) AS text,
+         concat('http://h', CAST(i % 7 AS VARCHAR), '.example/p/',
+                CAST(i AS VARCHAR)) AS url,
+         concat('2024-01-01T00:', lpad(CAST(i // 60 AS VARCHAR), 2, '0'),
+                ':', lpad(CAST(i % 60 AS VARCHAR), 2, '0'), 'Z') AS warc_date
+  FROM range(60) t(i)
+)
+SELECT text, CAST(length(text) AS BIGINT) AS n_chars, url, warc_date
+FROM recs ORDER BY text
+"""
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.html.html_to_text` under the value-hash oracle:
+    HTML pages synthesized per doc_id exercising every extraction rule —
+    ``head``/``style``/``script``/``nav`` subtrees dropped, ``&amp;``
+    entity decoding, block-element line breaks vs inline ``<b>`` and a
+    SOURCE newline (whitespace, not a break), double-space collapse, and
+    ``<br/>`` self-closers — with DuckDB recomputing the expected
+    extracted text by string concat.  The Spark side is one Arrow-batched
+    pandas UDF projection: no shuffle, no collect."""
+    from text_extensions_for_pandas_spark.operators.html import html_to_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    x = (F.col("doc_id") * F.col("doc_id") % 101).cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>T"),
+        i,
+        F.lit("</title><style>p{color:red}</style></head><body>"),
+        F.lit("<nav><a href='/'>Home</a> | <a href='/a'>A</a></nav>"),
+        F.lit("<h1>Doc  "),
+        i,
+        F.lit("</h1><script>var s='<p>not text</p>';</script>"),
+        F.lit("<p>alpha &amp; beta "),
+        i,
+        F.lit("</p><div>gamma <b>delta</b>\n "),
+        x,
+        F.lit("</div><ul><li>item "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("</li><li>fixed</li></ul>tail<br/>end</body></html>"),
+    )
+    out = docs.select(
+        "doc_id", html_to_text(html).alias("text")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    return out.orderBy("doc_id")
+
+
+Q_HTML_EXTRACT_SQL = """
+WITH e AS (
+  SELECT doc_id,
+         concat('Doc ', CAST(doc_id AS VARCHAR), chr(10),
+                'alpha & beta ', CAST(doc_id AS VARCHAR), chr(10),
+                'gamma delta ', CAST(doc_id * doc_id % 101 AS VARCHAR), chr(10),
+                'item ', CAST(doc_id % 5 AS VARCHAR), chr(10),
+                'fixed', chr(10), 'tail', chr(10), 'end') AS text
+  FROM documents
+)
+SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+FROM e ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6380,80 +6540,33 @@ SELECT text, CAST(length(text) AS BIGINT) AS n_chars FROM recs ORDER BY text
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-7 order: [1-4] the four crawl-front entries NEW this round
-# (url_blocklist / url_dedup — the UT1-suffix blocklist and keep-newest
-# page dedup over a doc_id-synthesized URL corpus; jsonl_ingest /
-# text_ingest — the raw-corpus readers over deterministic fixtures with
-# range()-recomputed oracles); [5] repeated_substrings, whose plan changed
-# in round 6 (gram-exchange reuse) without driver re-gating; [6-34] the
-# twenty-nine remaining r04-verified entries (q14_promo_effect ...
-# dsir_weights), now two rounds stale; [35-50] the sixteen oldest
-# r05-verified entries (boilerplate_removal ... semantic_dedup).  Below
-# the boundary: the remaining thirty-three r05-verified entries (rotate
-# into the r08 gate FIRST), then the fifty entries the r06 gate just
-# verified.  The FULL registry is locally hash-verified by
-# scripts/check_oracle.py at sf0.001 AND sf0.01 regardless of position.
+# Round-8 order: [1-2] the two NEW entries (wet_ingest -- the WET/WARC
+# crawl reader's first driver verification over a deterministic two-shard
+# fixture with planted corrupt/warcinfo/garbage hazards; html_extract --
+# the HTML->text extraction stage over per-doc synthesized markup);
+# [3-4] url_dedup / url_blocklist, whose plans changed this round
+# (NULL/blank-URL passthrough; keep_unparseable + host_col branch
+# coverage); [5-37] the thirty-three remaining r05-verified entries
+# (multimodal_image_features ... q18_large_volume), now three rounds
+# stale; [38-50] the thirteen oldest r06-verified entries
+# (exactsubstr_clean ... pack_sequences).  Below the boundary: the
+# remaining thirty-seven r06-verified entries (rotate into the r09 gate
+# FIRST), then the forty-eight entries the r07 gate just verified.  The
+# FULL registry is locally hash-verified by scripts/check_oracle.py at
+# sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- [1-4] NEW this round: crawl-front URL operators + raw-corpus
-    # -- readers, first driver verification
-    "url_blocklist": (q_url_blocklist, Q_URL_BLOCKLIST_SQL),
+    # -- [1-2] NEW this round: the WET/WARC crawl reader's first driver
+    # -- verification (wet_ingest) and the HTML->text extraction stage
+    # -- (html_extract)
+    "wet_ingest": (q_wet_ingest, Q_WET_INGEST_SQL),
+    "html_extract": (q_html_extract, Q_HTML_EXTRACT_SQL),
+    # -- [3-4] plan changed r8 (url_dedup: NULL/blank-URL passthrough;
+    # -- url_blocklist: widened to cover keep_unparseable + host_col
+    # -- branches) -- plan-changed entries gate FIRST
     "url_dedup": (q_url_dedup, Q_URL_DEDUP_SQL),
-    "jsonl_ingest": (q_jsonl_ingest, Q_JSONL_INGEST_SQL),
-    "text_ingest": (q_text_ingest, Q_TEXT_INGEST_SQL),
-    # -- [5] plan changed r6 (gram-exchange reuse) but never driver
-    # -- re-verified — plan-changed entries gate FIRST
-    "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
-    # -- [6-34] the twenty-nine remaining r04-verified entries, now two
-    # -- rounds stale (the r06 rotation note's promise, executed)
-    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
-    "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
-    "q_top3_per_nation": (q_top3_customers_per_nation, Q_TOP3_PER_NATION_SQL),
-    "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
-    "corpus_mixture": (q_corpus_mixture, Q_CORPUS_MIXTURE_SQL),
-    "bigram_lm": (q_bigram_lm, Q_BIGRAM_LM_SQL),
-    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q17_small_qty_revenue": (q17_small_quantity_revenue, Q17_SQL),
-    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
-    "split_by_hash": (q_split_by_hash, Q_SPLIT_BY_HASH_SQL),
-    "multimodal_decode_means": (q_multimodal_decode_means, Q_MULTIMODAL_DECODE_SQL),
-    "classification_report": (q_classification_report, Q_CLASSIFICATION_REPORT_SQL),
-    "f1_ensemble": (q_f1_ensemble, Q_F1_ENSEMBLE_SQL),
-    "chunk_documents": (q_chunk_documents, Q_CHUNK_DOCUMENTS_SQL),
-    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
-    "extract_dict": (q_extract_dict, Q_EXTRACT_DICT_SQL),
-    "surprisal_buckets": (q_surprisal_buckets, Q_SURPRISAL_BUCKETS_SQL),
-    "pack_multimodal": (q_pack_multimodal, Q_PACK_MULTIMODAL_SQL),
-    "events_props_variant": (q_events_props_variant, Q_EVENTS_PROPS_SQL),
-    "q4_order_priority": (q4_order_priority, Q4_SQL),
-    "q9_product_profit": (q9_product_profit, Q9_SQL),
-    "q11_important_parts": (q11_important_parts, Q11_SQL),
-    "q12_priority_by_status": (q12_priority_by_status, Q12_SQL),
-    "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
-    "q20_promotion_suppliers": (q20_promotion_suppliers, Q20_SQL),
-    "dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
-    "bpe_pair_counts": (q_bpe_pair_counts, Q_BPE_PAIR_COUNTS_SQL),
-    "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
-    # -- [35-50] the sixteen oldest r05-verified entries
-    "boilerplate_removal": (q_boilerplate_removal, Q_BOILERPLATE_SQL),
-    "doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
-    "near_dup_containment": (q_near_dup_containment, Q_NEAR_DUP_CONTAINMENT_SQL),
-    "source_divergence": (q_source_divergence, Q_SOURCE_DIVERGENCE_SQL),
-    "corpus_shuffle": (q_corpus_shuffle, Q_CORPUS_SHUFFLE_SQL),
-    "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
-    "training_prep_e2e": (q_training_prep_e2e, Q_TRAINING_PREP_SQL),
-    "fingerprint_overlap": (q_fingerprint_overlap, Q_FINGERPRINT_OVERLAP_SQL),
-    "zorder_events": (q_zorder_events, Q_ZORDER_SQL),
-    "contamination_report": (q_contamination_report, Q_CONTAMINATION_REPORT_SQL),
-    "split_divergence": (q_split_divergence, Q_SPLIT_DIVERGENCE_SQL),
-    "alpha_mixture": (q_alpha_mixture, Q_ALPHA_MIXTURE_SQL),
-    "incontext_order": (q_incontext_order, Q_INCONTEXT_ORDER_SQL),
-    "pq_topk": (q_pq_topk, Q_PQ_TOPK_SQL),
-    "ivfpq_topk": (q_ivfpq_topk, Q_IVFPQ_TOPK_SQL),
-    "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
-    # ------------------- gate boundary (position 50) -------------------
-    # remaining r05-verified entries — rotate into the r08 gate FIRST,
-    # followed by the oldest r06-verified entries
+    "url_blocklist": (q_url_blocklist, Q_URL_BLOCKLIST_SQL),
+    # -- [5-37] the thirty-three remaining r05-verified entries, now
+    # -- three rounds stale (the r07 rotation note's promise, executed)
     "multimodal_image_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
     "gopher_rules_tuned": (q_gopher_rules_tuned, Q_GOPHER_RULES_TUNED_SQL),
     "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
@@ -6487,7 +6600,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
-    # -- verified by the r06 gate (all 50 green in CORRECTNESS_r06) --
+    # -- [38-50] the thirteen oldest r06-verified entries
     "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
     "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
     "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
@@ -6501,6 +6614,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
+    # ------------------- gate boundary (position 50) -------------------
+    # remaining r06-verified entries -- rotate into the r09 gate FIRST,
+    # followed by the oldest r07-verified entries
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q_order_priority": (q_order_priority, Q_ORDER_PRIORITY_SQL),
     "q_idle_customers": (q_idle_customers, Q_IDLE_CUSTOMERS_SQL),
@@ -6538,6 +6654,55 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "q_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
+    # -- verified by the r07 gate (all 50 green in CORRECTNESS_r07) --
+    "jsonl_ingest": (q_jsonl_ingest, Q_JSONL_INGEST_SQL),
+    "text_ingest": (q_text_ingest, Q_TEXT_INGEST_SQL),
+    "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
+    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
+    "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
+    "q_top3_per_nation": (q_top3_customers_per_nation, Q_TOP3_PER_NATION_SQL),
+    "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
+    "corpus_mixture": (q_corpus_mixture, Q_CORPUS_MIXTURE_SQL),
+    "bigram_lm": (q_bigram_lm, Q_BIGRAM_LM_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q17_small_qty_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+    "split_by_hash": (q_split_by_hash, Q_SPLIT_BY_HASH_SQL),
+    "multimodal_decode_means": (q_multimodal_decode_means, Q_MULTIMODAL_DECODE_SQL),
+    "classification_report": (q_classification_report, Q_CLASSIFICATION_REPORT_SQL),
+    "f1_ensemble": (q_f1_ensemble, Q_F1_ENSEMBLE_SQL),
+    "chunk_documents": (q_chunk_documents, Q_CHUNK_DOCUMENTS_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "extract_dict": (q_extract_dict, Q_EXTRACT_DICT_SQL),
+    "surprisal_buckets": (q_surprisal_buckets, Q_SURPRISAL_BUCKETS_SQL),
+    "pack_multimodal": (q_pack_multimodal, Q_PACK_MULTIMODAL_SQL),
+    "events_props_variant": (q_events_props_variant, Q_EVENTS_PROPS_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q12_priority_by_status": (q12_priority_by_status, Q12_SQL),
+    "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
+    "q20_promotion_suppliers": (q20_promotion_suppliers, Q20_SQL),
+    "dedup_paragraphs": (q_dedup_paragraphs, Q_DEDUP_PARAGRAPHS_SQL),
+    "bpe_pair_counts": (q_bpe_pair_counts, Q_BPE_PAIR_COUNTS_SQL),
+    "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
+    "boilerplate_removal": (q_boilerplate_removal, Q_BOILERPLATE_SQL),
+    "doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
+    "near_dup_containment": (q_near_dup_containment, Q_NEAR_DUP_CONTAINMENT_SQL),
+    "source_divergence": (q_source_divergence, Q_SOURCE_DIVERGENCE_SQL),
+    "corpus_shuffle": (q_corpus_shuffle, Q_CORPUS_SHUFFLE_SQL),
+    "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
+    "training_prep_e2e": (q_training_prep_e2e, Q_TRAINING_PREP_SQL),
+    "fingerprint_overlap": (q_fingerprint_overlap, Q_FINGERPRINT_OVERLAP_SQL),
+    "zorder_events": (q_zorder_events, Q_ZORDER_SQL),
+    "contamination_report": (q_contamination_report, Q_CONTAMINATION_REPORT_SQL),
+    "split_divergence": (q_split_divergence, Q_SPLIT_DIVERGENCE_SQL),
+    "alpha_mixture": (q_alpha_mixture, Q_ALPHA_MIXTURE_SQL),
+    "incontext_order": (q_incontext_order, Q_INCONTEXT_ORDER_SQL),
+    "pq_topk": (q_pq_topk, Q_PQ_TOPK_SQL),
+    "ivfpq_topk": (q_ivfpq_topk, Q_IVFPQ_TOPK_SQL),
+    "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
 }
 
 
