@@ -812,6 +812,111 @@ def test_streaming_prep_ingest_end_to_end(spark, tmp_path):
     assert after == before
 
 
+def test_prep_state_compact_folds_state_and_preserves_dedup(spark, tmp_path):
+    """State compaction for the continuous-prep loop: after two landed
+    batches, prep_state_compact must fold the hash indexes into a
+    compact_through snapshot (newest batch dir kept for replay), trim
+    shard_totals to its two newest batch dirs, and — the correctness
+    half — a LATER batch must still dedup against hashes that now live
+    only in the snapshot, with shard positions continuing."""
+    import os
+
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        boilerplate_lines,
+    )
+    from text_extensions_for_pandas_spark.streaming.ops import (
+        prep_state_compact,
+        streaming_prep_ingest,
+    )
+
+    words = " ".join(f"the data window w{i}xx" for i in range(10))
+    b1 = [(0, "s1", f"{words} zero"), (2, "s1", f"{words} two")]
+    b2 = [(1, "s2", f"{words} one")]
+    # batch 3 arrives AFTER compaction: doc 7 is an exact text dup of
+    # doc 0 (batch 1 — its hash lives only in the snapshot by then)
+    b3 = [(7, "s2", f"{words} zero"), (9, "s2", f"{words} nine")]
+    schema = ["doc_id", "source", "text"]
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+
+    def land(rows, age):
+        import glob as _glob
+        import time as _time
+
+        before = set(_glob.glob(f"{src}/part-*.parquet"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        t = _time.time() - age
+        for f in set(_glob.glob(f"{src}/part-*.parquet")) - before:
+            os.utime(f, (t, t))
+
+    land(b1, 120)
+    land(b2, 60)
+    bp = boilerplate_lines(
+        spark.createDataFrame(b1, schema), min_docs=2, group_col="source"
+    ).cache()
+    bp.count()
+
+    def ingest_pass():
+        q = streaming_prep_ingest(
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            bp,
+            state_dir=state,
+            out_path=out,
+            checkpoint=str(tmp_path / "ckpt"),
+            min_words=30,
+            required_words=("the", "data"),
+            n_shards=2,
+        ).start()
+        q.awaitTermination(300)
+
+    def layout(sub):
+        return sorted(
+            e for e in os.listdir(f"{state}/{sub}")
+            if "=" in e and not e.startswith(".")
+        )
+
+    ingest_pass()  # batches 0 and 1
+    assert layout("para_index") == ["batch=0", "batch=1"]
+
+    horizons = prep_state_compact(spark, state)
+    assert horizons == {
+        "para_index": 0, "text_index": 0, "shard_totals_deleted": 0
+    }
+    for sub in ("para_index", "text_index"):
+        assert layout(sub) == ["batch=1", "compact_through=0"]
+    assert layout("shard_totals") == ["batch=0", "batch=1"]
+
+    land(b3, 0)
+    ingest_pass()  # batch 2, deduping against the SNAPSHOT
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 2, 1, 9}  # 7 deduped away via folded state
+    by_shard = {}
+    for r in got.values():
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    # second compaction: fold batch=1 into a new snapshot, supersede the
+    # old one, and trim shard_totals to its two newest dirs
+    horizons = prep_state_compact(spark, state)
+    assert horizons == {
+        "para_index": 1, "text_index": 1, "shard_totals_deleted": 1
+    }
+    for sub in ("para_index", "text_index"):
+        assert layout(sub) == ["batch=2", "compact_through=1"]
+    assert layout("shard_totals") == ["batch=1", "batch=2"]
+
+    # compacting with nothing new to fold is a no-op
+    assert prep_state_compact(spark, state) == {
+        "para_index": 1, "text_index": 1, "shard_totals_deleted": 0
+    }
+
+
 def test_streaming_cms_matches_batch_sketch_and_replay_is_idempotent(
     spark, tmp_path
 ):

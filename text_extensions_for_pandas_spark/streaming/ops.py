@@ -601,6 +601,21 @@ def streaming_prep_ingest(
             return None
         return df.filter(F.col("batch") < batch_id)
 
+    def _read_prior_hashes(spark, path, batch_id):
+        # hash indexes are read by EXPLICIT paths (newest snapshot + the
+        # deltas above its horizon and below this batch) rather than
+        # partition discovery, so :func:`prep_state_compact` can fold old
+        # deltas into a ``compact_through=<T>`` snapshot without breaking
+        # the layout; the snapshot's rows are all from batches < batch_id
+        # because compaction never folds the newest landed batch.
+        _, _, batches, compacts = _cms_index_state(spark, path)
+        t = compacts[-1] if compacts else -1
+        paths = [f"{path}/compact_through={t}"] if t >= 0 else []
+        paths += [f"{path}/batch={b}" for b in batches if t < b < batch_id]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
     def _process(batch_df, batch_id):
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()
@@ -624,7 +639,7 @@ def streaming_prep_ingest(
             gopher_rules(text_col, min_words=min_words, **gopher_kwargs)["passes"]
         ).localCheckpoint()  # both dedup outputs derive from here: run once
 
-        prior_paras = _read_prior(spark, para_index, batch_id)
+        prior_paras = _read_prior_hashes(spark, para_index, batch_id)
         rebuilt, new_hashes = dedup_paragraphs_incremental(
             gated.select(doc_col, text_col),
             prior_paras.select("para_hash") if prior_paras is not None else None,
@@ -639,7 +654,7 @@ def streaming_prep_ingest(
             .join(gated.select(doc_col, group_col), doc_col)
         )
         hashed = paras.withColumn("__th", F.md5(F.col(text_col)))
-        tindex = _read_prior(spark, text_index, batch_id)
+        tindex = _read_prior_hashes(spark, text_index, batch_id)
         if tindex is not None:
             hashed = hashed.join(
                 tindex, hashed["__th"] == tindex["text_hash"], "left_anti"
@@ -818,14 +833,75 @@ def cms_compact(spark: SparkSession, index_path: str) -> int:
     """
     from text_extensions_for_pandas_spark.operators.sketch import cms_merge
 
+    return _index_compact(
+        spark,
+        index_path,
+        lambda parts: cms_merge(
+            *[p.select("row", "bucket", "cnt") for p in parts]
+        ),
+    )
+
+
+def prep_state_compact(spark: SparkSession, state_dir: str) -> dict:
+    """Fold :func:`streaming_prep_ingest`'s state so steady-state disk
+    and per-batch read fan-in stay O(state size), not O(batches run):
+
+    * ``para_index`` and ``text_index`` fold all landed ``batch=<id>``
+      delta dirs EXCEPT the newest into a ``compact_through=<T>``
+      snapshot (distinct-union merge) under the same crash-safe protocol
+      as :func:`cms_compact` — snapshot written first with overwrite,
+      visible only once ``_SUCCESS`` exists, folded deltas deleted after;
+      the ingest loop reads snapshot + above-horizon deltas by explicit
+      path, so a crash at any point leaves either the old or the new
+      state, never a double or a loss.
+    * ``shard_totals`` rows are CUMULATIVE per batch, so no fold is
+      needed: every batch dir except the two newest is deleted (the
+      latest carries the offsets; the one before it is what a replay of
+      the newest batch reads).
+
+    Run between ingest passes of the SAME checkpoint lineage, like
+    :func:`cms_compact`.  A from-scratch reprocess (fresh checkpoint with
+    batch ids restarting at 0) must start from empty state/out dirs once
+    a snapshot exists — batch 0 would otherwise dedup against folded
+    hashes from its own future.
+
+    Returns ``{"para_index": T, "text_index": T,
+    "shard_totals_deleted": n}``.
+    """
+    from functools import reduce
+
+    def dedup_merge(parts):
+        return reduce(DataFrame.unionByName, parts).distinct()
+
+    out = {}
+    for sub in ("para_index", "text_index"):
+        out[sub] = _index_compact(spark, f"{state_dir}/{sub}", dedup_merge)
+    jvm = spark._jvm
+    totals = f"{state_dir}/shard_totals"
+    fs, _, batches, _ = _cms_index_state(spark, totals)
+    drop = batches[:-2]
+    for b in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{totals}/batch={b}"), True)
+    out["shard_totals_deleted"] = len(drop)
+    return out
+
+
+def _index_compact(spark: SparkSession, index_path: str, merge) -> int:
+    """The shared crash-safe fold protocol for ``batch=<id>`` delta
+    indexes (:func:`cms_compact`, :func:`prep_state_compact`):
+    sweep leftovers a crashed post-commit cleanup left behind, fold every
+    delta dir except the newest through ``merge(parts) -> DataFrame``
+    into ``compact_through=<T>``, commit via ``_SUCCESS``, then delete
+    the folded inputs.  Returns the new horizon T (or the existing one if
+    there was nothing to fold)."""
     jvm = spark._jvm
     fs, _, batches, compacts = _cms_index_state(spark, index_path)
     t = compacts[-1] if compacts else -1
     # Sweep state a crashed post-commit cleanup left behind: batch dirs
-    # <= T and snapshots < T are already invisible to cms_read, so
+    # <= T and snapshots < T are already invisible to readers, so
     # deleting them is safe at any crash point — without this, a crash
     # between snapshot commit and cleanup leaks disk until the NEXT
-    # successful fold (violating the O(d x w) steady-state claim).
+    # successful fold (violating the O(state) steady-state claim).
     for b in (b for b in batches if b <= t):
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(f"{index_path}/batch={b}"), True
@@ -843,17 +919,10 @@ def cms_compact(spark: SparkSession, index_path: str) -> int:
     if not fold:
         return t
     new_t = fold[-1]
-    parts = [
-        spark.read.parquet(f"{index_path}/batch={b}").select(
-            "row", "bucket", "cnt"
-        )
-        for b in fold
-    ]
+    parts = [spark.read.parquet(f"{index_path}/batch={b}") for b in fold]
     if t >= 0:
         parts.append(
-            spark.read.parquet(f"{index_path}/compact_through={t}").select(
-                "row", "bucket", "cnt"
-            )
+            spark.read.parquet(f"{index_path}/compact_through={t}")
         )
     # mode("overwrite"): a crash MID-snapshot-write leaves a partial
     # compact_through=<new_t> dir with no _SUCCESS — invisible to readers
@@ -862,14 +931,14 @@ def cms_compact(spark: SparkSession, index_path: str) -> int:
     # default errorifexists mode would throw on the leftover dir forever.
     # Overwriting is safe precisely because the dir stays invisible until
     # its _SUCCESS marker exists.
-    cms_merge(*parts).write.mode("overwrite").parquet(
+    merge(parts).write.mode("overwrite").parquet(
         f"{index_path}/compact_through={new_t}"
     )
     # The snapshot is only VISIBLE to _cms_index_state if its _SUCCESS
     # marker exists.  Sessions that disable success markers
     # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false — common
     # with custom cloud committers) would otherwise commit an invisible
-    # snapshot and then delete the deltas below — silently losing counts.
+    # snapshot and then delete the deltas below — silently losing state.
     # write.parquet has returned, so the data is committed: write the
     # marker explicitly if the committer didn't.
     marker = jvm.org.apache.hadoop.fs.Path(
