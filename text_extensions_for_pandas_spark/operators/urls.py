@@ -86,7 +86,10 @@ def filter_blocked_domains(
         tagged.select("__host")
         .distinct()
         .select("__host", F.explode(_suffix_chain(F.col("__host"))).alias("__sfx"))
-        .join(bl, F.col("__sfx") == F.col("__bad"), "left_semi")
+        # explicit broadcast: the blocklist is model-sized by contract
+        # (even a million UT1 entries is tens of MB); without the hint a
+        # fresh createDataFrame side can plan as a sort-merge join
+        .join(F.broadcast(bl), F.col("__sfx") == F.col("__bad"), "left_semi")
         .select("__host")
         .distinct()
     )
