@@ -105,6 +105,72 @@ def test_extract_html_documents_rehash_min_chars(spark):
     assert kept.doc_id == 10
 
 
+def test_html_features_counts_title_and_link_density():
+    from text_extensions_for_pandas_spark.operators.html import (
+        _html_features_py,
+    )
+
+    page = (
+        "<html><head><title>My  Page</title><style>a{}</style></head>"
+        "<body><p>article body</p>"
+        "<a href='/x'>link1</a><a href='/y'>link2</a>"
+        "<script>var a = '<a>fake</a>';</script>"
+        "<img src='i.png'/></body></html>"
+    )
+    title, n_tags, n_links, text_chars, link_chars, density = (
+        _html_features_py(page)
+    )
+    assert title == "My  Page"  # raw title, whitespace kept then stripped
+    # html, head, title, style, body, p, a, a, script + self-closed img
+    assert n_tags == 10
+    assert n_links == 2  # the script-quoted anchor is NOT parsed as a tag
+    assert text_chars == len("article body") + len("link1") + len("link2")
+    assert link_chars == len("link1") + len("link2")
+    assert density == link_chars / text_chars
+    # degenerate pages
+    assert _html_features_py("")[0] is None
+    assert _html_features_py("<body></body>")[5] == 0.0
+
+
+def test_html_features_udf_separates_articles_from_link_farms(spark):
+    """The quality-signal contract: a nav/link-farm page scores near 1,
+    an article near 0 — filterable BEFORE extraction."""
+    from text_extensions_for_pandas_spark.operators.html import html_features
+
+    article = "<body><p>" + "real article prose " * 20 + "</p><a>more</a></body>"
+    linkfarm = "<body>" + "".join(
+        f"<a href='/{i}'>click here {i}</a>" for i in range(30)
+    ) + "</body>"
+    df = spark.createDataFrame(
+        [("art", article), ("farm", linkfarm), ("none", None)],
+        "k string, text string",
+    )
+    rows = {
+        r.k: r.f
+        for r in df.select("k", html_features(F.col("text")).alias("f")).collect()
+    }
+    assert rows["art"].link_density < 0.1
+    assert rows["farm"].link_density == 1.0
+    assert rows["farm"].n_links == 30
+    assert rows["none"].title is None and rows["none"].n_tags is None
+
+
+def test_html_features_fuzz_never_raises():
+    from text_extensions_for_pandas_spark.operators.html import (
+        _html_features_py,
+    )
+
+    rng = random.Random(0xFACE)
+    for _ in range(200):
+        page = list(PAGE)
+        pos = rng.randrange(len(page) + 1)
+        page[pos:pos] = rng.choice(
+            ["<a", "</a>", "<title>", "&#x", "<![CDATA[", "\x00", "<!--"]
+        )
+        out = _html_features_py("".join(page[: rng.randrange(len(page))]))
+        assert len(out) == 6 and out[3] >= out[4] >= 0
+
+
 def test_fuzz_malformed_html_terminates():
     """Arbitrary mutations of real markup (truncations, byte flips,
     garbage splices, unterminated entities/comments/CDATA) must return a

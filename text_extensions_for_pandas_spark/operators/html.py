@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "html_to_text",
+    "html_features",
     "extract_html_documents",
 ]
 
@@ -143,6 +144,120 @@ def html_to_text(col) -> "F.Column":
         )
 
     return _extract(col)
+
+
+class _FeatureExtractor(HTMLParser):
+    """Structural page features in one pass: title text, tag/link
+    counts, and visible-vs-link character counts (the link-density
+    numerator/denominator).  Same skip-subtree discipline as
+    :class:`_TextExtractor`; ``<title>`` is captured even though it sits
+    inside the skipped ``head``."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self._title = 0
+        self._link = 0
+        self.title_parts: list[str] = []
+        self.n_tags = 0
+        self.n_links = 0
+        self.text_chars = 0
+        self.link_text_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        self.n_tags += 1
+        if tag == "a":
+            self.n_links += 1
+            self._link += 1
+        if tag == "title":
+            self._title += 1
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+
+    def handle_startendtag(self, tag, attrs):
+        self.n_tags += 1
+        if tag == "a":
+            self.n_links += 1
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._link = max(0, self._link - 1)
+        if tag == "title":
+            self._title = max(0, self._title - 1)
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+
+    def handle_data(self, data):
+        if self._title:
+            self.title_parts.append(data)
+            return
+        if self._skip:
+            return
+        self.text_chars += len(data)
+        if self._link:
+            self.link_text_chars += len(data)
+
+
+def _html_features_py(html: str) -> tuple:
+    """(title, n_tags, n_links, text_chars, link_text_chars,
+    link_density) — raw visible characters (pre-collapse), so the counts
+    are exactly recomputable from the markup."""
+    try:
+        p = _FeatureExtractor()
+        p.feed(html)
+        p.close()
+        title = "".join(p.title_parts).strip()
+        density = (
+            p.link_text_chars / p.text_chars if p.text_chars else 0.0
+        )
+        return (
+            title if title else None,
+            p.n_tags,
+            p.n_links,
+            p.text_chars,
+            p.link_text_chars,
+            density,
+        )
+    except Exception:
+        # same never-fail contract as _html_to_text_py: a pathological
+        # page yields degenerate features, not a dead task
+        stripped = _TAG_STRIP.sub("", html)
+        return (None, 0, 0, len(stripped), 0, 0.0)
+
+
+HTML_FEATURES_SCHEMA = (
+    "title string, n_tags int, n_links int, text_chars long, "
+    "link_text_chars long, link_density double"
+)
+
+
+def html_features(col) -> "F.Column":
+    """Column function: one-pass structural features of an HTML string —
+    ``title``, tag/anchor counts, and **link density** (visible anchor
+    chars / visible chars), the classic jusText/boilerplate-detection
+    quality signal: navigation and link-farm pages score near 1, real
+    articles near 0.  Filter crawl pages with e.g.
+    ``html_features(F.col("text"))["link_density"] < 0.5`` before (or
+    instead of) full extraction.  NULL in → NULL struct out; same
+    Arrow-batched, malformed-input-safe contract as
+    :func:`html_to_text`."""
+
+    @F.pandas_udf(HTML_FEATURES_SCHEMA)
+    def _feat(s: pd.Series) -> pd.DataFrame:
+        rows = [
+            _html_features_py(h) if h is not None
+            else (None,) * 6
+            for h in s
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "title", "n_tags", "n_links", "text_chars",
+                "link_text_chars", "link_density",
+            ],
+        )
+
+    return _feat(col)
 
 
 def extract_html_documents(

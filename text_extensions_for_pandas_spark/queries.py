@@ -6526,6 +6526,64 @@ FROM e ORDER BY doc_id
 """
 
 
+def q_html_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.html.html_features` under the value-hash
+    oracle: per-doc markup with ``doc_id % 4 + 1`` anchors, a ``<title>``
+    inside the (otherwise skipped) head, and known visible text — DuckDB
+    recomputes every count arithmetically, including the link-density
+    quality signal (rounded identically on both sides).  One Arrow
+    batch-projected pandas UDF, no shuffle."""
+    from text_extensions_for_pandas_spark.operators.html import html_features
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 4 + 1).cast("int")
+    html = F.concat(
+        F.lit("<html><head><title>T"),
+        i,
+        F.lit("</title></head><body><p>body "),
+        i,
+        F.lit(" text</p>"),
+        F.repeat(
+            F.concat(F.lit("<a href='#'>L"), i, F.lit("</a>")), k
+        ),
+        F.lit("</body></html>"),
+    )
+    feat = docs.select("doc_id", html_features(html).alias("f"))
+    return feat.select(
+        "doc_id",
+        F.col("f.title").alias("title"),
+        F.col("f.n_tags").alias("n_tags"),
+        F.col("f.n_links").alias("n_links"),
+        F.col("f.text_chars").alias("text_chars"),
+        F.col("f.link_text_chars").alias("link_text_chars"),
+        F.round(F.col("f.link_density"), 6).alias("link_density"),
+    ).orderBy("doc_id")
+
+
+Q_HTML_FEATURES_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) AS s,
+         doc_id % 4 + 1 AS k
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         concat('T', s) AS title,
+         CAST(5 + k AS INTEGER) AS n_tags,
+         CAST(k AS INTEGER) AS n_links,
+         CAST(10 + length(s) + k * (1 + length(s)) AS BIGINT) AS text_chars,
+         CAST(k * (1 + length(s)) AS BIGINT) AS link_text_chars
+  FROM p
+)
+SELECT doc_id, title, n_tags, n_links, text_chars, link_text_chars,
+       round(CAST(link_text_chars AS DOUBLE) / text_chars, 6)
+         AS link_density
+FROM c ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6540,32 +6598,37 @@ FROM e ORDER BY doc_id
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-8 order: [1-2] the two NEW entries (wet_ingest -- the WET/WARC
+# Round-8 order: [1-3] the three NEW entries (wet_ingest -- the WET/WARC
 # crawl reader's first driver verification over a deterministic two-shard
 # fixture with planted corrupt/warcinfo/garbage hazards; html_extract --
-# the HTML->text extraction stage over per-doc synthesized markup);
-# [3-4] url_dedup / url_blocklist, whose plans changed this round
-# (NULL/blank-URL passthrough; keep_unparseable + host_col branch
-# coverage); [5-37] the thirty-three remaining r05-verified entries
-# (multimodal_image_features ... q18_large_volume), now three rounds
-# stale; [38-50] the thirteen oldest r06-verified entries
-# (exactsubstr_clean ... pack_sequences).  Below the boundary: the
-# remaining thirty-seven r06-verified entries (rotate into the r09 gate
-# FIRST), then the forty-eight entries the r07 gate just verified.  The
-# FULL registry is locally hash-verified by scripts/check_oracle.py at
-# sf0.001 AND sf0.01 regardless of position.
+# the HTML->text extraction stage over per-doc synthesized markup;
+# html_features -- structural page features incl. the link-density
+# quality signal); [4-5] url_dedup / url_blocklist, whose plans changed
+# this round (NULL/blank-URL passthrough; keep_unparseable + host_col
+# branch coverage + explicit blocklist broadcast); [6-38] the
+# thirty-three remaining r05-verified entries (multimodal_image_features
+# ... q18_large_volume), now three rounds stale; [39-50] the twelve
+# oldest r06-verified entries (exactsubstr_clean ...
+# events_session_native).  Below the boundary: the remaining
+# thirty-eight r06-verified entries (pack_sequences ... q8_market_share
+# -- rotate into the r09 gate FIRST), then the forty-eight entries the
+# r07 gate just verified.  The FULL registry is locally hash-verified by
+# scripts/check_oracle.py at sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- [1-2] NEW this round: the WET/WARC crawl reader's first driver
-    # -- verification (wet_ingest) and the HTML->text extraction stage
-    # -- (html_extract)
+    # -- [1-3] NEW this round: the WET/WARC crawl reader's first driver
+    # -- verification (wet_ingest), the HTML->text extraction stage
+    # -- (html_extract), and the structural page features / link-density
+    # -- quality signal (html_features)
     "wet_ingest": (q_wet_ingest, Q_WET_INGEST_SQL),
     "html_extract": (q_html_extract, Q_HTML_EXTRACT_SQL),
-    # -- [3-4] plan changed r8 (url_dedup: NULL/blank-URL passthrough;
+    "html_features": (q_html_features, Q_HTML_FEATURES_SQL),
+    # -- [4-5] plan changed r8 (url_dedup: NULL/blank-URL passthrough;
     # -- url_blocklist: widened to cover keep_unparseable + host_col
-    # -- branches) -- plan-changed entries gate FIRST
+    # -- branches, blocklist broadcast made explicit) -- plan-changed
+    # -- entries gate FIRST
     "url_dedup": (q_url_dedup, Q_URL_DEDUP_SQL),
     "url_blocklist": (q_url_blocklist, Q_URL_BLOCKLIST_SQL),
-    # -- [5-37] the thirty-three remaining r05-verified entries, now
+    # -- [6-38] the thirty-three remaining r05-verified entries, now
     # -- three rounds stale (the r07 rotation note's promise, executed)
     "multimodal_image_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
     "gopher_rules_tuned": (q_gopher_rules_tuned, Q_GOPHER_RULES_TUNED_SQL),
@@ -6600,7 +6663,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
-    # -- [38-50] the thirteen oldest r06-verified entries
+    # -- [39-50] the twelve oldest r06-verified entries
     "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
     "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
     "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
@@ -6613,10 +6676,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cap_per_domain": (q_cap_per_domain, Q_CAP_PER_DOMAIN_SQL),
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
-    "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     # ------------------- gate boundary (position 50) -------------------
     # remaining r06-verified entries -- rotate into the r09 gate FIRST,
     # followed by the oldest r07-verified entries
+    "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q_order_priority": (q_order_priority, Q_ORDER_PRIORITY_SQL),
     "q_idle_customers": (q_idle_customers, Q_IDLE_CUSTOMERS_SQL),
