@@ -144,12 +144,23 @@ def html_demo(spark) -> None:
             "<p>the real article text survives &amp; the chrome does not"
             "</p><script>track();</script></body></html>"
         )
+        # real WARC responses carry the HTTP envelope; the reader strips
+        # it, honors the charset, and can filter on the status code
+        envelope = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+            "\r\n\r\n"
+        )
         with open(os.path.join(td, "seg.warc"), "wb") as f:
             f.write(
                 _record("http://site.example/p", "2024-01-01T00:00:00Z",
-                        page, warc_type="response")
+                        envelope + page, warc_type="response")
+                + _record("http://site.example/404", "2024-01-01T00:00:00Z",
+                          "HTTP/1.1 404 Not Found\r\n\r\ngone",
+                          warc_type="response")
             )
-        raw = read_wet_corpus(spark, td, record_types=("response",))
+        raw = read_wet_corpus(
+            spark, td, record_types=("response",), keep_http_statuses=(200,)
+        )
         doc = extract_html_documents(raw).first()
         print(f"html extracted: {doc.text!r}")
         assert doc.text == (

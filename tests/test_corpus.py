@@ -65,6 +65,77 @@ def test_unparseable_and_missing_content_length_resync_forward():
     assert _payloads(data) == [b"first", b"second", b"third"]
 
 
+def test_http_envelope_stripped_charset_honored_and_status_parsed():
+    """WARC 'response' payloads are HTTP messages: the envelope must not
+    leak into document text, the Content-Type charset must drive body
+    decoding, and the status code must be parseable for filtering."""
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        _decode_payload,
+    )
+
+    body_latin1 = "café résumé".encode("latin-1")
+    payload = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=ISO-8859-1\r\n"
+        b"Server: x\r\n\r\n" + body_latin1
+    )
+    text, status = _decode_payload(payload)
+    assert text == "café résumé" and status == 200
+    # no envelope (WET conversion text): unchanged, status None
+    text, status = _decode_payload("plain café".encode())
+    assert text == "plain café" and status is None
+    # unknown charset label: fall back to utf-8-replace, keep the status
+    text, status = _decode_payload(
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html; "
+        b"charset=no-such-enc\r\n\r\nmissing"
+    )
+    assert text == "missing" and status == 404
+    # truncated envelope (no blank line): whole payload as utf-8 text
+    text, status = _decode_payload(b"HTTP/1.1 200 OK\r\nHeader-only")
+    assert status is None and text.startswith("HTTP/1.1")
+
+
+def test_read_wet_corpus_response_records_filter_by_status(spark, tmp_path):
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        read_wet_corpus,
+    )
+
+    def resp(url, status, body):
+        payload = (
+            f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n\r\n".encode()
+            + body.encode()
+        )
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload
+            + b"\r\n\r\n"
+        )
+
+    shard = (
+        resp("http://a.example/ok", 200, "<p>good page</p>")
+        + resp("http://a.example/gone", 404, "<p>not found</p>")
+        + resp("http://a.example/moved", 301, "<p>redirect stub</p>")
+    )
+    (tmp_path / "s.warc").write_bytes(shard)
+    all_rows = read_wet_corpus(
+        spark, str(tmp_path), record_types=("response",)
+    ).collect()
+    assert {r.url for r in all_rows} == {
+        "http://a.example/ok", "http://a.example/gone",
+        "http://a.example/moved",
+    }
+    # envelopes stripped everywhere
+    assert all("HTTP/1.1" not in r.text for r in all_rows)
+    ok_rows = read_wet_corpus(
+        spark, str(tmp_path), record_types=("response",),
+        keep_http_statuses=(200,),
+    ).collect()
+    assert [r.url for r in ok_rows] == ["http://a.example/ok"]
+    assert ok_rows[0].text == "<p>good page</p>"
+
+
 def test_corrupt_length_payload_quoting_warc_headers_yields_no_phantom():
     """A corrupt-length record whose (unbounded) payload QUOTES WARC
     headers must not produce phantom records parsed from payload bytes:

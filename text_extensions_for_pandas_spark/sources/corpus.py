@@ -163,11 +163,52 @@ def _iter_warc_records(data: bytes):
             i += 2
 
 
+def _decode_payload(payload: bytes) -> tuple[str, int | None]:
+    """``(text, http_status)`` for a record payload.  WARC ``response``
+    payloads are an HTTP/1.x message — status line, headers, blank line,
+    body; treating the whole payload as text would pollute every
+    document with header noise.  If an HTTP envelope is present it is
+    stripped, the status code parsed, and the body decoded honoring the
+    ``Content-Type`` charset parameter (unknown/absent charsets fall
+    back to utf-8 with replacement — the WET behavior).  Payloads with
+    no envelope (WET ``conversion`` text) pass through unchanged with
+    ``status=None``.  Chunked transfer-encoding is NOT de-chunked (CC
+    WARCs store the raw capture; de-chunking is a documented non-goal —
+    the chunk-size lines surface as short noise lines for downstream
+    quality filters)."""
+    import re as _re
+
+    if payload[:5] != b"HTTP/":
+        return payload.decode("utf-8", errors="replace"), None
+    head_end = payload.find(b"\r\n\r\n")
+    if head_end < 0:
+        return payload.decode("utf-8", errors="replace"), None
+    head = payload[:head_end].decode("latin-1", errors="replace")
+    lines = head.split("\r\n")
+    parts = lines[0].split()
+    status = int(parts[1]) if len(parts) >= 2 and parts[1].isdigit() else None
+    charset = None
+    for ln in lines[1:]:
+        k, _, v = ln.partition(":")
+        if k.strip().lower() == "content-type":
+            m = _re.search(r"charset=[\"']?([\w.-]+)", v, _re.I)
+            if m:
+                charset = m.group(1)
+    body = payload[head_end + 4 :]
+    if charset:
+        try:
+            return body.decode(charset, errors="replace"), status
+        except LookupError:
+            pass  # unknown label in the wild: fall back, don't fail
+    return body.decode("utf-8", errors="replace"), status
+
+
 def read_wet_corpus(
     spark: SparkSession,
     path: str,
     record_types: tuple[str, ...] = ("conversion",),
     min_chars: int = 1,
+    keep_http_statuses: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Common Crawl WET/WARC shards → the canonical ``documents`` table:
     ``doc_id, text, source, n_chars, url, warc_date, record_id``.
@@ -178,9 +219,12 @@ def read_wet_corpus(
     ``mapInPandas`` island with a stdlib-only WARC parser (gzip + header
     scan, no external warcio dependency).  ``record_types`` defaults to
     WET ``conversion`` records (extracted text); pass ``("response",)``
-    for raw WARC payloads (bytes decoded utf-8-replace — real HTML
-    parsing is downstream's job).  Malformed records are skipped, not
-    fatal; truncated payloads of a cut-off shard yield what they have.
+    for raw WARC payloads — an HTTP envelope, when present, is stripped
+    and its charset honored (:func:`_decode_payload`), and
+    ``keep_http_statuses`` (e.g. ``(200,)``) drops non-OK captures;
+    compose with :func:`..operators.html.extract_html_documents` for the
+    HTML→text stage.  Malformed records are skipped, not fatal;
+    truncated payloads of a cut-off shard yield what they have.
 
     Doc ids are content hashes (the same :func:`stable_doc_id` discipline
     as the other readers), so reruns and re-partitions agree.
@@ -195,7 +239,8 @@ def read_wet_corpus(
         "path", "content"
     )
     raw = files.mapInPandas(
-        _wet_parse_island(record_types, min_chars), WET_RAW_SCHEMA
+        _wet_parse_island(record_types, min_chars, keep_http_statuses),
+        WET_RAW_SCHEMA,
     )
     return _wet_documents(raw)
 
@@ -210,12 +255,19 @@ WET_RAW_SCHEMA = (
 )
 
 
-def _wet_parse_island(record_types: tuple[str, ...], min_chars: int):
+def _wet_parse_island(
+    record_types: tuple[str, ...],
+    min_chars: int,
+    keep_http_statuses: tuple[int, ...] | None = None,
+):
     """Build the Arrow-batched ``mapInPandas`` function that turns
     ``(path, content)`` shard rows into WET record rows."""
     import gzip as _gzip
 
     wanted = tuple(t.lower() for t in record_types)
+    statuses = (
+        frozenset(keep_http_statuses) if keep_http_statuses else None
+    )
 
     def parse(batches):
         import pandas as pd
@@ -232,7 +284,11 @@ def _wet_parse_island(record_types: tuple[str, ...], min_chars: int):
                 for headers, payload in _iter_warc_records(data):
                     if headers.get("warc-type", "").lower() not in wanted:
                         continue
-                    text = payload.decode("utf-8", errors="replace")
+                    text, status = _decode_payload(payload)
+                    # envelope-less records (WET text) have status=None
+                    # and always pass a status filter
+                    if statuses and status is not None and status not in statuses:
+                        continue
                     if len(text) < min_chars:
                         continue
                     rows.append(

@@ -79,6 +79,7 @@ def read_wet_stream(
     record_types: tuple[str, ...] = ("conversion",),
     min_chars: int = 1,
     max_files_per_trigger: int | None = None,
+    keep_http_statuses: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """File-arrival streaming twin of
     :func:`..sources.corpus.read_wet_corpus`: WET/WARC shards landing in
@@ -110,7 +111,8 @@ def read_wet_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     files = reader.load(path).select("path", "content")
     raw = files.mapInPandas(
-        _wet_parse_island(record_types, min_chars), WET_RAW_SCHEMA
+        _wet_parse_island(record_types, min_chars, keep_http_statuses),
+        WET_RAW_SCHEMA,
     )
     return _wet_documents(raw)
 
