@@ -95,6 +95,39 @@ def test_http_envelope_stripped_charset_honored_and_status_parsed():
     assert status is None and text.startswith("HTTP/1.1")
 
 
+def test_chunked_transfer_encoding_reassembled():
+    """Chunk-size lines must not leak into document text; truncated
+    chunked captures yield the chunks they have."""
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        _decode_payload,
+    )
+
+    body = b"7\r\nchunk 1\r\n9\r\n, chunk 2\r\n0\r\n\r\n"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Type: text/plain\r\n\r\n" + body
+    )
+    text, status = _decode_payload(payload)
+    assert text == "chunk 1, chunk 2" and status == 200
+    # chunk-extension tokens after ';' are ignored
+    ext = b"7;ext=1\r\nchunk 1\r\n0\r\n\r\n"
+    assert _decode_payload(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + ext
+    )[0] == "chunk 1"
+    # truncated mid-chunk: best-effort prefix, no raise
+    trunc = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"7\r\nchunk 1\r\nff\r\nonly part"
+    )
+    assert _decode_payload(trunc)[0].startswith("chunk 1")
+    # declared chunked but body isn't: returned unchanged, not mangled
+    lying = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"plain body, no chunks"
+    )
+    assert _decode_payload(lying)[0] == "plain body, no chunks"
+
+
 def test_read_wet_corpus_response_records_filter_by_status(spark, tmp_path):
     from text_extensions_for_pandas_spark.sources.corpus import (
         read_wet_corpus,

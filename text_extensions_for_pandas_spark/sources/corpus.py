@@ -163,19 +163,46 @@ def _iter_warc_records(data: bytes):
             i += 2
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Reassemble an HTTP/1.1 chunked body (hex size line, CRLF, chunk,
+    CRLF, ... , 0-size terminator).  Best-effort on malformed input: a
+    body whose first size line doesn't parse is returned unchanged; a
+    truncated stream yields the chunks it has — crawl captures are
+    routinely cut off mid-transfer and must not fail the task."""
+    out: list[bytes] = []
+    i = 0
+    n_total = len(body)
+    while i < n_total:
+        j = body.find(b"\r\n", i)
+        if j < 0:
+            # truncated size line: if nothing parsed yet the body was
+            # never chunked to begin with — return it unchanged
+            return b"".join(out) if out else body
+        token = body[i:j].split(b";")[0].strip()
+        try:
+            n = int(token, 16)
+        except ValueError:
+            # not chunked after all (or corrupt): only trust what we have
+            return b"".join(out) if out else body
+        if n == 0:
+            break  # terminator (trailers ignored)
+        out.append(body[j + 2 : j + 2 + n])
+        i = j + 2 + n + 2  # past chunk + trailing CRLF
+    return b"".join(out)
+
+
 def _decode_payload(payload: bytes) -> tuple[str, int | None]:
     """``(text, http_status)`` for a record payload.  WARC ``response``
     payloads are an HTTP/1.x message — status line, headers, blank line,
     body; treating the whole payload as text would pollute every
     document with header noise.  If an HTTP envelope is present it is
-    stripped, the status code parsed, and the body decoded honoring the
+    stripped, the status code parsed, a ``Transfer-Encoding: chunked``
+    body reassembled (:func:`_dechunk` — chunk-size lines must not leak
+    into document text), and the body decoded honoring the
     ``Content-Type`` charset parameter (unknown/absent charsets fall
     back to utf-8 with replacement — the WET behavior).  Payloads with
     no envelope (WET ``conversion`` text) pass through unchanged with
-    ``status=None``.  Chunked transfer-encoding is NOT de-chunked (CC
-    WARCs store the raw capture; de-chunking is a documented non-goal —
-    the chunk-size lines surface as short noise lines for downstream
-    quality filters)."""
+    ``status=None``."""
     import re as _re
 
     if payload[:5] != b"HTTP/":
@@ -188,13 +215,19 @@ def _decode_payload(payload: bytes) -> tuple[str, int | None]:
     parts = lines[0].split()
     status = int(parts[1]) if len(parts) >= 2 and parts[1].isdigit() else None
     charset = None
+    chunked = False
     for ln in lines[1:]:
         k, _, v = ln.partition(":")
-        if k.strip().lower() == "content-type":
+        key = k.strip().lower()
+        if key == "content-type":
             m = _re.search(r"charset=[\"']?([\w.-]+)", v, _re.I)
             if m:
                 charset = m.group(1)
+        elif key == "transfer-encoding" and "chunked" in v.lower():
+            chunked = True
     body = payload[head_end + 4 :]
+    if chunked:
+        body = _dechunk(body)
     if charset:
         try:
             return body.decode(charset, errors="replace"), status
