@@ -157,6 +157,32 @@ def test_dedup_by_url_passes_null_and_blank_urls_through(spark):
     assert set(out.columns) == {"url", "warc_date", "text"}
 
 
+def test_normalize_url_strips_default_ports(spark):
+    """Default-port stripping: http://h:80 ≡ http://h and https ≡ :443;
+    non-default ports and other schemes keep theirs."""
+    from text_extensions_for_pandas_spark.operators.urls import normalize_url
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.example:80/p",),
+            ("HTTP://A.example:80/p",),
+            ("http://a.example/p",),
+            ("https://a.example:443/p",),
+            ("https://a.example/p",),
+            ("http://a.example:8080/p",),
+            ("ftp://a.example:80/p",),
+            ("http://a.example:80",),
+        ],
+        "url string",
+    )
+    n = [r.n for r in df.select(normalize_url("url").alias("n")).collect()]
+    assert n[0] == n[1] == n[2] == "http://a.example/p"
+    assert n[3] == n[4] == "https://a.example/p"
+    assert n[5] == "http://a.example:8080/p"  # non-default kept
+    assert n[6] == "ftp://a.example:80/p"  # other schemes untouched
+    assert n[7] == "http://a.example/"  # port gone, default path applied
+
+
 def test_normalize_url_schemeless_hosts_not_case_folded(spark):
     """Pin the documented asymmetry: with no scheme the host/path split
     is ambiguous, so scheme-less inputs get NO host case-folding —

@@ -101,8 +101,10 @@ def filter_blocked_domains(
 
 def normalize_url(url_col: str = "url"):
     """Canonical URL form for same-page dedup: lowercase scheme+host,
-    fragment stripped, trailing ``?`` / ``/`` trimmed, default path ``/``
-    made explicit.  A Column expression (codegen regex/string ops).
+    default ports stripped (``http://h:80`` ≡ ``http://h``, ``https``
+    ``:443``), fragment stripped, trailing ``?`` / ``/`` trimmed,
+    default path ``/`` made explicit.  A Column expression (codegen
+    regex/string ops).
 
     Scheme-less inputs (no ``scheme://host`` prefix — WARC-Target-URI is
     normally absolute, but hand-fed URL lists may not be) get the same
@@ -117,12 +119,15 @@ def normalize_url(url_col: str = "url"):
     # lowercase the scheme://host prefix only (paths are case-sensitive)
     prefix = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
     rest = F.substring(u, F.length(prefix) + 1, F.lit(1 << 30))
+    low_prefix = F.lower(prefix)
+    low_prefix = F.regexp_replace(low_prefix, r"^(http://.*):80$", "$1")
+    low_prefix = F.regexp_replace(low_prefix, r"^(https://.*):443$", "$1")
     rest = F.regexp_replace(rest, "/+$", "")  # trailing slashes
     rest = F.when(F.length(rest) == 0, F.lit("/")).otherwise(rest)
     bare = F.regexp_replace(u, "/+$", "")
     bare = F.when(F.length(bare) == 0, F.lit("/")).otherwise(bare)
     return F.when(
-        F.length(prefix) > 0, F.concat(F.lower(prefix), rest)
+        F.length(prefix) > 0, F.concat(low_prefix, rest)
     ).otherwise(bare)
 
 
