@@ -288,6 +288,34 @@ class TestDurableIvfPqIndex:
         b = sorted(map(tuple, want.collect()))
         assert a == b and len(a) == 50
 
+    def test_append_equals_full_build(self, spark, tmp_path):
+        """Incremental serving: build the index on half the corpus, then
+        append_to_ivfpq_index the other half — searches over the grown
+        index must be BIT-EQUAL to a one-shot full build (the models are
+        the stored ones, so encode/assign are identical paths)."""
+        import pyspark.sql.functions as F
+
+        S, emb, centroids, codebooks, full_path = self._setup(spark, tmp_path)
+        grown = str(tmp_path / "ivfpq_grown")
+        S.write_ivfpq_index(
+            emb.filter(F.col("vec_id") % 2 == 0), centroids, codebooks, grown
+        )
+        S.append_to_ivfpq_index(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), grown
+        )
+        queries = emb.filter(F.col("vec_id") < 5)
+        a = sorted(map(tuple, S.ivfpq_search_index(
+            spark, grown, queries, k=10, nprobe=4
+        ).collect()))
+        b = sorted(map(tuple, S.ivfpq_search_index(
+            spark, full_path, queries, k=10, nprobe=4
+        ).collect()))
+        assert a == b and len(a) == 50
+        # the union really lives in the grown index: every vector's code
+        # row is present exactly once
+        n = spark.read.parquet(f"{grown}/codes").count()
+        assert n == emb.count()
+
     def test_scan_prunes_partitions_on_disk(self, spark, tmp_path):
         import os
 

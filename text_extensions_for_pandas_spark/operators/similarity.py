@@ -883,6 +883,43 @@ def write_ivfpq_index(
     codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
+def append_to_ivfpq_index(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> None:
+    """Append NEW vectors to a :func:`write_ivfpq_index` artifact without
+    rebuilding: encode + assign them with the index's STORED models and
+    append into the partitioned ``codes`` table — one pass over the new
+    batch, existing partition files untouched, searches see the union
+    immediately.  This is how a continuously-ingesting embedding corpus
+    actually serves: quantize-on-arrival, retrain rarely.
+
+    Contracts: (a) ids must be disjoint from the indexed corpus (the
+    content-hash id discipline makes reruns collide INTO THE SAME id,
+    which is detectable, not silently wrong — but this is a plain batch
+    append, NOT exactly-once: a blindly retried append job duplicates
+    its rows; rebuild or dedup by id after a failed run); (b) appended
+    vectors are quantized with the ORIGINAL codebooks/centroids, so a
+    drifting embedding distribution decays recall — watch the per-tier
+    recall gauges and rebuild when they sag."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    assigned = ivf_assign(
+        embeddings, centroids, id_col, vec_col, metric=metric
+    ).select(id_col, "cluster_id")
+    (
+        codes.join(assigned, id_col)
+        .write.mode("append")
+        .partitionBy("cluster_id")
+        .parquet(f"{path}/codes")
+    )
+
+
 def ivfpq_search_index(
     spark,
     path: str,

@@ -3909,6 +3909,42 @@ def q_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index serving under the value-hash oracle:
+    :func:`~.operators.similarity.write_ivfpq_index` over the EVEN
+    vec_ids, :func:`~.operators.similarity.append_to_ivfpq_index` of the
+    odd half (encoded/assigned with the index's stored models), then a
+    pruned search of the grown artifact — bit-equal to a one-shot full
+    build, so the same DuckDB recompute as the other IVF-PQ entries
+    verifies it."""
+    emb_d = _emb_double(spark, sf_dir)
+    centroids = emb_d.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cb = _pq_model(emb_d)
+    path = _session_tmp("ivfpq_index_grown")
+    SIM.write_ivfpq_index(
+        emb_d.filter(F.col("vec_id") % 2 == 0), centroids, cb, path
+    )
+    SIM.append_to_ivfpq_index(
+        spark, emb_d.filter(F.col("vec_id") % 2 == 1), path
+    )
+    out = SIM.ivfpq_search_index(
+        spark,
+        path,
+        emb_d.filter(F.col("vec_id") < 5),
+        k=10,
+        nprobe=4,
+        metric="cosine",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced diversity sampling: nearest-centroid assignment
     (broadcast argmin, one corpus pass) + a deterministic hash-ordered
@@ -6598,37 +6634,41 @@ FROM c ORDER BY doc_id
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-8 order: [1-3] the three NEW entries (wet_ingest -- the WET/WARC
+# Round-8 order: [1-4] the four NEW entries (wet_ingest -- the WET/WARC
 # crawl reader's first driver verification over a deterministic two-shard
 # fixture with planted corrupt/warcinfo/garbage hazards; html_extract --
 # the HTML->text extraction stage over per-doc synthesized markup;
 # html_features -- structural page features incl. the link-density
-# quality signal); [4-5] url_dedup / url_blocklist, whose plans changed
-# this round (NULL/blank-URL passthrough; keep_unparseable + host_col
-# branch coverage + explicit blocklist broadcast); [6-38] the
+# quality signal; ivfpq_index_append -- incremental growth of the
+# durable ANN index, bit-equal to a full rebuild); [5-6] url_dedup /
+# url_blocklist, whose plans changed this round (NULL/blank-URL
+# passthrough + default-port stripping; keep_unparseable + host_col
+# branch coverage + explicit blocklist broadcast); [7-39] the
 # thirty-three remaining r05-verified entries (multimodal_image_features
-# ... q18_large_volume), now three rounds stale; [39-50] the twelve
+# ... q18_large_volume), now three rounds stale; [40-50] the eleven
 # oldest r06-verified entries (exactsubstr_clean ...
-# events_session_native).  Below the boundary: the remaining
-# thirty-eight r06-verified entries (pack_sequences ... q8_market_share
-# -- rotate into the r09 gate FIRST), then the forty-eight entries the
-# r07 gate just verified.  The FULL registry is locally hash-verified by
+# q22_sales_opportunity).  Below the boundary: the remaining thirty-nine
+# r06-verified entries (events_session_native ... q8_market_share --
+# rotate into the r09 gate FIRST), then the forty-eight entries the r07
+# gate just verified.  The FULL registry is locally hash-verified by
 # scripts/check_oracle.py at sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- [1-3] NEW this round: the WET/WARC crawl reader's first driver
+    # -- [1-4] NEW this round: the WET/WARC crawl reader's first driver
     # -- verification (wet_ingest), the HTML->text extraction stage
-    # -- (html_extract), and the structural page features / link-density
-    # -- quality signal (html_features)
+    # -- (html_extract), the structural page features / link-density
+    # -- quality signal (html_features), and incremental IVF-PQ index
+    # -- growth (ivfpq_index_append)
     "wet_ingest": (q_wet_ingest, Q_WET_INGEST_SQL),
     "html_extract": (q_html_extract, Q_HTML_EXTRACT_SQL),
     "html_features": (q_html_features, Q_HTML_FEATURES_SQL),
-    # -- [4-5] plan changed r8 (url_dedup: NULL/blank-URL passthrough;
+    "ivfpq_index_append": (q_ivfpq_index_append, Q_IVFPQ_TOPK_SQL),
+    # -- [5-6] plan changed r8 (url_dedup: NULL/blank-URL passthrough;
     # -- url_blocklist: widened to cover keep_unparseable + host_col
     # -- branches, blocklist broadcast made explicit) -- plan-changed
     # -- entries gate FIRST
     "url_dedup": (q_url_dedup, Q_URL_DEDUP_SQL),
     "url_blocklist": (q_url_blocklist, Q_URL_BLOCKLIST_SQL),
-    # -- [6-38] the thirty-three remaining r05-verified entries, now
+    # -- [7-39] the thirty-three remaining r05-verified entries, now
     # -- three rounds stale (the r07 rotation note's promise, executed)
     "multimodal_image_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
     "gopher_rules_tuned": (q_gopher_rules_tuned, Q_GOPHER_RULES_TUNED_SQL),
@@ -6663,7 +6703,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
-    # -- [39-50] the twelve oldest r06-verified entries
+    # -- [40-50] the eleven oldest r06-verified entries
     "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
     "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
     "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
@@ -6675,10 +6715,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cluster_sample": (q_cluster_sample, Q_CLUSTER_SAMPLE_SQL),
     "cap_per_domain": (q_cap_per_domain, Q_CAP_PER_DOMAIN_SQL),
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
-    "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
     # ------------------- gate boundary (position 50) -------------------
     # remaining r06-verified entries -- rotate into the r09 gate FIRST,
     # followed by the oldest r07-verified entries
+    "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q_order_priority": (q_order_priority, Q_ORDER_PRIORITY_SQL),
