@@ -812,6 +812,48 @@ def test_streaming_prep_ingest_end_to_end(spark, tmp_path):
     assert after == before
 
 
+def test_streaming_html_extract_is_stream_transparent(spark, tmp_path):
+    """The HTML→text stage is a stateless projection: streamed output
+    equals the batch operator's over the same rows."""
+    from text_extensions_for_pandas_spark.operators.html import (
+        extract_html_documents,
+    )
+    from text_extensions_for_pandas_spark.streaming.ops import (
+        streaming_html_extract,
+    )
+
+    rows = [
+        (1, "<body><nav>menu</nav><p>the real text one</p></body>", 0, "u1"),
+        (2, "<p>two &amp; two</p><script>x()</script>", 0, "u2"),
+        (3, "<style>all boilerplate</style>", 0, "u3"),  # extracts empty
+    ]
+    schema = "doc_id long, text string, n_chars long, url string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        streaming_html_extract(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            extract_html_documents(
+                spark.read.parquet(src)
+            ).collect(),
+        )
+    )
+    assert streamed == batch and len(streamed) == 2
+    texts = {t[1] for t in streamed}
+    assert texts == {"the real text one", "two & two"}
+
+
 def test_prep_state_compact_folds_state_and_preserves_dedup(spark, tmp_path):
     """State compaction for the continuous-prep loop: after two landed
     batches, prep_state_compact must fold the hash indexes into a

@@ -129,6 +129,20 @@ def streaming_extract_regex(documents: DataFrame, pattern: str) -> DataFrame:
     return extract_regex(documents, pattern)
 
 
+def streaming_html_extract(documents: DataFrame, **kwargs) -> DataFrame:
+    """HTML→text extraction over a raw-crawl stream — the *batch*
+    operator applied verbatim (a stateless Arrow-batched projection, so
+    no watermark or state store): compose
+    ``read_wet_stream(..., record_types=("response",))`` →
+    ``streaming_html_extract`` → :func:`streaming_prep_ingest` for a
+    continuous raw-HTML crawl loop."""
+    from text_extensions_for_pandas_spark.operators.html import (
+        extract_html_documents,
+    )
+
+    return extract_html_documents(documents, **kwargs)
+
+
 def streaming_extract_dict(documents: DataFrame, dictionary: DataFrame) -> DataFrame:
     """Gazetteer extraction over a document stream.  Uses the *row-wise*
     matcher: the batch ``extract_dict`` aggregates match positions across
