@@ -93,6 +93,23 @@ def test_http_envelope_stripped_charset_honored_and_status_parsed():
     # truncated envelope (no blank line): whole payload as utf-8 text
     text, status = _decode_payload(b"HTTP/1.1 200 OK\r\nHeader-only")
     assert status is None and text.startswith("HTTP/1.1")
+    # no header charset: the <meta charset> declaration is sniffed from
+    # the document head (browser pre-scan convention)
+    meta_page = (
+        b"<html><head><meta charset='ISO-8859-1'></head><body>"
+        + "café".encode("latin-1")
+        + b"</body></html>"
+    )
+    text, status = _decode_payload(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + meta_page
+    )
+    assert "café" in text and status == 200
+    # header charset WINS over a conflicting meta declaration
+    text, _ = _decode_payload(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        b"<meta charset='utf-16'>plain utf8 body"
+    )
+    assert "plain utf8 body" in text
 
 
 def test_chunked_transfer_encoding_reassembled():

@@ -228,6 +228,14 @@ def _decode_payload(payload: bytes) -> tuple[str, int | None]:
     body = payload[head_end + 4 :]
     if chunked:
         body = _dechunk(body)
+    if charset is None:
+        # the common real-world case: no charset parameter on the HTTP
+        # header — sniff the HTML <meta charset=...> / http-equiv
+        # declaration from the document head (first 2 KB, the browser
+        # pre-scan convention)
+        m = _re.search(rb"charset=[\"']?([\w.-]+)", body[:2048], _re.I)
+        if m:
+            charset = m.group(1).decode("ascii", errors="replace")
     if charset:
         try:
             return body.decode(charset, errors="replace"), status
