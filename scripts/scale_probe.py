@@ -108,16 +108,33 @@ def _html_mod():
     return H
 
 
-def _write_wet_shard(path: str, n_records: int) -> None:
-    """One WET shard file with n_records small conversion records — a
-    single binaryFile task, so the probe times the parser LOOP itself
-    (decompression + header scan + payload slicing), not Spark overhead."""
+def _write_wet_shard(
+    path: str, n_records: int, kind: str = "conversion"
+) -> None:
+    """One WET shard file with n_records small records — a single
+    binaryFile task, so the probe times the parser LOOP itself
+    (decompression + header scan + payload slicing), not Spark overhead.
+    ``kind="response"`` wraps an HTML page in an HTTP 200 envelope (the
+    raw-crawl shape the envelope-strip + HTML-extract stages consume)."""
     import gzip
 
     def rec(i: int) -> bytes:
-        body = f"wet probe record {i} body text {i % 997}".encode()
+        if kind == "response":
+            page = (
+                f"<html><head><title>T{i}</title><style>p{{}}</style>"
+                f"</head><body><nav>chrome</nav><h1>Doc {i}</h1>"
+                f"<p>wet probe record {i} body text {i % 997}</p>"
+                f"<a href='/n'>next</a></body></html>"
+            ).encode()
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                b"charset=utf-8\r\n\r\n" + page
+            )
+        else:
+            body = f"wet probe record {i} body text {i % 997}".encode()
         return (
-            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC/1.0\r\n"
+            + f"WARC-Type: {kind}\r\n".encode()
             + f"WARC-Target-URI: http://h{i % 100}.example/p/{i}\r\n".encode()
             + f"Content-Length: {len(body)}\r\n\r\n".encode()
             + body
@@ -333,6 +350,52 @@ def main() -> None:
                 json.dumps(
                     {"op": "wet_parse", "scale": n, "records": n_rec,
                      "rows": rows, "sec": round(dt, 2)}
+                )
+            )
+
+    # Crawl front END-TO-END: raw WARC response shards (HTTP envelope +
+    # HTML page per record) -> read_wet_corpus(response, keep 200) ->
+    # extract_html_documents.  One shard per scale split into 8 files so
+    # the stage parallelizes like a real segment listing; the exponent
+    # must hold ~linear — this is the pipeline every crawled byte pays.
+    if not only or "crawl_e2e" in only:
+        import tempfile
+
+        from text_extensions_for_pandas_spark.operators.html import (
+            extract_html_documents,
+        )
+        from text_extensions_for_pandas_spark.sources.corpus import (
+            read_wet_corpus,
+        )
+
+        e2e_dir = tempfile.mkdtemp(prefix="crawl_e2e_probe_")
+        for n in SCALES:
+            n_rec = 2_500 * n
+            shard_dir = os.path.join(e2e_dir, f"s{n}")
+            os.makedirs(shard_dir, exist_ok=True)
+            per_file = n_rec // 8
+            for f_no in range(8):
+                _write_wet_shard(
+                    os.path.join(shard_dir, f"seg{f_no}.warc.gz"),
+                    per_file,
+                    kind="response",
+                )
+            t0 = time.time()
+            docs = extract_html_documents(
+                read_wet_corpus(
+                    spark, shard_dir, record_types=("response",),
+                    keep_http_statuses=(200,),
+                )
+            )
+            rows, chars = docs.agg(
+                F.count("*"), F.sum("n_chars")
+            ).collect()[0]
+            dt = time.time() - t0
+            times.setdefault("crawl_e2e", []).append((n, dt))
+            print(
+                json.dumps(
+                    {"op": "crawl_e2e", "scale": n, "records": n_rec,
+                     "rows": rows, "sum_chars": chars, "sec": round(dt, 2)}
                 )
             )
 

@@ -359,7 +359,8 @@ def test_no_accidental_nested_loop_joins_across_registry(spark):
         # model-sized build sides, never corpus x corpus
         "pq_topk", "ivfpq_topk",
         # same PQ model-broadcast shape over the durable on-disk index
-        "ivfpq_index_search",
+        # (and its incremental-growth twin)
+        "ivfpq_index_search", "ivfpq_index_append",
         # recall measurement embeds the documented exact-ANN tier (small
         # broadcast query set x corpus) as its ground truth
         "ann_recall", "lsh_recall", "ivfpq_recall",
