@@ -927,7 +927,8 @@ def test_prep_state_compact_folds_state_and_preserves_dedup(spark, tmp_path):
 
     horizons = prep_state_compact(spark, state)
     assert horizons == {
-        "para_index": 0, "text_index": 0, "shard_totals_deleted": 0
+        "para_index": 0, "text_index": 0, "url_index": -1,
+        "shard_totals_deleted": 0,
     }
     for sub in ("para_index", "text_index"):
         assert layout(sub) == ["batch=1", "compact_through=0"]
@@ -947,7 +948,8 @@ def test_prep_state_compact_folds_state_and_preserves_dedup(spark, tmp_path):
     # old one, and trim shard_totals to its two newest dirs
     horizons = prep_state_compact(spark, state)
     assert horizons == {
-        "para_index": 1, "text_index": 1, "shard_totals_deleted": 1
+        "para_index": 1, "text_index": 1, "url_index": -1,
+        "shard_totals_deleted": 1,
     }
     for sub in ("para_index", "text_index"):
         assert layout(sub) == ["batch=2", "compact_through=1"]
@@ -955,8 +957,88 @@ def test_prep_state_compact_folds_state_and_preserves_dedup(spark, tmp_path):
 
     # compacting with nothing new to fold is a no-op
     assert prep_state_compact(spark, state) == {
-        "para_index": 1, "text_index": 1, "shard_totals_deleted": 0
+        "para_index": 1, "text_index": 1, "url_index": -1,
+        "shard_totals_deleted": 0,
     }
+
+
+def test_streaming_prep_ingest_url_dedup_stage(spark, tmp_path):
+    """url_col enables same-page crawl dedup across batches: the first
+    ARRIVAL of a normalized URL wins; later crawls — even with CHANGED
+    text that would pass the content dedups — drop at ingest.  URL-less
+    rows pass through; the url_index folds under prep_state_compact."""
+    import os
+
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        boilerplate_lines,
+    )
+    from text_extensions_for_pandas_spark.streaming.ops import (
+        prep_state_compact,
+        streaming_prep_ingest,
+    )
+
+    words = " ".join(f"the data window w{i}xx" for i in range(10))
+    schema = "doc_id long, source string, text string, url string"
+    b1 = [
+        (0, "s1", f"{words} zero", "http://h.example/page"),
+        (2, "s1", f"{words} two", "http://h.example/other"),
+        (4, "s1", f"{words} four", None),  # URL-less: passes through
+    ]
+    # batch 2: a RECRAWL of /page with changed text (URL variant only
+    # normalization collapses) + a genuinely new page
+    b2 = [
+        (1, "s1", f"{words} zero UPDATED", "HTTP://H.example/page/"),
+        (3, "s1", f"{words} three", "http://h.example/third"),
+    ]
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+
+    def land(rows, age):
+        import glob as _glob
+        import time as _time
+
+        before = set(_glob.glob(f"{src}/part-*.parquet"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        t = _time.time() - age
+        for f in set(_glob.glob(f"{src}/part-*.parquet")) - before:
+            os.utime(f, (t, t))
+
+    land(b1, 120)
+    land(b2, 60)
+    bp = boilerplate_lines(
+        spark.createDataFrame(b1, schema), min_docs=2, group_col="source"
+    ).cache()
+    bp.count()
+    q = streaming_prep_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        bp,
+        state_dir=state,
+        out_path=out,
+        checkpoint=str(tmp_path / "ckpt"),
+        min_words=30,
+        required_words=("the", "data"),
+        n_shards=2,
+        url_col="url",
+    ).start()
+    q.awaitTermination(300)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # 1 = recrawl of the batch-1 page (dropped by URL, not by content);
+    # 0, 2, 4 (URL-less) land from batch 1; 3 lands from batch 2
+    assert got == {0, 2, 4, 3}
+    assert sorted(
+        e for e in os.listdir(f"{state}/url_index") if e.startswith("batch=")
+    ) == ["batch=0", "batch=1"]
+    horizons = prep_state_compact(spark, state)
+    assert horizons["url_index"] == 0
+    assert sorted(
+        e for e in os.listdir(f"{state}/url_index")
+        if "=" in e and not e.startswith(".")
+    ) == ["batch=1", "compact_through=0"]
 
 
 def test_streaming_cms_matches_batch_sketch_and_replay_is_idempotent(

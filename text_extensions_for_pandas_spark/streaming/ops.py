@@ -561,14 +561,21 @@ def streaming_prep_ingest(
     doc_col: str = "doc_id",
     n_shards: int = 8,
     salt: str = "epoch0",
+    url_col: str | None = None,
 ):
     """The modern prep recipe as a continuous ingest loop — each
-    micro-batch runs boilerplate removal (stream-static join against a
-    precomputed :func:`..operators.dedup.boilerplate_lines` table), the
-    Gopher gate (row-local), CCNet paragraph dedup against the persisted
+    micro-batch runs same-page crawl dedup when ``url_col`` is set
+    (normalized-URL keep-FIRST-arrival against a persisted URL-hash
+    index — the streaming twin of :func:`..operators.urls.dedup_by_url`;
+    a stream cannot retract an emitted page, so later crawls drop at
+    ingest and keep-newest belongs in a periodic batch compaction;
+    NULL/blank URLs pass through, as in the batch op), boilerplate
+    removal (stream-static join against a precomputed
+    :func:`..operators.dedup.boilerplate_lines` table), the Gopher gate
+    (row-local), CCNet paragraph dedup against the persisted
     paragraph-hash index, exact dedup against the persisted text-hash
-    index, and lands survivors into shard files with positions continuing
-    from the previous batch.
+    index, and lands survivors into shard files with positions
+    continuing from the previous batch.
 
     The batch twin is :func:`..operators.pipeline.prep_and_shard` — the
     shard/pos math IS :func:`..operators.sampling.deterministic_shuffle`
@@ -603,8 +610,13 @@ def streaming_prep_ingest(
         deterministic_shuffle,
     )
 
+    from text_extensions_for_pandas_spark.operators.urls import (
+        normalize_url,
+    )
+
     para_index = f"{state_dir}/para_index"
     text_index = f"{state_dir}/text_index"
+    url_index = f"{state_dir}/url_index"
     shard_totals = f"{state_dir}/shard_totals"
     gopher_kwargs = (
         {"required_words": required_words} if required_words is not None else {}
@@ -635,6 +647,29 @@ def streaming_prep_ingest(
     def _process(batch_df, batch_id):
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()
+        if url_col is not None:
+            u_raw = F.col(url_col)
+            missing = u_raw.isNull() | (F.trim(u_raw) == "")
+            keyed = batch_df.filter(~missing).withColumn(
+                "__uh", F.md5(normalize_url(url_col))
+            )
+            uindex = _read_prior_hashes(spark, url_index, batch_id)
+            if uindex is not None:
+                keyed = keyed.join(uindex, "__uh", "left_anti")
+            wu = Window.partitionBy("__uh").orderBy(doc_col)
+            keyed = (
+                keyed.withColumn("__urk", F.row_number().over(wu))
+                .filter(F.col("__urk") == 1)
+                .drop("__urk")
+            )
+            keyed.select("__uh").distinct().write.mode("overwrite").parquet(
+                f"{url_index}/batch={batch_id}"
+            )
+            batch_df = (
+                keyed.drop("__uh")
+                .unionByName(batch_df.filter(missing))
+                .localCheckpoint()
+            )
         meta = batch_df.select(doc_col, group_col)
 
         cleaned = (
@@ -862,7 +897,8 @@ def prep_state_compact(spark: SparkSession, state_dir: str) -> dict:
     """Fold :func:`streaming_prep_ingest`'s state so steady-state disk
     and per-batch read fan-in stay O(state size), not O(batches run):
 
-    * ``para_index`` and ``text_index`` fold all landed ``batch=<id>``
+    * ``para_index``, ``text_index``, and ``url_index`` (present when
+      the loop runs with ``url_col``) fold all landed ``batch=<id>``
       delta dirs EXCEPT the newest into a ``compact_through=<T>``
       snapshot (distinct-union merge) under the same crash-safe protocol
       as :func:`cms_compact` — snapshot written first with overwrite,
@@ -881,8 +917,8 @@ def prep_state_compact(spark: SparkSession, state_dir: str) -> dict:
     a snapshot exists — batch 0 would otherwise dedup against folded
     hashes from its own future.
 
-    Returns ``{"para_index": T, "text_index": T,
-    "shard_totals_deleted": n}``.
+    Returns ``{"para_index": T, "text_index": T, "url_index": T,
+    "shard_totals_deleted": n}`` (an absent index reports horizon -1).
     """
     from functools import reduce
 
@@ -890,7 +926,7 @@ def prep_state_compact(spark: SparkSession, state_dir: str) -> dict:
         return reduce(DataFrame.unionByName, parts).distinct()
 
     out = {}
-    for sub in ("para_index", "text_index"):
+    for sub in ("para_index", "text_index", "url_index"):
         out[sub] = _index_compact(spark, f"{state_dir}/{sub}", dedup_merge)
     jvm = spark._jvm
     totals = f"{state_dir}/shard_totals"
