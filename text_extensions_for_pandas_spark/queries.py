@@ -6562,6 +6562,99 @@ FROM e ORDER BY doc_id
 """
 
 
+def q_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front END-TO-END under one value-hash oracle: a
+    deterministic raw-WARC fixture of 120 ``response`` records — two
+    crawls per page, HTTP envelopes (pages ``j%9==4`` have their LATER
+    crawl captured as a 404, so the earlier crawl must win), every page
+    of ``j%10==3`` hosted on a blocklisted domain, one corrupt record
+    planted mid-shard — through ``read_wet_corpus(response,
+    keep_http_statuses=(200,))`` → ``filter_blocked_domains`` →
+    ``dedup_by_url(keep="last")`` → ``extract_html_documents``.  DuckDB
+    recomputes the surviving (url, extracted text, n_chars) rows from
+    ``range()`` arithmetic.  Extraction runs AFTER dedup, so only
+    surviving pages pay the HTML parse — the stage order a real crawl
+    pipeline uses."""
+    import gzip
+    import os
+
+    from text_extensions_for_pandas_spark.operators.html import (
+        extract_html_documents,
+    )
+    from text_extensions_for_pandas_spark.operators.urls import (
+        dedup_by_url,
+        filter_blocked_domains,
+    )
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        read_wet_corpus,
+    )
+
+    def rec(i: int) -> bytes:
+        j = i // 2
+        host = (
+            "ads.blocked.example" if j % 10 == 3 else f"h{j % 8}.example"
+        )
+        status = 404 if (i % 2 == 1 and j % 9 == 4) else 200
+        page = (
+            f"<html><head><title>T{i}</title></head><body>"
+            f"<nav>chrome links</nav>"
+            f"<p>crawl {i} of page {j} with body words {i * i % 89}</p>"
+            f"</body></html>"
+        )
+        payload = (
+            f"HTTP/1.1 {status} X\r\nContent-Type: text/html; "
+            f"charset=utf-8\r\n\r\n".encode() + page.encode()
+        )
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: http://{host}/p/{j}\r\n".encode()
+            + f"WARC-Date: {i:012d}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload
+            + b"\r\n\r\n"
+        )
+
+    corrupt = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -3\r\n\r\n"
+        b"junk quoting WARC/1.0 headers\r\n\r\n"
+    )
+    shard = (
+        b"".join(rec(i) for i in range(60))
+        + corrupt
+        + b"".join(rec(i) for i in range(60, 120))
+    )
+    path = _session_tmp("crawl_funnel")
+    with open(os.path.join(path, "seg.warc.gz"), "wb") as fh:
+        fh.write(gzip.compress(shard))
+
+    docs = read_wet_corpus(
+        spark, path, record_types=("response",), keep_http_statuses=(200,)
+    )
+    kept = filter_blocked_domains(docs, ["blocked.example"])
+    pages = dedup_by_url(kept, keep="last")
+    out = extract_html_documents(pages)
+    return out.select("url", "text", "n_chars").orderBy("url")
+
+
+Q_CRAWL_FUNNEL_SQL = """
+WITH surv AS (
+  SELECT j, CASE WHEN j % 9 = 4 THEN 2 * j ELSE 2 * j + 1 END AS i
+  FROM range(60) t(j)
+  WHERE j % 10 <> 3
+),
+rows_ AS (
+  SELECT concat('http://h', CAST(j % 8 AS VARCHAR), '.example/p/',
+                CAST(j AS VARCHAR)) AS url,
+         concat('crawl ', CAST(i AS VARCHAR), ' of page ',
+                CAST(j AS VARCHAR), ' with body words ',
+                CAST(i * i % 89 AS VARCHAR)) AS text
+  FROM surv
+)
+SELECT url, text, CAST(length(text) AS BIGINT) AS n_chars
+FROM rows_ ORDER BY url
+"""
+
+
 def q_html_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.operators.html.html_features` under the value-hash
     oracle: per-doc markup with ``doc_id % 4 + 1`` anchors, a ``<title>``
@@ -6634,41 +6727,47 @@ FROM c ORDER BY doc_id
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-8 order: [1-4] the four NEW entries (wet_ingest -- the WET/WARC
+# Round-8 order: [1-5] the five NEW entries (wet_ingest -- the WET/WARC
 # crawl reader's first driver verification over a deterministic two-shard
 # fixture with planted corrupt/warcinfo/garbage hazards; html_extract --
 # the HTML->text extraction stage over per-doc synthesized markup;
 # html_features -- structural page features incl. the link-density
 # quality signal; ivfpq_index_append -- incremental growth of the
-# durable ANN index, bit-equal to a full rebuild); [5-6] url_dedup /
-# url_blocklist, whose plans changed this round (NULL/blank-URL
-# passthrough + default-port stripping; keep_unparseable + host_col
-# branch coverage + explicit blocklist broadcast); [7-39] the
-# thirty-three remaining r05-verified entries (multimodal_image_features
-# ... q18_large_volume), now three rounds stale; [40-50] the eleven
-# oldest r06-verified entries (exactsubstr_clean ...
-# q22_sales_opportunity).  Below the boundary: the remaining thirty-nine
-# r06-verified entries (events_session_native ... q8_market_share --
-# rotate into the r09 gate FIRST), then the forty-eight entries the r07
-# gate just verified.  The FULL registry is locally hash-verified by
-# scripts/check_oracle.py at sf0.001 AND sf0.01 regardless of position.
+# durable ANN index, bit-equal to a full rebuild; crawl_funnel -- the
+# crawl-front end-to-end composite: HTTP-status filter -> domain
+# blocklist -> same-page keep-newest dedup -> HTML extraction over a
+# planted-hazard raw-WARC fixture); [6-7] url_dedup / url_blocklist,
+# whose plans changed this round (NULL/blank-URL passthrough +
+# default-port stripping; keep_unparseable + host_col branch coverage +
+# explicit blocklist broadcast); [8-40] the thirty-three remaining
+# r05-verified entries (multimodal_image_features ... q18_large_volume),
+# now three rounds stale; [41-50] the ten oldest r06-verified entries
+# (exactsubstr_clean ... cap_per_domain).  Below the boundary: the
+# remaining forty r06-verified entries (q22_sales_opportunity ...
+# q8_market_share -- rotate into the r09 gate FIRST), then the
+# forty-eight entries the r07 gate just verified.  The FULL registry is
+# locally hash-verified by scripts/check_oracle.py at sf0.001 AND
+# sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- [1-4] NEW this round: the WET/WARC crawl reader's first driver
+    # -- [1-5] NEW this round: the WET/WARC crawl reader's first driver
     # -- verification (wet_ingest), the HTML->text extraction stage
     # -- (html_extract), the structural page features / link-density
-    # -- quality signal (html_features), and incremental IVF-PQ index
-    # -- growth (ivfpq_index_append)
+    # -- quality signal (html_features), incremental IVF-PQ index
+    # -- growth (ivfpq_index_append), and the crawl-front end-to-end
+    # -- composite (crawl_funnel: status filter -> blocklist -> page
+    # -- dedup -> HTML extraction over a planted-hazard fixture)
     "wet_ingest": (q_wet_ingest, Q_WET_INGEST_SQL),
     "html_extract": (q_html_extract, Q_HTML_EXTRACT_SQL),
     "html_features": (q_html_features, Q_HTML_FEATURES_SQL),
     "ivfpq_index_append": (q_ivfpq_index_append, Q_IVFPQ_TOPK_SQL),
-    # -- [5-6] plan changed r8 (url_dedup: NULL/blank-URL passthrough;
+    "crawl_funnel": (q_crawl_funnel, Q_CRAWL_FUNNEL_SQL),
+    # -- [6-7] plan changed r8 (url_dedup: NULL/blank-URL passthrough;
     # -- url_blocklist: widened to cover keep_unparseable + host_col
     # -- branches, blocklist broadcast made explicit) -- plan-changed
     # -- entries gate FIRST
     "url_dedup": (q_url_dedup, Q_URL_DEDUP_SQL),
     "url_blocklist": (q_url_blocklist, Q_URL_BLOCKLIST_SQL),
-    # -- [7-39] the thirty-three remaining r05-verified entries, now
+    # -- [8-40] the thirty-three remaining r05-verified entries, now
     # -- three rounds stale (the r07 rotation note's promise, executed)
     "multimodal_image_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
     "gopher_rules_tuned": (q_gopher_rules_tuned, Q_GOPHER_RULES_TUNED_SQL),
@@ -6703,7 +6802,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
-    # -- [40-50] the eleven oldest r06-verified entries
+    # -- [41-50] the ten oldest r06-verified entries
     "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
     "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
     "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
@@ -6714,10 +6813,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ivfpq_recall": (q_ivfpq_recall, Q_IVFPQ_RECALL_SQL),
     "cluster_sample": (q_cluster_sample, Q_CLUSTER_SAMPLE_SQL),
     "cap_per_domain": (q_cap_per_domain, Q_CAP_PER_DOMAIN_SQL),
-    "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     # ------------------- gate boundary (position 50) -------------------
     # remaining r06-verified entries -- rotate into the r09 gate FIRST,
     # followed by the oldest r07-verified entries
+    "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
