@@ -58,6 +58,19 @@ def test_inline_tags_do_not_break_lines():
     ) == "a b c d"
 
 
+def test_pre_blocks_keep_source_line_structure():
+    """<pre> is literally preformatted: its source newlines are line
+    breaks (code blocks keep their lines), while the same newlines in
+    ordinary flow collapse to spaces."""
+    assert _html_to_text_py(
+        "<p>intro\ntext</p><pre>def f():\n    return 1\n</pre><p>after</p>"
+    ) == "intro text\ndef f():\nreturn 1\nafter"
+    # nested pre + unbalanced closer stays clamped
+    assert _html_to_text_py(
+        "<pre>a\nb<pre>c\nd</pre>e\nf</pre></pre><div>g\nh</div>"
+    ) == "a\nb\nc\nd\ne\nf\ng h"
+
+
 def test_whitespace_collapse_and_blank_line_drop():
     assert _html_to_text_py(
         "<div>  lots \t of \n space  </div><div>  </div><div>next</div>"

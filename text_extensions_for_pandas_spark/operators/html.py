@@ -18,6 +18,8 @@ Extraction semantics (deterministic, stdlib-only ``html.parser``):
   (``b``/``a``/``span``/…) do not — so visual line structure survives
   into the text column the line-level operators
   (:func:`~.dedup.remove_boilerplate`, line-repetition metrics) consume;
+* inside ``<pre>`` the SOURCE newlines are honored as line breaks (the
+  element is literally preformatted — code blocks keep their lines);
 * character/entity references decode (``&amp;`` → ``&``);
 * whitespace is normalized per line: runs collapse to one space (source
   newlines are ordinary whitespace, exactly as a browser renders them —
@@ -79,17 +81,20 @@ _BREAK = "\x1f"
 
 class _TextExtractor(HTMLParser):
     """Streaming tag handler: collects text parts, depth-counts skip
-    subtrees (nested/unbalanced closers clamp at zero)."""
+    and ``pre`` subtrees (nested/unbalanced closers clamp at zero)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self._skip = 0
+        self._pre = 0
         self.parts: list[str] = []
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
             self._skip += 1
         elif tag in _BLOCK_TAGS:
+            if tag == "pre":
+                self._pre += 1
             self.parts.append(_BREAK)
 
     # <br/> and other XHTML self-closers arrive here, not handle_starttag
@@ -101,12 +106,18 @@ class _TextExtractor(HTMLParser):
         if tag in _SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
         elif tag in _BLOCK_TAGS:
+            if tag == "pre":
+                self._pre = max(0, self._pre - 1)
             self.parts.append(_BREAK)
 
     def handle_data(self, data):
         if not self._skip and data:
             # a stray U+001F in page text must not fake a line break
-            self.parts.append(data.replace(_BREAK, " "))
+            data = data.replace(_BREAK, " ")
+            if self._pre:
+                # preformatted: source newlines ARE the line structure
+                data = data.replace("\n", _BREAK)
+            self.parts.append(data)
 
 
 def _normalize_lines(raw: str) -> str:
