@@ -216,14 +216,17 @@ def streaming_demo(spark) -> None:
                 min_words=10,
                 required_words=("the", "data"),
                 n_shards=2,
+                url_col="url",  # same-page crawl dedup across batches
             ).start()
             q.awaitTermination(300)
 
         ingest_pass()
         n_wave1 = spark.read.parquet(out).count()
 
-        # wave 2 ARRIVES: a fresh page plus a recrawl whose cleaned text
-        # equals wave-1 alpha — the cross-batch dedup must drop it
+        # wave 2 ARRIVES: a fresh page; a recrawl whose cleaned text
+        # equals wave-1 alpha (cross-batch TEXT dedup drops it); and a
+        # recrawl of wave-1's /1 URL with CHANGED text (the URL stage
+        # drops it — first arrival of a page wins at ingest)
         with open(os.path.join(crawl, "shard1.warc.wet.gz"), "wb") as f:
             f.write(
                 gzip.compress(
@@ -231,6 +234,8 @@ def streaming_demo(spark) -> None:
                             f"{words} gamma")
                     + _record("http://c.example/4", "2024-02-01T00:00:00Z",
                               f"{words} alpha")
+                    + _record("http://a.example/1", "2024-02-01T00:00:00Z",
+                              f"{words} alpha version two")
                 )
             )
         ingest_pass()
@@ -243,6 +248,7 @@ def streaming_demo(spark) -> None:
             [f"{words} alpha", f"{words} beta", f"{words} gamma"]
         ), texts
         assert all(nav not in t for t in texts)
+        assert not any("version two" in t for t in texts)  # URL-stage drop
         print("OK crawl front end-to-end (streaming, 2 arrival waves)")
 
 
