@@ -41,6 +41,7 @@ from text_extensions_for_pandas_spark.operators.urls import (  # noqa: E402
     filter_blocked_domains,
 )
 from text_extensions_for_pandas_spark.sources.corpus import (  # noqa: E402
+    make_warc_record,
     read_wet_corpus,
 )
 
@@ -48,17 +49,14 @@ BLOCKLIST = ["spam.example", "tracker.example"]
 
 
 def _record(url: str, date: str, text: str,
-            warc_type: str = "conversion") -> bytes:
-    payload = text.encode()
-    head = (
-        "WARC/1.0\r\n"
-        f"WARC-Type: {warc_type}\r\n"
-        f"WARC-Target-URI: {url}\r\n"
-        f"WARC-Date: {date}\r\n"
-        f"WARC-Record-ID: <urn:uuid:{abs(hash(url + date))}>\r\n"
-        f"Content-Length: {len(payload)}\r\n\r\n"
-    ).encode()
-    return head + payload + b"\r\n\r\n"
+            warc_type: str = "conversion",
+            http_status: int | None = None) -> bytes:
+    # one shared serializer for every fixture in this repo
+    return make_warc_record(
+        text, url=url, warc_date=date, warc_type=warc_type,
+        record_id=f"<urn:uuid:{abs(hash(url + date))}>",
+        http_status=http_status,
+    )
 
 
 def _write_shards(out_dir: str) -> None:
@@ -146,17 +144,12 @@ def html_demo(spark) -> None:
         )
         # real WARC responses carry the HTTP envelope; the reader strips
         # it, honors the charset, and can filter on the status code
-        envelope = (
-            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
-            "\r\n\r\n"
-        )
         with open(os.path.join(td, "seg.warc"), "wb") as f:
             f.write(
                 _record("http://site.example/p", "2024-01-01T00:00:00Z",
-                        envelope + page, warc_type="response")
+                        page, warc_type="response", http_status=200)
                 + _record("http://site.example/404", "2024-01-01T00:00:00Z",
-                          "HTTP/1.1 404 Not Found\r\n\r\ngone",
-                          warc_type="response")
+                          "gone", warc_type="response", http_status=404)
             )
         raw = read_wet_corpus(
             spark, td, record_types=("response",), keep_http_statuses=(200,)

@@ -118,27 +118,27 @@ def _write_wet_shard(
     raw-crawl shape the envelope-strip + HTML-extract stages consume)."""
     import gzip
 
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        make_warc_record,
+    )
+
     def rec(i: int) -> bytes:
         if kind == "response":
-            page = (
+            body = (
                 f"<html><head><title>T{i}</title><style>p{{}}</style>"
                 f"</head><body><nav>chrome</nav><h1>Doc {i}</h1>"
                 f"<p>wet probe record {i} body text {i % 997}</p>"
                 f"<a href='/n'>next</a></body></html>"
-            ).encode()
-            body = (
-                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
-                b"charset=utf-8\r\n\r\n" + page
             )
+            status = 200
         else:
-            body = f"wet probe record {i} body text {i % 997}".encode()
-        return (
-            b"WARC/1.0\r\n"
-            + f"WARC-Type: {kind}\r\n".encode()
-            + f"WARC-Target-URI: http://h{i % 100}.example/p/{i}\r\n".encode()
-            + f"Content-Length: {len(body)}\r\n\r\n".encode()
-            + body
-            + b"\r\n\r\n"
+            body = f"wet probe record {i} body text {i % 997}"
+            status = None
+        return make_warc_record(
+            body,
+            url=f"http://h{i % 100}.example/p/{i}",
+            warc_type=kind,
+            http_status=status,
         )
 
     with gzip.open(path, "wb") as fh:

@@ -206,6 +206,57 @@ def test_corrupt_length_payload_quoting_warc_headers_yields_no_phantom():
     assert _payloads(data) == [b"before", b"after"]
 
 
+def test_corrupt_length_payload_quoting_warc_header_at_offset_zero():
+    """The quoted header can sit at payload offset 0 — then the corrupt
+    header's OWN terminator is a valid-looking boundary marker.  The
+    resync must not accept it (no phantom), at the documented cost of a
+    doubly-malformed no-separator stream losing its next record."""
+    corrupt = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: -9\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 4\r\n\r\n"
+        b"bait\r\n\r\n"
+    )
+    data = _rec(b"before") + corrupt + _rec(b"after")
+    assert _payloads(data) == [b"before", b"after"]
+
+
+def test_conversion_payload_starting_with_http_decodes_verbatim():
+    """Envelope stripping is gated on warc-type=response: a WET
+    conversion page ABOUT the HTTP protocol keeps its head."""
+    text = "HTTP/1.1 is a versioned protocol\r\n\r\nthe rest of the article"
+    data = _rec(text.encode())
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        _wet_parse_island,
+    )
+    import pandas as pd
+
+    parse = _wet_parse_island(("conversion",), 1, None)
+    [out] = list(parse(iter([pd.DataFrame({"path": ["p"], "content": [data]})])))
+    assert out["text"].tolist() == [text]
+
+
+def test_empty_status_allowlist_keeps_nothing_enveloped():
+    """keep_http_statuses=() is an EMPTY allowlist, not 'no filter':
+    every enveloped capture drops; envelope-less text still passes."""
+    import pandas as pd
+
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        _wet_parse_island,
+    )
+
+    resp = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 47\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\npage"
+        b"\r\n\r\n"
+    )
+    conv = _rec(b"wet text")
+    parse = _wet_parse_island(("response", "conversion"), 1, ())
+    [out] = list(
+        parse(iter([pd.DataFrame({"path": ["p"], "content": [resp + conv]})]))
+    )
+    assert out["text"].tolist() == ["wet text"]
+
+
 def test_garbage_between_records_and_truncated_tail():
     data = (
         _rec(b"alpha")

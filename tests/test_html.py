@@ -116,6 +116,14 @@ def test_extract_html_documents_rehash_min_chars(spark):
     # rehash_ids=False keeps the incoming id
     kept = extract_html_documents(df, min_chars=3, rehash_ids=False).first()
     assert kept.doc_id == 10
+    # NULL html rows drop even at min_chars=0 (documented: the output is
+    # a documents table — count NULLs upstream if auditing matters)
+    with_null = df.union(
+        df.sparkSession.createDataFrame(
+            [(12, None, 0, "u3")], df.schema
+        )
+    )
+    assert extract_html_documents(with_null, min_chars=0).count() == 2
 
 
 def test_html_features_counts_title_and_link_density():

@@ -183,6 +183,27 @@ def test_normalize_url_strips_default_ports(spark):
     assert n[7] == "http://a.example/"  # port gone, default path applied
 
 
+def test_normalize_url_pathless_query_not_folded_and_port_stripped(spark):
+    """The scheme://host prefix stops at '/', '?', or '#': a path-less
+    URL's query keeps its case (queries are case-sensitive resources)
+    and cannot hide a default port from the strip rule."""
+    from text_extensions_for_pandas_spark.operators.urls import normalize_url
+
+    df = spark.createDataFrame(
+        [
+            ("http://H.example:80?a=1",),
+            ("http://h.example?a=1",),
+            ("http://h.example?Session=AbC",),
+            ("http://h.example?session=abc",),
+        ],
+        "url string",
+    )
+    n = [r.n for r in df.select(normalize_url("url").alias("n")).collect()]
+    assert n[0] == n[1] == "http://h.example?a=1"  # port stripped, host folded
+    assert n[2] == "http://h.example?Session=AbC"  # query case preserved
+    assert n[2] != n[3]  # distinct resources stay distinct
+
+
 def test_normalize_url_schemeless_hosts_not_case_folded(spark):
     """Pin the documented asymmetry: with no scheme the host/path split
     is ambiguous, so scheme-less inputs get NO host case-folding —

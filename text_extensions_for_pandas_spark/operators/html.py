@@ -286,6 +286,10 @@ def extract_html_documents(
     content-hash discipline: ids must follow the bytes every downstream
     dedup actually sees).  All other columns pass through unchanged.
 
+    Rows whose ``html_col`` is NULL are DROPPED (even at
+    ``min_chars=0``): the output is a documents table and a document
+    needs text; count NULLs upstream if extraction auditing matters.
+
     Compose with :func:`~.dedup.remove_boilerplate` for the heuristic
     (frequency-based) boilerplate pass; this operator only removes what
     the markup itself declares to be non-content.

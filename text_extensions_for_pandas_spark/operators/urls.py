@@ -116,8 +116,11 @@ def normalize_url(url_col: str = "url"):
     absolute URLs when host case variants must collapse.)"""
     u = F.regexp_replace(F.col(url_col), "#.*$", "")  # fragment
     u = F.regexp_replace(u, r"\?$", "")
-    # lowercase the scheme://host prefix only (paths are case-sensitive)
-    prefix = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    # lowercase the scheme://host prefix only — stop at '/', '?', or '#'
+    # so a path-less URL's query string is neither case-folded (queries
+    # are case-sensitive: ?Session=AbC and ?session=abc are different
+    # resources) nor able to hide a default :80/:443 from the strip rule
+    prefix = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
     rest = F.substring(u, F.length(prefix) + 1, F.lit(1 << 30))
     low_prefix = F.lower(prefix)
     low_prefix = F.regexp_replace(low_prefix, r"^(http://.*):80$", "$1")

@@ -6451,20 +6451,16 @@ def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from text_extensions_for_pandas_spark.sources.corpus import (
+        make_warc_record,
         read_wet_corpus,
     )
 
     def rec(i: int) -> bytes:
-        body = f"wet record {i} body {i * i % 97}".encode()
-        return (
-            b"WARC/1.0\r\n"
-            b"WARC-Type: conversion\r\n"
-            + f"WARC-Target-URI: http://h{i % 7}.example/p/{i}\r\n".encode()
-            + f"WARC-Date: 2024-01-01T00:{i // 60:02d}:{i % 60:02d}Z\r\n".encode()
-            + f"WARC-Record-ID: <urn:uuid:{i:08d}>\r\n".encode()
-            + f"Content-Length: {len(body)}\r\n\r\n".encode()
-            + body
-            + b"\r\n\r\n"
+        return make_warc_record(
+            f"wet record {i} body {i * i % 97}",
+            url=f"http://h{i % 7}.example/p/{i}",
+            warc_date=f"2024-01-01T00:{i // 60:02d}:{i % 60:02d}Z",
+            record_id=f"<urn:uuid:{i:08d}>",
         )
 
     corrupt = (
@@ -6586,6 +6582,7 @@ def q_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         filter_blocked_domains,
     )
     from text_extensions_for_pandas_spark.sources.corpus import (
+        make_warc_record,
         read_wet_corpus,
     )
 
@@ -6601,17 +6598,12 @@ def q_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"<p>crawl {i} of page {j} with body words {i * i % 89}</p>"
             f"</body></html>"
         )
-        payload = (
-            f"HTTP/1.1 {status} X\r\nContent-Type: text/html; "
-            f"charset=utf-8\r\n\r\n".encode() + page.encode()
-        )
-        return (
-            b"WARC/1.0\r\nWARC-Type: response\r\n"
-            + f"WARC-Target-URI: http://{host}/p/{j}\r\n".encode()
-            + f"WARC-Date: {i:012d}\r\n".encode()
-            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
-            + payload
-            + b"\r\n\r\n"
+        return make_warc_record(
+            page,
+            url=f"http://{host}/p/{j}",
+            warc_date=f"{i:012d}",
+            warc_type="response",
+            http_status=status,
         )
 
     corrupt = (

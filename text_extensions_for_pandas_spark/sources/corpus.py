@@ -27,6 +27,7 @@ __all__ = [
     "read_jsonl_corpus",
     "read_text_corpus",
     "read_wet_corpus",
+    "make_warc_record",
     "stable_doc_id",
 ]
 
@@ -105,6 +106,38 @@ def read_text_corpus(
 # WARC / WET (Common Crawl) ingestion
 # ---------------------------------------------------------------------------
 
+def make_warc_record(
+    body: str | bytes,
+    url: str | None = None,
+    warc_type: str = "conversion",
+    warc_date: str | None = None,
+    record_id: str | None = None,
+    http_status: int | None = None,
+    content_type: str = "text/html; charset=utf-8",
+) -> bytes:
+    """Serialize one WARC record — the fixture-side twin of
+    :func:`_iter_warc_records`, shared by the repo's own test fixtures,
+    gated-query fixtures, examples, and scale probes so a header-format
+    change lands in ONE place.  ``http_status`` wraps the body in an
+    HTTP/1.1 response envelope (the raw-capture shape ``response``
+    records carry); omit it for WET ``conversion`` text."""
+    payload = body.encode() if isinstance(body, str) else body
+    if http_status is not None:
+        payload = (
+            f"HTTP/1.1 {http_status} X\r\n"
+            f"Content-Type: {content_type}\r\n\r\n".encode() + payload
+        )
+    head = b"WARC/1.0\r\n" + f"WARC-Type: {warc_type}\r\n".encode()
+    if url is not None:
+        head += f"WARC-Target-URI: {url}\r\n".encode()
+    if warc_date is not None:
+        head += f"WARC-Date: {warc_date}\r\n".encode()
+    if record_id is not None:
+        head += f"WARC-Record-ID: {record_id}\r\n".encode()
+    head += f"Content-Length: {len(payload)}\r\n\r\n".encode()
+    return head + payload + b"\r\n\r\n"
+
+
 def _iter_warc_records(data: bytes):
     """Yield ``(headers: dict, payload: bytes)`` for each record of a WARC
     byte stream (ISO 28500: ``WARC/1.x`` header block, blank line,
@@ -149,7 +182,13 @@ def _iter_warc_records(data: bytes):
             # otherwise yield phantom records parsed from payload bytes.
             # (The malformed-header resync below stays lenient on purpose:
             # garbage between records need not end with a blank line.)
-            nxt = data.find(b"\r\n\r\n" + b"WARC/", head_end)
+            # Search from head_end + 1: a match AT head_end is the corrupt
+            # header's own terminator with the payload QUOTING a header at
+            # offset 0 — the phantom case again.  (The cost: a doubly
+            # malformed stream whose next record abuts the corrupt header
+            # with no separator loses that record — preferable to
+            # emitting payload bytes as documents.)
+            nxt = data.find(b"\r\n\r\n" + b"WARC/", head_end + 1)
             if nxt < 0:
                 return
             i = nxt + 4
@@ -306,8 +345,13 @@ def _wet_parse_island(
     import gzip as _gzip
 
     wanted = tuple(t.lower() for t in record_types)
+    # () means "keep no enveloped capture" — only `None` disables the
+    # filter (a falsy-check here would silently invert an empty
+    # allowlist computed programmatically)
     statuses = (
-        frozenset(keep_http_statuses) if keep_http_statuses else None
+        frozenset(keep_http_statuses)
+        if keep_http_statuses is not None
+        else None
     )
 
     def parse(batches):
@@ -323,12 +367,24 @@ def _wet_parse_island(
                     except OSError:
                         continue  # corrupt member: skip the shard
                 for headers, payload in _iter_warc_records(data):
-                    if headers.get("warc-type", "").lower() not in wanted:
+                    rtype = headers.get("warc-type", "").lower()
+                    if rtype not in wanted:
                         continue
-                    text, status = _decode_payload(payload)
-                    # envelope-less records (WET text) have status=None
-                    # and always pass a status filter
-                    if statuses and status is not None and status not in statuses:
+                    # ONLY response records carry an HTTP message —
+                    # conversion (WET) text decodes verbatim, even when a
+                    # page about HTTP happens to start with 'HTTP/'
+                    if rtype == "response":
+                        text, status = _decode_payload(payload)
+                    else:
+                        text = payload.decode("utf-8", errors="replace")
+                        status = None
+                    # envelope-less records (status=None) always pass a
+                    # status filter
+                    if (
+                        statuses is not None
+                        and status is not None
+                        and status not in statuses
+                    ):
                         continue
                     if len(text) < min_chars:
                         continue

@@ -657,18 +657,20 @@ def streaming_prep_ingest(
             if uindex is not None:
                 keyed = keyed.join(uindex, "__uh", "left_anti")
             wu = Window.partitionBy("__uh").orderBy(doc_col)
+            # materialize ONCE: the index-delta write below and the
+            # downstream union both consume this plan — without the
+            # checkpoint each would re-execute the anti-join + window
             keyed = (
                 keyed.withColumn("__urk", F.row_number().over(wu))
                 .filter(F.col("__urk") == 1)
                 .drop("__urk")
+                .localCheckpoint()
             )
             keyed.select("__uh").distinct().write.mode("overwrite").parquet(
                 f"{url_index}/batch={batch_id}"
             )
-            batch_df = (
-                keyed.drop("__uh")
-                .unionByName(batch_df.filter(missing))
-                .localCheckpoint()
+            batch_df = keyed.drop("__uh").unionByName(
+                batch_df.filter(missing)
             )
         meta = batch_df.select(doc_col, group_col)
 
