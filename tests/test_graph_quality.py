@@ -668,3 +668,98 @@ def test_contamination_report_multi_benchmark(spark):
         ).collect()
     }
     assert single == {1: out[(1, "benchA")], 2: out[(2, "benchA")]}
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def _numpy_pagerank(edges, damping, iterations):
+    """Dense reference: same semantics as operators.graph.pagerank
+    (weighted out-edge split, dangling mass redistributed uniformly)."""
+    import numpy as np
+
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for u, v, wt in edges:
+        w[idx[u], idx[v]] += wt
+    out = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        dang = 0.0
+        for i in range(n):
+            if out[i] > 0:
+                contrib += r[i] * w[i] / out[i]
+            else:
+                dang += r[i]
+        r = (1 - damping) / n + damping * (contrib + dang / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import random
+
+    from text_extensions_for_pandas_spark.operators.graph import pagerank
+
+    rng = random.Random(42)
+    hosts = [f"h{i}" for i in range(12)]
+    edges = []
+    for _ in range(40):
+        u, v = rng.sample(hosts, 2)
+        edges.append((u, v, float(rng.randint(1, 5))))
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = dict(
+        rows_to_tuples(
+            pagerank(df, weight_col="w", damping=0.85, iterations=8),
+            "node",
+            "pagerank",
+        )
+    )
+    want = _numpy_pagerank(edges, 0.85, 8)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_and_unweighted(spark):
+    from text_extensions_for_pandas_spark.operators.graph import pagerank
+
+    # star into a sink: the sink is dangling, mass must still sum to 1
+    edges = [("a", "z", 1.0), ("b", "z", 1.0), ("c", "z", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = dict(rows_to_tuples(pagerank(df, iterations=6), "node", "pagerank"))
+    want = _numpy_pagerank(edges, 0.85, 6)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    assert got["z"] > got["a"] == got["b"] == got["c"]
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_pagerank_multi_edge_collapse_and_determinism(spark):
+    from text_extensions_for_pandas_spark.operators.graph import pagerank
+
+    # duplicate unweighted edges collapse to one (src,dst) pair whose
+    # weight is the multiplicity — same as the numpy model's += path
+    edges = [("a", "b", 1.0), ("a", "b", 1.0), ("a", "c", 1.0),
+             ("b", "a", 1.0), ("c", "b", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    r1 = dict(rows_to_tuples(pagerank(df, iterations=9), "node", "pagerank"))
+    r2 = dict(rows_to_tuples(pagerank(df, iterations=9), "node", "pagerank"))
+    assert r1 == r2  # bit-identical across runs
+    want = _numpy_pagerank(edges, 0.85, 9)
+    for k in want:
+        assert abs(r1[k] - want[k]) < 1e-12, k
+
+
+def test_pagerank_validates_params(spark):
+    from text_extensions_for_pandas_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([("a", "b", 1.0)], "src string, dst string, w double")
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)

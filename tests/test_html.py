@@ -7,6 +7,7 @@ import random
 
 import pyspark.sql.functions as F
 
+from tests.conftest import rows_to_tuples
 from text_extensions_for_pandas_spark.operators.html import (
     _html_to_text_py,
     extract_html_documents,
@@ -215,3 +216,97 @@ def test_fuzz_malformed_html_terminates():
                 page[pos:pos] = list(PAGE[rng.randrange(len(PAGE)):])
         out = _html_to_text_py("".join(page))
         assert isinstance(out, str)
+
+
+# ---------------------------------------------------------------------------
+# extract_links / link_graph
+# ---------------------------------------------------------------------------
+
+def test_extract_links_py_resolution_and_filtering():
+    from text_extensions_for_pandas_spark.operators.html import (
+        _extract_links_py,
+    )
+
+    html = (
+        "<a href='/abs'>A</a><a href='rel/x'>R</a>"
+        "<a href='../up'>U</a><a href='//cdn.example/c'>P</a>"
+        "<a href='#frag'>no</a><a href='javascript:void(0)'>no</a>"
+        "<a href='MAILTO:a@b'>no</a><a href=''>no</a>"
+        "<a href='http://other.example/q?k=v'>abs  text</a>"
+    )
+    links = _extract_links_py(html, "http://h.example/d1/d2/page")
+    assert [(l["url"], l["anchor"]) for l in links] == [
+        ("http://h.example/abs", "A"),
+        ("http://h.example/d1/d2/rel/x", "R"),
+        ("http://h.example/d1/up", "U"),
+        ("http://cdn.example/c", "P"),
+        ("http://other.example/q?k=v", "abs text"),
+    ]
+
+
+def test_extract_links_py_no_base_nested_anchor_and_selfclose():
+    from text_extensions_for_pandas_spark.operators.html import (
+        _extract_links_py,
+    )
+
+    # no base: hrefs returned unresolved
+    assert _extract_links_py("<a href='x/y'>t</a>", None) == [
+        {"url": "x/y", "anchor": "t"}
+    ]
+    # a new <a before the old closes finalizes the open one (browser rule)
+    out = _extract_links_py(
+        "<a href='/1'>one<a href='/2'>two</a>", "http://h.example/"
+    )
+    assert [(l["url"], l["anchor"]) for l in out] == [
+        ("http://h.example/1", "one"),
+        ("http://h.example/2", "two"),
+    ]
+    # XHTML self-closing anchor contributes an empty-anchor link
+    out = _extract_links_py("<a href='/s'/>tail", "http://h.example/")
+    assert out[0]["url"] == "http://h.example/s"
+    assert out[0]["anchor"] == ""
+
+
+def test_extract_links_fuzz_never_raises():
+    import random
+
+    from text_extensions_for_pandas_spark.operators.html import (
+        _extract_links_py,
+    )
+
+    rng = random.Random(7)
+    alphabet = "<>a href='/x\"&;=!-\x00\x1f\udc80桜"
+    for _ in range(300):
+        s = "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 120))
+        )
+        out = _extract_links_py(s, "http://h.example/b")
+        assert isinstance(out, list)
+
+
+def test_link_graph_host_edges(spark):
+    from text_extensions_for_pandas_spark.operators.html import link_graph
+
+    df = spark.createDataFrame(
+        [
+            (
+                "http://a.example/p1",
+                "<a href='http://b.example/1'>x</a>"
+                "<a href='http://b.example/2'>y</a>"
+                "<a href='/self'>self</a>",
+            ),
+            ("http://a.example/p2", "<a href='http://b.example/3'>z</a>"),
+            ("http://b.example/q", "<a href='HTTP://A.example/'>back</a>"),
+            ("not a url", "<a href='http://b.example/'>orphan</a>"),
+            ("http://c.example/r", None),
+        ],
+        "url string, text string",
+    )
+    got = rows_to_tuples(link_graph(df), "src_host", "dst_host", "n_links")
+    assert got == [
+        ("a.example", "b.example", 3),
+        ("b.example", "a.example", 1),
+    ]
+    with_self = link_graph(df, drop_self=False)
+    got2 = rows_to_tuples(with_self, "src_host", "dst_host", "n_links")
+    assert ("a.example", "a.example", 1) in got2

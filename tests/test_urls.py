@@ -247,3 +247,121 @@ def test_normalize_url_schemeless_tail_rules(spark):
     assert norms[2] == norms[3] == "a.com"
     assert norms[4] == "a.com/x"
     assert norms[5] == "/"
+
+
+# ---------------------------------------------------------------------------
+# robots.txt
+# ---------------------------------------------------------------------------
+
+def test_parse_robots_py_groups_and_wildcards():
+    from text_extensions_for_pandas_spark.operators.urls import (
+        _parse_robots_py,
+    )
+
+    txt = (
+        "# comment line\n"
+        "User-agent: GoodBot\n"
+        "User-agent: OtherBot\n"   # agent-line run shares one rule group
+        "Disallow: /g/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow:\n"              # empty pattern matches nothing -> dropped
+        "Crawl-delay: 10\n"        # non-rule directives ignored
+    )
+    star = _parse_robots_py(txt, "*")
+    assert [(r["rule"], r["prefix"]) for r in star] == [
+        ("disallow", "/private/"),
+        ("allow", "/private/ok"),
+        ("disallow", "/*.pdf$"),
+    ]
+    # LIKE compilation: * -> %, $ anchors (no trailing %), specificity
+    # counts wildcard-free chars
+    pdf = star[2]
+    assert pdf["pattern"] == "/%.pdf" and pdf["spec"] == 5
+    assert star[0]["pattern"] == "/private/%"
+    # exact agent group wins over * and is case-insensitive
+    good = _parse_robots_py(txt, "goodbot")
+    assert [(r["rule"], r["prefix"]) for r in good] == [("disallow", "/g/")]
+    assert _parse_robots_py(txt, "OTHERBOT")[0]["prefix"] == "/g/"
+    # unknown agent falls back to the * group
+    assert len(_parse_robots_py(txt, "nobody")) == 3
+    # garbage never raises
+    assert _parse_robots_py("\x00\xff not : robots", "*") == []
+
+
+def test_filter_by_robots_longest_match_allow_wins(spark):
+    from text_extensions_for_pandas_spark.operators.urls import (
+        filter_by_robots,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                "User-agent: *\n"
+                "Disallow: /private/\n"
+                "Allow: /private/ok\n"
+                "Disallow: /*.pdf$\n"
+                "Allow: /\n",
+            ),
+            ("shut.example", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    docs = spark.createDataFrame(
+        [
+            ("http://a.example/private/secret",),   # disallowed
+            ("http://a.example/private/ok/deep",),  # allow wins (longer)
+            ("http://a.example/open/page",),        # allowed by /
+            ("http://a.example/docs/file.pdf",),    # $-anchored disallow
+            ("http://a.example/file.pdf.html",),    # anchor must NOT match
+            ("http://A.EXAMPLE/private/x",),        # host match case-folds
+            ("http://shut.example/anything",),      # blanket disallow
+            ("http://norobots.example/x",),         # no robots -> allowed
+            ("not a url",),                         # unparseable -> allowed
+        ],
+        "url string",
+    )
+    kept = sorted(r.url for r in filter_by_robots(docs, robots).collect())
+    assert kept == [
+        "http://a.example/file.pdf.html",
+        "http://a.example/open/page",
+        "http://a.example/private/ok/deep",
+        "http://norobots.example/x",
+        "not a url",
+    ]
+
+
+def test_filter_by_robots_agent_groups_and_preparsed(spark):
+    from text_extensions_for_pandas_spark.operators.urls import (
+        filter_by_robots,
+        parse_robots,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "b.example",
+                "User-agent: trainbot\nDisallow: /\n\n"
+                "User-agent: *\nAllow: /\n",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    docs = spark.createDataFrame(
+        [("http://b.example/page",)], "url string"
+    )
+    assert filter_by_robots(docs, robots).count() == 1
+    assert filter_by_robots(docs, robots, user_agent="TrainBot").count() == 0
+    # pre-parsed rules are accepted as-is (same decision)
+    rules = parse_robots(robots, user_agent="trainbot")
+    assert filter_by_robots(docs, rules).count() == 0
+    # original columns survive untouched
+    out = filter_by_robots(
+        docs.withColumn("host", F.lit("keepme")), robots
+    )
+    assert out.columns == ["url", "host"]
+    assert out.collect()[0].host == "keepme"

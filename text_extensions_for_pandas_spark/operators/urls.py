@@ -24,6 +24,8 @@ __all__ = [
     "filter_blocked_domains",
     "dedup_by_url",
     "normalize_url",
+    "parse_robots",
+    "filter_by_robots",
 ]
 
 
@@ -166,3 +168,167 @@ def dedup_by_url(
         ).alias("__best")
     )
     return best.select("__best.*").unionByName(passthrough)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt
+# ---------------------------------------------------------------------------
+
+def _parse_robots_py(text: str, user_agent: str) -> list[dict]:
+    """RFC 9309 group selection: rules belong to the nearest preceding
+    run of ``User-agent:`` lines; the group for the EXACT (case-folded)
+    ``user_agent`` wins over the ``*`` group; empty-pattern rules match
+    nothing and are dropped.  ``*``/``$`` wildcards are preserved in
+    ``prefix`` and compiled to a SQL ``LIKE`` pattern in ``pattern``;
+    ``spec`` is the wildcard-free character count (the longest-match
+    specificity key).  Never raises (a garbage robots.txt yields no
+    rules = allow-all, the fail-open the RFC mandates for 4xx)."""
+    groups: dict[str, list[tuple[str, str]]] = {}
+    cur_agents: list[str] = []
+    rules_seen = True
+    try:
+        for line in text.splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            key, sep, val = line.partition(":")
+            if not sep:
+                continue
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                if rules_seen:
+                    cur_agents = []
+                    rules_seen = False
+                cur_agents.append(val.lower())
+            elif key in ("allow", "disallow"):
+                rules_seen = True
+                if not val:
+                    continue  # empty pattern matches nothing (RFC 9309 §2.2.2)
+                for a in cur_agents:
+                    groups.setdefault(a, []).append((key, val))
+    except Exception:
+        return []
+    target = user_agent.lower()
+    chosen = groups.get(target)
+    if chosen is None:
+        chosen = groups.get("*", [])
+    out = []
+    for rule, prefix in chosen:
+        anchored = prefix.endswith("$")
+        body = prefix[:-1] if anchored else prefix
+        pat = (
+            body.replace("\\", "\\\\")
+            .replace("%", "\\%")
+            .replace("_", "\\_")
+            .replace("*", "%")
+        )
+        if not anchored:
+            pat = pat + "%"
+        out.append(
+            {
+                "rule": rule,
+                "prefix": prefix,
+                "pattern": pat,
+                "spec": len(body.replace("*", "")),
+            }
+        )
+    return out
+
+
+_ROBOTS_RULES_SCHEMA = (
+    "array<struct<rule: string, prefix: string, pattern: string, spec: int>>"
+)
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Parse per-host robots.txt bodies into ``(host, rule, prefix,
+    pattern, spec)`` rows for ``user_agent`` (RFC 9309 group selection —
+    see :func:`_parse_robots_py`).  ``pattern`` is the rule compiled to a
+    SQL ``LIKE`` pattern (``*`` wildcards and ``$`` end-anchors
+    supported); ``spec`` the longest-match specificity.  One Arrow-
+    batched parse projection + explode; the output is robots-file-sized
+    (a few rules per host), the broadcastable side of
+    :func:`filter_by_robots`."""
+    import pandas as pd
+
+    @F.pandas_udf(_ROBOTS_RULES_SCHEMA)
+    def _rules(s):  # pd.Series -> pd.Series
+        return pd.Series(
+            [
+                _parse_robots_py(t, user_agent) if t is not None else []
+                for t in s
+            ]
+        )
+
+    return df.select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.explode(_rules(F.col(text_col))).alias("__r"),
+    ).select("host", "__r.rule", "__r.prefix", "__r.pattern", "__r.spec")
+
+
+def filter_by_robots(
+    df: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Drop rows whose URL the owning host's robots.txt disallows for
+    ``user_agent`` — the crawl-corpus compliance pass (pipelines that
+    honor retroactive opt-out re-filter stored crawls against CURRENT
+    robots files).
+
+    ``robots``: either raw ``(host, robots_txt)`` rows or pre-parsed
+    :func:`parse_robots` output (detected by its columns).  Decision per
+    URL over its path: collect the host's rules that prefix-match
+    (``*``/``$`` wildcards honored), pick the most specific (longest
+    wildcard-free length; ``allow`` wins ties — RFC 9309 §2.2.2), keep
+    the row unless that winner is a ``disallow``.  Hosts with no robots
+    entry, unparseable URLs, and empty rule sets are ALLOWED (the RFC's
+    fail-open default for unavailable robots files).
+
+    Scale shape: rules are grouped to one array per host (robots files
+    are KB-sized by nature) and broadcast-joined to the corpus; the
+    match + argmax runs as a row-local higher-order-function expression
+    — no explode of the corpus, no window, no Python in the corpus path.
+    """
+    cols = set(robots.columns)
+    rules = (
+        robots
+        if {"host", "rule", "pattern", "spec"} <= cols
+        else parse_robots(robots, user_agent=user_agent)
+    )
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.col("spec").alias("spec"),
+                (F.col("rule") == "allow").alias("is_allow"),
+                F.col("pattern").alias("pattern"),
+            )
+        ).alias("__rules")
+    ).select(F.col("host").alias("__rhost"), "__rules")
+    path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
+    tagged = df.withColumn(
+        "__host", F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    ).withColumn("__path", F.coalesce(path, F.lit("/")))
+    joined = tagged.join(
+        F.broadcast(per_host), F.col("__host") == F.col("__rhost"), "left"
+    )
+    # SQL LIKE with a per-rule pattern column (backslash-escaped in
+    # parse_robots, * -> %, optional $ anchor)
+    matches = F.filter(
+        F.col("__rules"),
+        lambda r: F.call_function("like", F.col("__path"), r["pattern"]),
+    )
+    # struct max orders by (spec, is_allow): longest match wins, allow
+    # breaks ties — exactly the RFC precedence
+    best = F.array_max(matches)
+    verdict = F.when(
+        F.col("__rules").isNull() | (F.size(matches) == 0), F.lit(True)
+    ).otherwise(best["is_allow"])
+    return joined.filter(verdict).drop("__rhost", "__rules", "__host", "__path")

@@ -6705,6 +6705,265 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.html.extract_links` under the value-hash
+    oracle: per-doc markup with one absolute, one root-relative, and one
+    document-relative anchor (plus a fragment href and a ``javascript:``
+    href the extractor must drop), resolved against a synthesized page
+    URL — DuckDB recomputes every resolved URL and whitespace-collapsed
+    anchor text by string concat.  One Arrow-batched parse projection +
+    explode; no shuffle before the ordering."""
+    from text_extensions_for_pandas_spark.operators.html import extract_links
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("http://h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/d/"),
+        i,
+        F.lit("/page"),
+    )
+    html = F.concat(
+        F.lit("<p><a href='http://x"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example/p/"),
+        i,
+        F.lit("'>Abs  "),
+        i,
+        F.lit("</a><a href='/r/"),
+        (F.col("doc_id") * F.col("doc_id") % 89).cast("string"),
+        F.lit("'>Root</a><a href='rel/"),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit("'>Rel "),
+        i,
+        F.lit("</a><a href='#top'>skip</a>"
+              "<a href='javascript:void(0)'>skip</a></p>"),
+    )
+    out = docs.select(
+        "doc_id",
+        F.explode(extract_links(html, base)).alias("__l"),
+    ).select("doc_id", F.col("__l.url").alias("url"), F.col("__l.anchor").alias("anchor"))
+    return out.orderBy("doc_id", "url", "anchor")
+
+
+Q_EXTRACT_LINKS_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents
+),
+links AS (
+  SELECT doc_id,
+         concat('http://x', CAST(doc_id % 5 AS VARCHAR), '.example/p/', s)
+           AS url,
+         concat('Abs ', s) AS anchor
+  FROM d
+  UNION ALL
+  SELECT doc_id,
+         concat('http://h', CAST(doc_id % 7 AS VARCHAR), '.example/r/',
+                CAST(doc_id * doc_id % 89 AS VARCHAR)),
+         'Root'
+  FROM d
+  UNION ALL
+  SELECT doc_id,
+         concat('http://h', CAST(doc_id % 7 AS VARCHAR), '.example/d/', s,
+                '/rel/', CAST(doc_id % 11 AS VARCHAR)),
+         concat('Rel ', s)
+  FROM d
+)
+SELECT doc_id, url, anchor FROM links ORDER BY doc_id, url, anchor
+"""
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.html.link_graph` under the value-hash oracle:
+    pages on host ``h(i%7)`` linking to hosts ``x(i%5)`` and
+    ``x((i+1)%5)`` plus one SELF link (which ``drop_self`` must remove)
+    — DuckDB recomputes the host-pair edge counts by grouping the same
+    arithmetic.  Parse + explode + one map-side-combinable count
+    aggregate: the whole host graph costs one shuffle on the edge key."""
+    from text_extensions_for_pandas_spark.operators.html import link_graph
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"),
+        i,
+    )
+    html = F.concat(
+        F.lit("<a href='http://x"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example/a'>1</a><a href='http://x"),
+        ((F.col("doc_id") + 1) % 5).cast("string"),
+        F.lit(".example/b'>2</a><a href='/self'>me</a>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("text"))
+    out = link_graph(pages)
+    return out.orderBy("src_host", "dst_host")
+
+
+Q_LINK_GRAPH_SQL = """
+WITH e AS (
+  SELECT concat('h', CAST(doc_id % 7 AS VARCHAR), '.example') AS src_host,
+         concat('x', CAST(doc_id % 5 AS VARCHAR), '.example') AS dst_host
+  FROM documents
+  UNION ALL
+  SELECT concat('h', CAST(doc_id % 7 AS VARCHAR), '.example'),
+         concat('x', CAST((doc_id + 1) % 5 AS VARCHAR), '.example')
+  FROM documents
+)
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.graph.pagerank` under the value-hash oracle: a
+    24-node directed graph built from ``range()`` arithmetic (every node
+    has out-degree exactly 2, no self-loops or duplicate edges by
+    modular-arithmetic construction, so the dangling term is zero and
+    every out-fraction is 1/2), 3 power-iteration rounds at damping
+    0.85 — DuckDB recomputes the iterations as three unrolled
+    aggregate CTEs.  Both sides round to 9 digits; with out-fractions
+    exactly representable (1/2) and ≤6-term sums, the float paths agree
+    far below that."""
+    from text_extensions_for_pandas_spark.operators.graph import pagerank
+
+    base = spark.range(24).select(F.col("id").cast("long").alias("i"))
+    edges = base.select(
+        F.col("i").alias("src"), ((F.col("i") * 3 + 1) % 24).alias("dst")
+    ).unionByName(
+        base.select(
+            F.col("i").alias("src"), ((F.col("i") * 7 + 2) % 24).alias("dst")
+        )
+    )
+    pr = pagerank(edges, damping=0.85, iterations=3)
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("pagerank", 9).alias("pagerank"),
+    ).orderBy("node")
+
+
+Q_PAGERANK_SQL = """
+WITH e AS (
+  SELECT i AS src, (i * 3 + 1) % 24 AS dst FROM range(24) t(i)
+  UNION ALL
+  SELECT i, (i * 7 + 2) % 24 FROM range(24) t(i)
+),
+n AS (SELECT i AS node FROM range(24) t(i)),
+r0 AS (SELECT node, 1.0 / 24 AS pr FROM n),
+r1 AS (
+  SELECT n.node,
+         (1 - CAST(0.85 AS DOUBLE)) / 24
+           + CAST(0.85 AS DOUBLE) * coalesce(sum(r0.pr / 2), 0) AS pr
+  FROM n LEFT JOIN e ON e.dst = n.node
+         LEFT JOIN r0 ON r0.node = e.src
+  GROUP BY n.node
+),
+r2 AS (
+  SELECT n.node,
+         (1 - CAST(0.85 AS DOUBLE)) / 24
+           + CAST(0.85 AS DOUBLE) * coalesce(sum(r1.pr / 2), 0) AS pr
+  FROM n LEFT JOIN e ON e.dst = n.node
+         LEFT JOIN r1 ON r1.node = e.src
+  GROUP BY n.node
+),
+r3 AS (
+  SELECT n.node,
+         (1 - CAST(0.85 AS DOUBLE)) / 24
+           + CAST(0.85 AS DOUBLE) * coalesce(sum(r2.pr / 2), 0) AS pr
+  FROM n LEFT JOIN e ON e.dst = n.node
+         LEFT JOIN r2 ON r2.node = e.src
+  GROUP BY n.node
+)
+SELECT CAST(node AS BIGINT) AS node, round(pr, 9) AS pagerank
+FROM r3 ORDER BY node
+"""
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.urls.filter_by_robots` under the value-hash
+    oracle, for ``user_agent="trainbot"``: hosts ``h(k%3==0)`` carry a
+    ``Disallow: /p/`` + ``Allow: /p/keep`` star group (longest-match,
+    allow-wins), hosts ``h(k%3==1)`` a trainbot-specific blanket
+    disallow BELOW a permissive star group (exact-agent group must win),
+    and hosts ``h(k%3==2)`` have no robots.txt at all (fail-open) —
+    DuckDB recomputes the keep set as pure CASE arithmetic.  The corpus
+    path is one broadcast join + row-local higher-order match, no
+    explode."""
+    from text_extensions_for_pandas_spark.operators.urls import (
+        filter_by_robots,
+    )
+
+    k = F.col("id").cast("long")
+    robots = spark.range(7).select(
+        F.concat(F.lit("h"), k.cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.when(
+            k % 3 == 0,
+            F.lit(
+                "User-agent: *\nDisallow: /p/\nAllow: /p/keep\n"
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.lit(
+                "User-agent: *\nAllow: /\n\n"
+                "User-agent: trainbot\nDisallow: /\n"
+            ),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("robots_txt"),
+    ).filter(F.col("robots_txt").isNotNull())
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    path = (
+        F.when(i % 4 == 0, F.concat(F.lit("/p/keep/"), i.cast("string")))
+        .when(i % 4 == 1, F.concat(F.lit("/p/drop/"), i.cast("string")))
+        .when(i % 4 == 2, F.concat(F.lit("/open/"), i.cast("string")))
+        .otherwise(F.concat(F.lit("/p/x"), i.cast("string")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (i % 7).cast("string"), F.lit(".example"), path
+        ).alias("url"),
+    )
+    out = filter_by_robots(urls, robots, user_agent="trainbot")
+    return out.orderBy("doc_id")
+
+
+Q_ROBOTS_FILTER_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 7 AS k,
+         CASE
+           WHEN doc_id % 4 = 0 THEN concat('/p/keep/', CAST(doc_id AS VARCHAR))
+           WHEN doc_id % 4 = 1 THEN concat('/p/drop/', CAST(doc_id AS VARCHAR))
+           WHEN doc_id % 4 = 2 THEN concat('/open/', CAST(doc_id AS VARCHAR))
+           ELSE concat('/p/x', CAST(doc_id AS VARCHAR))
+         END AS path
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, k, path FROM d
+  WHERE CASE
+          WHEN k % 3 = 1 THEN FALSE                 -- trainbot blanket disallow
+          WHEN k % 3 = 2 THEN TRUE                  -- no robots.txt: fail-open
+          WHEN path LIKE '/p/keep%' THEN TRUE       -- allow outranks /p/
+          WHEN path LIKE '/p/%' THEN FALSE          -- disallowed prefix
+          ELSE TRUE                                 -- no matching rule
+        END
+)
+SELECT doc_id,
+       concat('http://h', CAST(k AS VARCHAR), '.example', path) AS url
+FROM kept ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6719,35 +6978,48 @@ FROM c ORDER BY doc_id
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-8 order: [1-5] the five NEW entries (wet_ingest -- the WET/WARC
-# crawl reader's first driver verification over a deterministic two-shard
-# fixture with planted corrupt/warcinfo/garbage hazards; html_extract --
-# the HTML->text extraction stage over per-doc synthesized markup;
-# html_features -- structural page features incl. the link-density
-# quality signal; ivfpq_index_append -- incremental growth of the
-# durable ANN index, bit-equal to a full rebuild; crawl_funnel -- the
-# crawl-front end-to-end composite: HTTP-status filter -> domain
-# blocklist -> same-page keep-newest dedup -> HTML extraction over a
-# planted-hazard raw-WARC fixture); [6-7] url_dedup / url_blocklist,
-# whose plans changed this round (NULL/blank-URL passthrough +
-# default-port stripping; keep_unparseable + host_col branch coverage +
-# explicit blocklist broadcast); [8-40] the thirty-three remaining
-# r05-verified entries (multimodal_image_features ... q18_large_volume),
-# now three rounds stale; [41-50] the ten oldest r06-verified entries
-# (exactsubstr_clean ... cap_per_domain).  Below the boundary: the
-# remaining forty r06-verified entries (q22_sales_opportunity ...
-# q8_market_share -- rotate into the r09 gate FIRST), then the
-# forty-eight entries the r07 gate just verified.  The FULL registry is
-# locally hash-verified by scripts/check_oracle.py at sf0.001 AND
-# sf0.01 regardless of position.
+# Round-8 order: [1-4] the four LINK-GRAPH/ROBOTS entries added late in
+# r8 (extract_links -- anchor extraction + urljoin resolution;
+# link_graph -- host-level edge aggregation; pagerank -- 3 unrolled
+# power-iteration rounds vs a DuckDB CTE recompute; robots_filter --
+# RFC 9309 longest-match/allow-wins/exact-agent-group decision over
+# synthesized per-host robots.txt); [5-9] the five entries new earlier
+# in r8 (wet_ingest -- the WET/WARC crawl reader's first driver
+# verification over a deterministic two-shard fixture with planted
+# corrupt/warcinfo/garbage hazards; html_extract -- the HTML->text
+# extraction stage over per-doc synthesized markup; html_features --
+# structural page features incl. the link-density quality signal;
+# ivfpq_index_append -- incremental growth of the durable ANN index,
+# bit-equal to a full rebuild; crawl_funnel -- the crawl-front
+# end-to-end composite: HTTP-status filter -> domain blocklist ->
+# same-page keep-newest dedup -> HTML extraction over a planted-hazard
+# raw-WARC fixture); [10-11] url_dedup / url_blocklist, whose plans
+# changed this round (NULL/blank-URL passthrough + default-port
+# stripping; keep_unparseable + host_col branch coverage + explicit
+# blocklist broadcast); [12-44] the thirty-three remaining r05-verified
+# entries (multimodal_image_features ... q18_large_volume), now three
+# rounds stale; [45-50] the six oldest r06-verified entries
+# (exactsubstr_clean ... bpe_encode).  Below the boundary: the four
+# r06-verified entries the late-r8 additions displaced (lsh_recall,
+# ivfpq_recall, cluster_sample, cap_per_domain) then the remaining
+# forty r06-verified entries (q22_sales_opportunity ...
+# q8_market_share) -- ALL forty-four rotate into the r09 gate FIRST --
+# then the forty-eight entries the r07 gate just verified.  The FULL
+# registry is locally hash-verified by scripts/check_oracle.py at
+# sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- [1-5] NEW this round: the WET/WARC crawl reader's first driver
-    # -- verification (wet_ingest), the HTML->text extraction stage
-    # -- (html_extract), the structural page features / link-density
-    # -- quality signal (html_features), incremental IVF-PQ index
-    # -- growth (ivfpq_index_append), and the crawl-front end-to-end
-    # -- composite (crawl_funnel: status filter -> blocklist -> page
-    # -- dedup -> HTML extraction over a planted-hazard fixture)
+    # -- [1-4] NEW late-r8: the link-graph/robots crawl front
+    "extract_links": (q_extract_links, Q_EXTRACT_LINKS_SQL),
+    "link_graph": (q_link_graph, Q_LINK_GRAPH_SQL),
+    "pagerank": (q_pagerank, Q_PAGERANK_SQL),
+    "robots_filter": (q_robots_filter, Q_ROBOTS_FILTER_SQL),
+    # -- [5-9] NEW earlier in r8: the WET/WARC crawl reader's first
+    # -- driver verification (wet_ingest), the HTML->text extraction
+    # -- stage (html_extract), the structural page features /
+    # -- link-density quality signal (html_features), incremental IVF-PQ
+    # -- index growth (ivfpq_index_append), and the crawl-front
+    # -- end-to-end composite (crawl_funnel: status filter -> blocklist
+    # -- -> page dedup -> HTML extraction over a planted-hazard fixture)
     "wet_ingest": (q_wet_ingest, Q_WET_INGEST_SQL),
     "html_extract": (q_html_extract, Q_HTML_EXTRACT_SQL),
     "html_features": (q_html_features, Q_HTML_FEATURES_SQL),
@@ -6801,13 +7073,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "ivfpq_index_search": (q_ivfpq_index_search, Q_IVFPQ_TOPK_SQL),
     "bpe_encode": (q_bpe_encode, Q_BPE_ENCODE_SQL),
+    # ------------------- gate boundary (position 50) -------------------
+    # r06-verified entries displaced below the boundary by the late-r8
+    # link-graph/robots additions, then the remaining r06-verified
+    # entries -- all rotate into the r09 gate FIRST, followed by the
+    # oldest r07-verified entries
     "lsh_recall": (q_lsh_recall, Q_LSH_RECALL_SQL),
     "ivfpq_recall": (q_ivfpq_recall, Q_IVFPQ_RECALL_SQL),
     "cluster_sample": (q_cluster_sample, Q_CLUSTER_SAMPLE_SQL),
     "cap_per_domain": (q_cap_per_domain, Q_CAP_PER_DOMAIN_SQL),
-    # ------------------- gate boundary (position 50) -------------------
-    # remaining r06-verified entries -- rotate into the r09 gate FIRST,
-    # followed by the oldest r07-verified entries
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
