@@ -123,8 +123,50 @@ def main() -> None:
         print("OK crawl front end-to-end (batch)")
 
     html_demo(spark)
+    link_graph_demo(spark)
     streaming_demo(spark)
     spark.stop()
+
+
+def link_graph_demo(spark) -> None:
+    """The authority/compliance half of the crawl front: extract the
+    host-level link graph from raw HTML, rank hosts with PageRank (the
+    quality prior crawl pipelines weight domains by), and drop pages the
+    owning host's robots.txt disallows for this pipeline's agent."""
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.operators.graph import pagerank
+    from text_extensions_for_pandas_spark.operators.html import link_graph
+    from text_extensions_for_pandas_spark.operators.urls import (
+        filter_by_robots,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("http://hub.example/",
+             "<a href='http://a.example/1'>a</a>"
+             "<a href='http://b.example/2'>b</a>"),
+            ("http://a.example/1", "<a href='http://b.example/2'>b</a>"),
+            ("http://b.example/2", "<a href='http://hub.example/'>hub</a>"),
+            ("http://b.example/private/x", "<p>no links</p>"),
+        ],
+        "url string, text string",
+    )
+    edges = link_graph(pages)
+    ranks = pagerank(edges, src="src_host", dst="dst_host",
+                     weight_col="n_links", iterations=10)
+    top = ranks.orderBy(F.desc("pagerank")).first()
+    print(f"top host by pagerank: {top.node} ({top.pagerank:.4f})")
+
+    robots = spark.createDataFrame(
+        [("b.example", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    allowed = filter_by_robots(pages, robots)
+    kept = sorted(r.url for r in allowed.collect())
+    assert "http://b.example/private/x" not in kept and len(kept) == 3
+    print(f"robots.txt kept {len(kept)}/4 pages")
+    print("OK crawl front link graph + robots compliance")
 
 
 def html_demo(spark) -> None:

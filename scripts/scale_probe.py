@@ -108,6 +108,12 @@ def _html_mod():
     return H
 
 
+def _graph_mod():
+    from text_extensions_for_pandas_spark.operators import graph as G
+
+    return G
+
+
 def _write_wet_shard(
     path: str, n_records: int, kind: str = "conversion"
 ) -> None:
@@ -260,6 +266,43 @@ def main() -> None:
         ).count(),
         "url_dedup_hotpage": lambda d: dedup_by_url(
             _synth_url_rows(d), keep="last"
+        ).count(),
+        # link extraction + host-graph aggregation: 5 anchors per doc, a
+        # sum(n_links) sink so the parse projection cannot be eliminated
+        "link_graph": lambda d: _html_mod().link_graph(
+            d.select(
+                F.concat(
+                    F.lit("http://s"),
+                    (F.col("doc_id") % 2000).cast("string"),
+                    F.lit(".example/p/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+                F.concat(
+                    F.lit("<p><a href='http://t"),
+                    (F.col("doc_id") % 500).cast("string"),
+                    F.lit(".example/x'>a</a><a href='http://hot.example/y'>"
+                          "b</a><a href='/self'>c</a><a href='rel/z'>d</a>"
+                          "<a href='http://t"),
+                    ((F.col("doc_id") + 7) % 500).cast("string"),
+                    F.lit(".example/w'>e</a></p>"),
+                ).alias("text"),
+            )
+        ).agg(F.sum("n_links")).collect()[0][0],
+        # PageRank under worst-case dst skew: EVERY node links to ONE hot
+        # node (the star) plus one pseudo-random peer — the hot node's
+        # in-sum must stay a map-side-combinable aggregate, never a
+        # single-task window/sort; node count grows with the corpus
+        "pagerank_hotdst": lambda d: _graph_mod().pagerank(
+            d.select(
+                F.col("doc_id").alias("src"),
+                F.explode(
+                    F.array(
+                        F.lit(-1).cast("long"),  # the hot destination
+                        F.col("doc_id") * 31 + 7,
+                    )
+                ).alias("dst"),
+            ),
+            iterations=4,
         ).count(),
         # HTML->text extraction: row-local Arrow-batched pandas UDF; the
         # sum(length) sink keeps Catalyst from eliminating the projection
