@@ -1408,3 +1408,54 @@ def test_streaming_wet_crawl_ingest_end_to_end(spark, tmp_path):
     q2.awaitTermination(300)
     after = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert after == before
+
+
+def test_streaming_link_graph_converges_to_batch(spark, tmp_path):
+    """The streamed link-graph aggregate (complete mode) over two
+    arrival waves must equal the batch link_graph over the union."""
+    from text_extensions_for_pandas_spark.operators.html import link_graph
+    from text_extensions_for_pandas_spark.streaming.ops import (
+        streaming_link_graph,
+    )
+
+    schema = "url string, text string"
+    wave1 = [
+        ("http://a.example/1", "<a href='http://b.example/x'>b</a>"),
+        ("http://a.example/2",
+         "<a href='http://b.example/y'>b</a><a href='/self'>s</a>"),
+    ]
+    wave2 = [
+        ("http://b.example/1", "<a href='http://a.example/z'>a</a>"),
+        ("http://a.example/3", "<a href='http://b.example/w'>b</a>"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(wave1, schema).write.parquet(src)
+
+    def run_pass():
+        q = (
+            streaming_link_graph(
+                spark.readStream.schema(schema).parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("lg_totals")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_pass()
+    got1 = sorted(map(tuple, spark.sql("SELECT * FROM lg_totals").collect()))
+    assert got1 == [("a.example", "b.example", 2)]
+
+    spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+    run_pass()
+    got2 = sorted(map(tuple, spark.sql("SELECT * FROM lg_totals").collect()))
+    batch = sorted(
+        map(tuple, link_graph(spark.read.parquet(src)).collect())
+    )
+    assert got2 == batch == [
+        ("a.example", "b.example", 3),
+        ("b.example", "a.example", 1),
+    ]

@@ -143,6 +143,32 @@ def streaming_html_extract(documents: DataFrame, **kwargs) -> DataFrame:
     return extract_html_documents(documents, **kwargs)
 
 
+def streaming_link_graph(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "text",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Host-level link-graph edge counts over a raw-HTML crawl stream —
+    the batch operator's parse/explode stages applied verbatim (both
+    stateless projections) with the same count aggregate, which on a
+    stream runs as an incrementally-maintained state-store aggregation:
+    in output mode ``update``/``complete`` the sink sees running
+    ``(src_host, dst_host, n_links)`` totals that converge to exactly
+    the batch :func:`~..operators.html.link_graph` answer over the same
+    shards (edge keys are host pairs — bounded state, no watermark
+    needed because host-pair cardinality, unlike event-time windows,
+    does not grow with time).  Feed a periodic snapshot to
+    :func:`~..operators.graph.pagerank` for a refreshed authority
+    prior; PageRank itself is iterative and stays a batch job by
+    design."""
+    from text_extensions_for_pandas_spark.operators.html import link_graph
+
+    return link_graph(
+        pages, url_col=url_col, html_col=html_col, drop_self=drop_self
+    )
+
+
 def streaming_extract_dict(documents: DataFrame, dictionary: DataFrame) -> DataFrame:
     """Gazetteer extraction over a document stream.  Uses the *row-wise*
     matcher: the batch ``extract_dict`` aggregates match positions across
