@@ -454,3 +454,58 @@ def test_gopher_rules_each_failure_mode(spark):
     for i, _, broken in cases[1:]:
         assert out[i][broken] is False, (i, broken, out[i])
         assert out[i]["passes"] is False
+
+
+
+def test_fix_text_repairs_mojibake_and_controls(spark):
+    """fix_text: single + double mojibake fold, C1-fallback digraphs,
+    control stripping (tab/newline kept), clean text untouched, NULL
+    passthrough — streamed through the Arrow UDF."""
+    from text_extensions_for_pandas_spark.functions.text import fix_text
+
+    single = "caf\u00c3\u00a9 time"
+    quote = "it\u00e2\u20ac\u2122s ok"
+    double = "Caf\u00c3\u0083\u00c2\u00a9"
+    curly = "q \u00e2\u20ac\u0153x\u00e2\u20ac\u009d end"
+    rows = [
+        (0, single), (1, quote), (2, double), (3, curly),
+        (4, "ab\x01c\x7fd\te\nf"), (5, "plain ascii"), (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.fixed
+        for r in df.select(
+            "id", fix_text("text", form=None).alias("fixed")
+        ).collect()
+    }
+    assert got[0] == "caf\u00e9 time"
+    assert got[1] == "it\u2019s ok"
+    assert got[2] == "Caf\u00e9"
+    assert got[3] == "q \u201cx\u201d end"
+    assert got[4] == "abcd\te\nf"
+    assert got[5] == "plain ascii"
+    assert got[6] is None
+
+
+def test_fix_text_normalization_forms_and_safety(spark):
+    """NFKC folds compatibility chars; the strict round-trip gate leaves
+    text containing a bare non-digraph A-tilde untouched (no false
+    repair), and repair never lengthens text."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        _fix_text_py,
+        fix_text,
+    )
+
+    assert _fix_text_py("\ufb01le \u2460", "NFKC") == "file 1"
+    assert _fix_text_py("\ufb01le \u2460", None) == "\ufb01le \u2460"
+    # genuine A-tilde before a plain letter: detection never fires
+    assert _fix_text_py("S\u00c3O PAULO", None) == "S\u00c3O PAULO"
+    # mojibake marker present but the round-trip would not shorten /
+    # decode: text passes through rather than corrupting
+    weird = "\u00c3\u00a9"  # lone digraph IS repaired
+    assert _fix_text_py(weird, None) == "\u00e9"
+    df = spark.createDataFrame([("\ufb01le \u2460",)], "text string")
+    assert (
+        df.select(fix_text("text").alias("f")).collect()[0].f
+        == "\ufb01le \u2460"  # NFC default: compatibility chars kept
+    )

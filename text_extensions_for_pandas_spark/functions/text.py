@@ -535,6 +535,103 @@ def encoding_metrics(text: Column | str) -> Column:
     )
 
 
+def _fix_text_py(s: str, form: str | None) -> str:
+    """Driver-side reference implementation of :func:`fix_text` (the UDF
+    maps this).  Mojibake repair is the ftfy core heuristic reduced to
+    its safe kernel: when the classic UTF-8-read-as-Latin-1 digraphs are
+    present, re-encode through cp1252 (C1 gaps falling back to latin-1 —
+    "sloppy cp1252") and strictly re-decode as UTF-8; accept only if the
+    strict decode succeeds AND the text got shorter (a real repair
+    always folds a multi-char digraph into one char, so acceptance is
+    loss-free and the pass loop terminates).  Double-encoded text folds
+    across passes (capped at 3)."""
+    import re
+    import unicodedata
+
+    moji = _FIX_MOJIBAKE_RE or re.compile(_FIX_DETECT_PATTERN)
+    for _ in range(3):
+        if not moji.search(s):
+            break
+        try:
+            cand = s.encode("cp1252", errors="tep_c1_fallback").decode(
+                "utf-8"
+            )
+        except (UnicodeEncodeError, UnicodeDecodeError, LookupError):
+            break
+        if len(cand) >= len(s):
+            break
+        s = cand
+    s = (_FIX_CONTROL_RE or re.compile(_CONTROL_PATTERN)).sub("", s)
+    if form:
+        s = unicodedata.normalize(form, s)
+    return s
+
+
+def _register_c1_fallback() -> None:
+    """cp1252 leaves five C1 bytes unmapped (0x81 0x8D 0x8F 0x90 0x9D);
+    mojibake text carries the matching C1 *chars* (e.g. U+009D from a
+    mangled right double quote), so encode those through latin-1 —
+    exactly ftfy's sloppy-windows-1252."""
+    import codecs
+
+    def handler(err):
+        ch = err.object[err.start : err.end]
+        try:
+            return (ch.encode("latin-1"), err.end)
+        except UnicodeEncodeError:
+            raise err
+
+    try:
+        codecs.lookup_error("tep_c1_fallback")
+    except LookupError:
+        codecs.register_error("tep_c1_fallback", handler)
+
+
+# repair-trigger pattern: the shared detection digraphs PLUS "Ã" followed
+# by a C1 control char — the signature of DOUBLE-encoded mojibake (é →
+# "Ã©" → re-encode → "Ã\\x83Â©"), which the counting pattern deliberately
+# leaves out (encoding_metrics' gated counts must not change) but the
+# strict-round-trip repair handles safely
+_FIX_DETECT_PATTERN = _MOJIBAKE_PATTERN + "|\u00c3[\u0080-\u009f]"
+
+_FIX_MOJIBAKE_RE = None
+_FIX_CONTROL_RE = None
+_register_c1_fallback()
+
+
+def fix_text(text: Column | str, form: str | None = "NFC") -> Column:
+    """Repair encoding damage in a text column: undo classic
+    UTF-8-read-as-Latin-1 mojibake (``Ã©`` → ``é``, ``â€™`` → ``’``,
+    double-encoded variants fold across passes), strip C0/C1 control
+    characters (tab/newline/CR kept), and optionally unicode-normalize
+    (``form="NFC"`` default; ``"NFKC"`` for tokenizer-canonical text;
+    ``None`` to skip).  Repair is STRICT-round-trip gated — a candidate
+    is accepted only when the cp1252→UTF-8 re-decode succeeds cleanly
+    and shortens the text — so clean documents pass through untouched
+    and no repair can lose data.  NULL in → NULL out.
+
+    The detection twin is :func:`encoding_metrics` (count before,
+    repair with this, count after).  Arrow-batched pandas UDF (codec
+    round-trips need Python); the regex pre-check makes the common
+    clean-document case one scan + no re-encode."""
+    global _FIX_MOJIBAKE_RE, _FIX_CONTROL_RE
+    import re
+
+    if _FIX_MOJIBAKE_RE is None:
+        _FIX_MOJIBAKE_RE = re.compile(_MOJIBAKE_PATTERN)
+        _FIX_CONTROL_RE = re.compile(_CONTROL_PATTERN)
+
+    @F.pandas_udf("string")
+    def _fix(s: pd.Series) -> pd.Series:
+        _register_c1_fallback()  # executors are fresh interpreters
+        return s.map(
+            lambda t: _fix_text_py(t, form) if t is not None else None
+        )
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _fix(c)
+
+
 def line_repetition_metrics(
     documents: "DataFrame",
     sep_regex: str = r"\n+",

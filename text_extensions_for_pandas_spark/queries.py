@@ -6964,6 +6964,67 @@ FROM kept ORDER BY doc_id
 """
 
 
+def q_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.functions.text.fix_text` under the value-hash oracle:
+    five planted damage classes per doc_id — single mojibake (``Ã©``),
+    quote digraph (``â€™``), DOUBLE-encoded mojibake (folds across two
+    repair passes), a C0 control char, and clean text (must pass
+    through byte-identical) — with DuckDB recomputing the repaired
+    strings as CASE arithmetic.  One Arrow-batched projection, no
+    shuffle before the ordering."""
+    from text_extensions_for_pandas_spark.functions.text import fix_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    damaged = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("cafÃ© menu "), i),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("itâ€™s fine "), i),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("CafÃÂ© twice "), i),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            # char(1) plants a C0 control byte the repair must strip
+            F.concat(
+                F.lit("bad"), F.expr("char(1)"), F.lit("ctrl "), i
+            ),
+        )
+        .otherwise(F.concat(F.lit("plain text "), i))
+    )
+    out = docs.select(
+        "doc_id", fix_text(damaged, form=None).alias("fixed")
+    ).withColumn("n_chars", F.length("fixed").cast("long"))
+    return out.orderBy("doc_id")
+
+
+Q_FIX_ENCODING_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 5 = 0
+             THEN concat('caf', chr(233), ' menu ', CAST(doc_id AS VARCHAR))
+           WHEN doc_id % 5 = 1
+             THEN concat('it', chr(8217), 's fine ', CAST(doc_id AS VARCHAR))
+           WHEN doc_id % 5 = 2
+             THEN concat('Caf', chr(233), ' twice ', CAST(doc_id AS VARCHAR))
+           WHEN doc_id % 5 = 3
+             THEN concat('badctrl ', CAST(doc_id AS VARCHAR))
+           ELSE concat('plain text ', CAST(doc_id AS VARCHAR))
+         END AS fixed
+  FROM documents
+)
+SELECT doc_id, fixed, CAST(length(fixed) AS BIGINT) AS n_chars
+FROM f ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6978,13 +7039,14 @@ FROM kept ORDER BY doc_id
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-8 order: [1-4] the four LINK-GRAPH/ROBOTS entries added late in
-# r8 (extract_links -- anchor extraction + urljoin resolution;
+# Round-8 order: [1-5] the five entries added late in r8
+# (extract_links -- anchor extraction + urljoin resolution;
 # link_graph -- host-level edge aggregation; pagerank -- 3 unrolled
 # power-iteration rounds vs a DuckDB CTE recompute; robots_filter --
 # RFC 9309 longest-match/allow-wins/exact-agent-group decision over
-# synthesized per-host robots.txt); [5-9] the five entries new earlier
-# in r8 (wet_ingest -- the WET/WARC crawl reader's first driver
+# synthesized per-host robots.txt; fix_encoding -- mojibake/control
+# repair over five planted damage classes); [6-10] the five entries
+# new earlier in r8 (wet_ingest -- the WET/WARC crawl reader's first driver
 # verification over a deterministic two-shard fixture with planted
 # corrupt/warcinfo/garbage hazards; html_extract -- the HTML->text
 # extraction stage over per-doc synthesized markup; html_features --
@@ -6993,26 +7055,29 @@ FROM kept ORDER BY doc_id
 # bit-equal to a full rebuild; crawl_funnel -- the crawl-front
 # end-to-end composite: HTTP-status filter -> domain blocklist ->
 # same-page keep-newest dedup -> HTML extraction over a planted-hazard
-# raw-WARC fixture); [10-11] url_dedup / url_blocklist, whose plans
+# raw-WARC fixture); [11-12] url_dedup / url_blocklist, whose plans
 # changed this round (NULL/blank-URL passthrough + default-port
 # stripping; keep_unparseable + host_col branch coverage + explicit
-# blocklist broadcast); [12-44] the thirty-three remaining r05-verified
+# blocklist broadcast); [13-45] the thirty-three remaining r05-verified
 # entries (multimodal_image_features ... q18_large_volume), now three
-# rounds stale; [45-50] the six oldest r06-verified entries
-# (exactsubstr_clean ... bpe_encode).  Below the boundary: the four
-# r06-verified entries the late-r8 additions displaced (lsh_recall,
-# ivfpq_recall, cluster_sample, cap_per_domain) then the remaining
-# forty r06-verified entries (q22_sales_opportunity ...
-# q8_market_share) -- ALL forty-four rotate into the r09 gate FIRST --
-# then the forty-eight entries the r07 gate just verified.  The FULL
+# rounds stale; [46-50] the five oldest r06-verified entries
+# (exactsubstr_clean ... ivfpq_index_search).  Below the boundary: the
+# five r06-verified entries the late-r8 additions displaced
+# (bpe_encode, lsh_recall, ivfpq_recall, cluster_sample,
+# cap_per_domain) then the remaining forty r06-verified entries
+# (q22_sales_opportunity ... q8_market_share) -- ALL forty-five rotate
+# into the r09 gate FIRST -- then the forty-eight entries the r07 gate
+# just verified.  The FULL
 # registry is locally hash-verified by scripts/check_oracle.py at
 # sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- [1-4] NEW late-r8: the link-graph/robots crawl front
+    # -- [1-5] NEW late-r8: the link-graph/robots crawl front + encoding
+    # -- repair
     "extract_links": (q_extract_links, Q_EXTRACT_LINKS_SQL),
     "link_graph": (q_link_graph, Q_LINK_GRAPH_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "robots_filter": (q_robots_filter, Q_ROBOTS_FILTER_SQL),
+    "fix_encoding": (q_fix_encoding, Q_FIX_ENCODING_SQL),
     # -- [5-9] NEW earlier in r8: the WET/WARC crawl reader's first
     # -- driver verification (wet_ingest), the HTML->text extraction
     # -- stage (html_extract), the structural page features /
@@ -7072,12 +7137,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
     "ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "ivfpq_index_search": (q_ivfpq_index_search, Q_IVFPQ_TOPK_SQL),
-    "bpe_encode": (q_bpe_encode, Q_BPE_ENCODE_SQL),
     # ------------------- gate boundary (position 50) -------------------
     # r06-verified entries displaced below the boundary by the late-r8
-    # link-graph/robots additions, then the remaining r06-verified
-    # entries -- all rotate into the r09 gate FIRST, followed by the
-    # oldest r07-verified entries
+    # link-graph/robots/encoding additions, then the remaining
+    # r06-verified entries -- all rotate into the r09 gate FIRST,
+    # followed by the oldest r07-verified entries
+    "bpe_encode": (q_bpe_encode, Q_BPE_ENCODE_SQL),
     "lsh_recall": (q_lsh_recall, Q_LSH_RECALL_SQL),
     "ivfpq_recall": (q_ivfpq_recall, Q_IVFPQ_RECALL_SQL),
     "cluster_sample": (q_cluster_sample, Q_CLUSTER_SAMPLE_SQL),
