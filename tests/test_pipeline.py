@@ -146,3 +146,32 @@ def test_prep_and_shard_invariants(spark):
         salt="e0",
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_prepare_training_corpus_repair_encoding_collapses_mojibake(spark):
+    """With repair_encoding=True, two crawls of the same page that
+    differ only in decode damage become exact duplicates and collapse;
+    without it they survive as distinct documents."""
+    from text_extensions_for_pandas_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and the cat "
+        "and a bird in a tree is that ok yes it is fine today"
+    )
+    damaged = base.replace("fine", "finÃ©")  # é mangled to Ã©
+    clean = base.replace("fine", "finé")
+    rows = [(1, clean, "s"), (2, damaged, "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # near-dup disabled (threshold > 1) to isolate the exact-dedup stage
+    plain = prepare_training_corpus(df, min_words=5, near_dup_threshold=1.1)
+    assert plain.count() == 2  # decode damage defeats exact dedup
+
+    repaired = prepare_training_corpus(
+        df, min_words=5, near_dup_threshold=1.1, repair_encoding=True
+    )
+    out = repaired.collect()
+    assert len(out) == 1 and out[0].doc_id == 1
+    assert "finé" in out[0].text

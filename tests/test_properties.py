@@ -427,3 +427,77 @@ def test_gopher_count_rules_match_python(spark, texts):
         assert out[i]["mean_word_len_ok"] == (3 <= mean <= 10)
         # all-alphabetic pool: alpha rule always true
         assert out[i]["alpha_ratio_ok"] is True
+
+
+# ---------------------------------------------------------------------------
+# Encoding repair / robots / link extraction properties
+# ---------------------------------------------------------------------------
+
+_fix_alphabet = st.characters(
+    codec="utf-8", exclude_characters="\udc80"
+) | st.sampled_from(list("Ã©â€™Â\x9c\x9d\x01\x7f\x80\x83 \t\n"))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=_fix_alphabet, max_size=80))
+def test_fix_text_never_raises_never_lengthens_idempotent(s):
+    from text_extensions_for_pandas_spark.functions.text import _fix_text_py
+
+    out = _fix_text_py(s, None)
+    assert isinstance(out, str)
+    assert len(out) <= len(s)  # repair + strip can only shorten
+    # no C0/C1 controls survive (tab/newline/CR excepted)
+    assert not any(
+        (ord(c) < 32 and c not in "\t\n\r") or ord(c) == 127 for c in out
+    )
+    # a second pass is a no-op: a repaired document is a clean document
+    assert _fix_text_py(out, None) == out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(
+            list("Uu*$:/aAgGeEnNtT- \t\n#dDiIsSlLoOwW.\x00é")
+        ),
+        max_size=120,
+    ),
+    st.sampled_from(["*", "trainbot", "GoodBot"]),
+)
+def test_parse_robots_never_raises_and_rules_well_formed(txt, agent):
+    from text_extensions_for_pandas_spark.operators.urls import (
+        _parse_robots_py,
+    )
+
+    rules = _parse_robots_py(txt, agent)
+    assert isinstance(rules, list)
+    for r in rules:
+        assert r["rule"] in ("allow", "disallow")
+        assert r["prefix"]  # empty patterns are dropped
+        assert r["spec"] >= 0
+        # LIKE pattern compiles every * to % and anchors correctly
+        assert ("%" in r["pattern"]) or r["prefix"].endswith("$")
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("<>ahref='/x.:#j&; \n\"")),
+        max_size=150,
+    )
+)
+def test_extract_links_never_raises_and_urls_resolved(html):
+    from text_extensions_for_pandas_spark.operators.html import (
+        _extract_links_py,
+    )
+
+    out = _extract_links_py(html, "http://base.example/dir/page")
+    assert isinstance(out, list)
+    for link in out:
+        u = link["url"]
+        # every surviving href resolves absolute against the base, and
+        # dropped schemes never leak through
+        assert not u.lower().startswith(
+            ("javascript:", "mailto:", "tel:", "data:", "about:")
+        )
+        assert "://" in u or u.startswith("//") is False

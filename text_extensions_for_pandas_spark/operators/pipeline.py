@@ -45,12 +45,22 @@ def prepare_training_corpus(
     text_col: str = "text",
     doc_col: str = "doc_id",
     near_dup_strategy: str = "pairs",
+    repair_encoding: bool = False,
 ) -> DataFrame:
     """The cleaned, deduplicated, split corpus: input columns + ``split``.
 
-    Stages: language-ID filter → quality filter (word count, mean word
-    length) → exact dedup (keep min doc id) → MinHash-LSH + Jaccard
-    near-dup removal → hash split.
+    Stages: [optional encoding repair] → language-ID filter → quality
+    filter (word count, mean word length) → exact dedup (keep min doc
+    id) → MinHash-LSH + Jaccard near-dup removal → hash split.
+
+    ``repair_encoding=True`` prepends
+    :func:`~text_extensions_for_pandas_spark.functions.text.fix_text`
+    (mojibake fold + control strip + NFC) so language-ID, quality
+    metrics, and every dedup hash see the REPAIRED bytes — two copies of
+    a page that differ only in decode damage collapse in exact dedup
+    instead of surviving as near-dups.  Off by default: repair is an
+    Arrow-batched UDF pass, and corpora known to be clean should not
+    pay it.
 
     ``near_dup_strategy``:
 
@@ -67,6 +77,11 @@ def prepare_training_corpus(
 
     languages = languages or ["en"]
     split_weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+
+    if repair_encoding:
+        from text_extensions_for_pandas_spark.functions.text import fix_text
+
+        documents = documents.withColumn(text_col, fix_text(text_col))
 
     toks = F.col("__toks")
     qualified = (
