@@ -310,3 +310,42 @@ def test_link_graph_host_edges(spark):
     with_self = link_graph(df, drop_self=False)
     got2 = rows_to_tuples(with_self, "src_host", "dst_host", "n_links")
     assert ("a.example", "a.example", 1) in got2
+
+
+def test_anchor_text_index_topk_counts_and_filters(spark):
+    from text_extensions_for_pandas_spark.operators.html import (
+        anchor_text_index,
+    )
+
+    def page(n, links):
+        return (
+            f"http://s{n}.example/p",
+            "".join(f"<a href='{u}'>{a}</a>" for u, a in links),
+        )
+
+    t = "http://t.example/doc"
+    rows = [
+        page(1, [(t, "great article"), (t, "link")]),
+        page(2, [(t, "great article"), ("http://o.example/x", "other")]),
+        page(3, [(t, "click here"), (t, "")]),          # empty anchor drops
+        ("http://t.example/self", f"<a href='{t}'>self-site</a>"),  # intra-host
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r.url: r for r in anchor_text_index(df, k=2).collect()}
+
+    doc = out[t]
+    # top-2 of {great article: 2, click here: 1, link: 1}; tie broken
+    # lexically (click here < link)
+    assert [(a.anchor, a.n) for a in doc.anchors] == [
+        ("great article", 2),
+        ("click here", 1),
+    ]
+    assert doc.n_incoming == 4  # all four non-empty cross-host anchors
+    assert out["http://o.example/x"].n_incoming == 1
+    # min_count prunes singletons before the list build
+    pruned = {
+        r.url: r for r in anchor_text_index(df, k=2, min_count=2).collect()
+    }
+    assert [(a.anchor, a.n) for a in pruned[t].anchors] == [
+        ("great article", 2)
+    ]

@@ -52,6 +52,7 @@ __all__ = [
     "extract_html_documents",
     "extract_links",
     "link_graph",
+    "anchor_text_index",
 ]
 
 # Subtrees dropped whole: non-content by construction.
@@ -424,6 +425,99 @@ def link_graph(
         edges = edges.filter(F.col("src_host") != F.col("dst_host"))
     return edges.groupBy("src_host", "dst_host").agg(
         F.count("*").alias("n_links")
+    )
+
+
+def anchor_text_index(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "text",
+    k: int = 5,
+    min_count: int = 1,
+) -> DataFrame:
+    """Incoming anchor-text index: for every link TARGET, the ``k`` most
+    frequent anchor strings other pages use to link to it, with counts —
+    the classic document-expansion / query-independent relevance signal
+    (anchor text describes the target better than the target describes
+    itself).  Returns ``(url, anchors: array<struct<anchor, n>>,
+    n_incoming)`` where ``url`` is the normalized target, ``anchors`` is
+    ordered by descending count (count-ties broken lexically so the
+    output is deterministic), and ``n_incoming`` counts ALL incoming
+    anchors (not just the surviving top-k).
+
+    Empty anchors (image links) and intra-host links are dropped —
+    site-navigation anchor text ("next", "home") is noise for document
+    expansion; pass the raw edges through :func:`extract_links` directly
+    when self-links matter.
+
+    Scale shape: parse + explode, then TWO combinable hash aggregates —
+    count by (target, anchor), then one ``collect_list`` per target over
+    the PRE-AGGREGATED (target, anchor, n) rows.  The hottest target's
+    state is its distinct-anchor count, not its incoming-link count (the
+    million "click here" links collapsed in the first aggregate), and
+    ``min_count`` cuts the long tail before the list build.  No window
+    sort anywhere.
+    """
+    from text_extensions_for_pandas_spark.operators.urls import normalize_url
+
+    src_host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    exploded = df.select(
+        src_host.alias("__src_host"),
+        F.explode(extract_links(html_col, url_col)).alias("__l"),
+    )
+    dst_host = F.lower(F.try_parse_url(F.col("__l.url"), F.lit("HOST")))
+    hits = (
+        exploded.select(
+            "__src_host",
+            F.col("__l.url").alias("__turl"),
+            dst_host.alias("__dst_host"),
+            F.col("__l.anchor").alias("anchor"),
+        )
+        .filter(
+            (F.length("anchor") > 0)
+            & F.col("__dst_host").isNotNull()
+            & (F.col("__src_host") != F.col("__dst_host"))
+        )
+        .withColumn("url", normalize_url("__turl"))
+    )
+    counted = hits.groupBy("url", "anchor").agg(F.count("*").alias("n"))
+    if min_count > 1:
+        kept = counted.filter(F.col("n") >= min_count)
+    else:
+        kept = counted
+    # comparator: count DESC, anchor ASC on ties — fully deterministic
+    def _cmp(l, r):
+        return (
+            F.when(l["n"] < r["n"], F.lit(1))
+            .when(l["n"] > r["n"], F.lit(-1))
+            .when(l["anchor"] < r["anchor"], F.lit(-1))
+            .when(l["anchor"] > r["anchor"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    return (
+        kept.groupBy("url")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("n"), F.col("anchor"))),
+                    _cmp,
+                ),
+                1,
+                k,
+            ).alias("__top"),
+            F.sum("n").alias("n_incoming"),
+        )
+        .select(
+            "url",
+            F.transform(
+                "__top",
+                lambda s: F.struct(
+                    s["anchor"].alias("anchor"), s["n"].alias("n")
+                ),
+            ).alias("anchors"),
+            "n_incoming",
+        )
     )
 
 

@@ -7025,6 +7025,81 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.html.anchor_text_index` under the value-hash
+    oracle: every doc links cross-host to target ``t(i%4)/d/(i%10)``
+    with anchor ``a(i%3)``; DuckDB recomputes the per-target top-2
+    anchors (count DESC, anchor ASC — the operator's documented
+    deterministic tie-break) with a window recount.  The Spark side is
+    the real operator (two combinable aggregates, no window) flattened
+    by posexplode for the hash compare."""
+    from text_extensions_for_pandas_spark.operators.html import (
+        anchor_text_index,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    target = F.concat(
+        F.lit("http://t"),
+        (i % 4).cast("string"),
+        F.lit(".example/d/"),
+        (i % 10).cast("string"),
+    )
+    html = F.concat(
+        F.lit("<a href='"),
+        target,
+        F.lit("'>a"),
+        (i % 3).cast("string"),
+        F.lit("</a>"),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("http://s"),
+            (i % 9).cast("string"),
+            F.lit(".example/p/"),
+            i.cast("string"),
+        ).alias("url"),
+        html.alias("text"),
+    )
+    idx = anchor_text_index(pages, k=2)
+    out = idx.select(
+        "url",
+        F.posexplode("anchors").alias("__pos", "__a"),
+        "n_incoming",
+    ).select(
+        "url",
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+        F.col("__a.anchor").alias("anchor"),
+        F.col("__a.n").alias("n"),
+        "n_incoming",
+    )
+    return out.orderBy("url", "rank")
+
+
+Q_ANCHOR_TEXT_SQL = """
+WITH hits AS (
+  SELECT concat('http://t', CAST(doc_id % 4 AS VARCHAR), '.example/d/',
+                CAST(doc_id % 10 AS VARCHAR)) AS url,
+         concat('a', CAST(doc_id % 3 AS VARCHAR)) AS anchor
+  FROM documents
+),
+counted AS (
+  SELECT url, anchor, CAST(count(*) AS BIGINT) AS n
+  FROM hits GROUP BY url, anchor
+),
+ranked AS (
+  SELECT url, anchor, n,
+         row_number() OVER (
+           PARTITION BY url ORDER BY n DESC, anchor ASC
+         ) AS rk,
+         CAST(sum(n) OVER (PARTITION BY url) AS BIGINT) AS n_incoming
+  FROM counted
+)
+SELECT url, CAST(rk AS INTEGER) AS rank, anchor, n, n_incoming
+FROM ranked WHERE rk <= 2 ORDER BY url, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7039,14 +7114,15 @@ FROM f ORDER BY doc_id
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-8 order: [1-5] the five entries added late in r8
+# Round-8 order: [1-6] the six entries added late in r8
 # (extract_links -- anchor extraction + urljoin resolution;
 # link_graph -- host-level edge aggregation; pagerank -- 3 unrolled
 # power-iteration rounds vs a DuckDB CTE recompute; robots_filter --
 # RFC 9309 longest-match/allow-wins/exact-agent-group decision over
 # synthesized per-host robots.txt; fix_encoding -- mojibake/control
-# repair over five planted damage classes); [6-10] the five entries
-# new earlier in r8 (wet_ingest -- the WET/WARC crawl reader's first driver
+# repair over five planted damage classes; anchor_text -- per-target
+# top-k incoming anchor texts vs a DuckDB window recount); [7-11] the
+# five entries new earlier in r8 (wet_ingest -- the WET/WARC crawl reader's first driver
 # verification over a deterministic two-shard fixture with planted
 # corrupt/warcinfo/garbage hazards; html_extract -- the HTML->text
 # extraction stage over per-doc synthesized markup; html_features --
@@ -7055,19 +7131,19 @@ FROM f ORDER BY doc_id
 # bit-equal to a full rebuild; crawl_funnel -- the crawl-front
 # end-to-end composite: HTTP-status filter -> domain blocklist ->
 # same-page keep-newest dedup -> HTML extraction over a planted-hazard
-# raw-WARC fixture); [11-12] url_dedup / url_blocklist, whose plans
+# raw-WARC fixture); [12-13] url_dedup / url_blocklist, whose plans
 # changed this round (NULL/blank-URL passthrough + default-port
 # stripping; keep_unparseable + host_col branch coverage + explicit
-# blocklist broadcast); [13-45] the thirty-three remaining r05-verified
+# blocklist broadcast); [14-46] the thirty-three remaining r05-verified
 # entries (multimodal_image_features ... q18_large_volume), now three
-# rounds stale; [46-50] the five oldest r06-verified entries
-# (exactsubstr_clean ... ivfpq_index_search).  Below the boundary: the
-# five r06-verified entries the late-r8 additions displaced
-# (bpe_encode, lsh_recall, ivfpq_recall, cluster_sample,
-# cap_per_domain) then the remaining forty r06-verified entries
-# (q22_sales_opportunity ... q8_market_share) -- ALL forty-five rotate
-# into the r09 gate FIRST -- then the forty-eight entries the r07 gate
-# just verified.  The FULL
+# rounds stale; [47-50] the four oldest r06-verified entries
+# (exactsubstr_clean ... ann_recall).  Below the boundary: the six
+# r06-verified entries the late-r8 additions displaced
+# (ivfpq_index_search, bpe_encode, lsh_recall, ivfpq_recall,
+# cluster_sample, cap_per_domain) then the remaining forty
+# r06-verified entries (q22_sales_opportunity ... q8_market_share) --
+# ALL forty-six rotate into the r09 gate FIRST -- then the forty-eight
+# entries the r07 gate just verified.  The FULL
 # registry is locally hash-verified by scripts/check_oracle.py at
 # sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -7078,6 +7154,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "robots_filter": (q_robots_filter, Q_ROBOTS_FILTER_SQL),
     "fix_encoding": (q_fix_encoding, Q_FIX_ENCODING_SQL),
+    "anchor_text": (q_anchor_text, Q_ANCHOR_TEXT_SQL),
     # -- [5-9] NEW earlier in r8: the WET/WARC crawl reader's first
     # -- driver verification (wet_ingest), the HTML->text extraction
     # -- stage (html_extract), the structural page features /
@@ -7136,12 +7213,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
     "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
     "ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
-    "ivfpq_index_search": (q_ivfpq_index_search, Q_IVFPQ_TOPK_SQL),
     # ------------------- gate boundary (position 50) -------------------
     # r06-verified entries displaced below the boundary by the late-r8
-    # link-graph/robots/encoding additions, then the remaining
+    # link-graph/robots/encoding/anchor additions, then the remaining
     # r06-verified entries -- all rotate into the r09 gate FIRST,
     # followed by the oldest r07-verified entries
+    "ivfpq_index_search": (q_ivfpq_index_search, Q_IVFPQ_TOPK_SQL),
     "bpe_encode": (q_bpe_encode, Q_BPE_ENCODE_SQL),
     "lsh_recall": (q_lsh_recall, Q_LSH_RECALL_SQL),
     "ivfpq_recall": (q_ivfpq_recall, Q_IVFPQ_RECALL_SQL),
