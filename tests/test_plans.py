@@ -364,6 +364,9 @@ def test_no_accidental_nested_loop_joins_across_registry(spark):
         # recall measurement embeds the documented exact-ANN tier (small
         # broadcast query set x corpus) as its ground truth
         "ann_recall", "lsh_recall", "ivfpq_recall",
+        # power iteration's dangling-mass term: a 1-row aggregate
+        # broadcast-cross-joined into the (node, rank) table each round
+        "pagerank",
     }
     sf = "/root/testdata/sf0.001"
     bad = {}
