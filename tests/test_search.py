@@ -509,3 +509,27 @@ def test_fix_text_normalization_forms_and_safety(spark):
         df.select(fix_text("text").alias("f")).collect()[0].f
         == "\ufb01le \u2460"  # NFC default: compatibility chars kept
     )
+
+
+def test_dehyphenate_rejoins_linebreak_hyphens(spark):
+    from text_extensions_for_pandas_spark.functions.text import dehyphenate
+
+    rows = [
+        (0, "a great exam-\nple of text"),       # basic rejoin
+        (1, "wrapped con-  \n  tinuation"),      # spaces around the break
+        (2, "keep in-line hyphens as-is"),       # no newline: untouched
+        (3, "list item -\nNot a word join"),     # capital: no fuse
+        (4, "tail hyphen-\n"),                   # nothing to join
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.t
+        for r in df.select("id", dehyphenate("text").alias("t")).collect()
+    }
+    assert got[0] == "a great example of text"
+    assert got[1] == "wrapped continuation"
+    assert got[2] == "keep in-line hyphens as-is"
+    assert got[3] == "list item -\nNot a word join"
+    assert got[4] == "tail hyphen-\n"
+    assert got[5] is None

@@ -632,6 +632,26 @@ def fix_text(text: Column | str, form: str | None = "NFC") -> Column:
     return _fix(c)
 
 
+def dehyphenate(text: Column | str) -> Column:
+    """Rejoin words hyphenated across line breaks — the standard cleanup
+    for PDF-extracted / OCR / hard-wrapped text, where justified layout
+    splits words as ``exam-\\n ple``.  A letter + ``-`` + newline (plus
+    any surrounding spaces) + lowercase letter fuses to one word; the
+    join requires a LOWERCASE continuation so sentence-initial capitals
+    after a genuinely hyphen-terminated line (rare, but real in
+    bibliographies) don't fuse.  Unconditional about compound words
+    (``well-\\nknown`` → ``wellknown``) — the same trade C4's cleanup
+    makes; hyphens not at a line break are untouched.
+
+    Pure JVM ``regexp_replace`` — codegen, stream-safe, no UDF; compose
+    before :func:`quality_metrics`/tokenization so token stats see whole
+    words."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        c, r"(\p{L})- *\n *(\p{Ll})", r"$1$2"
+    )
+
+
 def line_repetition_metrics(
     documents: "DataFrame",
     sep_regex: str = r"\n+",

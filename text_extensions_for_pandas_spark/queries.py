@@ -7100,6 +7100,53 @@ FROM ranked WHERE rk <= 2 ORDER BY url, rank
 """
 
 
+def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.functions.text.dehyphenate` under the value-hash oracle:
+    three planted classes per doc_id — a line-break hyphenation to
+    rejoin, an in-line hyphen that must survive, and a capital-letter
+    continuation that must NOT fuse — with DuckDB recomputing the
+    repaired strings by CASE arithmetic (no regex needed on the oracle
+    side: the expected outputs are closed-form).  Pure codegen
+    regexp_replace projection, no UDF, no shuffle."""
+    from text_extensions_for_pandas_spark.functions.text import dehyphenate
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    text = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("big exam- \n ple number "), i),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("keep in-line dash "), i),
+        )
+        .otherwise(F.concat(F.lit("cap join -\nNever "), i))
+    )
+    out = docs.select(
+        "doc_id", dehyphenate(text).alias("fixed")
+    ).withColumn("n_chars", F.length("fixed").cast("long"))
+    return out.orderBy("doc_id")
+
+
+Q_DEHYPHENATE_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 3 = 0
+             THEN concat('big example number ', CAST(doc_id AS VARCHAR))
+           WHEN doc_id % 3 = 1
+             THEN concat('keep in-line dash ', CAST(doc_id AS VARCHAR))
+           ELSE concat('cap join -', chr(10), 'Never ',
+                       CAST(doc_id AS VARCHAR))
+         END AS fixed
+  FROM documents
+)
+SELECT doc_id, fixed, CAST(length(fixed) AS BIGINT) AS n_chars
+FROM f ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7114,14 +7161,15 @@ FROM ranked WHERE rk <= 2 ORDER BY url, rank
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-8 order: [1-6] the six entries added late in r8
+# Round-8 order: [1-7] the seven entries added late in r8
 # (extract_links -- anchor extraction + urljoin resolution;
 # link_graph -- host-level edge aggregation; pagerank -- 3 unrolled
 # power-iteration rounds vs a DuckDB CTE recompute; robots_filter --
 # RFC 9309 longest-match/allow-wins/exact-agent-group decision over
 # synthesized per-host robots.txt; fix_encoding -- mojibake/control
 # repair over five planted damage classes; anchor_text -- per-target
-# top-k incoming anchor texts vs a DuckDB window recount); [7-11] the
+# top-k incoming anchor texts vs a DuckDB window recount;
+# dehyphenate -- PDF/OCR line-break hyphenation repair); [8-12] the
 # five entries new earlier in r8 (wet_ingest -- the WET/WARC crawl reader's first driver
 # verification over a deterministic two-shard fixture with planted
 # corrupt/warcinfo/garbage hazards; html_extract -- the HTML->text
@@ -7131,19 +7179,19 @@ FROM ranked WHERE rk <= 2 ORDER BY url, rank
 # bit-equal to a full rebuild; crawl_funnel -- the crawl-front
 # end-to-end composite: HTTP-status filter -> domain blocklist ->
 # same-page keep-newest dedup -> HTML extraction over a planted-hazard
-# raw-WARC fixture); [12-13] url_dedup / url_blocklist, whose plans
+# raw-WARC fixture); [13-14] url_dedup / url_blocklist, whose plans
 # changed this round (NULL/blank-URL passthrough + default-port
 # stripping; keep_unparseable + host_col branch coverage + explicit
-# blocklist broadcast); [14-46] the thirty-three remaining r05-verified
+# blocklist broadcast); [15-47] the thirty-three remaining r05-verified
 # entries (multimodal_image_features ... q18_large_volume), now three
-# rounds stale; [47-50] the four oldest r06-verified entries
-# (exactsubstr_clean ... ann_recall).  Below the boundary: the six
-# r06-verified entries the late-r8 additions displaced
-# (ivfpq_index_search, bpe_encode, lsh_recall, ivfpq_recall,
-# cluster_sample, cap_per_domain) then the remaining forty
-# r06-verified entries (q22_sales_opportunity ... q8_market_share) --
-# ALL forty-six rotate into the r09 gate FIRST -- then the forty-eight
-# entries the r07 gate just verified.  The FULL
+# rounds stale; [48-50] the three oldest r06-verified entries
+# (exactsubstr_clean, line_repetition, cms_heavy_hitters).  Below the
+# boundary: the seven r06-verified entries the late-r8 additions
+# displaced (ann_recall, ivfpq_index_search, bpe_encode, lsh_recall,
+# ivfpq_recall, cluster_sample, cap_per_domain) then the remaining
+# forty r06-verified entries (q22_sales_opportunity ...
+# q8_market_share) -- ALL forty-seven rotate into the r09 gate FIRST --
+# then the forty-eight entries the r07 gate just verified.  The FULL
 # registry is locally hash-verified by scripts/check_oracle.py at
 # sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -7155,6 +7203,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "robots_filter": (q_robots_filter, Q_ROBOTS_FILTER_SQL),
     "fix_encoding": (q_fix_encoding, Q_FIX_ENCODING_SQL),
     "anchor_text": (q_anchor_text, Q_ANCHOR_TEXT_SQL),
+    "dehyphenate": (q_dehyphenate, Q_DEHYPHENATE_SQL),
     # -- [5-9] NEW earlier in r8: the WET/WARC crawl reader's first
     # -- driver verification (wet_ingest), the HTML->text extraction
     # -- stage (html_extract), the structural page features /
@@ -7212,12 +7261,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
     "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
     "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
-    "ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     # ------------------- gate boundary (position 50) -------------------
     # r06-verified entries displaced below the boundary by the late-r8
-    # link-graph/robots/encoding/anchor additions, then the remaining
-    # r06-verified entries -- all rotate into the r09 gate FIRST,
-    # followed by the oldest r07-verified entries
+    # link-graph/robots/encoding/anchor/dehyphenate additions, then the
+    # remaining r06-verified entries -- all rotate into the r09 gate
+    # FIRST, followed by the oldest r07-verified entries
+    "ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "ivfpq_index_search": (q_ivfpq_index_search, Q_IVFPQ_TOPK_SQL),
     "bpe_encode": (q_bpe_encode, Q_BPE_ENCODE_SQL),
     "lsh_recall": (q_lsh_recall, Q_LSH_RECALL_SQL),
