@@ -288,6 +288,38 @@ def main() -> None:
                 ).alias("text"),
             )
         ).agg(F.sum("n_links")).collect()[0][0],
+        # anchor-text index under worst-case target skew: HALF the corpus
+        # links to ONE hot URL (anchors drawn from a 997-value pool, so
+        # the hot target's collect_list state is bounded by DISTINCT
+        # anchors — the documented contract — while its raw incoming
+        # count grows with the corpus); the rest spread over 10k targets
+        "anchor_index_hot": lambda d: _html_mod().anchor_text_index(
+            d.select(
+                F.concat(
+                    F.lit("http://s"),
+                    (F.col("doc_id") % 5000).cast("string"),
+                    F.lit(".example/p/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+                F.concat(
+                    F.lit("<a href='"),
+                    F.when(
+                        F.col("doc_id") % 2 == 0,
+                        F.lit("http://hot.example/the-page"),
+                    ).otherwise(
+                        F.concat(
+                            F.lit("http://t"),
+                            (F.col("doc_id") % 10_000).cast("string"),
+                            F.lit(".example/p"),
+                        )
+                    ),
+                    F.lit("'>anchor "),
+                    (F.col("doc_id") % 997).cast("string"),
+                    F.lit("</a>"),
+                ).alias("text"),
+            ),
+            k=5,
+        ).agg(F.sum("n_incoming")).collect()[0][0],
         # PageRank under worst-case dst skew: EVERY node links to ONE hot
         # node (the star) plus one pseudo-random peer — the hot node's
         # in-sum must stay a map-side-combinable aggregate, never a
