@@ -73,3 +73,73 @@ def test_tokenizers_agree_on_simple_text(toy_docs):
 def test_tokenize_real_documents(docs):
     toks = tokenize_whitespace(docs.limit(20))
     _offsets_ok(toks, docs.limit(20))
+
+
+# ---------------------------------------------------------------------------
+# split_sentences
+# ---------------------------------------------------------------------------
+
+def test_split_sentences_driver_side_semantics():
+    from text_extensions_for_pandas_spark.functions.text import (
+        DEFAULT_ABBREVIATIONS,
+        _split_sentences_py,
+    )
+
+    t = 'First one. Second two!  "Third three?" And by Dr. Smith. Tail'
+    got = _split_sentences_py(t, DEFAULT_ABBREVIATIONS)
+    # offsets are exact into the source
+    assert [(s, t[b:e]) for b, e, s in got] == [
+        (s, s) for _, _, s in got
+    ]
+    assert [s for _, _, s in got] == [
+        "First one.",
+        "Second two!",
+        '"Third three?"',
+        "And by Dr. Smith.",  # Dr. does NOT split
+        "Tail",               # unterminated tail is a sentence
+    ]
+    # no terminator: one sentence; decimals and lowercase continuations
+    # do not split; empty/whitespace yields nothing
+    assert [s for _, _, s in _split_sentences_py(
+        "pi is 3.14 then e.g. lowercase stays", DEFAULT_ABBREVIATIONS
+    )] == ["pi is 3.14 then e.g. lowercase stays"]
+    assert _split_sentences_py("   ", DEFAULT_ABBREVIATIONS) == []
+    # ellipsis before a capital DOES split (".." escape hatch only
+    # guards abbreviation matching, not boundaries)
+    assert [s for _, _, s in _split_sentences_py(
+        "Wait... Now go.", DEFAULT_ABBREVIATIONS
+    )] == ["Wait...", "Now go."]
+
+
+def test_split_sentences_dataframe_offsets_and_custom_abbrevs(spark):
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.functions.text import (
+        split_sentences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta. Gamma delta! Ok."), (2, "No terminator here"),
+         (3, None), (4, "Per Foo. Bar baz.")],
+        "doc_id long, text string",
+    )
+    out = split_sentences(docs)
+    rows = out.collect()
+    assert [r.sentence for r in rows if r.doc_id == 1] == [
+        "Alpha beta.", "Gamma delta!", "Ok."
+    ]
+    assert [r.sentence_idx for r in rows if r.doc_id == 1] == [0, 1, 2]
+    assert [r.sentence for r in rows if r.doc_id == 2] == [
+        "No terminator here"
+    ]
+    assert not [r for r in rows if r.doc_id == 3]  # NULL -> no rows
+    # the substring invariant holds through the UDF
+    joined = out.join(docs, "doc_id").filter(
+        F.expr("substring(text, begin + 1, end - begin) <> sentence")
+    )
+    assert joined.count() == 0
+    # custom abbreviation set: 'foo.' stops splitting
+    custom = split_sentences(docs, abbreviations=frozenset({"foo"}))
+    assert [r.sentence for r in custom.collect() if r.doc_id == 4] == [
+        "Per Foo. Bar baz."
+    ]

@@ -632,6 +632,116 @@ def fix_text(text: Column | str, form: str | None = "NFC") -> Column:
     return _fix(c)
 
 
+# sentence boundary: terminator run, optional closing quotes/brackets,
+# whitespace, then an upper-case/digit (optionally quote-opened) start
+_SENT_BOUNDARY_PATTERN = (
+    r'(?<=[.!?])(["\')\]]*)[ \t\n\r]+(?=["\'(\[]*[A-Z0-9])'
+)
+# the word immediately before a lone '.' terminator (dots kept so
+# "e.g." matches as 'e.g' -> 'eg')
+_ABBR_TOKEN_PATTERN = r"([A-Za-z]+(?:\.[A-Za-z]+)*)\.$"
+
+# common English abbreviations whose trailing period is not a sentence
+# end; pass your own set for other domains
+DEFAULT_ABBREVIATIONS = frozenset(
+    {
+        "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc",
+        "fig", "no", "inc", "ltd", "co", "eg", "ie", "al", "approx",
+        "dept", "est", "min", "max",
+    }
+)
+
+
+def _split_sentences_py(
+    t: str, abbrevs: frozenset[str]
+) -> list[tuple[int, int, str]]:
+    """Driver-side reference implementation of :func:`split_sentences`
+    (the UDF maps this).  Deterministic heuristic: boundary = ``.!?``
+    run (+ optional closing quotes) + whitespace + capital/digit start,
+    except when the preceding word is a known abbreviation and the
+    terminator is a lone period.  Offsets are exact into the SOURCE
+    string; inter-sentence whitespace belongs to no sentence."""
+    import re
+
+    boundary = re.compile(_SENT_BOUNDARY_PATTERN)
+    abbr_token = re.compile(_ABBR_TOKEN_PATTERN)
+    out: list[tuple[int, int, str]] = []
+
+    def emit(b: int, e: int) -> None:
+        seg = t[b:e]
+        lead = len(seg) - len(seg.lstrip())
+        if b + lead < e:
+            out.append((b + lead, e, t[b + lead : e]))
+
+    start = 0
+    for m in boundary.finditer(t):
+        end = m.end(1)
+        core = t[start:end].rstrip("\"')]")
+        if core.endswith(".") and not core.endswith(".."):
+            wm = abbr_token.search(core)
+            if wm and wm.group(1).replace(".", "").lower() in abbrevs:
+                continue  # abbreviation period: not a boundary
+        emit(start, end)
+        start = m.end()
+    tail = t[start:].rstrip()
+    if tail:
+        emit(start, start + len(tail))
+    return out
+
+
+def split_sentences(
+    documents: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    abbreviations: frozenset[str] | None = None,
+) -> DataFrame:
+    """Sentence segmentation with exact char offsets: one row per
+    sentence — ``(doc_col, sentence_idx, begin, end, sentence)`` —
+    the unit RAG chunkers, context packers, and per-sentence quality
+    filters consume (compose with
+    :func:`~..operators.windows.chunk_documents`-style packing for
+    fixed-budget chunks that never split mid-sentence).
+
+    Heuristic, deterministic, language-light: a ``.!?`` run (plus
+    closing quotes/brackets) followed by whitespace and a
+    capital-or-digit start ends a sentence, EXCEPT after a known
+    abbreviation (``Dr. Smith`` stays one sentence —
+    ``DEFAULT_ABBREVIATIONS``; pass your own set per domain).  Text
+    with no terminator is one sentence; inter-sentence whitespace
+    belongs to no sentence, so ``substring(text, begin+1, end-begin)``
+    == ``sentence`` exactly (the tokenizer offset invariant).
+
+    Same scale shape as :func:`tokenize_regex`: one Arrow-batched
+    pandas UDF call per document batch returning
+    ``array<struct>``, then ``posexplode`` — no shuffle, documents are
+    the parallelism unit, stream-transparent."""
+    abbrevs = (
+        DEFAULT_ABBREVIATIONS if abbreviations is None else frozenset(
+            a.lower() for a in abbreviations
+        )
+    )
+
+    @F.pandas_udf("array<struct<begin:int,end:int,sentence:string>>")
+    def _sents(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            yield texts.map(
+                lambda t: _split_sentences_py(t, abbrevs)
+                if t is not None
+                else []
+            )
+
+    return documents.select(
+        F.col(doc_col),
+        F.posexplode(_sents(F.col(text_col))).alias("sentence_idx", "__s"),
+    ).select(
+        doc_col,
+        F.col("sentence_idx").cast("int").alias("sentence_idx"),
+        F.col("__s.begin").alias("begin"),
+        F.col("__s.end").alias("end"),
+        F.col("__s.sentence").alias("sentence"),
+    )
+
+
 def dehyphenate(text: Column | str) -> Column:
     """Rejoin words hyphenated across line breaks — the standard cleanup
     for PDF-extracted / OCR / hard-wrapped text, where justified layout

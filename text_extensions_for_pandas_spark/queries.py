@@ -7147,6 +7147,60 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.functions.text.split_sentences` under the value-hash
+    oracle: three synthesized sentences per doc — variable-length
+    digits in the first two (so the offsets genuinely vary per row), an
+    exclamation boundary, and an abbreviation (``Dr. Smith``) the
+    splitter must NOT break on — with DuckDB recomputing every
+    ``(sentence_idx, begin, end, sentence)`` closed-form from the
+    digit lengths.  One Arrow-batched UDF projection + posexplode, no
+    shuffle before the ordering."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        split_sentences,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    x = (F.col("doc_id") * F.col("doc_id") % 97).cast("string")
+    text = F.concat(
+        F.lit("First "), i, F.lit(" one. Second "), x,
+        F.lit(" two! Third by Dr. Smith?"),
+    )
+    out = split_sentences(docs.select("doc_id", text.alias("text")))
+    return out.orderBy("doc_id", "sentence_idx")
+
+
+Q_SPLIT_SENTENCES_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+         CAST(doc_id * doc_id % 97 AS VARCHAR) AS x
+  FROM documents
+),
+sents AS (
+  SELECT doc_id, 0 AS sentence_idx,
+         0 AS begin_, CAST(11 + length(s) AS INTEGER) AS end_,
+         concat('First ', s, ' one.') AS sentence
+  FROM d
+  UNION ALL
+  SELECT doc_id, 1,
+         CAST(12 + length(s) AS INTEGER),
+         CAST(24 + length(s) + length(x) AS INTEGER),
+         concat('Second ', x, ' two!')
+  FROM d
+  UNION ALL
+  SELECT doc_id, 2,
+         CAST(25 + length(s) + length(x) AS INTEGER),
+         CAST(44 + length(s) + length(x) AS INTEGER),
+         'Third by Dr. Smith?'
+  FROM d
+)
+SELECT doc_id, CAST(sentence_idx AS INTEGER) AS sentence_idx,
+       begin_ AS "begin", end_ AS "end", sentence
+FROM sents ORDER BY doc_id, sentence_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7161,7 +7215,7 @@ FROM f ORDER BY doc_id
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-8 order: [1-7] the seven entries added late in r8
+# Round-8 order: [1-8] the eight entries added late in r8
 # (extract_links -- anchor extraction + urljoin resolution;
 # link_graph -- host-level edge aggregation; pagerank -- 3 unrolled
 # power-iteration rounds vs a DuckDB CTE recompute; robots_filter --
@@ -7169,7 +7223,9 @@ FROM f ORDER BY doc_id
 # synthesized per-host robots.txt; fix_encoding -- mojibake/control
 # repair over five planted damage classes; anchor_text -- per-target
 # top-k incoming anchor texts vs a DuckDB window recount;
-# dehyphenate -- PDF/OCR line-break hyphenation repair); [8-12] the
+# dehyphenate -- PDF/OCR line-break hyphenation repair;
+# split_sentences -- offset-exact sentence segmentation with an
+# abbreviation guard, vs a closed-form offset recompute); [9-13] the
 # five entries new earlier in r8 (wet_ingest -- the WET/WARC crawl reader's first driver
 # verification over a deterministic two-shard fixture with planted
 # corrupt/warcinfo/garbage hazards; html_extract -- the HTML->text
@@ -7179,18 +7235,18 @@ FROM f ORDER BY doc_id
 # bit-equal to a full rebuild; crawl_funnel -- the crawl-front
 # end-to-end composite: HTTP-status filter -> domain blocklist ->
 # same-page keep-newest dedup -> HTML extraction over a planted-hazard
-# raw-WARC fixture); [13-14] url_dedup / url_blocklist, whose plans
+# raw-WARC fixture); [14-15] url_dedup / url_blocklist, whose plans
 # changed this round (NULL/blank-URL passthrough + default-port
 # stripping; keep_unparseable + host_col branch coverage + explicit
-# blocklist broadcast); [15-47] the thirty-three remaining r05-verified
+# blocklist broadcast); [16-48] the thirty-three remaining r05-verified
 # entries (multimodal_image_features ... q18_large_volume), now three
-# rounds stale; [48-50] the three oldest r06-verified entries
-# (exactsubstr_clean, line_repetition, cms_heavy_hitters).  Below the
-# boundary: the seven r06-verified entries the late-r8 additions
-# displaced (ann_recall, ivfpq_index_search, bpe_encode, lsh_recall,
-# ivfpq_recall, cluster_sample, cap_per_domain) then the remaining
-# forty r06-verified entries (q22_sales_opportunity ...
-# q8_market_share) -- ALL forty-seven rotate into the r09 gate FIRST --
+# rounds stale; [49-50] the two oldest r06-verified entries
+# (exactsubstr_clean, line_repetition).  Below the boundary: the eight
+# r06-verified entries the late-r8 additions displaced
+# (cms_heavy_hitters, ann_recall, ivfpq_index_search, bpe_encode,
+# lsh_recall, ivfpq_recall, cluster_sample, cap_per_domain) then the
+# remaining forty r06-verified entries (q22_sales_opportunity ...
+# q8_market_share) -- ALL forty-eight rotate into the r09 gate FIRST --
 # then the forty-eight entries the r07 gate just verified.  The FULL
 # registry is locally hash-verified by scripts/check_oracle.py at
 # sf0.001 AND sf0.01 regardless of position.
@@ -7204,6 +7260,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fix_encoding": (q_fix_encoding, Q_FIX_ENCODING_SQL),
     "anchor_text": (q_anchor_text, Q_ANCHOR_TEXT_SQL),
     "dehyphenate": (q_dehyphenate, Q_DEHYPHENATE_SQL),
+    "split_sentences": (q_split_sentences, Q_SPLIT_SENTENCES_SQL),
     # -- [5-9] NEW earlier in r8: the WET/WARC crawl reader's first
     # -- driver verification (wet_ingest), the HTML->text extraction
     # -- stage (html_extract), the structural page features /
@@ -7260,12 +7317,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- [41-50] the ten oldest r06-verified entries
     "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
     "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
-    "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
     # ------------------- gate boundary (position 50) -------------------
-    # r06-verified entries displaced below the boundary by the late-r8
-    # link-graph/robots/encoding/anchor/dehyphenate additions, then the
-    # remaining r06-verified entries -- all rotate into the r09 gate
-    # FIRST, followed by the oldest r07-verified entries
+    # r06-verified entries displaced below the boundary by the eight
+    # late-r8 additions, then the remaining r06-verified entries -- all
+    # rotate into the r09 gate FIRST, followed by the oldest
+    # r07-verified entries
+    "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
     "ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "ivfpq_index_search": (q_ivfpq_index_search, Q_IVFPQ_TOPK_SQL),
     "bpe_encode": (q_bpe_encode, Q_BPE_ENCODE_SQL),
