@@ -501,3 +501,36 @@ def test_extract_links_never_raises_and_urls_resolved(html):
             ("javascript:", "mailto:", "tel:", "data:", "about:")
         )
         assert "://" in u or u.startswith("//") is False
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(list('aA bB.!?"\')(\n\t0129 eg Dr')),
+        max_size=120,
+    )
+)
+def test_split_sentences_offsets_exact_and_ordered(t):
+    """The splitter's core invariants on arbitrary text: every span
+    slices back to its sentence, spans are strictly ordered and
+    non-overlapping, sentences contain no leading/trailing whitespace,
+    and every non-space char of the input lands in exactly one
+    sentence... except inter-sentence whitespace, which lands in none."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        DEFAULT_ABBREVIATIONS,
+        _split_sentences_py,
+    )
+
+    sents = _split_sentences_py(t, DEFAULT_ABBREVIATIONS)
+    prev_end = -1
+    for b, e, s in sents:
+        assert t[b:e] == s
+        assert b > prev_end or (prev_end == -1 and b >= 0)
+        assert b < e
+        assert s == s.strip()
+        prev_end = e
+    # lossless modulo whitespace: concatenated sentences contain every
+    # non-space character of the source, in order
+    kept = "".join(s for _, _, s in sents).replace(" ", "")
+    src = "".join(t.split())
+    assert kept.replace("\t", "").replace("\n", "") == src
