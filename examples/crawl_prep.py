@@ -205,6 +205,34 @@ def html_demo(spark) -> None:
         assert doc.n_chars == len(doc.text)
         print("OK crawl front end-to-end (raw HTML responses)")
 
+    # the text-cleanup chain between extraction and the prep funnel:
+    # mojibake/control repair -> line-break hyphenation rejoin ->
+    # offset-exact sentence segmentation
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.functions.text import (
+        dehyphenate,
+        fix_text,
+        split_sentences,
+    )
+
+    damaged = spark.createDataFrame(
+        [(1, "The cafÃ© re-\nopened. Dr. Ada approves! Done")],
+        "doc_id long, text string",
+    )
+    cleaned = damaged.withColumn(
+        "text", dehyphenate(fix_text("text", form=None))
+    )
+    sents = [r.sentence for r in split_sentences(cleaned).collect()]
+    print(f"cleaned sentences: {sents}")
+    assert sents == ["The café reopened.", "Dr. Ada approves!", "Done"]
+    # spans always slice back exactly
+    bad = split_sentences(cleaned).join(cleaned, "doc_id").filter(
+        F.expr("substring(text, begin + 1, end - begin) <> sentence")
+    )
+    assert bad.count() == 0
+    print("OK text-cleanup chain (fix_text -> dehyphenate -> sentences)")
+
 
 def streaming_demo(spark) -> None:
     """The continuous-crawl story: shards LAND over time; each
