@@ -143,3 +143,40 @@ def test_split_sentences_dataframe_offsets_and_custom_abbrevs(spark):
     assert [r.sentence for r in custom.collect() if r.doc_id == 4] == [
         "Per Foo. Bar baz."
     ]
+
+
+def test_chunk_by_sentences_greedy_packing(spark):
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.functions.text import (
+        chunk_by_sentences,
+    )
+
+    t = "One one. Two two! Three three? Four."
+    # sentences: [0,8) [9,17) [18,30) [31,36)
+    docs = spark.createDataFrame([(1, t), (2, None)], "doc_id long, text string")
+    out = chunk_by_sentences(docs, max_chars=20).collect()
+    got = [(r.chunk_idx, r.begin, r.end, r.n_sentences, r.chunk) for r in out]
+    # greedy: s1+s2 span 17 <= 20; +s3 span 30 > 20 -> new chunk;
+    # s3+s4 span 36-18=18 <= 20 -> together
+    assert got == [
+        (0, 0, 17, 2, "One one. Two two!"),
+        (1, 18, 36, 2, "Three three? Four."),
+    ]
+    # an over-long single sentence is its own oversized chunk
+    long_doc = spark.createDataFrame(
+        [(3, "Averyveryverylongsentence. Ok.")], "doc_id long, text string"
+    )
+    rows = chunk_by_sentences(long_doc, max_chars=10).collect()
+    assert [(r.n_sentences, r.chunk) for r in rows] == [
+        (1, "Averyveryverylongsentence."),
+        (1, "Ok."),
+    ]
+    # substring invariant
+    joined = chunk_by_sentences(docs, max_chars=20).join(docs, "doc_id")
+    bad = joined.filter(
+        F.expr("substring(text, begin + 1, end - begin) <> chunk")
+    )
+    assert bad.count() == 0
+    with __import__("pytest").raises(ValueError):
+        chunk_by_sentences(docs, max_chars=0)

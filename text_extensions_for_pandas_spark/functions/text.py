@@ -742,6 +742,84 @@ def split_sentences(
     )
 
 
+def _chunk_by_sentences_py(
+    t: str, max_chars: int, abbrevs: frozenset[str]
+) -> list[tuple[int, int, int]]:
+    """Greedy sentence packing (driver-side reference): consecutive
+    sentences join into a chunk while the SPAN (first sentence begin …
+    last sentence end, inter-sentence gaps included) stays within
+    ``max_chars``; a single over-long sentence becomes its own chunk
+    rather than being split."""
+    sents = _split_sentences_py(t, abbrevs)
+    chunks: list[tuple[int, int, int]] = []
+    cb = ce = n = 0
+    for b, e, _ in sents:
+        if n and e - cb <= max_chars:
+            ce, n = e, n + 1
+        else:
+            if n:
+                chunks.append((cb, ce, n))
+            cb, ce, n = b, e, 1
+    if n:
+        chunks.append((cb, ce, n))
+    return chunks
+
+
+def chunk_by_sentences(
+    documents: DataFrame,
+    max_chars: int = 2000,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    abbreviations: frozenset[str] | None = None,
+) -> DataFrame:
+    """Sentence-aware chunking: pack consecutive sentences greedily into
+    chunks whose char span stays within ``max_chars`` — the RAG/context
+    chunker that NEVER splits mid-sentence (pair with
+    :func:`~..operators.windows.chunk_document_spans` when a hard token
+    budget matters more than sentence integrity).  A single over-long
+    sentence becomes its own (oversized) chunk rather than being cut.
+
+    Output: ``(doc_col, chunk_idx, begin, end, n_sentences, chunk)``
+    with ``substring(text, begin+1, end-begin) == chunk`` exactly.
+
+    Scale shape: sentence split AND greedy pack run inside ONE
+    Arrow-batched UDF pass per document batch — no tokens table, no
+    groupBy, no shuffle; documents are the parallelism unit and a
+    document's sentence list fits an executor by the same assumption
+    that makes it usable training data."""
+    if max_chars < 1:
+        raise ValueError(f"max_chars must be >= 1, got {max_chars}")
+    abbrevs = (
+        DEFAULT_ABBREVIATIONS if abbreviations is None else frozenset(
+            a.lower() for a in abbreviations
+        )
+    )
+
+    @F.pandas_udf("array<struct<begin:int,end:int,n_sentences:int>>")
+    def _chunks(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            yield texts.map(
+                lambda t: _chunk_by_sentences_py(t, max_chars, abbrevs)
+                if t is not None
+                else []
+            )
+
+    return documents.select(
+        F.col(doc_col),
+        F.col(text_col).alias("__t"),
+        F.posexplode(_chunks(F.col(text_col))).alias("chunk_idx", "__c"),
+    ).select(
+        doc_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("__c.begin").alias("begin"),
+        F.col("__c.end").alias("end"),
+        F.col("__c.n_sentences").alias("n_sentences"),
+        F.expr("substring(__t, __c.begin + 1, __c.end - __c.begin)").alias(
+            "chunk"
+        ),
+    )
+
+
 def dehyphenate(text: Column | str) -> Column:
     """Rejoin words hyphenated across line breaks — the standard cleanup
     for PDF-extracted / OCR / hard-wrapped text, where justified layout

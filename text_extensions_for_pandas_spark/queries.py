@@ -7201,6 +7201,57 @@ FROM sents ORDER BY doc_id, sentence_idx
 """
 
 
+def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.functions.text.chunk_by_sentences` under the value-hash
+    oracle, over the same three-sentence fixture as ``split_sentences``
+    with ``max_chars=40``: sentences 1-2 always span ≤ 30 chars (one
+    chunk, gap included) and adding sentence 3 always exceeds 40 (its
+    own chunk) — so the greedy boundary is closed-form for every
+    doc_id and DuckDB recomputes both chunks' offsets and text from
+    the digit lengths.  One Arrow-batched UDF pass, no shuffle."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        chunk_by_sentences,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    x = (F.col("doc_id") * F.col("doc_id") % 97).cast("string")
+    text = F.concat(
+        F.lit("First "), i, F.lit(" one. Second "), x,
+        F.lit(" two! Third by Dr. Smith?"),
+    )
+    out = chunk_by_sentences(
+        docs.select("doc_id", text.alias("text")), max_chars=40
+    )
+    return out.orderBy("doc_id", "chunk_idx")
+
+
+Q_CHUNK_SENTENCES_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+         CAST(doc_id * doc_id % 97 AS VARCHAR) AS x
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, 0 AS chunk_idx,
+         0 AS begin_, CAST(24 + length(s) + length(x) AS INTEGER) AS end_,
+         2 AS n_sentences,
+         concat('First ', s, ' one. Second ', x, ' two!') AS chunk
+  FROM d
+  UNION ALL
+  SELECT doc_id, 1,
+         CAST(25 + length(s) + length(x) AS INTEGER),
+         CAST(44 + length(s) + length(x) AS INTEGER),
+         1, 'Third by Dr. Smith?'
+  FROM d
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       begin_ AS "begin", end_ AS "end",
+       CAST(n_sentences AS INTEGER) AS n_sentences, chunk
+FROM chunks ORDER BY doc_id, chunk_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7215,7 +7266,7 @@ FROM sents ORDER BY doc_id, sentence_idx
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-8 order: [1-8] the eight entries added late in r8
+# Round-8 order: [1-9] the nine entries added late in r8
 # (extract_links -- anchor extraction + urljoin resolution;
 # link_graph -- host-level edge aggregation; pagerank -- 3 unrolled
 # power-iteration rounds vs a DuckDB CTE recompute; robots_filter --
@@ -7225,8 +7276,9 @@ FROM sents ORDER BY doc_id, sentence_idx
 # top-k incoming anchor texts vs a DuckDB window recount;
 # dehyphenate -- PDF/OCR line-break hyphenation repair;
 # split_sentences -- offset-exact sentence segmentation with an
-# abbreviation guard, vs a closed-form offset recompute); [9-13] the
-# five entries new earlier in r8 (wet_ingest -- the WET/WARC crawl reader's first driver
+# abbreviation guard, vs a closed-form offset recompute;
+# chunk_sentences -- greedy sentence-aware chunking over the same
+# fixture); [10-14] the five entries new earlier in r8 (wet_ingest -- the WET/WARC crawl reader's first driver
 # verification over a deterministic two-shard fixture with planted
 # corrupt/warcinfo/garbage hazards; html_extract -- the HTML->text
 # extraction stage over per-doc synthesized markup; html_features --
@@ -7235,19 +7287,19 @@ FROM sents ORDER BY doc_id, sentence_idx
 # bit-equal to a full rebuild; crawl_funnel -- the crawl-front
 # end-to-end composite: HTTP-status filter -> domain blocklist ->
 # same-page keep-newest dedup -> HTML extraction over a planted-hazard
-# raw-WARC fixture); [14-15] url_dedup / url_blocklist, whose plans
+# raw-WARC fixture); [15-16] url_dedup / url_blocklist, whose plans
 # changed this round (NULL/blank-URL passthrough + default-port
 # stripping; keep_unparseable + host_col branch coverage + explicit
-# blocklist broadcast); [16-48] the thirty-three remaining r05-verified
+# blocklist broadcast); [17-49] the thirty-three remaining r05-verified
 # entries (multimodal_image_features ... q18_large_volume), now three
-# rounds stale; [49-50] the two oldest r06-verified entries
-# (exactsubstr_clean, line_repetition).  Below the boundary: the eight
-# r06-verified entries the late-r8 additions displaced
-# (cms_heavy_hitters, ann_recall, ivfpq_index_search, bpe_encode,
-# lsh_recall, ivfpq_recall, cluster_sample, cap_per_domain) then the
-# remaining forty r06-verified entries (q22_sales_opportunity ...
-# q8_market_share) -- ALL forty-eight rotate into the r09 gate FIRST --
-# then the forty-eight entries the r07 gate just verified.  The FULL
+# rounds stale; [50] the oldest r06-verified entry (exactsubstr_clean).
+# Below the boundary: the nine r06-verified entries the late-r8
+# additions displaced (line_repetition, cms_heavy_hitters, ann_recall,
+# ivfpq_index_search, bpe_encode, lsh_recall, ivfpq_recall,
+# cluster_sample, cap_per_domain) then the remaining forty r06-verified
+# entries (q22_sales_opportunity ... q8_market_share) -- ALL forty-nine
+# rotate into the r09 gate FIRST -- then the forty-eight entries the
+# r07 gate just verified.  The FULL
 # registry is locally hash-verified by scripts/check_oracle.py at
 # sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -7261,6 +7313,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "anchor_text": (q_anchor_text, Q_ANCHOR_TEXT_SQL),
     "dehyphenate": (q_dehyphenate, Q_DEHYPHENATE_SQL),
     "split_sentences": (q_split_sentences, Q_SPLIT_SENTENCES_SQL),
+    "chunk_sentences": (q_chunk_sentences, Q_CHUNK_SENTENCES_SQL),
     # -- [5-9] NEW earlier in r8: the WET/WARC crawl reader's first
     # -- driver verification (wet_ingest), the HTML->text extraction
     # -- stage (html_extract), the structural page features /
@@ -7316,12 +7369,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
     # -- [41-50] the ten oldest r06-verified entries
     "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
-    "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
     # ------------------- gate boundary (position 50) -------------------
-    # r06-verified entries displaced below the boundary by the eight
+    # r06-verified entries displaced below the boundary by the nine
     # late-r8 additions, then the remaining r06-verified entries -- all
     # rotate into the r09 gate FIRST, followed by the oldest
     # r07-verified entries
+    "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
     "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
     "ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "ivfpq_index_search": (q_ivfpq_index_search, Q_IVFPQ_TOPK_SQL),
