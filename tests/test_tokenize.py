@@ -180,3 +180,31 @@ def test_chunk_by_sentences_greedy_packing(spark):
     assert bad.count() == 0
     with __import__("pytest").raises(ValueError):
         chunk_by_sentences(docs, max_chars=0)
+
+
+def test_chunk_by_sentences_token_budget(spark):
+    from text_extensions_for_pandas_spark.functions.text import (
+        DEFAULT_ABBREVIATIONS,
+        _chunk_by_sentences_py,
+        chunk_by_sentences,
+    )
+
+    t = "One one. Two two! Three three? Four."
+    # token counts under the BPE-ish default: 3, 3, 3, 2
+    got = _chunk_by_sentences_py(
+        t, 10_000, DEFAULT_ABBREVIATIONS, max_tokens=6
+    )
+    # 3+3 fits 6; +3 exceeds; 3+2 fits
+    assert [(n) for _, _, n in got] == [2, 2]
+    # both budgets bind: chars force a split the token budget would allow
+    got2 = _chunk_by_sentences_py(
+        t, 10, DEFAULT_ABBREVIATIONS, max_tokens=100
+    )
+    assert [n for _, _, n in got2] == [1, 1, 1, 1]
+    docs = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    rows = chunk_by_sentences(docs, max_chars=10_000, max_tokens=6).collect()
+    assert [r.chunk for r in rows] == [
+        "One one. Two two!", "Three three? Four."
+    ]
+    with __import__("pytest").raises(ValueError):
+        chunk_by_sentences(docs, max_tokens=0)

@@ -743,23 +743,35 @@ def split_sentences(
 
 
 def _chunk_by_sentences_py(
-    t: str, max_chars: int, abbrevs: frozenset[str]
+    t: str,
+    max_chars: int,
+    abbrevs: frozenset[str],
+    max_tokens: int | None = None,
+    token_pattern: str = DEFAULT_TOKEN_PATTERN,
 ) -> list[tuple[int, int, int]]:
     """Greedy sentence packing (driver-side reference): consecutive
     sentences join into a chunk while the SPAN (first sentence begin …
     last sentence end, inter-sentence gaps included) stays within
-    ``max_chars``; a single over-long sentence becomes its own chunk
-    rather than being split."""
+    ``max_chars`` AND, when ``max_tokens`` is set, the summed
+    per-sentence token count stays within it; a single over-long
+    sentence becomes its own chunk rather than being split."""
+    import re
+
     sents = _split_sentences_py(t, abbrevs)
+    tok = re.compile(token_pattern) if max_tokens is not None else None
     chunks: list[tuple[int, int, int]] = []
-    cb = ce = n = 0
-    for b, e, _ in sents:
-        if n and e - cb <= max_chars:
-            ce, n = e, n + 1
+    cb = ce = n = toks = 0
+    for b, e, seg in sents:
+        seg_toks = len(tok.findall(seg)) if tok else 0
+        fits = e - cb <= max_chars and (
+            max_tokens is None or toks + seg_toks <= max_tokens
+        )
+        if n and fits:
+            ce, n, toks = e, n + 1, toks + seg_toks
         else:
             if n:
                 chunks.append((cb, ce, n))
-            cb, ce, n = b, e, 1
+            cb, ce, n, toks = b, e, 1, seg_toks
     if n:
         chunks.append((cb, ce, n))
     return chunks
@@ -771,6 +783,8 @@ def chunk_by_sentences(
     text_col: str = "text",
     doc_col: str = "doc_id",
     abbreviations: frozenset[str] | None = None,
+    max_tokens: int | None = None,
+    token_pattern: str = DEFAULT_TOKEN_PATTERN,
 ) -> DataFrame:
     """Sentence-aware chunking: pack consecutive sentences greedily into
     chunks whose char span stays within ``max_chars`` — the RAG/context
@@ -781,6 +795,12 @@ def chunk_by_sentences(
 
     Output: ``(doc_col, chunk_idx, begin, end, n_sentences, chunk)``
     with ``substring(text, begin+1, end-begin) == chunk`` exactly.
+
+    ``max_tokens`` adds a second budget: the summed per-sentence token
+    count (under ``token_pattern``, the BPE-ish default of
+    :func:`token_count`) must also fit — set ``max_chars`` loose and
+    ``max_tokens`` to the model's context slice for token-budgeted RAG
+    chunks that still never split a sentence.
 
     Scale shape: sentence split AND greedy pack run inside ONE
     Arrow-batched UDF pass per document batch — no tokens table, no
@@ -795,11 +815,16 @@ def chunk_by_sentences(
         )
     )
 
+    if max_tokens is not None and max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+
     @F.pandas_udf("array<struct<begin:int,end:int,n_sentences:int>>")
     def _chunks(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for texts in it:
             yield texts.map(
-                lambda t: _chunk_by_sentences_py(t, max_chars, abbrevs)
+                lambda t: _chunk_by_sentences_py(
+                    t, max_chars, abbrevs, max_tokens, token_pattern
+                )
                 if t is not None
                 else []
             )
