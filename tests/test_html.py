@@ -342,10 +342,14 @@ def test_anchor_text_index_topk_counts_and_filters(spark):
     ]
     assert doc.n_incoming == 4  # all four non-empty cross-host anchors
     assert out["http://o.example/x"].n_incoming == 1
-    # min_count prunes singletons before the list build
+    # min_count prunes singletons from the LIST only; n_incoming still
+    # counts ALL incoming anchors including the pruned tail
     pruned = {
         r.url: r for r in anchor_text_index(df, k=2, min_count=2).collect()
     }
     assert [(a.anchor, a.n) for a in pruned[t].anchors] == [
         ("great article", 2)
     ]
+    assert pruned[t].n_incoming == 4
+    # a target with no anchor at/above the threshold is dropped entirely
+    assert "http://o.example/x" not in pruned

@@ -448,7 +448,10 @@ def test_fix_text_never_raises_never_lengthens_idempotent(s):
     assert len(out) <= len(s)  # repair + strip can only shorten
     # no C0/C1 controls survive (tab/newline/CR excepted)
     assert not any(
-        (ord(c) < 32 and c not in "\t\n\r") or ord(c) == 127 for c in out
+        (ord(c) < 32 and c not in "\t\n\r")
+        or ord(c) == 127
+        or 0x80 <= ord(c) <= 0x9F
+        for c in out
     )
     # a second pass is a no-op: a repaired document is a clean document
     assert _fix_text_py(out, None) == out

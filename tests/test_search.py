@@ -487,6 +487,49 @@ def test_fix_text_repairs_mojibake_and_controls(spark):
     assert got[6] is None
 
 
+def test_fix_text_cache_keeps_double_encoding_detection(spark):
+    """Regression: fix_text() caches the compiled detect regex; the
+    cached pattern must be the DETECT pattern (with the 'A-tilde + C1'
+    double-encoding arm), not the narrower counting pattern — caching
+    the narrow one made driver-side _fix_text_py stop folding
+    double-encoded mojibake after the first fix_text() call in a
+    process."""
+    from text_extensions_for_pandas_spark.functions import text as T
+
+    df = spark.createDataFrame([("cafÃ©",)], "text string")
+    got = df.select(T.fix_text("text", form=None).alias("f")).collect()
+    assert got[0].f == "café"
+    # the cache is now warm on the driver; double-encoded input must
+    # still be detected and folded by the driver-side reference impl
+    assert T._FIX_MOJIBAKE_RE is not None
+    assert T._fix_text_py("CafÃÂ©", None) == "Café"
+    # and the warm cache strips C1 residue like a cold process does
+    assert T._fix_text_py("ab", None) == "ab"
+
+
+def test_fix_text_strips_c1_controls():
+    """fix_text's repair-side control strip covers C1 (U+0080-U+009F) —
+    exactly the residue partial mojibake leaves — while the
+    encoding_metrics counting pattern stays C0+DEL only (gated counts
+    unchanged)."""
+    import re
+
+    from text_extensions_for_pandas_spark.functions.text import (
+        _CONTROL_PATTERN,
+        _FIX_CONTROL_PATTERN,
+        _fix_text_py,
+    )
+
+    assert _fix_text_py("ab", None) == "ab"
+    assert _fix_text_py("xyz", None) == "xyz"
+    assert _fix_text_py("keep\tthese\nnewlines\r", None) == (
+        "keep\tthese\nnewlines\r"
+    )
+    # the counting pattern must NOT count C1 (encoding_metrics parity)
+    assert re.search(_CONTROL_PATTERN, "") is None
+    assert re.search(_FIX_CONTROL_PATTERN, "") is not None
+
+
 def test_fix_text_normalization_forms_and_safety(spark):
     """NFKC folds compatibility chars; the strict round-trip gate leaves
     text containing a bare non-digraph A-tilde untouched (no false

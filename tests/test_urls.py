@@ -292,6 +292,85 @@ def test_parse_robots_py_groups_and_wildcards():
     assert _parse_robots_py("\x00\xff not : robots", "*") == []
 
 
+def test_parse_robots_py_group_selection_rfc9309():
+    from text_extensions_for_pandas_spark.operators.urls import (
+        _parse_robots_py,
+    )
+
+    # group token matches the crawler's product token as a prefix:
+    # 'trainbot/1.2' must select the 'trainbot' group, not fall to '*'
+    txt = (
+        "User-agent: *\nDisallow: /\n\n"
+        "User-agent: trainbot\nDisallow: /t/\n"
+    )
+    assert [r["prefix"] for r in _parse_robots_py(txt, "trainbot/1.2")] == [
+        "/t/"
+    ]
+    # longest matching token wins when several prefix-match
+    txt_two = (
+        "User-agent: train\nDisallow: /a/\n\n"
+        "User-agent: trainbot\nDisallow: /b/\n"
+    )
+    assert [r["prefix"] for r in _parse_robots_py(txt_two, "trainbot/9")] == [
+        "/b/"
+    ]
+    # an exact group whose rules are all empty-pattern is allow-all for
+    # that agent — NOT a fall-through to the '*' blanket disallow
+    txt_empty = (
+        "User-agent: *\nDisallow: /\n\n"
+        "User-agent: trainbot\nDisallow:\n"
+    )
+    assert _parse_robots_py(txt_empty, "trainbot") == []
+    assert _parse_robots_py(txt_empty, "TrainBot/1.2") == []
+    # other agents still get the star blanket
+    assert [r["prefix"] for r in _parse_robots_py(txt_empty, "otherbot")] == [
+        "/"
+    ]
+    # no star group + no matching named group = allow-all
+    txt_no_star = "User-agent: trainbot\nDisallow: /\n"
+    assert _parse_robots_py(txt_no_star, "otherbot") == []
+
+
+def test_filter_by_robots_query_string_rules(spark):
+    from text_extensions_for_pandas_spark.operators.urls import (
+        filter_by_robots,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "q.example",
+                "User-agent: *\n"
+                "Disallow: /*?session=\n"
+                "Disallow: /search?\n"
+                "Allow: /\n",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    docs = spark.createDataFrame(
+        [
+            ("http://q.example/page?session=abc",),   # query rule matches
+            ("http://q.example/page?sess=abc",),      # near-miss kept
+            ("http://q.example/page",),               # no query kept
+            ("http://q.example/search?q=x",),         # literal '?' rule
+            ("http://q.example/searcher",),           # '?' must not match
+            ("http://q.example/?session=1",),         # empty path -> '/'
+        ],
+        "url string",
+    )
+    kept = sorted(
+        r.url
+        for r in filter_by_robots(docs, robots, user_agent="trainbot")
+        .collect()
+    )
+    assert kept == [
+        "http://q.example/page",
+        "http://q.example/page?sess=abc",
+        "http://q.example/searcher",
+    ]
+
+
 def test_filter_by_robots_longest_match_allow_wins(spark):
     from text_extensions_for_pandas_spark.operators.urls import (
         filter_by_robots,

@@ -561,7 +561,7 @@ def _fix_text_py(s: str, form: str | None) -> str:
         if len(cand) >= len(s):
             break
         s = cand
-    s = (_FIX_CONTROL_RE or re.compile(_CONTROL_PATTERN)).sub("", s)
+    s = (_FIX_CONTROL_RE or re.compile(_FIX_CONTROL_PATTERN)).sub("", s)
     if form:
         s = unicodedata.normalize(form, s)
     return s
@@ -594,6 +594,12 @@ def _register_c1_fallback() -> None:
 # strict-round-trip repair handles safely
 _FIX_DETECT_PATTERN = _MOJIBAKE_PATTERN + "|\u00c3[\u0080-\u009f]"
 
+# repair-side control strip: C0 + DEL (like the counting pattern) PLUS
+# the C1 range U+0080-U+009F \u2014 C1 chars are exactly the residue partial
+# mojibake leaves behind.  Kept separate from _CONTROL_PATTERN so
+# encoding_metrics' gated n_control counts don't change.
+_FIX_CONTROL_PATTERN = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\u0080-\u009f]"
+
 _FIX_MOJIBAKE_RE = None
 _FIX_CONTROL_RE = None
 _register_c1_fallback()
@@ -618,8 +624,12 @@ def fix_text(text: Column | str, form: str | None = "NFC") -> Column:
     import re
 
     if _FIX_MOJIBAKE_RE is None:
-        _FIX_MOJIBAKE_RE = re.compile(_MOJIBAKE_PATTERN)
-        _FIX_CONTROL_RE = re.compile(_CONTROL_PATTERN)
+        # the DETECT pattern (counting digraphs + the double-encoding
+        # arm), NOT the narrower counting pattern — caching the narrow
+        # one here made driver-side _fix_text_py stop detecting
+        # double-encoded mojibake after the first fix_text() call
+        _FIX_MOJIBAKE_RE = re.compile(_FIX_DETECT_PATTERN)
+        _FIX_CONTROL_RE = re.compile(_FIX_CONTROL_PATTERN)
 
     @F.pandas_udf("string")
     def _fix(s: pd.Series) -> pd.Series:

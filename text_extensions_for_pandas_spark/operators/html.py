@@ -443,7 +443,10 @@ def anchor_text_index(
     n_incoming)`` where ``url`` is the normalized target, ``anchors`` is
     ordered by descending count (count-ties broken lexically so the
     output is deterministic), and ``n_incoming`` counts ALL incoming
-    anchors (not just the surviving top-k).
+    anchors — including those a ``min_count > 1`` prunes from the
+    ``anchors`` list (the sum runs over the unfiltered per-anchor
+    counts; only the list is thresholded).  Targets with NO anchor at
+    or above ``min_count`` are dropped entirely.
 
     Empty anchors (image links) and intra-host links are dropped —
     site-navigation anchor text ("next", "home") is noise for document
@@ -481,10 +484,13 @@ def anchor_text_index(
         .withColumn("url", normalize_url("__turl"))
     )
     counted = hits.groupBy("url", "anchor").agg(F.count("*").alias("n"))
+    # n_incoming sums the UNFILTERED counts; min_count thresholds only
+    # what enters the top-k list (a conditional collect — collect_list
+    # drops NULLs — so one aggregate serves both, no second agg + join)
+    list_entry = F.struct(F.col("n"), F.col("anchor"))
     if min_count > 1:
-        kept = counted.filter(F.col("n") >= min_count)
-    else:
-        kept = counted
+        list_entry = F.when(F.col("n") >= min_count, list_entry)
+
     # comparator: count DESC, anchor ASC on ties — fully deterministic
     def _cmp(l, r):
         return (
@@ -495,14 +501,11 @@ def anchor_text_index(
             .otherwise(F.lit(0))
         )
 
-    return (
-        kept.groupBy("url")
+    out = (
+        counted.groupBy("url")
         .agg(
             F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("n"), F.col("anchor"))),
-                    _cmp,
-                ),
+                F.array_sort(F.collect_list(list_entry), _cmp),
                 1,
                 k,
             ).alias("__top"),
@@ -519,6 +522,11 @@ def anchor_text_index(
             "n_incoming",
         )
     )
+    if min_count > 1:
+        # a target whose every anchor fell below the threshold has an
+        # empty list: drop it (same row semantics as the pre-fix filter)
+        out = out.filter(F.size("anchors") > 0)
+    return out
 
 
 def extract_html_documents(

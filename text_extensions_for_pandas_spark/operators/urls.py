@@ -176,14 +176,21 @@ def dedup_by_url(
 
 def _parse_robots_py(text: str, user_agent: str) -> list[dict]:
     """RFC 9309 group selection: rules belong to the nearest preceding
-    run of ``User-agent:`` lines; the group for the EXACT (case-folded)
-    ``user_agent`` wins over the ``*`` group; empty-pattern rules match
-    nothing and are dropped.  ``*``/``$`` wildcards are preserved in
-    ``prefix`` and compiled to a SQL ``LIKE`` pattern in ``pattern``;
-    ``spec`` is the wildcard-free character count (the longest-match
-    specificity key).  Never raises (a garbage robots.txt yields no
-    rules = allow-all, the fail-open the RFC mandates for 4xx)."""
+    run of ``User-agent:`` lines; group tokens match the configured
+    ``user_agent`` case-insensitively as a PREFIX of its product token
+    (``trainbot`` matches a crawler configured as ``trainbot/1.2``), the
+    longest matching token wins, and only when NO named group matches
+    does the ``*`` group apply.  A matching group whose rules are all
+    empty-pattern (``Disallow:`` = allow-all) still wins — it yields an
+    empty rule list rather than falling through to ``*``.  Empty-pattern
+    rules match nothing and are dropped (RFC 9309 §2.2.2).  ``*``/``$``
+    wildcards are preserved in ``prefix`` and compiled to a SQL ``LIKE``
+    pattern in ``pattern``; ``spec`` is the wildcard-free character
+    count (the longest-match specificity key).  Never raises (a garbage
+    robots.txt yields no rules = allow-all, the fail-open the RFC
+    mandates for 4xx)."""
     groups: dict[str, list[tuple[str, str]]] = {}
+    seen_agents: set[str] = set()
     cur_agents: list[str] = []
     rules_seen = True
     try:
@@ -201,6 +208,7 @@ def _parse_robots_py(text: str, user_agent: str) -> list[dict]:
                     cur_agents = []
                     rules_seen = False
                 cur_agents.append(val.lower())
+                seen_agents.add(val.lower())
             elif key in ("allow", "disallow"):
                 rules_seen = True
                 if not val:
@@ -209,10 +217,21 @@ def _parse_robots_py(text: str, user_agent: str) -> list[dict]:
                     groups.setdefault(a, []).append((key, val))
     except Exception:
         return []
-    target = user_agent.lower()
-    chosen = groups.get(target)
-    if chosen is None:
+    # product token = the part before any '/version' suffix, case-folded
+    target = user_agent.lower().split("/", 1)[0].strip()
+    named = [
+        a
+        for a in seen_agents
+        if a != "*" and (target == a or target.startswith(a))
+    ]
+    if named:
+        # longest matching token wins; an existing-but-empty group is
+        # allow-all, NOT a fall-through to '*'
+        chosen = groups.get(max(named, key=len), [])
+    elif "*" in seen_agents:
         chosen = groups.get("*", [])
+    else:
+        chosen = []
     out = []
     for rule, prefix in chosen:
         anchored = prefix.endswith("$")
@@ -285,7 +304,9 @@ def filter_by_robots(
 
     ``robots``: either raw ``(host, robots_txt)`` rows or pre-parsed
     :func:`parse_robots` output (detected by its columns).  Decision per
-    URL over its path: collect the host's rules that prefix-match
+    URL over its path PLUS query string (RFC 9309 matches rules against
+    path+query — ``Disallow: /*?session=`` must match
+    ``/page?session=abc``): collect the host's rules that prefix-match
     (``*``/``$`` wildcards honored), pick the most specific (longest
     wildcard-free length; ``allow`` wins ties — RFC 9309 §2.2.2), keep
     the row unless that winner is a ``disallow``.  Hosts with no robots
@@ -313,9 +334,19 @@ def filter_by_robots(
         ).alias("__rules")
     ).select(F.col("host").alias("__rhost"), "__rules")
     path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
+    query = F.try_parse_url(F.col(url_col), F.lit("QUERY"))
+    # rule match target is path + '?' + query (RFC 9309); an absent or
+    # empty path normalizes to '/' (http://h?q=1 is /?q=1)
+    norm_path = F.when(
+        path.isNull() | (path == ""), F.lit("/")
+    ).otherwise(path)
+    target = F.concat(
+        norm_path,
+        F.coalesce(F.concat(F.lit("?"), query), F.lit("")),
+    )
     tagged = df.withColumn(
         "__host", F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
-    ).withColumn("__path", F.coalesce(path, F.lit("/")))
+    ).withColumn("__path", target)
     joined = tagged.join(
         F.broadcast(per_host), F.col("__host") == F.col("__rhost"), "left"
     )

@@ -6884,14 +6884,17 @@ FROM r3 ORDER BY node
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.operators.urls.filter_by_robots` under the value-hash
-    oracle, for ``user_agent="trainbot"``: hosts ``h(k%3==0)`` carry a
-    ``Disallow: /p/`` + ``Allow: /p/keep`` star group (longest-match,
-    allow-wins), hosts ``h(k%3==1)`` a trainbot-specific blanket
-    disallow BELOW a permissive star group (exact-agent group must win),
-    and hosts ``h(k%3==2)`` have no robots.txt at all (fail-open) —
-    DuckDB recomputes the keep set as pure CASE arithmetic.  The corpus
-    path is one broadcast join + row-local higher-order match, no
-    explode."""
+    oracle, for ``user_agent="trainbot/1.2"`` (the version suffix forces
+    RFC 9309 product-token prefix matching of group names): hosts
+    ``h(k%3==0)`` carry a ``Disallow: /p/`` + ``Allow: /p/keep`` +
+    ``Disallow: /*?session=`` star group (longest-match, allow-wins,
+    and the query-STRING rule — RFC 9309 matches path+query, the r8
+    under-blocking defect), hosts ``h(k%3==1)`` a trainbot-specific
+    blanket disallow BELOW a permissive star group (named group must
+    win via prefix match), and hosts ``h(k%3==2)`` have no robots.txt
+    at all (fail-open) — DuckDB recomputes the keep set as pure CASE
+    arithmetic.  The corpus path is one broadcast join + row-local
+    higher-order match, no explode."""
     from text_extensions_for_pandas_spark.operators.urls import (
         filter_by_robots,
     )
@@ -6905,6 +6908,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             k % 3 == 0,
             F.lit(
                 "User-agent: *\nDisallow: /p/\nAllow: /p/keep\n"
+                "Disallow: /*?session=\n"
             ),
         )
         .when(
@@ -6923,7 +6927,19 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = (
         F.when(i % 4 == 0, F.concat(F.lit("/p/keep/"), i.cast("string")))
         .when(i % 4 == 1, F.concat(F.lit("/p/drop/"), i.cast("string")))
-        .when(i % 4 == 2, F.concat(F.lit("/open/"), i.cast("string")))
+        .when(
+            i % 4 == 2,
+            F.concat(
+                F.lit("/open/"),
+                i.cast("string"),
+                # half the /open/ URLs carry a session query string —
+                # dropped on k%3==0 hosts by the query rule, kept on
+                # fail-open hosts
+                F.when(i % 8 == 2, F.lit("?session=abc")).otherwise(
+                    F.lit("")
+                ),
+            ),
+        )
         .otherwise(F.concat(F.lit("/p/x"), i.cast("string")))
     )
     urls = docs.select(
@@ -6932,7 +6948,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("http://h"), (i % 7).cast("string"), F.lit(".example"), path
         ).alias("url"),
     )
-    out = filter_by_robots(urls, robots, user_agent="trainbot")
+    out = filter_by_robots(urls, robots, user_agent="trainbot/1.2")
     return out.orderBy("doc_id")
 
 
@@ -6943,7 +6959,9 @@ WITH d AS (
          CASE
            WHEN doc_id % 4 = 0 THEN concat('/p/keep/', CAST(doc_id AS VARCHAR))
            WHEN doc_id % 4 = 1 THEN concat('/p/drop/', CAST(doc_id AS VARCHAR))
-           WHEN doc_id % 4 = 2 THEN concat('/open/', CAST(doc_id AS VARCHAR))
+           WHEN doc_id % 4 = 2 THEN concat(
+             '/open/', CAST(doc_id AS VARCHAR),
+             CASE WHEN doc_id % 8 = 2 THEN '?session=abc' ELSE '' END)
            ELSE concat('/p/x', CAST(doc_id AS VARCHAR))
          END AS path
   FROM documents
@@ -6953,6 +6971,7 @@ kept AS (
   WHERE CASE
           WHEN k % 3 = 1 THEN FALSE                 -- trainbot blanket disallow
           WHEN k % 3 = 2 THEN TRUE                  -- no robots.txt: fail-open
+          WHEN path LIKE '/%?session=%' THEN FALSE  -- query-string rule (spec 10)
           WHEN path LIKE '/p/keep%' THEN TRUE       -- allow outranks /p/
           WHEN path LIKE '/p/%' THEN FALSE          -- disallowed prefix
           ELSE TRUE                                 -- no matching rule
