@@ -111,6 +111,44 @@ def test_split_sentences_driver_side_semantics():
     )] == ["Wait...", "Now go."]
 
 
+def test_split_sentences_cjk_and_mixed_script():
+    """Full-width terminators 。！？ split with no whitespace and no
+    capitalization; full-width closers stay left; terminator runs don't
+    split internally; … splits only before an explicit new start; all
+    offsets stay exact."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        DEFAULT_ABBREVIATIONS as AB,
+        _split_sentences_py,
+    )
+
+    def S(t):
+        sents = _split_sentences_py(t, AB)
+        for b, e, s in sents:
+            assert t[b:e] == s
+        return [s for _, _, s in sents]
+
+    # a CJK paragraph splits at every 。 — not one whole-doc "sentence"
+    assert S("今天天气很好。我们去公园吧。好的！") == [
+        "今天天气很好。", "我们去公园吧。", "好的！",
+    ]
+    # full-width closing quote belongs to the left sentence
+    assert S("他说「你好。」然后走了。") == ["他说「你好。」", "然后走了。"]
+    # terminator runs stay one sentence end
+    assert S("真的吗！！我不信。") == ["真的吗！！", "我不信。"]
+    # mixed script both directions; ideographic space tolerated
+    assert S("Hello there. 你好世界。Back to English now.") == [
+        "Hello there.", "你好世界。", "Back to English now.",
+    ]
+    assert S("第一句。　第二句。") == ["第一句。", "第二句。"]
+    # English mid-sentence ellipsis does NOT split; before a capital it
+    # does; before a CJK start it does
+    assert S("wait… and then it happened. The end.") == [
+        "wait… and then it happened.", "The end.",
+    ]
+    assert S("He paused… Then he spoke.") == ["He paused…", "Then he spoke."]
+    assert S("等一下…好吧。") == ["等一下…", "好吧。"]
+
+
 def test_split_sentences_dataframe_offsets_and_custom_abbrevs(spark):
     from pyspark.sql import functions as F
 

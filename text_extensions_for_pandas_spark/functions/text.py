@@ -642,10 +642,39 @@ def fix_text(text: Column | str, form: str | None = "NFC") -> Column:
     return _fix(c)
 
 
-# sentence boundary: terminator run, optional closing quotes/brackets,
-# whitespace, then an upper-case/digit (optionally quote-opened) start
+# sentence-start characters beyond [A-Z0-9]: CJK scripts have no
+# capitalization, so any Han/kana/Hangul (or full-width Latin) char can
+# open a sentence — Hiragana+Katakana U+3040-30FF, CJK ext-A
+# U+3400-4DBF, CJK unified U+4E00-9FFF, Hangul U+AC00-D7AF, full-width
+# A-Z/a-z
+_CJK_START_CLASS = (
+    "\u3040-\u30ff\u3400-\u4dbf\u4e00-\u9fff\uac00-\ud7af"
+    "\uff21-\uff3a\uff41-\uff5a"
+)
+# full-width closing quotes/brackets that belong to the LEFT sentence
+_FW_CLOSE_CLASS = "\u300d\u300f\uff09\u3011\u2019\u201d"
+# full-width opening quotes/brackets a new sentence may start behind
+_FW_OPEN_CLASS = "\u300c\u300e\uff08\u3010\u2018\u201c"
+
+# sentence boundary, three arms:
+#  1. Latin: .!? run, optional closers, REQUIRED whitespace, then a
+#     capital/digit (or CJK) start — capitalization is the signal
+#  2. full-width 。！？: boundary at the terminator (CJK needs no
+#     inter-sentence space and no capital); optional full-width
+#     closers and whitespace (incl. U+3000), never inside a terminator
+#     run ("！！" stays one sentence end)
+#  3. ellipsis …: used mid-sentence in English, so it ends a sentence
+#     only before an explicit new start (capital/digit/CJK, optionally
+#     quote-opened)
 _SENT_BOUNDARY_PATTERN = (
-    r'(?<=[.!?])(["\')\]]*)[ \t\n\r]+(?=["\'(\[]*[A-Z0-9])'
+    r'(?<=[.!?])(["\')\]]*)[ \t\n\r\u3000]+'
+    r'(?=["\'(\[]*[A-Z0-9' + _CJK_START_CLASS + r"])"
+    r"|(?<=[。！？])([" + _FW_CLOSE_CLASS + r"]*)"
+    r"[ \t\n\r\u3000]*"
+    r"(?=[^\s。！？…])"
+    r"|(?<=…)([" + _FW_CLOSE_CLASS + r"]*)[ \t\n\r\u3000]*"
+    r'(?=["\'(\[' + _FW_OPEN_CLASS + r"]*"
+    r"[A-Z0-9" + _CJK_START_CLASS + r"])"
 )
 # the word immediately before a lone '.' terminator (dots kept so
 # "e.g." matches as 'e.g' -> 'eg')
@@ -667,10 +696,13 @@ def _split_sentences_py(
 ) -> list[tuple[int, int, str]]:
     """Driver-side reference implementation of :func:`split_sentences`
     (the UDF maps this).  Deterministic heuristic: boundary = ``.!?``
-    run (+ optional closing quotes) + whitespace + capital/digit start,
-    except when the preceding word is a known abbreviation and the
-    terminator is a lone period.  Offsets are exact into the SOURCE
-    string; inter-sentence whitespace belongs to no sentence."""
+    run (+ optional closing quotes) + whitespace + capital/digit/CJK
+    start, OR a full-width ``。！？`` terminator (no capitalization and
+    no inter-sentence whitespace required — CJK), OR ``…`` before an
+    explicit new start; EXCEPT when the preceding word is a known
+    abbreviation and the terminator is a lone period.  Offsets are
+    exact into the SOURCE string; inter-sentence whitespace belongs to
+    no sentence."""
     import re
 
     boundary = re.compile(_SENT_BOUNDARY_PATTERN)
@@ -685,7 +717,9 @@ def _split_sentences_py(
 
     start = 0
     for m in boundary.finditer(t):
-        end = m.end(1)
+        # exactly one alternation arm participates; its closers group
+        # marks the end of the left sentence
+        end = max(m.end(g) for g in (1, 2, 3) if m.start(g) != -1)
         core = t[start:end].rstrip("\"')]")
         if core.endswith(".") and not core.endswith(".."):
             wm = abbr_token.search(core)
@@ -714,12 +748,20 @@ def split_sentences(
 
     Heuristic, deterministic, language-light: a ``.!?`` run (plus
     closing quotes/brackets) followed by whitespace and a
-    capital-or-digit start ends a sentence, EXCEPT after a known
+    capital-or-digit-or-CJK start ends a sentence, EXCEPT after a known
     abbreviation (``Dr. Smith`` stays one sentence —
-    ``DEFAULT_ABBREVIATIONS``; pass your own set per domain).  Text
-    with no terminator is one sentence; inter-sentence whitespace
-    belongs to no sentence, so ``substring(text, begin+1, end-begin)``
-    == ``sentence`` exactly (the tokenizer offset invariant).
+    ``DEFAULT_ABBREVIATIONS``; pass your own set per domain).
+    Full-width terminators ``。！？`` end a sentence at the terminator
+    itself — CJK text has no capitalization and no inter-sentence
+    space, so a Chinese/Japanese paragraph splits at every ``。``
+    instead of arriving as one whole-document "sentence" (full-width
+    closing quotes/brackets stay with the left sentence; terminator
+    runs like ``！！`` don't split internally).  ``…`` ends a sentence
+    only before an explicit new start, so English mid-sentence
+    ellipses don't split.  Text with no terminator is one sentence;
+    inter-sentence whitespace belongs to no sentence, so
+    ``substring(text, begin+1, end-begin)`` == ``sentence`` exactly
+    (the tokenizer offset invariant).
 
     Same scale shape as :func:`tokenize_regex`: one Arrow-batched
     pandas UDF call per document batch returning

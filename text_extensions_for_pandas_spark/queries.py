@@ -7168,10 +7168,13 @@ FROM f ORDER BY doc_id
 
 def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.functions.text.split_sentences` under the value-hash
-    oracle: three synthesized sentences per doc — variable-length
+    oracle: five synthesized sentences per doc — variable-length
     digits in the first two (so the offsets genuinely vary per row), an
-    exclamation boundary, and an abbreviation (``Dr. Smith``) the
-    splitter must NOT break on — with DuckDB recomputing every
+    exclamation boundary, an abbreviation (``Dr. Smith``) the splitter
+    must NOT break on, and a CJK tail (``你好{s}。再见！``) that must
+    split at the full-width ``。`` with NO inter-sentence whitespace
+    and no capitalization (the r8 silent-failure mode: CJK arriving as
+    one whole-document "sentence") — with DuckDB recomputing every
     ``(sentence_idx, begin, end, sentence)`` closed-form from the
     digit lengths.  One Arrow-batched UDF projection + posexplode, no
     shuffle before the ordering."""
@@ -7184,7 +7187,7 @@ def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = (F.col("doc_id") * F.col("doc_id") % 97).cast("string")
     text = F.concat(
         F.lit("First "), i, F.lit(" one. Second "), x,
-        F.lit(" two! Third by Dr. Smith?"),
+        F.lit(" two! Third by Dr. Smith? 你好"), i, F.lit("。再见！"),
     )
     out = split_sentences(docs.select("doc_id", text.alias("text")))
     return out.orderBy("doc_id", "sentence_idx")
@@ -7213,6 +7216,20 @@ sents AS (
          CAST(44 + length(s) + length(x) AS INTEGER),
          'Third by Dr. Smith?'
   FROM d
+  UNION ALL
+  -- CJK: begins after one space; ends at the full-width 。 (kept)
+  SELECT doc_id, 3,
+         CAST(45 + length(s) + length(x) AS INTEGER),
+         CAST(48 + 2 * length(s) + length(x) AS INTEGER),
+         concat('你好', s, '。')
+  FROM d
+  UNION ALL
+  -- zero-width boundary: the next sentence starts where 。 ended
+  SELECT doc_id, 4,
+         CAST(48 + 2 * length(s) + length(x) AS INTEGER),
+         CAST(51 + 2 * length(s) + length(x) AS INTEGER),
+         '再见！'
+  FROM d
 )
 SELECT doc_id, CAST(sentence_idx AS INTEGER) AS sentence_idx,
        begin_ AS "begin", end_ AS "end", sentence
@@ -7222,12 +7239,14 @@ FROM sents ORDER BY doc_id, sentence_idx
 
 def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.functions.text.chunk_by_sentences` under the value-hash
-    oracle, over the same three-sentence fixture as ``split_sentences``
-    with ``max_chars=40``: sentences 1-2 always span ≤ 30 chars (one
-    chunk, gap included) and adding sentence 3 always exceeds 40 (its
-    own chunk) — so the greedy boundary is closed-form for every
-    doc_id and DuckDB recomputes both chunks' offsets and text from
-    the digit lengths.  One Arrow-batched UDF pass, no shuffle."""
+    oracle, over the same five-sentence (CJK-tailed) fixture as
+    ``split_sentences`` with ``max_chars=40``: sentences 1-2 always
+    span ≤ 29 chars (one chunk, gap included), adding sentence 3
+    always exceeds 40 (new chunk), and the two CJK sentences pack onto
+    sentence 3 (span ≤ 29+digit chars) — so the greedy boundary is
+    closed-form for every doc_id and DuckDB recomputes both chunks'
+    offsets and text from the digit lengths.  One Arrow-batched UDF
+    pass, no shuffle."""
     from text_extensions_for_pandas_spark.functions.text import (
         chunk_by_sentences,
     )
@@ -7237,7 +7256,7 @@ def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = (F.col("doc_id") * F.col("doc_id") % 97).cast("string")
     text = F.concat(
         F.lit("First "), i, F.lit(" one. Second "), x,
-        F.lit(" two! Third by Dr. Smith?"),
+        F.lit(" two! Third by Dr. Smith? 你好"), i, F.lit("。再见！"),
     )
     out = chunk_by_sentences(
         docs.select("doc_id", text.alias("text")), max_chars=40
@@ -7260,8 +7279,9 @@ chunks AS (
   UNION ALL
   SELECT doc_id, 1,
          CAST(25 + length(s) + length(x) AS INTEGER),
-         CAST(44 + length(s) + length(x) AS INTEGER),
-         1, 'Third by Dr. Smith?'
+         CAST(51 + 2 * length(s) + length(x) AS INTEGER),
+         3,
+         concat('Third by Dr. Smith? 你好', s, '。再见！')
   FROM d
 )
 SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
