@@ -309,3 +309,128 @@ def test_fuzz_corrupted_streams_terminate_and_keep_untouched_records():
         assert len(got) <= len(recs)
         for want, have in zip(recs, got[:-1] if got else []):
             assert have == want
+
+
+# ---------------------------------------------------------------------------
+# WAT link ingestion
+# ---------------------------------------------------------------------------
+
+def test_read_wat_links_parses_resolves_and_filters(spark, tmp_path):
+    """WAT metadata records yield per-link rows: relative hrefs resolve
+    against WARC-Target-URI, fragment/javascript links drop, non-A@
+    paths drop, malformed JSON records are skipped, anchors collapse
+    whitespace — the same normalization as the HTML parser path."""
+    import gzip
+    import json
+
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        make_warc_record,
+        make_wat_record,
+        read_wat_links,
+    )
+
+    good = make_wat_record(
+        "http://a.example/dir/page",
+        [
+            ("http://b.example/x", "Cross  link"),   # absolute + ws collapse
+            ("rel/path", "relative"),                # resolves to /dir/rel/path
+            ("/root", "abs path"),                   # host-absolute
+            ("#frag", "same page"),                  # dropped
+            ("javascript:void(0)", "js"),            # dropped
+        ],
+        warc_date="2024-02-02T00:00:00Z",
+        record_id="<urn:uuid:wat-1>",
+    )
+    # a LINK@/href entry must be excluded under the default link_paths
+    rel_only = json.dumps(
+        {
+            "Envelope": {
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Links": [
+                                {"path": "LINK@/href",
+                                 "url": "http://c.example/css"},
+                                {"path": "A@/href",
+                                 "url": "http://c.example/ok",
+                                 "text": "ok"},
+                            ]
+                        }
+                    }
+                }
+            }
+        }
+    )
+    other = make_warc_record(
+        rel_only, url="http://d.example/", warc_type="metadata",
+        content_type="application/json",
+    )
+    bad_json = make_warc_record(
+        "{not json", url="http://bad.example/", warc_type="metadata",
+        content_type="application/json",
+    )
+    non_meta = make_warc_record(
+        "plain text", url="http://e.example/", warc_type="conversion"
+    )
+    shard = good + bad_json + other + non_meta
+    (tmp_path / "s.warc.wat.gz").write_bytes(gzip.compress(shard))
+
+    out = read_wat_links(spark, str(tmp_path)).collect()
+    got = sorted((r.url, r.link_url, r.anchor) for r in out)
+    assert got == [
+        ("http://a.example/dir/page", "http://a.example/dir/rel/path",
+         "relative"),
+        ("http://a.example/dir/page", "http://a.example/root", "abs path"),
+        ("http://a.example/dir/page", "http://b.example/x", "Cross link"),
+        ("http://d.example/", "http://c.example/ok", "ok"),
+    ]
+    dates = {r.url: r.warc_date for r in out}
+    assert dates["http://a.example/dir/page"] == "2024-02-02T00:00:00Z"
+
+
+def test_wat_link_graph_agrees_with_html_link_graph(spark, tmp_path):
+    """The WAT path and the HTML-parse path produce the SAME host graph
+    from the same logical links — the no-reparse guarantee."""
+    import gzip
+
+    from text_extensions_for_pandas_spark.operators.html import (
+        link_graph,
+        link_graph_from_edges,
+    )
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        make_wat_record,
+        read_wat_links,
+    )
+
+    pages = []
+    for i in range(12):
+        url = f"http://h{i % 4}.example/p/{i}"
+        links = [
+            (f"http://h{(i + 1) % 4}.example/t/{i}", f"next {i}"),
+            (f"/local/{i}", "self nav"),                 # intra-host
+            (f"//h{(i + 2) % 4}.example/pp", "proto-rel"),
+        ]
+        pages.append((url, links))
+
+    # WAT shard
+    shard = b"".join(make_wat_record(u, ls) for u, ls in pages)
+    (tmp_path / "g.warc.wat.gz").write_bytes(gzip.compress(shard))
+    wat_edges = read_wat_links(spark, str(tmp_path))
+    wat_graph = link_graph_from_edges(
+        wat_edges, src_url_col="url", dst_url_col="link_url"
+    )
+
+    # equivalent raw HTML
+    html_rows = [
+        (
+            u,
+            "".join(f'<a href="{h}">{a}</a>' for h, a in ls),
+        )
+        for u, ls in pages
+    ]
+    html_df = spark.createDataFrame(html_rows, "url string, text string")
+    html_graph = link_graph(html_df)
+
+    w = sorted(map(tuple, wat_graph.collect()))
+    h = sorted(map(tuple, html_graph.collect()))
+    assert w == h and len(w) > 0

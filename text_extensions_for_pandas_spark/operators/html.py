@@ -52,6 +52,7 @@ __all__ = [
     "extract_html_documents",
     "extract_links",
     "link_graph",
+    "link_graph_from_edges",
     "anchor_text_index",
 ]
 
@@ -325,8 +326,6 @@ def _extract_links_py(html: str, base: str | None) -> list[dict]:
     """Driver-side reference implementation (the UDF maps this).
     Same never-fail contract as :func:`_html_to_text_py`: a pathological
     page yields no links, not a dead task."""
-    from urllib.parse import urljoin
-
     try:
         p = _LinkExtractor()
         p.feed(html)
@@ -337,22 +336,37 @@ def _extract_links_py(html: str, base: str | None) -> list[dict]:
         return []
     out: list[dict] = []
     for href, anchor in raw:
-        href = href.strip()
-        # same-page fragments and non-navigational schemes are not edges
-        if not href or href.startswith("#"):
-            continue
-        low = href.lower()
-        if low.startswith(_NON_HTTP_SCHEMES):
-            continue
-        if base:
-            try:
-                url = urljoin(base, href)
-            except ValueError:
-                continue  # malformed base/href — skip the edge, keep the page
-        else:
-            url = href
-        out.append({"url": url, "anchor": anchor})
+        link = _normalize_link_py(href, anchor, base)
+        if link is not None:
+            out.append(link)
     return out
+
+
+def _normalize_link_py(
+    href: str, anchor: str, base: str | None
+) -> dict | None:
+    """Shared per-link normalization for HTML-parsed and WAT-sourced
+    links (``..sources.corpus.read_wat_links`` — both paths must emit
+    identical edges for the same logical link): strip, drop same-page
+    fragments and non-navigational schemes, resolve relative hrefs
+    against ``base`` (stdlib ``urljoin``).  Returns ``{"url", "anchor"}``
+    or ``None`` for a non-edge."""
+    from urllib.parse import urljoin
+
+    href = href.strip()
+    # same-page fragments and non-navigational schemes are not edges
+    if not href or href.startswith("#"):
+        return None
+    if href.lower().startswith(_NON_HTTP_SCHEMES):
+        return None
+    if base:
+        try:
+            url = urljoin(base, href)
+        except ValueError:
+            return None  # malformed base/href — skip the edge, keep the page
+    else:
+        url = href
+    return {"url": url, "anchor": anchor}
 
 
 LINKS_SCHEMA = "array<struct<url: string, anchor: string>>"
@@ -414,11 +428,41 @@ def link_graph(
     """
     src = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     exploded = df.select(
-        src.alias("src_host"),
+        src.alias("__src"),
         F.explode(extract_links(html_col, url_col)).alias("__l"),
+    ).select("__src", F.col("__l.url").alias("__dst_url"))
+    return link_graph_from_edges(
+        exploded, src_url_col=None, dst_url_col="__dst_url",
+        src_host_col="__src", drop_self=drop_self,
     )
-    dst = F.lower(F.try_parse_url(F.col("__l.url"), F.lit("HOST")))
-    edges = exploded.select("src_host", dst.alias("dst_host")).filter(
+
+
+def link_graph_from_edges(
+    df: DataFrame,
+    src_url_col: str | None = "url",
+    dst_url_col: str = "link_url",
+    src_host_col: str | None = None,
+    drop_self: bool = True,
+) -> DataFrame:
+    """Host-level link graph from PER-LINK rows (one row per outbound
+    link: page URL or host + link URL) — the aggregation tail shared by
+    :func:`link_graph` (HTML-parsed links) and
+    :func:`~..sources.corpus.read_wat_links` (Common Crawl WAT
+    pre-extracted links, which skip the HTML re-parse entirely).
+    Same output and semantics as :func:`link_graph`:
+    ``(src_host, dst_host, n_links)``, unparseable hosts dropped,
+    ``drop_self`` removes intra-host edges.
+
+    Scale shape: two codegen ``parse_url`` projections + one
+    map-side-combinable count aggregate — no UDF, no explode here (the
+    input is already per-link)."""
+    src = (
+        F.lower(F.col(src_host_col))
+        if src_host_col is not None
+        else F.lower(F.try_parse_url(F.col(src_url_col), F.lit("HOST")))
+    )
+    dst = F.lower(F.try_parse_url(F.col(dst_url_col), F.lit("HOST")))
+    edges = df.select(src.alias("src_host"), dst.alias("dst_host")).filter(
         F.col("src_host").isNotNull() & F.col("dst_host").isNotNull()
     )
     if drop_self:

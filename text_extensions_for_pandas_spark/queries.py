@@ -6507,6 +6507,84 @@ FROM recs ORDER BY text
 """
 
 
+def q_wat_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.sources.corpus.read_wat_links` →
+    :func:`~.operators.html.link_graph_from_edges` under the value-hash
+    oracle: a deterministic gzip WAT shard built from ``range()`` — 60
+    ``metadata`` records whose JSON envelopes each carry two cross-host
+    anchors (``h(i%5) → h((i+1)%5)`` and ``→ h((i+2)%5)``), one
+    intra-host link (dropped by ``drop_self``), a fragment and a
+    ``javascript:`` href (dropped by normalization) — plus two planted
+    hazards the reader must skip: a malformed-JSON metadata record and
+    a ``conversion`` record.  DuckDB recomputes the 10-edge host graph
+    closed-form from the same ``range()`` arithmetic.  This is the
+    no-HTML-reparse link path: Common Crawl ships pre-extracted links
+    as WAT; the graph must come out identical to the HTML parse (the
+    parity pytest holds the two paths together)."""
+    import gzip
+    import os
+
+    from text_extensions_for_pandas_spark.operators.html import (
+        link_graph_from_edges,
+    )
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        make_warc_record,
+        make_wat_record,
+        read_wat_links,
+    )
+
+    def rec(i: int) -> bytes:
+        return make_wat_record(
+            f"http://h{i % 5}.example/p/{i}",
+            [
+                (f"http://h{(i + 1) % 5}.example/x/{i}", f"next {i}"),
+                (f"/self/{i}", "nav"),
+                (f"http://h{(i + 2) % 5}.example/y/{i % 3}", f"skip {i % 3}"),
+                ("#top", "to top"),
+                ("javascript:void(0)", "js"),
+            ],
+            warc_date=f"2024-03-01T00:00:{i % 60:02d}Z",
+            record_id=f"<urn:uuid:wat-{i:08d}>",
+        )
+
+    bad_json = make_warc_record(
+        "{corrupt", url="http://bad.example/", warc_type="metadata",
+        content_type="application/json",
+    )
+    non_meta = make_warc_record(
+        "wet text", url="http://wet.example/", warc_type="conversion"
+    )
+    shard = (
+        b"".join(rec(i) for i in range(30))
+        + bad_json
+        + b"".join(rec(i) for i in range(30, 60))
+        + non_meta
+    )
+    path = _session_tmp("wat_fixture")
+    with open(os.path.join(path, "s0.warc.wat.gz"), "wb") as fh:
+        fh.write(gzip.compress(shard))
+    links = read_wat_links(spark, path)
+    out = link_graph_from_edges(
+        links, src_url_col="url", dst_url_col="link_url"
+    )
+    return out.orderBy("src_host", "dst_host")
+
+
+Q_WAT_LINK_GRAPH_SQL = """
+WITH e AS (
+  SELECT concat('h', CAST(i % 5 AS VARCHAR), '.example') AS src_host,
+         concat('h', CAST((i + 1) % 5 AS VARCHAR), '.example') AS dst_host
+  FROM range(60) t(i)
+  UNION ALL
+  SELECT concat('h', CAST(i % 5 AS VARCHAR), '.example'),
+         concat('h', CAST((i + 2) % 5 AS VARCHAR), '.example')
+  FROM range(60) t(i)
+)
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+"""
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.operators.html.html_to_text` under the value-hash oracle:
     HTML pages synthesized per doc_id exercising every extraction rule —
@@ -7342,6 +7420,8 @@ FROM chunks ORDER BY doc_id, chunk_idx
 # registry is locally hash-verified by scripts/check_oracle.py at
 # sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # -- NEW r9: WAT link ingestion (link graph without HTML re-parse)
+    "wat_link_graph": (q_wat_link_graph, Q_WAT_LINK_GRAPH_SQL),
     # -- [1-5] NEW late-r8: the link-graph/robots crawl front + encoding
     # -- repair
     "extract_links": (q_extract_links, Q_EXTRACT_LINKS_SQL),

@@ -27,7 +27,9 @@ __all__ = [
     "read_jsonl_corpus",
     "read_text_corpus",
     "read_wet_corpus",
+    "read_wat_links",
     "make_warc_record",
+    "make_wat_record",
     "stable_doc_id",
 ]
 
@@ -400,6 +402,170 @@ def _wet_parse_island(
             yield pd.DataFrame(
                 rows,
                 columns=["text", "source", "url", "warc_date", "record_id"],
+            )
+
+    return parse
+
+
+def make_wat_record(
+    url: str,
+    links: list[tuple[str, str]],
+    warc_date: str | None = None,
+    record_id: str | None = None,
+) -> bytes:
+    """Serialize one WAT ``metadata`` record — the fixture-side twin of
+    :func:`read_wat_links`, mirroring Common Crawl's WAT JSON envelope
+    (``Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata
+    .Links``, one ``{"path": "A@/href", "url": ..., "text": ...}`` per
+    anchor).  ``links`` is ``[(href, anchor_text), ...]`` exactly as
+    they'd appear in the page's HTML (relative hrefs stay relative —
+    the READER resolves them, like the real WAT pipeline)."""
+    import json
+
+    payload = json.dumps(
+        {
+            "Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": url,
+                },
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Links": [
+                                {"path": "A@/href", "url": h, "text": a}
+                                for h, a in links
+                            ]
+                        }
+                    }
+                },
+            }
+        }
+    )
+    return make_warc_record(
+        payload,
+        url=url,
+        warc_type="metadata",
+        warc_date=warc_date,
+        record_id=record_id,
+        content_type="application/json",
+    )
+
+
+# one row per outbound anchor; url = the linking PAGE, link_url = the
+# resolved target, anchor = the anchor text — the exploded twin of
+# operators.html.extract_links' per-page array
+WAT_LINKS_SCHEMA = (
+    "url string, link_url string, anchor string, source string, "
+    "warc_date string, record_id string"
+)
+
+
+def read_wat_links(
+    spark: SparkSession,
+    path: str,
+    link_paths: tuple[str, ...] = ("A@/href",),
+) -> DataFrame:
+    """Common Crawl WAT shards → per-link rows ``(url, link_url, anchor,
+    source, warc_date, record_id)`` — the link graph WITHOUT the HTML
+    re-parse.  Common Crawl ships pre-extracted page metadata as WAT
+    ``metadata`` records (JSON envelopes) in the same WARC container
+    format :func:`read_wet_corpus` parses; reading links from WAT makes
+    the link-graph / anchor-index / PageRank front ~free at segment
+    scale instead of paying the HTML parse a second time.
+
+    ``link_paths`` selects which link kinds count (WAT tags each link
+    with its DOM provenance — ``A@/href`` anchors by default; add e.g.
+    ``"LINK@/href"`` for rel-links).  Relative hrefs are resolved
+    against ``WARC-Target-URI`` and filtered by the SAME normalization
+    as :func:`~..operators.html.extract_links`
+    (``_normalize_link_py`` — both paths emit identical edges for the
+    same logical link), so
+    :func:`~..operators.html.link_graph_from_edges` over this frame
+    agrees with :func:`~..operators.html.link_graph` over the raw HTML.
+    Malformed JSON or envelope shapes are skipped, never fatal.
+
+    Scale shape: same as :func:`read_wet_corpus` — the file is the unit
+    of parallelism (``binaryFile``), parsing is one Arrow-batched
+    ``mapInPandas`` island, and the output is per-link rows feeding
+    map-side-combinable aggregates; one shard decompressed per task.
+    """
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    return files.mapInPandas(_wat_parse_island(link_paths), WAT_LINKS_SCHEMA)
+
+
+def _wat_parse_island(link_paths: tuple[str, ...]):
+    """Build the Arrow-batched ``mapInPandas`` function that turns
+    ``(path, content)`` WAT shard rows into per-link rows."""
+    import gzip as _gzip
+    import json as _json
+
+    from text_extensions_for_pandas_spark.operators.html import (
+        _normalize_link_py,
+    )
+
+    wanted_paths = frozenset(link_paths)
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path_, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":
+                    try:
+                        data = _gzip.decompress(data)
+                    except OSError:
+                        continue  # corrupt member: skip the shard
+                for headers, payload in _iter_warc_records(data):
+                    if headers.get("warc-type", "").lower() != "metadata":
+                        continue
+                    base = headers.get("warc-target-uri", "")
+                    try:
+                        env = _json.loads(payload)
+                        links = env["Envelope"]["Payload-Metadata"][
+                            "HTTP-Response-Metadata"
+                        ]["HTML-Metadata"]["Links"]
+                    except (
+                        ValueError, KeyError, TypeError,
+                        UnicodeDecodeError,
+                    ):
+                        continue  # non-HTML or malformed envelope: skip
+                    if not isinstance(links, list):
+                        continue
+                    for entry in links:
+                        if not isinstance(entry, dict):
+                            continue
+                        if entry.get("path") not in wanted_paths:
+                            continue
+                        href = entry.get("url")
+                        if not isinstance(href, str):
+                            continue
+                        # whitespace-collapse the anchor exactly like
+                        # the HTML parser path does
+                        anchor = " ".join(str(entry.get("text", "")).split())
+                        link = _normalize_link_py(href, anchor, base)
+                        if link is None:
+                            continue
+                        rows.append(
+                            (
+                                base,
+                                link["url"],
+                                link["anchor"],
+                                path_,
+                                headers.get("warc-date", ""),
+                                headers.get("warc-record-id", ""),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "link_url", "anchor", "source", "warc_date",
+                    "record_id",
+                ],
             )
 
     return parse
