@@ -249,3 +249,89 @@ def test_real_wav_decode_closed_form(spark):
     # stereo mixdown: identical channels -> identical mono stats
     assert abs(rows[3].rms - rows[1].rms) < 1e-6
     assert rows[3].n_samples == n
+
+
+# ---------------------------------------------------------------------------
+# embed_images: the bridge into the ANN/SemDeDup tiers
+# ---------------------------------------------------------------------------
+
+def test_fallback_embed_is_normalized_smooth_and_separating():
+    """The deterministic fallback encoder's contract: unit-norm output,
+    near-identical images land at cosine ~1, unrelated patterns land
+    well below, a flat image gets a fixed unit vector."""
+    import numpy as np
+
+    from text_extensions_for_pandas_spark.operators.multimodal import (
+        _fallback_embed_py,
+    )
+
+    def rng_px(key):
+        p = np.arange(256)
+        # the key*p cross term decorrelates patterns ACROSS keys; without
+        # it two keys differ by a constant, which mean-centering removes
+        vals = (key * 2654435761 + p * 40503 + key * p * 97) % 248
+        return np.repeat(vals.astype(np.uint8), 3).reshape(16, 16, 3)
+
+    a = _fallback_embed_py(rng_px(1), 64, 8)
+    assert abs(np.linalg.norm(a) - 1.0) < 1e-9
+    # +2 brightness + one perturbed pixel is still the "same" image
+    near = rng_px(1).astype(np.int64) + 2
+    near[0, 0, :] += 40
+    b = _fallback_embed_py(near.clip(0, 255).astype(np.uint8), 64, 8)
+    assert float(a @ b) > 0.9
+    # a different base pattern is far
+    c = _fallback_embed_py(rng_px(2), 64, 8)
+    assert float(a @ c) < 0.7
+    # flat image: deterministic fallback basis vector
+    flat = _fallback_embed_py(np.full((16, 16, 3), 128, np.uint8), 64, 8)
+    assert flat[0] == 1.0 and np.linalg.norm(flat) == 1.0
+    # determinism across calls (cached projection)
+    assert np.array_equal(a, _fallback_embed_py(rng_px(1), 64, 8))
+
+
+def test_embed_images_feeds_semantic_dedup(spark):
+    """End-to-end: decode -> embed_images -> semantic_dedup clusters the
+    image near-dups via the ANN tier (embedding cosine), not phash."""
+    import numpy as np
+    import pandas as pd
+
+    from text_extensions_for_pandas_spark.operators import multimodal as MM
+    from text_extensions_for_pandas_spark.operators import similarity as SIM
+    from pyspark.sql import functions as F
+
+    header = b"P6\n16 16\n255\n"
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                key, v = i // 2, i % 2  # pairs of near-dups
+                p = np.arange(256, dtype=np.int64)
+                base = (key * 2654435761 + p * 40503 + key * p * 97) % 248
+                px = np.repeat((base + v).astype(np.uint8), 3).tobytes()
+                rows.append(
+                    (i, "image", header + px,
+                     (16, 16, 3, None, None, "image/x-portable-pixmap"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "content", "meta"]
+            )
+
+    assets = spark.range(8).mapInPandas(_gen, schema=MM.ASSETS_DDL)
+    embs = MM.embed_images(MM.decode_images(assets))
+    rows = embs.collect()
+    assert len(rows) == 8 and all(len(r.embedding) == 64 for r in rows)
+    cents = embs.filter(F.col("asset_id") % 2 == 0).select(
+        F.col("asset_id").alias("centroid_id"), "embedding"
+    )
+    out = {
+        r.asset_id: r
+        for r in SIM.semantic_dedup(
+            embs, cents, threshold=0.8, id_col="asset_id"
+        ).collect()
+    }
+    for i in range(8):
+        assert out[i].component == (i // 2) * 2
+        assert out[i].cluster_size == 2
+        assert out[i].keep == (i % 2 == 0)

@@ -384,3 +384,132 @@ def phash_near_dups(features: DataFrame, max_hamming: int = 8) -> DataFrame:
         F.col("asset_b"),
         hamming_distance_hex(F.col("phash"), F.col("phash_b")).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Image embeddings: the bridge from decoded pixels to the ANN/SemDeDup tiers
+# ---------------------------------------------------------------------------
+
+IMAGE_EMBEDDING_DDL = "asset_id long, embedding array<double>"
+
+# fallback projection matrices, cached per (grid, dim) per process
+_EMBED_PROJ_CACHE: dict = {}
+
+
+def _fallback_embed_py(
+    px: "np.ndarray", dim: int, grid: int
+) -> "np.ndarray":
+    """Deterministic stand-in image encoder (driver-side reference; the
+    mapInPandas island calls this): block-mean the grayscale image to a
+    ``grid × grid`` raster, mean-center, project with a FIXED seeded
+    Gaussian matrix, L2-normalize.  Smooth by construction — small pixel
+    perturbations move the embedding slightly, so near-duplicate images
+    land at cosine ≈ 1 (the property SemDeDup/ANN consume) while
+    unrelated images (mean-centered, so the shared positive-brightness
+    component is removed) land near 0.  NOT a semantic encoder: it sees
+    pixels, not concepts — swap in a real vision model via
+    :func:`embed_images`' ``model`` hook for production."""
+    key = (grid, dim)
+    proj = _EMBED_PROJ_CACHE.get(key)
+    if proj is None:
+        proj = np.random.default_rng(0x5EED).standard_normal(
+            (grid * grid, dim)
+        )
+        _EMBED_PROJ_CACHE[key] = proj
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    cells = np.empty(grid * grid, dtype=np.float64)
+    k = 0
+    for a in range(grid):
+        y0, y1 = ys[a], max(ys[a + 1], ys[a] + 1)
+        for b in range(grid):
+            x0, x1 = xs[b], max(xs[b + 1], xs[b] + 1)
+            cells[k] = gray[y0:y1, x0:x1].mean()
+            k += 1
+    cells -= cells.mean()
+    emb = cells @ proj
+    norm = np.linalg.norm(emb)
+    if norm > 0:
+        emb = emb / norm
+    else:
+        # perfectly flat image: a fixed deterministic unit vector
+        emb = np.zeros(dim)
+        emb[0] = 1.0
+    return emb
+
+
+def _load_image_encoder(model: str):
+    """Import-try a real vision encoder (the ``nlp_bridges`` pattern:
+    heavy deps are optional, the Spark plumbing is not).  Returns a
+    ``pixels(h,w,c uint8) -> 1-D float vector`` callable, or None when
+    the stack isn't importable — callers fall back to
+    :func:`_fallback_embed_py`."""
+    try:  # pragma: no cover - the vision stack isn't in this container
+        import torch  # noqa: F401
+        from transformers import AutoImageProcessor, AutoModel
+
+        proc = AutoImageProcessor.from_pretrained(model)
+        enc = AutoModel.from_pretrained(model)
+        enc.eval()
+
+        def encode(px):
+            with torch.no_grad():
+                inputs = proc(images=px, return_tensors="pt")
+                out = enc(**inputs)
+                vec = out.last_hidden_state.mean(dim=1)[0]
+                return vec.numpy().astype(np.float64)
+
+        return encode
+    except Exception:
+        return None
+
+
+def embed_images(
+    decoded: DataFrame,
+    dim: int = 64,
+    grid: int = 8,
+    model: str | None = None,
+) -> DataFrame:
+    """Decoded pixel rows → ``(asset_id, embedding array<double>)`` — the
+    bridge that feeds images into the EXISTING text-side ANN/dedup tiers
+    (:func:`~.similarity.ivf_topk`, :func:`~.similarity.semantic_dedup`,
+    :func:`~.similarity.write_ivfpq_index`): semantic image near-dup
+    detection instead of the syntactic phash tier.
+
+    ``model`` names a HuggingFace vision encoder, import-tried PER
+    EXECUTOR (the ``nlp_bridges`` pattern); when absent — as in this
+    container — every row falls back to the deterministic block-mean
+    projection (:func:`_fallback_embed_py`), so the Spark-side plumbing
+    (schema, batch shape, L2 normalization, downstream IVF bucketing) is
+    real and tested even without the model weights.  Embeddings are
+    L2-normalized either way, so cosine == dot for the downstream tiers.
+
+    Scale shape: one iterator ``mapInPandas`` island, model loaded once
+    per executor (not per batch), output is ``corpus × dim`` doubles —
+    the same shape the embeddings table already has.
+    """
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        encoder = _load_image_encoder(model) if model else None
+        for pdf in batches:
+            rows = []
+            for aid, h, w, c, buf in zip(
+                pdf["asset_id"], pdf["height"], pdf["width"],
+                pdf["channels"], pdf["pixels"],
+            ):
+                px = np.frombuffer(buf, dtype=np.uint8).reshape(
+                    int(h), int(w), int(c)
+                )
+                if encoder is not None:
+                    vec = np.asarray(encoder(px), dtype=np.float64)
+                    norm = np.linalg.norm(vec)
+                    if norm > 0:
+                        vec = vec / norm
+                else:
+                    vec = _fallback_embed_py(px, dim, grid)
+                rows.append((int(aid), vec.tolist()))
+            yield pd.DataFrame(rows, columns=["asset_id", "embedding"])
+
+    return decoded.mapInPandas(_embed, schema=IMAGE_EMBEDDING_DDL)

@@ -3347,6 +3347,76 @@ ORDER BY e.vec_id
 """
 
 
+def q_multimodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection through the ANN tier — decode →
+    :func:`~.operators.multimodal.embed_images` →
+    :func:`~.operators.similarity.semantic_dedup` — NOT phash: 60
+    synthesized 16×16 grayscale PPMs, 15 groups of 3 near-duplicate
+    variants (same multiplicative-hash base pattern, +v brightness and
+    ONE perturbed pixel per variant) plus 15 singletons with unique
+    patterns.  The deterministic fallback encoder (block-mean →
+    mean-center → seeded projection → L2) puts within-group cosine at
+    ≥ 0.92 and cross-group at ≤ 0.66 — fixed margins, no randomness —
+    so ``threshold=0.8`` separates exactly and DuckDB recomputes the
+    expected components closed-form from the group arithmetic.
+    Variant-0 / singleton embeddings serve as the IVF centroids, so
+    every group is one bucket and the dedup path (bucketed pairs → CC →
+    keep-min) runs for real."""
+    import numpy as np
+    import pandas as pd
+
+    from text_extensions_for_pandas_spark.operators import multimodal as MM
+
+    header = b"P6\n16 16\n255\n"
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                key = i // 3 if i < 45 else 100 + i
+                v = i % 3 if i < 45 else 0
+                p = np.arange(256, dtype=np.int64)
+                base = (key * 2654435761 + p * 40503 + key * p * 97) % 248
+                val = (base + v).copy()
+                val[i % 256] = (val[i % 256] + 40) % 250
+                px = np.repeat(val.astype(np.uint8), 3).tobytes()
+                rows.append(
+                    (
+                        i, "image", header + px,
+                        (16, 16, 3, None, None, "image/x-portable-pixmap"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "content", "meta"]
+            )
+
+    assets = spark.range(60).mapInPandas(_gen, schema=MM.ASSETS_DDL)
+    embs = MM.embed_images(MM.decode_images(assets))
+    centroids = embs.filter(
+        (F.col("asset_id") % 3 == 0) | (F.col("asset_id") >= 45)
+    ).select(F.col("asset_id").alias("centroid_id"), "embedding")
+    out = SIM.semantic_dedup(
+        embs, centroids, threshold=0.8, id_col="asset_id"
+    )
+    return out.select(
+        "asset_id",
+        F.coalesce("component", F.lit(-1)).cast("long").alias("component"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "keep",
+    ).orderBy("asset_id")
+
+
+Q_MULTIMODAL_SEMANTIC_DEDUP_SQL = """
+SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST(CASE WHEN i < 45 THEN (i // 3) * 3 ELSE -1 END AS BIGINT)
+         AS component,
+       CAST(CASE WHEN i < 45 THEN 3 ELSE 1 END AS BIGINT) AS cluster_size,
+       (i >= 45 OR i % 3 = 0) AS keep
+FROM range(60) t(i) ORDER BY asset_id
+"""
+
+
 def q_gopher_rules_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher gate with the corpus-tuned required-word list — exercises
     the stopword rule's NON-degenerate branch on this jargon corpus
@@ -7420,8 +7490,13 @@ FROM chunks ORDER BY doc_id, chunk_idx
 # registry is locally hash-verified by scripts/check_oracle.py at
 # sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- NEW r9: WAT link ingestion (link graph without HTML re-parse)
+    # -- NEW r9: WAT link ingestion (link graph without HTML re-parse),
+    # -- image-embedding bridge into the ANN dedup tier
     "wat_link_graph": (q_wat_link_graph, Q_WAT_LINK_GRAPH_SQL),
+    "multimodal_semantic_dedup": (
+        q_multimodal_semantic_dedup,
+        Q_MULTIMODAL_SEMANTIC_DEDUP_SQL,
+    ),
     # -- [1-5] NEW late-r8: the link-graph/robots crawl front + encoding
     # -- repair
     "extract_links": (q_extract_links, Q_EXTRACT_LINKS_SQL),
