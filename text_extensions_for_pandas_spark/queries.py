@@ -7030,6 +7030,93 @@ FROM r3 ORDER BY node
 """
 
 
+def q_pagerank_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank → curation composition under the value-hash oracle: the
+    standard domain-weighting step between the link graph and the
+    training mix.  The 24-host graph from the ``pagerank`` fixture (3
+    power-iteration rounds) yields host authority scores; documents map
+    to hosts by ``doc_id % 24``; the score scales to a retention weight
+    ``pagerank × 24`` (mean 1 — above-average hosts always keep,
+    below-average keep proportionally) broadcast-joined onto the corpus;
+    :func:`~.operators.sampling.importance_sample` keeps each doc iff
+    its md5 hash fraction is under the (clamped) weight.  DuckDB
+    recomputes the THREE unrolled pagerank rounds, the weight
+    arithmetic, AND the md5 membership — the full quality-prior
+    pipeline, no step taken on faith."""
+    from text_extensions_for_pandas_spark.operators.graph import pagerank
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        importance_sample,
+    )
+
+    base = spark.range(24).select(F.col("id").cast("long").alias("i"))
+    edges = base.select(
+        F.col("i").alias("src"), ((F.col("i") * 3 + 1) % 24).alias("dst")
+    ).unionByName(
+        base.select(
+            F.col("i").alias("src"), ((F.col("i") * 7 + 2) % 24).alias("dst")
+        )
+    )
+    pr = pagerank(edges, damping=0.85, iterations=3)
+    hosts = pr.select(
+        F.col("node").alias("host_id"),
+        (F.col("pagerank") * 24.0).alias("weight"),
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    tagged = docs.withColumn("host_id", F.col("doc_id") % 24)
+    # the rank table is host-count-sized: always broadcast
+    weighted = tagged.join(F.broadcast(hosts), "host_id")
+    kept = importance_sample(weighted, "weight")
+    return kept.select(
+        "doc_id",
+        F.col("host_id").cast("long").alias("host_id"),
+        F.round("weight", 9).alias("weight"),
+    ).orderBy("doc_id")
+
+
+Q_PAGERANK_WEIGHTED_MIX_SQL = """
+WITH e AS (
+  SELECT i AS src, (i * 3 + 1) % 24 AS dst FROM range(24) t(i)
+  UNION ALL
+  SELECT i, (i * 7 + 2) % 24 FROM range(24) t(i)
+),
+n AS (SELECT i AS node FROM range(24) t(i)),
+r0 AS (SELECT node, 1.0 / 24 AS pr FROM n),
+r1 AS (
+  SELECT n.node,
+         (1 - CAST(0.85 AS DOUBLE)) / 24
+           + CAST(0.85 AS DOUBLE) * coalesce(sum(r0.pr / 2), 0) AS pr
+  FROM n LEFT JOIN e ON e.dst = n.node
+         LEFT JOIN r0 ON r0.node = e.src
+  GROUP BY n.node
+),
+r2 AS (
+  SELECT n.node,
+         (1 - CAST(0.85 AS DOUBLE)) / 24
+           + CAST(0.85 AS DOUBLE) * coalesce(sum(r1.pr / 2), 0) AS pr
+  FROM n LEFT JOIN e ON e.dst = n.node
+         LEFT JOIN r1 ON r1.node = e.src
+  GROUP BY n.node
+),
+r3 AS (
+  SELECT n.node,
+         (1 - CAST(0.85 AS DOUBLE)) / 24
+           + CAST(0.85 AS DOUBLE) * coalesce(sum(r2.pr / 2), 0) AS pr
+  FROM n LEFT JOIN e ON e.dst = n.node
+         LEFT JOIN r2 ON r2.node = e.src
+  GROUP BY n.node
+),
+w AS (SELECT node, pr * 24 AS weight FROM r3)
+SELECT d.doc_id,
+       CAST(d.doc_id % 24 AS BIGINT) AS host_id,
+       round(w.weight, 9) AS weight
+FROM documents d JOIN w ON w.node = d.doc_id % 24
+WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0
+      < least(1.0, greatest(w.weight, 0.0))
+ORDER BY d.doc_id
+"""
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.operators.urls.filter_by_robots` under the value-hash
     oracle, for ``user_agent="trainbot/1.2"`` (the version suffix forces
@@ -7496,6 +7583,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_semantic_dedup": (
         q_multimodal_semantic_dedup,
         Q_MULTIMODAL_SEMANTIC_DEDUP_SQL,
+    ),
+    "pagerank_weighted_mix": (
+        q_pagerank_weighted_mix,
+        Q_PAGERANK_WEIGHTED_MIX_SQL,
     ),
     # -- [1-5] NEW late-r8: the link-graph/robots crawl front + encoding
     # -- repair
