@@ -29,7 +29,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import pyspark.sql.functions as F  # noqa: E402
 
-SCALES = [4, 16, 64]
+# override for deeper points, e.g. PROBE_SCALES=4,16,64,256 for the
+# 256x (1.28M-doc) link_graph confirmation recorded in BASELINE.md
+SCALES = [
+    int(s)
+    for s in os.environ.get("PROBE_SCALES", "4,16,64").split(",")
+]
 SF_DIR = "/root/testdata/sf0.1"
 
 

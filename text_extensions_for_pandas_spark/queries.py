@@ -7540,45 +7540,43 @@ FROM chunks ORDER BY doc_id, chunk_idx
 # every 2 rounds.  The full registry is always locally verified by
 # scripts/check_oracle.py regardless of position.
 #
-# Round-8 order: [1-9] the nine entries added late in r8
-# (extract_links -- anchor extraction + urljoin resolution;
-# link_graph -- host-level edge aggregation; pagerank -- 3 unrolled
-# power-iteration rounds vs a DuckDB CTE recompute; robots_filter --
-# RFC 9309 longest-match/allow-wins/exact-agent-group decision over
-# synthesized per-host robots.txt; fix_encoding -- mojibake/control
-# repair over five planted damage classes; anchor_text -- per-target
-# top-k incoming anchor texts vs a DuckDB window recount;
-# dehyphenate -- PDF/OCR line-break hyphenation repair;
-# split_sentences -- offset-exact sentence segmentation with an
-# abbreviation guard, vs a closed-form offset recompute;
-# chunk_sentences -- greedy sentence-aware chunking over the same
-# fixture); [10-14] the five entries new earlier in r8 (wet_ingest -- the WET/WARC crawl reader's first driver
-# verification over a deterministic two-shard fixture with planted
-# corrupt/warcinfo/garbage hazards; html_extract -- the HTML->text
-# extraction stage over per-doc synthesized markup; html_features --
-# structural page features incl. the link-density quality signal;
-# ivfpq_index_append -- incremental growth of the durable ANN index,
-# bit-equal to a full rebuild; crawl_funnel -- the crawl-front
-# end-to-end composite: HTTP-status filter -> domain blocklist ->
-# same-page keep-newest dedup -> HTML extraction over a planted-hazard
-# raw-WARC fixture); [15-16] url_dedup / url_blocklist, whose plans
-# changed this round (NULL/blank-URL passthrough + default-port
-# stripping; keep_unparseable + host_col branch coverage + explicit
-# blocklist broadcast); [17-49] the thirty-three remaining r05-verified
-# entries (multimodal_image_features ... q18_large_volume), now three
-# rounds stale; [50] the oldest r06-verified entry (exactsubstr_clean).
-# Below the boundary: the nine r06-verified entries the late-r8
-# additions displaced (line_repetition, cms_heavy_hitters, ann_recall,
-# ivfpq_index_search, bpe_encode, lsh_recall, ivfpq_recall,
-# cluster_sample, cap_per_domain) then the remaining forty r06-verified
-# entries (q22_sales_opportunity ... q8_market_share) -- ALL forty-nine
-# rotate into the r09 gate FIRST -- then the forty-eight entries the
-# r07 gate just verified.  The FULL
+# Round-9 order: [1-3] the three entries new in r9 (wat_link_graph --
+# Common Crawl WAT metadata-record link ingestion feeding the shared
+# host-graph aggregation, no HTML re-parse, vs a closed-form DuckDB edge
+# recompute over a planted-hazard WAT shard; multimodal_semantic_dedup
+# -- decode -> embed_images (deterministic fallback encoder) ->
+# semantic_dedup over synthesized PPM near-dup groups with fixed cosine
+# margins; pagerank_weighted_mix -- pagerank host scores composed into
+# importance_sample, with DuckDB recomputing the three unrolled
+# power-iteration rounds AND the md5 hash-fraction membership);
+# [4-6] re-gated because their plans/fixtures changed this round
+# (robots_filter -- RFC 9309 path+QUERY rule matching closes the r8
+# under-blocking defect, product-token prefix group selection,
+# empty-exact-group = allow-all; the fixture gained a
+# "Disallow: /*?session=" rule and a versioned user agent;
+# split_sentences / chunk_sentences -- CJK full-width terminators
+# 。！？ now split with no whitespace/capitalization, the fixtures
+# gained a CJK tail with closed-form offsets); [7-15] the nine
+# r06-verified entries the late-r8 additions displaced, exactly as the
+# r8 comment promised (line_repetition ... cap_per_domain); [16-50] the
+# first thirty-five of the remaining forty r06-verified entries
+# (q22_sales_opportunity ... ivf_topk and on to token_count).
+# Below the boundary: [51-55] the five r06-verified entries the six r9
+# additions/re-gates displaced (lang_id, q3_shipping_priority,
+# q5_region_revenue, q_top_customers, q8_market_share) -- now THREE
+# rounds driver-stale, displaced EXPLICITLY per the r8 verdict's
+# do-not-let-it-happen-silently instruction: all five were re-verified
+# locally by scripts/check_oracle.py at sf0.001 AND sf0.01 this round
+# (recorded in BASELINE.md) and rotate into the r10 gate FIRST; then
+# the forty-eight r07-verified entries; then the forty-seven
+# r08-verified entries.  The FULL
 # registry is locally hash-verified by scripts/check_oracle.py at
 # sf0.001 AND sf0.01 regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- NEW r9: WAT link ingestion (link graph without HTML re-parse),
-    # -- image-embedding bridge into the ANN dedup tier
+    # -- [1-3] NEW r9: WAT link ingestion (link graph without the
+    # -- HTML re-parse), the image-embedding bridge into the ANN
+    # -- dedup tier, and the pagerank->importance-sample curation
+    # -- composition
     "wat_link_graph": (q_wat_link_graph, Q_WAT_LINK_GRAPH_SQL),
     "multimodal_semantic_dedup": (
         q_multimodal_semantic_dedup,
@@ -7588,77 +7586,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_pagerank_weighted_mix,
         Q_PAGERANK_WEIGHTED_MIX_SQL,
     ),
-    # -- [1-5] NEW late-r8: the link-graph/robots crawl front + encoding
-    # -- repair
-    "extract_links": (q_extract_links, Q_EXTRACT_LINKS_SQL),
-    "link_graph": (q_link_graph, Q_LINK_GRAPH_SQL),
-    "pagerank": (q_pagerank, Q_PAGERANK_SQL),
+    # -- [4-6] re-gated: plans/fixtures changed this round
+    # -- (robots_filter: RFC 9309 path+query matching + product-
+    # -- token prefix group selection, query-string rule added to
+    # -- the fixture; split/chunk_sentences: CJK full-width
+    # -- terminators, CJK tail added to the fixture)
     "robots_filter": (q_robots_filter, Q_ROBOTS_FILTER_SQL),
-    "fix_encoding": (q_fix_encoding, Q_FIX_ENCODING_SQL),
-    "anchor_text": (q_anchor_text, Q_ANCHOR_TEXT_SQL),
-    "dehyphenate": (q_dehyphenate, Q_DEHYPHENATE_SQL),
     "split_sentences": (q_split_sentences, Q_SPLIT_SENTENCES_SQL),
     "chunk_sentences": (q_chunk_sentences, Q_CHUNK_SENTENCES_SQL),
-    # -- [5-9] NEW earlier in r8: the WET/WARC crawl reader's first
-    # -- driver verification (wet_ingest), the HTML->text extraction
-    # -- stage (html_extract), the structural page features /
-    # -- link-density quality signal (html_features), incremental IVF-PQ
-    # -- index growth (ivfpq_index_append), and the crawl-front
-    # -- end-to-end composite (crawl_funnel: status filter -> blocklist
-    # -- -> page dedup -> HTML extraction over a planted-hazard fixture)
-    "wet_ingest": (q_wet_ingest, Q_WET_INGEST_SQL),
-    "html_extract": (q_html_extract, Q_HTML_EXTRACT_SQL),
-    "html_features": (q_html_features, Q_HTML_FEATURES_SQL),
-    "ivfpq_index_append": (q_ivfpq_index_append, Q_IVFPQ_TOPK_SQL),
-    "crawl_funnel": (q_crawl_funnel, Q_CRAWL_FUNNEL_SQL),
-    # -- [6-7] plan changed r8 (url_dedup: NULL/blank-URL passthrough;
-    # -- url_blocklist: widened to cover keep_unparseable + host_col
-    # -- branches, blocklist broadcast made explicit) -- plan-changed
-    # -- entries gate FIRST
-    "url_dedup": (q_url_dedup, Q_URL_DEDUP_SQL),
-    "url_blocklist": (q_url_blocklist, Q_URL_BLOCKLIST_SQL),
-    # -- [8-40] the thirty-three remaining r05-verified entries, now
-    # -- three rounds stale (the r07 rotation note's promise, executed)
-    "multimodal_image_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
-    "gopher_rules_tuned": (q_gopher_rules_tuned, Q_GOPHER_RULES_TUNED_SQL),
-    "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
-    "tensor_mean_by_label": (q_tensor_mean_by_label, Q_TENSOR_MEAN_SQL),
-    "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
-    "unpack_semijoin": (q_unpack_semijoin, Q_UNPACK_SQL),
-    "seq_windows": (q_seq_windows, Q_SEQ_WINDOWS_SQL),
-    "covering_span": (q_covering_span, Q_COVERING_SPAN_SQL),
-    "neighbor_tokens": (q_neighbor_tokens, Q_NEIGHBOR_SQL),
-    "spans_to_iob": (q_spans_to_iob, Q_SPANS_TO_IOB_SQL),
-    "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
-    "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
-    "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
-    "simhash": (q_simhash, Q_SIMHASH_SQL),
-    "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
-    "bm25_search": (q_bm25, Q_BM25_SQL),
-    "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
-    "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
-    "prob_product": (q_prob_product, Q_PROB_PRODUCT_SQL),
-    "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
-    "doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
-    "decontam_overlap": (q_decontam_overlap, Q_DECONTAM_SQL),
-    "tfidf_top_terms": (q_tfidf_top_terms, Q_TFIDF_SQL),
-    "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
-    "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
-    "doc_length_quantiles": (q_doc_length_quantiles, Q_DOC_LENGTH_QUANTILES_SQL),
-    "pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
-    "doc_surprisal": (q_doc_surprisal, Q_DOC_SURPRISAL_SQL),
-    "events_retention": (q_events_retention, Q_EVENTS_RETENTION_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
-    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
-    # -- [41-50] the ten oldest r06-verified entries
-    "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
-    # ------------------- gate boundary (position 50) -------------------
-    # r06-verified entries displaced below the boundary by the nine
-    # late-r8 additions, then the remaining r06-verified entries -- all
-    # rotate into the r09 gate FIRST, followed by the oldest
-    # r07-verified entries
+    # -- [7-15] the nine r06-verified entries the late-r8 additions
+    # -- displaced, exactly as the r8 comment promised
     "line_repetition": (q_line_repetition, Q_LINE_REPETITION_SQL),
     "cms_heavy_hitters": (q_cms_heavy_hitters, Q_CMS_HEAVY_HITTERS_SQL),
     "ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
@@ -7668,8 +7605,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ivfpq_recall": (q_ivfpq_recall, Q_IVFPQ_RECALL_SQL),
     "cluster_sample": (q_cluster_sample, Q_CLUSTER_SAMPLE_SQL),
     "cap_per_domain": (q_cap_per_domain, Q_CAP_PER_DOMAIN_SQL),
+    # -- [16-50] the first thirty-five of the remaining forty
+    # -- r06-verified entries (q22_sales_opportunity ...)
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
-    "events_session_native": (q_events_session_native, Q_EVENTS_SESSION_NATIVE_SQL),
+    "events_session_native": (
+        q_events_session_native,
+        Q_EVENTS_SESSION_NATIVE_SQL,
+    ),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q_order_priority": (q_order_priority, Q_ORDER_PRIORITY_SQL),
@@ -7703,12 +7645,21 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "flag_suspicious": (q_flag_suspicious, Q_FLAG_SQL),
     "doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
     "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
+    # ------------------- gate boundary (position 50) -------------------
+    # -- [51-55] the five r06-verified entries the six r9 additions/
+    # -- re-gates displaced: lang_id, q3_shipping_priority,
+    # -- q5_region_revenue, q_top_customers, q8_market_share.  These
+    # -- go THREE rounds stale -- displaced EXPLICITLY, not silently:
+    # -- all five re-verified locally by scripts/check_oracle.py at
+    # -- sf0.001 AND sf0.01 this round (recorded in BASELINE.md), and
+    # -- they rotate into the r10 gate FIRST, before the 48
+    # -- r07-verified entries, then the 47 r08-verified entries.
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "q_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
-    # -- verified by the r07 gate (all 50 green in CORRECTNESS_r07) --
+    # -- the forty-eight r07-verified entries
     "jsonl_ingest": (q_jsonl_ingest, Q_JSONL_INGEST_SQL),
     "text_ingest": (q_text_ingest, Q_TEXT_INGEST_SQL),
     "repeated_substrings": (q_repeated_substrings, Q_REPEATED_SUBSTRINGS_SQL),
@@ -7723,8 +7674,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q17_small_qty_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "split_by_hash": (q_split_by_hash, Q_SPLIT_BY_HASH_SQL),
-    "multimodal_decode_means": (q_multimodal_decode_means, Q_MULTIMODAL_DECODE_SQL),
-    "classification_report": (q_classification_report, Q_CLASSIFICATION_REPORT_SQL),
+    "multimodal_decode_means": (
+        q_multimodal_decode_means,
+        Q_MULTIMODAL_DECODE_SQL,
+    ),
+    "classification_report": (
+        q_classification_report,
+        Q_CLASSIFICATION_REPORT_SQL,
+    ),
     "f1_ensemble": (q_f1_ensemble, Q_F1_ENSEMBLE_SQL),
     "chunk_documents": (q_chunk_documents, Q_CHUNK_DOCUMENTS_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
@@ -7743,20 +7700,81 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
     "boilerplate_removal": (q_boilerplate_removal, Q_BOILERPLATE_SQL),
     "doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
-    "near_dup_containment": (q_near_dup_containment, Q_NEAR_DUP_CONTAINMENT_SQL),
+    "near_dup_containment": (
+        q_near_dup_containment,
+        Q_NEAR_DUP_CONTAINMENT_SQL,
+    ),
     "source_divergence": (q_source_divergence, Q_SOURCE_DIVERGENCE_SQL),
     "corpus_shuffle": (q_corpus_shuffle, Q_CORPUS_SHUFFLE_SQL),
     "gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "training_prep_e2e": (q_training_prep_e2e, Q_TRAINING_PREP_SQL),
     "fingerprint_overlap": (q_fingerprint_overlap, Q_FINGERPRINT_OVERLAP_SQL),
     "zorder_events": (q_zorder_events, Q_ZORDER_SQL),
-    "contamination_report": (q_contamination_report, Q_CONTAMINATION_REPORT_SQL),
+    "contamination_report": (
+        q_contamination_report,
+        Q_CONTAMINATION_REPORT_SQL,
+    ),
     "split_divergence": (q_split_divergence, Q_SPLIT_DIVERGENCE_SQL),
     "alpha_mixture": (q_alpha_mixture, Q_ALPHA_MIXTURE_SQL),
     "incontext_order": (q_incontext_order, Q_INCONTEXT_ORDER_SQL),
     "pq_topk": (q_pq_topk, Q_PQ_TOPK_SQL),
     "ivfpq_topk": (q_ivfpq_topk, Q_IVFPQ_TOPK_SQL),
     "semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
+    # -- the forty-seven r08-verified entries (robots_filter /
+    # -- split_sentences / chunk_sentences re-gated above)
+    "extract_links": (q_extract_links, Q_EXTRACT_LINKS_SQL),
+    "link_graph": (q_link_graph, Q_LINK_GRAPH_SQL),
+    "pagerank": (q_pagerank, Q_PAGERANK_SQL),
+    "fix_encoding": (q_fix_encoding, Q_FIX_ENCODING_SQL),
+    "anchor_text": (q_anchor_text, Q_ANCHOR_TEXT_SQL),
+    "dehyphenate": (q_dehyphenate, Q_DEHYPHENATE_SQL),
+    "wet_ingest": (q_wet_ingest, Q_WET_INGEST_SQL),
+    "html_extract": (q_html_extract, Q_HTML_EXTRACT_SQL),
+    "html_features": (q_html_features, Q_HTML_FEATURES_SQL),
+    "ivfpq_index_append": (q_ivfpq_index_append, Q_IVFPQ_TOPK_SQL),
+    "crawl_funnel": (q_crawl_funnel, Q_CRAWL_FUNNEL_SQL),
+    "url_dedup": (q_url_dedup, Q_URL_DEDUP_SQL),
+    "url_blocklist": (q_url_blocklist, Q_URL_BLOCKLIST_SQL),
+    "multimodal_image_features": (
+        q_multimodal_features,
+        Q_MULTIMODAL_FEATURES_SQL,
+    ),
+    "gopher_rules_tuned": (q_gopher_rules_tuned, Q_GOPHER_RULES_TUNED_SQL),
+    "tensor_rowstats": (q_tensor_rowstats, Q_TENSOR_ROWSTATS_SQL),
+    "tensor_mean_by_label": (q_tensor_mean_by_label, Q_TENSOR_MEAN_SQL),
+    "iob_to_iob2": (q_iob_to_iob2, Q_IOB2_SQL),
+    "unpack_semijoin": (q_unpack_semijoin, Q_UNPACK_SQL),
+    "seq_windows": (q_seq_windows, Q_SEQ_WINDOWS_SQL),
+    "covering_span": (q_covering_span, Q_COVERING_SPAN_SQL),
+    "neighbor_tokens": (q_neighbor_tokens, Q_NEIGHBOR_SQL),
+    "spans_to_iob": (q_spans_to_iob, Q_SPANS_TO_IOB_SQL),
+    "extract_regex_tok": (q_extract_regex_tok, Q_EXTRACT_REGEX_TOK_SQL),
+    "extract_split": (q_extract_split, Q_EXTRACT_SPLIT_SQL),
+    "lemmatize": (q_lemmatize, Q_LEMMATIZE_SQL),
+    "simhash": (q_simhash, Q_SIMHASH_SQL),
+    "fingerprint_winnow": (q_fingerprint, Q_FINGERPRINT_SQL),
+    "bm25_search": (q_bm25, Q_BM25_SQL),
+    "corpus_funnel": (q_corpus_funnel, Q_CORPUS_FUNNEL_SQL),
+    "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
+    "prob_product": (q_prob_product, Q_PROB_PRODUCT_SQL),
+    "vocabulary": (q_vocabulary, Q_VOCABULARY_SQL),
+    "doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
+    "decontam_overlap": (q_decontam_overlap, Q_DECONTAM_SQL),
+    "tfidf_top_terms": (q_tfidf_top_terms, Q_TFIDF_SQL),
+    "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
+    "corpus_rollup": (q_corpus_rollup, Q_CORPUS_ROLLUP_SQL),
+    "doc_length_quantiles": (
+        q_doc_length_quantiles,
+        Q_DOC_LENGTH_QUANTILES_SQL,
+    ),
+    "pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
+    "doc_surprisal": (q_doc_surprisal, Q_DOC_SURPRISAL_SQL),
+    "events_retention": (q_events_retention, Q_EVENTS_RETENTION_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
+    "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
 }
 
 
