@@ -479,6 +479,110 @@ def main() -> None:
                 )
             )
 
+    # WAT vs HTML link ingestion: the SAME logical pages' host link
+    # graph, once from raw-WARC HTML (envelope strip + full HTML parse +
+    # anchor extraction) and once from WAT metadata JSON (pre-extracted
+    # links, no HTML parse).  Both paths must produce the identical edge
+    # sum; the time ratio quantifies what reading WAT saves a
+    # segment-scale link-graph/pagerank front.
+    if not only or "wat_links" in only:
+        import gzip as _gzip
+        import tempfile
+
+        from text_extensions_for_pandas_spark.operators.html import (
+            link_graph,
+            link_graph_from_edges,
+        )
+        from text_extensions_for_pandas_spark.sources.corpus import (
+            make_warc_record,
+            make_wat_record,
+            read_wat_links,
+            read_wet_corpus,
+        )
+
+        def _page_links(i: int) -> list[tuple[str, str]]:
+            return [
+                (f"http://t{i % 500}.example/x", f"anchor {i % 97}"),
+                ("http://hot.example/y", "hot link"),
+                ("/self", "nav"),
+                (f"http://t{(i + 7) % 500}.example/w", f"other {i % 89}"),
+            ]
+
+        def _page_url(i: int) -> str:
+            return f"http://s{i % 2000}.example/p/{i}"
+
+        def _html_rec(i: int) -> bytes:
+            # realistic page weight: ~8 KB of markup around the links —
+            # the WAT record carries ONLY the links regardless, which is
+            # exactly the cost asymmetry being measured (real pages run
+            # tens-to-hundreds of KB; a links-only probe would understate
+            # the saving to nearly nothing)
+            filler = "".join(
+                f"<p>paragraph {j} of document {i} with routine crawl "
+                f"prose content and value {(i * 7 + j) % 997}</p>"
+                for j in range(80)
+            )
+            body = (
+                "<html><head><title>t</title></head><body><h1>Doc</h1>"
+                + filler
+                + "".join(
+                    f"<a href='{h}'>{a}</a>" for h, a in _page_links(i)
+                )
+                + "</body></html>"
+            )
+            return make_warc_record(
+                body, url=_page_url(i), warc_type="response",
+                http_status=200,
+            )
+
+        lk_dir = tempfile.mkdtemp(prefix="wat_links_probe_")
+        for n in SCALES:
+            n_rec = 2_500 * n
+            per_file = n_rec // 8
+            hdir = os.path.join(lk_dir, f"h{n}")
+            wdir = os.path.join(lk_dir, f"w{n}")
+            os.makedirs(hdir, exist_ok=True)
+            os.makedirs(wdir, exist_ok=True)
+            for f_no in range(8):
+                lo = f_no * per_file
+                with _gzip.open(
+                    os.path.join(hdir, f"seg{f_no}.warc.gz"), "wb"
+                ) as fh:
+                    for i in range(lo, lo + per_file):
+                        fh.write(_html_rec(i))
+                with _gzip.open(
+                    os.path.join(wdir, f"seg{f_no}.warc.wat.gz"), "wb"
+                ) as fh:
+                    for i in range(lo, lo + per_file):
+                        fh.write(
+                            make_wat_record(_page_url(i), _page_links(i))
+                        )
+            t0 = time.time()
+            html_sum = link_graph(
+                read_wet_corpus(
+                    spark, hdir, record_types=("response",),
+                    keep_http_statuses=(200,),
+                )
+            ).agg(F.sum("n_links")).collect()[0][0]
+            dt_html = time.time() - t0
+            t0 = time.time()
+            wat_sum = link_graph_from_edges(
+                read_wat_links(spark, wdir),
+                src_url_col="url", dst_url_col="link_url",
+            ).agg(F.sum("n_links")).collect()[0][0]
+            dt_wat = time.time() - t0
+            assert html_sum == wat_sum, (html_sum, wat_sum)
+            times.setdefault("links_from_html", []).append((n, dt_html))
+            times.setdefault("links_from_wat", []).append((n, dt_wat))
+            print(
+                json.dumps(
+                    {"op": "wat_links", "scale": n, "records": n_rec,
+                     "edges": html_sum, "html_sec": round(dt_html, 2),
+                     "wat_sec": round(dt_wat, 2),
+                     "speedup": round(dt_html / dt_wat, 2)}
+                )
+            )
+
     # BPE merge-loop boundedness: ~1k merges must complete in bounded
     # wall-clock on the in-memory path (the distributed per-merge loop is
     # one Spark job per merge — the documented wall-clock killer at 32k+

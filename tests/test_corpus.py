@@ -434,3 +434,20 @@ def test_wat_link_graph_agrees_with_html_link_graph(spark, tmp_path):
     w = sorted(map(tuple, wat_graph.collect()))
     h = sorted(map(tuple, html_graph.collect()))
     assert w == h and len(w) > 0
+
+    # the anchor index agrees across the two paths as well
+    from text_extensions_for_pandas_spark.operators.html import (
+        anchor_text_index,
+        anchor_text_index_from_edges,
+    )
+
+    def norm(rows):
+        return sorted(
+            (r.url, tuple((a.anchor, a.n) for a in r.anchors), r.n_incoming)
+            for r in rows
+        )
+
+    wat_idx = anchor_text_index_from_edges(wat_edges, k=3)
+    html_idx = anchor_text_index(html_df, k=3)
+    wi, hi = norm(wat_idx.collect()), norm(html_idx.collect())
+    assert wi == hi and len(wi) > 0

@@ -54,6 +54,7 @@ __all__ = [
     "link_graph",
     "link_graph_from_edges",
     "anchor_text_index",
+    "anchor_text_index_from_edges",
 ]
 
 # Subtrees dropped whole: non-content by construction.
@@ -505,20 +506,45 @@ def anchor_text_index(
     ``min_count`` cuts the long tail before the list build.  No window
     sort anywhere.
     """
+    exploded = df.select(
+        F.col(url_col).alias("__page_url"),
+        F.explode(extract_links(html_col, url_col)).alias("__l"),
+    ).select(
+        "__page_url",
+        F.col("__l.url").alias("__link_url"),
+        F.col("__l.anchor").alias("__anchor"),
+    )
+    return anchor_text_index_from_edges(
+        exploded, src_url_col="__page_url", dst_url_col="__link_url",
+        anchor_col="__anchor", k=k, min_count=min_count,
+    )
+
+
+def anchor_text_index_from_edges(
+    df: DataFrame,
+    src_url_col: str = "url",
+    dst_url_col: str = "link_url",
+    anchor_col: str = "anchor",
+    k: int = 5,
+    min_count: int = 1,
+) -> DataFrame:
+    """:func:`anchor_text_index` over PER-LINK rows (page URL, link URL,
+    anchor text) — the aggregation tail shared by the HTML-parse path
+    and :func:`~..sources.corpus.read_wat_links` (Common Crawl WAT
+    pre-extracted links), so the anchor index, like the link graph,
+    never pays the HTML parse twice.  Same output, semantics, and
+    two-combinable-aggregate scale shape as :func:`anchor_text_index`.
+    """
     from text_extensions_for_pandas_spark.operators.urls import normalize_url
 
-    src_host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
-    exploded = df.select(
-        src_host.alias("__src_host"),
-        F.explode(extract_links(html_col, url_col)).alias("__l"),
-    )
-    dst_host = F.lower(F.try_parse_url(F.col("__l.url"), F.lit("HOST")))
+    src_host = F.lower(F.try_parse_url(F.col(src_url_col), F.lit("HOST")))
+    dst_host = F.lower(F.try_parse_url(F.col(dst_url_col), F.lit("HOST")))
     hits = (
-        exploded.select(
-            "__src_host",
-            F.col("__l.url").alias("__turl"),
+        df.select(
+            src_host.alias("__src_host"),
+            F.col(dst_url_col).alias("__turl"),
             dst_host.alias("__dst_host"),
-            F.col("__l.anchor").alias("anchor"),
+            F.col(anchor_col).alias("anchor"),
         )
         .filter(
             (F.length("anchor") > 0)
