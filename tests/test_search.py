@@ -576,3 +576,42 @@ def test_dehyphenate_rejoins_linebreak_hyphens(spark):
     assert got[3] == "list item -\nNot a word join"
     assert got[4] == "tail hyphen-\n"
     assert got[5] is None
+
+
+def test_lang_id_cjk_script_detection(spark):
+    """CJK language ID by script ratio: kana presence beats han ratio
+    (Japanese), hangul-dominant is Korean, han-dominant without kana is
+    Chinese; Latin text still goes through the marker-word path; digits
+    stay 'und'.  Before the script branches, every CJK row silently
+    came back 'und' (no whitespace tokens for the marker path)."""
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.functions.text import (
+        lang_id,
+        script_ratios,
+    )
+
+    rows = [
+        (0, "今天天气很好。我们去公园散步吧。", "zh"),
+        (1, "今日はいい天気ですね。公園に行こう。", "ja"),   # kana beats han
+        (2, "カタカナだけのテキストです", "ja"),              # pure katakana
+        (3, "오늘 날씨가 좋네요. 공원에 갑시다.", "ko"),
+        (4, "the cat and the dog went to the park", "en"),
+        (5, "el gato y el perro que es en la casa", "es"),
+        (6, "12345 67890 !!!", "und"),
+        (7, "the text is english and has one 字 only", "en"),  # han < 30%
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "id long, text string"
+    )
+    got = {
+        r.id: r.pred
+        for r in df.select("id", lang_id("text").alias("pred")).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, want, got[i])
+    # ratio struct is row-local and bounded [0, 1]
+    r = df.select(script_ratios("text").alias("r")).collect()
+    for row in r:
+        for v in row.r.asDict().values():
+            assert 0.0 <= v <= 1.0

@@ -287,15 +287,44 @@ def lang_scores(text: Column | str, toks: Column | None = None) -> Column:
     return F.struct(*fields)
 
 
-def lang_id(text: Column | str, toks: Column | None = None) -> Column:
-    """Predicted language = argmax marker ratio, ties broken by language code
-    order; 'und' when no marker hits at all.
+def script_ratios(text: Column | str) -> Column:
+    """Per-script character ratios as a struct — ``kana`` (Hiragana +
+    Katakana U+3040-30FF), ``hangul`` (U+AC00-D7AF), ``han`` (CJK
+    unified + ext-A) over total length.  Pure ``regexp_replace`` length
+    arithmetic, codegen, stream-safe.  The decisive signal for CJK
+    language ID: marker WORDS require whitespace tokenization, which
+    CJK text doesn't have — script ranges don't."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.greatest(F.length(c), F.lit(1))
 
-    Implemented as ``array_max`` over (score, -rank, lang) structs: a chained
-    ``when`` scan would nest each score expression inside every later branch
-    (exponential expression growth under projection collapse); the array form
-    references each score exactly once.
+    def ratio(rng: str) -> Column:
+        kept = F.length(F.regexp_replace(c, f"[{rng}]", ""))
+        return F.round((F.length(c) - kept) / n, 6)
+
+    return F.struct(
+        ratio("\\u3040-\\u30ff").alias("kana"),
+        ratio("\\uac00-\\ud7af").alias("hangul"),
+        ratio("\\u3400-\\u4dbf\\u4e00-\\u9fff").alias("han"),
+    )
+
+
+def lang_id(text: Column | str, toks: Column | None = None) -> Column:
+    """Predicted language: CJK script detection first — any kana
+    presence (≥ 5% of chars) is Japanese, hangul-dominant (≥ 30%) is
+    Korean, han-dominant (≥ 30%) without kana is Chinese — because CJK
+    text has no whitespace tokens for the marker-word path to see (it
+    used to arrive as 'und', silently, on roughly half of a real
+    crawl); then argmax marker-word ratio, ties broken by language code
+    order; 'und' when nothing fires.
+
+    The marker path is ``array_max`` over (score, -rank, lang) structs:
+    a chained ``when`` scan would nest each score expression inside
+    every later branch (exponential expression growth under projection
+    collapse); the array form references each score exactly once.  The
+    script pre-check is three ``regexp_replace`` length counts — all
+    JVM-side, no UDF anywhere.
     """
+    scripts = script_ratios(text)
     scores = lang_scores(text, toks)
     entries = [
         F.struct(
@@ -306,7 +335,15 @@ def lang_id(text: Column | str, toks: Column | None = None) -> Column:
         for i, lang in enumerate(sorted(LANG_PROFILES))
     ]
     best = F.array_max(F.array(*entries))
-    return F.when(best["s"] <= 0, F.lit("und")).otherwise(best["lang"])
+    marker_pred = F.when(best["s"] <= 0, F.lit("und")).otherwise(
+        best["lang"]
+    )
+    return (
+        F.when(scripts["kana"] >= 0.05, F.lit("ja"))
+        .when(scripts["hangul"] >= 0.3, F.lit("ko"))
+        .when(scripts["han"] >= 0.3, F.lit("zh"))
+        .otherwise(marker_pred)
+    )
 
 
 def char_shingles(text: Column | str, k: int = 5) -> Column:

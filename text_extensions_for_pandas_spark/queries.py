@@ -1536,6 +1536,52 @@ FROM s GROUP BY pred_lang ORDER BY pred_lang
 """
 
 
+def q_lang_id_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.functions.text.lang_id`'s CJK script path under the
+    value-hash oracle: five planted text classes per doc_id — pure
+    hanzi (→ zh), hanzi+kana (→ ja: ANY kana presence beats the han
+    ratio), hangul (→ ko), English marker words (→ en via the marker
+    path), digits (→ und) — DuckDB recomputes the expected prediction
+    per row from the same ``doc_id % 5`` arithmetic.  CJK text has no
+    whitespace tokens, so before the r9 script-ratio branches every
+    CJK row came back 'und' — this query pins the fix.  All codegen
+    regexp length arithmetic, one aggregate."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    text = (
+        F.when(i % 5 == 0, F.lit("今天天气很好。我们去公园散步吧。"))
+        .when(i % 5 == 1, F.lit("今日はいい天気ですね。公園に行こう。"))
+        .when(i % 5 == 2, F.lit("오늘 날씨가 좋네요. 공원에 갑시다."))
+        .when(i % 5 == 3, F.lit("the cat and the dog went to the park"))
+        .otherwise(F.lit("12345 67890 !!!"))
+    )
+    from text_extensions_for_pandas_spark.functions.text import lang_id
+
+    out = (
+        docs.select("doc_id", lang_id(text).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    return out.orderBy("pred_lang")
+
+
+Q_LANG_ID_SCRIPT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'zh'
+           WHEN 1 THEN 'ja'
+           WHEN 2 THEN 'ko'
+           WHEN 3 THEN 'en'
+           ELSE 'und'
+         END AS pred_lang
+  FROM documents
+)
+SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM d GROUP BY pred_lang ORDER BY pred_lang
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fps = (
@@ -7646,13 +7692,22 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
     "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
     # ------------------- gate boundary (position 50) -------------------
-    # -- [51-55] the five r06-verified entries the six r9 additions/
-    # -- re-gates displaced: lang_id, q3_shipping_priority,
-    # -- q5_region_revenue, q_top_customers, q8_market_share.  These
-    # -- go THREE rounds stale -- displaced EXPLICITLY, not silently:
-    # -- all five re-verified locally by scripts/check_oracle.py at
-    # -- sf0.001 AND sf0.01 this round (recorded in BASELINE.md), and
-    # -- they rotate into the r10 gate FIRST, before the 48
+    # -- [51] lang_id_script: NEW late-r9 (the CJK script-ratio branches
+    # -- added to lang_id — kana→ja, hangul→ko, han→zh — over planted
+    # -- per-class texts).  Added AFTER the r9 gate composition above
+    # -- was fixed, so it sits below the boundary rather than silently
+    # -- displacing a sixth r06 entry; verified locally at sf0.001 AND
+    # -- sf0.01 this round, rotates into the r10 gate FIRST.
+    "lang_id_script": (q_lang_id_script, Q_LANG_ID_SCRIPT_SQL),
+    # -- [52-56] the five r06-verified entries the six r9 additions/
+    # -- re-gates displaced: lang_id (whose plan ALSO changed late-r9 —
+    # -- the script pre-check branches — locally re-verified after the
+    # -- change), q3_shipping_priority, q5_region_revenue,
+    # -- q_top_customers, q8_market_share.  These go THREE rounds
+    # -- driver-stale -- displaced EXPLICITLY, not silently: all five
+    # -- re-verified locally by scripts/check_oracle.py at sf0.001 AND
+    # -- sf0.01 this round (recorded in BASELINE.md), and they rotate
+    # -- into the r10 gate right after lang_id_script, before the 48
     # -- r07-verified entries, then the 47 r08-verified entries.
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
