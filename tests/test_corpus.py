@@ -451,3 +451,51 @@ def test_wat_link_graph_agrees_with_html_link_graph(spark, tmp_path):
     html_idx = anchor_text_index(html_df, k=3)
     wi, hi = norm(wat_idx.collect()), norm(html_idx.collect())
     assert wi == hi and len(wi) > 0
+
+
+def test_read_wat_links_never_fails_on_hostile_shards(spark, tmp_path):
+    """Hazard sweep: truncated JSON, wrong envelope shapes, non-dict
+    link entries, numeric urls, binary garbage payloads — every record
+    is skipped, never fatal, and the good record always survives."""
+    import gzip
+    import json
+
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        make_warc_record,
+        make_wat_record,
+        read_wat_links,
+    )
+
+    def meta(payload):
+        return make_warc_record(
+            payload, url="http://h.example/", warc_type="metadata",
+            content_type="application/json",
+        )
+
+    hazards = [
+        meta('{"Envelope": {"Payload-Metadata": {"HTTP-Response-Met'),
+        meta('{"Envelope": null}'),
+        meta('{"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata":'
+             ' {"HTML-Metadata": {"Links": "not-a-list"}}}}}'),
+        meta(json.dumps({"Envelope": {"Payload-Metadata": {
+            "HTTP-Response-Metadata": {"HTML-Metadata": {"Links": [
+                "bare-string",
+                {"path": "A@/href", "url": 12345},
+                {"path": "A@/href"},
+                {"path": "A@/href", "url": "javascript:x", "text": "t"},
+                None,
+            ]}}}}})),
+        meta(b"\x00\xff\xfe binary junk"),
+        make_warc_record("plain", url="http://x.example/",
+                         warc_type="conversion"),
+    ]
+    good = make_wat_record(
+        "http://ok.example/p", [("http://t.example/q", "fine")]
+    )
+    blob = b"".join(hazards[:3]) + good + b"".join(hazards[3:])
+    (tmp_path / "hz.warc.wat.gz").write_bytes(gzip.compress(blob))
+
+    rows = read_wat_links(spark, str(tmp_path)).collect()
+    assert [(r.url, r.link_url, r.anchor) for r in rows] == [
+        ("http://ok.example/p", "http://t.example/q", "fine")
+    ]

@@ -1459,3 +1459,72 @@ def test_streaming_link_graph_converges_to_batch(spark, tmp_path):
         ("a.example", "b.example", 3),
         ("b.example", "a.example", 1),
     ]
+
+
+def test_streaming_wat_link_graph_converges_to_batch(spark, tmp_path):
+    """read_wat_stream + streaming_link_graph_from_edges over two
+    arrival waves must equal the batch WAT path over the union — the
+    continuous link graph with no HTML parse anywhere."""
+    import gzip
+
+    from text_extensions_for_pandas_spark.operators.html import (
+        link_graph_from_edges,
+    )
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        make_wat_record,
+        read_wat_links,
+    )
+    from text_extensions_for_pandas_spark.streaming.ops import (
+        read_wat_stream,
+        streaming_link_graph_from_edges,
+    )
+
+    src = str(tmp_path / "wat_src")
+    import os
+
+    os.makedirs(src)
+
+    def shard(name, pages):
+        blob = b"".join(make_wat_record(u, ls) for u, ls in pages)
+        with open(os.path.join(src, name), "wb") as fh:
+            fh.write(gzip.compress(blob))
+
+    shard("w1.warc.wat.gz", [
+        ("http://a.example/1", [("http://b.example/x", "b")]),
+        ("http://a.example/2",
+         [("http://b.example/y", "b"), ("/self", "s")]),
+    ])
+
+    def run_pass():
+        q = (
+            streaming_link_graph_from_edges(read_wat_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName("wat_lg_totals")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_pass()
+    got1 = sorted(
+        map(tuple, spark.sql("SELECT * FROM wat_lg_totals").collect())
+    )
+    assert got1 == [("a.example", "b.example", 2)]
+
+    shard("w2.warc.wat.gz", [
+        ("http://b.example/1", [("http://a.example/z", "a")]),
+        ("http://a.example/3", [("http://b.example/w", "b")]),
+    ])
+    run_pass()
+    got2 = sorted(
+        map(tuple, spark.sql("SELECT * FROM wat_lg_totals").collect())
+    )
+    batch = sorted(
+        map(tuple, link_graph_from_edges(read_wat_links(spark, src)).collect())
+    )
+    assert got2 == batch == [
+        ("a.example", "b.example", 3),
+        ("b.example", "a.example", 1),
+    ]

@@ -117,6 +117,37 @@ def read_wet_stream(
     return _wet_documents(raw)
 
 
+def read_wat_stream(
+    spark: SparkSession,
+    path: str,
+    link_paths: tuple[str, ...] = ("A@/href",),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-arrival streaming twin of
+    :func:`..sources.corpus.read_wat_links`: WAT shards landing in
+    ``path`` become micro-batches of per-link rows ``(url, link_url,
+    anchor, source, warc_date, record_id)``.
+
+    Same construction as :func:`read_wet_stream` — the IDENTICAL parse
+    island as the batch reader (``corpus._wat_parse_island``), so
+    batch/stream link sets agree by construction.  Compose with
+    :func:`streaming_link_graph` for incrementally-maintained host-edge
+    counts without ever parsing HTML, the continuous version of the
+    WAT → ``link_graph_from_edges`` batch path."""
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        WAT_LINKS_SCHEMA,
+        _wat_parse_island,
+    )
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_wat_parse_island(link_paths), WAT_LINKS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Stateless: the batch extract operators run unchanged on streams
 # ---------------------------------------------------------------------------
@@ -166,6 +197,30 @@ def streaming_link_graph(
 
     return link_graph(
         pages, url_col=url_col, html_col=html_col, drop_self=drop_self
+    )
+
+
+def streaming_link_graph_from_edges(
+    links: DataFrame,
+    src_url_col: str = "url",
+    dst_url_col: str = "link_url",
+    drop_self: bool = True,
+) -> DataFrame:
+    """:func:`streaming_link_graph` for PER-LINK streams — the
+    :func:`read_wat_stream` companion: host-edge counts incrementally
+    maintained from WAT pre-extracted links, no HTML parse anywhere in
+    the continuous path.  Same stateless-projections + count-aggregate
+    shape (bounded host-pair state, no watermark needed); converges to
+    exactly the batch
+    :func:`~..operators.html.link_graph_from_edges` answer over the
+    same shards."""
+    from text_extensions_for_pandas_spark.operators.html import (
+        link_graph_from_edges,
+    )
+
+    return link_graph_from_edges(
+        links, src_url_col=src_url_col, dst_url_col=dst_url_col,
+        drop_self=drop_self,
     )
 
 
