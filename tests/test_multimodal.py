@@ -335,3 +335,59 @@ def test_embed_images_feeds_semantic_dedup(spark):
         assert out[i].component == (i // 2) * 2
         assert out[i].cluster_size == 2
         assert out[i].keep == (i % 2 == 0)
+
+
+def test_embed_images_feeds_ivf_ann_search(spark):
+    """Images flow through the full ANN search tier: decode ->
+    embed_images -> ivf_assign -> ivf_topk retrieves each image's
+    near-duplicate twin as its nearest non-self neighbor."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.operators import multimodal as MM
+    from text_extensions_for_pandas_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+    )
+
+    header = b"P6\n16 16\n255\n"
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                key, v = i // 2, i % 2  # pairs: 2k and 2k+1 are twins
+                p = np.arange(256, dtype=np.int64)
+                base = (key * 2654435761 + p * 40503 + key * p * 97) % 248
+                px = np.repeat((base + v).astype(np.uint8), 3).tobytes()
+                rows.append(
+                    (i, "image", header + px,
+                     (16, 16, 3, None, None, "image/x-portable-pixmap"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "content", "meta"]
+            )
+
+    assets = spark.range(12).mapInPandas(_gen, schema=MM.ASSETS_DDL)
+    embs = MM.embed_images(MM.decode_images(assets)).withColumnRenamed(
+        "asset_id", "vec_id"
+    )
+    cents = embs.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ivf_assign(embs, cents)
+    # sanity: each twin pair shares its even member's cluster
+    assign_map = dict(
+        (r.vec_id, r.cluster_id)
+        for r in assigned.select("vec_id", "cluster_id").collect()
+    )
+    assert all(assign_map[i] == (i // 2) * 2 for i in range(12))
+    hits = ivf_topk(assigned, cents, queries=embs, k=2, nprobe=2)
+    # ivf_topk excludes self: rank 1 is each image's nearest neighbor,
+    # which must be its twin (cosine ~1 vs ~0.27 cross-pair)
+    best = {r.query_id: r.neighbor_id for r in hits.collect() if r.rank == 1}
+    for i in range(12):
+        twin = i + 1 if i % 2 == 0 else i - 1
+        assert best[i] == twin, (i, best.get(i))

@@ -246,3 +246,58 @@ def test_chunk_by_sentences_token_budget(spark):
     ]
     with __import__("pytest").raises(ValueError):
         chunk_by_sentences(docs, max_tokens=0)
+
+
+def test_cjk_token_pattern_counts_chars_not_sentences(spark):
+    """CJK_TOKEN_PATTERN counts each Han/kana/Hangul char as one token
+    (~1-token-per-char BPE approximation) on both the JVM path
+    (token_count) and the Python path (chunk_by_sentences' budget);
+    the Latin default is unchanged on Latin text."""
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.functions.text import (
+        CJK_TOKEN_PATTERN,
+        chunk_by_sentences,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "今天天气很好。hello world!"), (1, "plain latin text.")],
+        "id long, text string",
+    )
+    got = {
+        r.id: (r.cjk, r.default)
+        for r in df.select(
+            "id",
+            token_count("text", CJK_TOKEN_PATTERN).alias("cjk"),
+            token_count("text").alias("default"),
+        ).collect()
+    }
+    # 6 han chars + 。 + hello + world + ! = 10.  The JVM default ALSO
+    # lands on 10 — but incidentally: Java's \w is ASCII-only, so han
+    # chars fall into [^\w\s] one at a time.  Python's \w is Unicode,
+    # so the same default pattern under `re` lumps the han run into ONE
+    # token — the engine divergence CJK_TOKEN_PATTERN eliminates.
+    assert got[0] == (10, 10)
+    assert got[1] == (4, 4)  # Latin unchanged under either pattern
+    import re
+
+    t0 = "今天天气很好。hello world!"
+    assert len(re.findall(r"\w+|[^\w\s]", t0)) == 5       # Python default
+    assert len(re.findall(CJK_TOKEN_PATTERN, t0)) == 10   # explicit, both
+
+    # the token budget actually bites under the CJK pattern: every CJK
+    # sentence is 8 tokens (7 chars + 。), so max_tokens=10 packs one
+    # sentence per chunk where the default pattern (2 tokens/sentence)
+    # would pack all three
+    cjk_doc = spark.createDataFrame(
+        [(0, "一二三四五六七。八九十一二三四。五六七八九十一。")],
+        "doc_id long, text string",
+    )
+    chunks = chunk_by_sentences(
+        cjk_doc, max_chars=1000, max_tokens=10,
+        token_pattern=CJK_TOKEN_PATTERN,
+    ).collect()
+    assert [c.n_sentences for c in chunks] == [1, 1, 1]
+    loose = chunk_by_sentences(cjk_doc, max_chars=1000, max_tokens=10).collect()
+    assert [c.n_sentences for c in loose] == [3]

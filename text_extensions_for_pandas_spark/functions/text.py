@@ -32,6 +32,21 @@ from text_extensions_for_pandas_spark.functions.spans import make_span
 # ``io/spacy.py:48-72``).
 DEFAULT_TOKEN_PATTERN = r"\w+|[^\w\s]"
 
+# CJK-aware variant: each Han/kana/Hangul character is its own token
+# (the standard ~1-token-per-character BPE approximation).  The default
+# pattern's CJK behavior is ENGINE-DEPENDENT: Java's ``\w`` is
+# ASCII-only, so JVM consumers (``token_count``) incidentally count CJK
+# per char already, while Python's ``\w`` is Unicode, so ``re``-based
+# consumers (``tokenize_regex``, ``chunk_by_sentences`` token budgets)
+# swallow a whole CJK sentence as ONE token and blow the budget.  This
+# pattern makes per-char counting explicit and identical on BOTH
+# engines.  Opt-in: the default stays as-is so existing gated counts
+# are unchanged.
+CJK_TOKEN_PATTERN = (
+    "[\\u3400-\\u4dbf\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]"
+    r"|\w+|[^\w\s]"
+)
+
 # Tiny per-language marker-word profiles for the n-gram/stopword language-ID
 # heuristic.  Real deployments would swap in fastText/CLD3 via a pandas UDF;
 # the heuristic keeps the hot path JVM-side.
