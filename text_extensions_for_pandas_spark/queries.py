@@ -6701,6 +6701,89 @@ FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
 """
 
 
+def q_wat_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.html.anchor_text_index_from_edges` over
+    :func:`~.sources.corpus.read_wat_links` — the anchor-text index with
+    NO HTML parse, under the value-hash oracle.  Same 60-record WAT
+    shard shape as ``wat_link_graph`` (two cross-host anchors per page;
+    the intra-host ``/self`` link must be dropped by the index, the
+    fragment/javascript hrefs by the reader): the ``/x/{i}`` targets
+    each collect one unique ``next {i}`` anchor and the 15 ``/y/{m}``
+    targets each collect four identical ``skip {m}`` anchors — DuckDB
+    recomputes the per-target top-2 (count DESC, anchor ASC) with a
+    window recount from the same ``range()`` arithmetic."""
+    import gzip
+    import os
+
+    from text_extensions_for_pandas_spark.operators.html import (
+        anchor_text_index_from_edges,
+    )
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        make_wat_record,
+        read_wat_links,
+    )
+
+    def rec(i: int) -> bytes:
+        return make_wat_record(
+            f"http://h{i % 5}.example/p/{i}",
+            [
+                (f"http://h{(i + 1) % 5}.example/x/{i}", f"next {i}"),
+                (f"/self/{i}", "nav"),
+                (f"http://h{(i + 2) % 5}.example/y/{i % 3}", f"skip {i % 3}"),
+                ("#top", "to top"),
+                ("javascript:void(0)", "js"),
+            ],
+        )
+
+    shard = b"".join(rec(i) for i in range(60))
+    path = _session_tmp("wat_anchor_fixture")
+    with open(os.path.join(path, "s0.warc.wat.gz"), "wb") as fh:
+        fh.write(gzip.compress(shard))
+    links = read_wat_links(spark, path)
+    idx = anchor_text_index_from_edges(links, k=2)
+    out = idx.select(
+        "url",
+        F.posexplode("anchors").alias("__pos", "__a"),
+        "n_incoming",
+    ).select(
+        "url",
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+        F.col("__a.anchor").alias("anchor"),
+        F.col("__a.n").alias("n"),
+        "n_incoming",
+    )
+    return out.orderBy("url", "rank")
+
+
+Q_WAT_ANCHOR_TEXT_SQL = """
+WITH hits AS (
+  SELECT concat('http://h', CAST((i + 1) % 5 AS VARCHAR), '.example/x/',
+                CAST(i AS VARCHAR)) AS url,
+         concat('next ', CAST(i AS VARCHAR)) AS anchor
+  FROM range(60) t(i)
+  UNION ALL
+  SELECT concat('http://h', CAST((i + 2) % 5 AS VARCHAR), '.example/y/',
+                CAST(i % 3 AS VARCHAR)),
+         concat('skip ', CAST(i % 3 AS VARCHAR))
+  FROM range(60) t(i)
+),
+counted AS (
+  SELECT url, anchor, CAST(count(*) AS BIGINT) AS n
+  FROM hits GROUP BY url, anchor
+),
+ranked AS (
+  SELECT url, anchor, n,
+         row_number() OVER (
+           PARTITION BY url ORDER BY n DESC, anchor ASC
+         ) AS rk,
+         CAST(sum(n) OVER (PARTITION BY url) AS BIGINT) AS n_incoming
+  FROM counted
+)
+SELECT url, CAST(rk AS INTEGER) AS rank, anchor, n, n_incoming
+FROM ranked WHERE rk <= 2 ORDER BY url, rank
+"""
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.operators.html.html_to_text` under the value-hash oracle:
     HTML pages synthesized per doc_id exercising every extraction rule —
@@ -7699,7 +7782,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- displacing a sixth r06 entry; verified locally at sf0.001 AND
     # -- sf0.01 this round, rotates into the r10 gate FIRST.
     "lang_id_script": (q_lang_id_script, Q_LANG_ID_SCRIPT_SQL),
-    # -- [52-56] the five r06-verified entries the six r9 additions/
+    # -- [52] wat_anchor_text: NEW late-r9 (anchor-text index from WAT
+    # -- pre-extracted links, no HTML parse — the
+    # -- anchor_text_index_from_edges shared-tail refactor's gate twin).
+    # -- Same below-boundary placement and r10-first promise.
+    "wat_anchor_text": (q_wat_anchor_text, Q_WAT_ANCHOR_TEXT_SQL),
+    # -- [53-57] the five r06-verified entries the six r9 additions/
     # -- re-gates displaced: lang_id (whose plan ALSO changed late-r9 —
     # -- the script pre-check branches — locally re-verified after the
     # -- change), q3_shipping_priority, q5_region_revenue,
@@ -7707,7 +7795,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- driver-stale -- displaced EXPLICITLY, not silently: all five
     # -- re-verified locally by scripts/check_oracle.py at sf0.001 AND
     # -- sf0.01 this round (recorded in BASELINE.md), and they rotate
-    # -- into the r10 gate right after lang_id_script, before the 48
+    # -- into the r10 gate right after the two late-r9 entries, before
+    # -- the 48
     # -- r07-verified entries, then the 47 r08-verified entries.
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
