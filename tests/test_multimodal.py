@@ -391,3 +391,51 @@ def test_embed_images_feeds_ivf_ann_search(spark):
     for i in range(12):
         twin = i + 1 if i % 2 == 0 else i - 1
         assert best[i] == twin, (i, best.get(i))
+
+
+def test_fused_embed_matches_two_stage_path(spark):
+    """embed_image_assets (fused decode+embed, no pixel buffers in the
+    plan) is bit-identical to decode_images -> embed_images."""
+    import numpy as np
+    import pandas as pd
+
+    from text_extensions_for_pandas_spark.operators import multimodal as MM
+
+    header = b"P6\n16 16\n255\n"
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                p = np.arange(256, dtype=np.int64)
+                base = (i * 2654435761 + p * 40503 + i * p * 97) % 248
+                px = np.repeat(base.astype(np.uint8), 3).tobytes()
+                rows.append(
+                    (i, "image", header + px,
+                     (16, 16, 3, None, None, "image/x-portable-pixmap"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "content", "meta"]
+            )
+
+    assets = spark.range(10).mapInPandas(_gen, schema=MM.ASSETS_DDL)
+    fused = {
+        r.asset_id: r.embedding
+        for r in MM.embed_image_assets(assets).collect()
+    }
+    staged = {
+        r.asset_id: r.embedding
+        for r in MM.embed_images(MM.decode_images(assets)).collect()
+    }
+    assert fused == staged and len(fused) == 10
+    # non-image assets are excluded, like decode_images
+    mixed = assets.unionByName(
+        spark.createDataFrame(
+            [(999, "audio", b"\x00\x01", (None,) * 5 + ("pcm",))],
+            MM.ASSETS_DDL,
+        )
+    )
+    assert 999 not in {
+        r.asset_id for r in MM.embed_image_assets(mixed).collect()
+    }

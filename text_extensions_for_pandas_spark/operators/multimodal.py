@@ -513,3 +513,49 @@ def embed_images(
             yield pd.DataFrame(rows, columns=["asset_id", "embedding"])
 
     return decoded.mapInPandas(_embed, schema=IMAGE_EMBEDDING_DDL)
+
+
+def embed_image_assets(
+    assets: DataFrame,
+    dim: int = 64,
+    grid: int = 8,
+    model: str | None = None,
+) -> DataFrame:
+    """Fused decode + embed in ONE ``mapInPandas`` island:
+    ``assets`` (binary content + meta) → ``(asset_id, embedding)``
+    directly, never materializing decoded pixel buffers in the plan.
+
+    :func:`decode_images` → :func:`embed_images` is the right shape
+    when several consumers share the decode (features + phash +
+    embeddings off one decoded frame); when embeddings are the ONLY
+    consumer — the semantic-dedup ingest path — the two-stage plan
+    ships every decoded buffer (h·w·c bytes/row, 10-50× the compressed
+    input) through Arrow between the stages.  The fused island decodes
+    and immediately reduces each image to its ``dim``-float embedding,
+    so the stage's output is corpus × dim doubles and peak memory is
+    one Arrow batch of decoded frames.  Same encoder contract as
+    :func:`embed_images` (``model`` import-tried per executor,
+    deterministic fallback otherwise); results are bit-identical to the
+    two-stage path by construction (same decode, same encoder)."""
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        encoder = _load_image_encoder(model) if model else None
+        for pdf in batches:
+            rows = []
+            for aid, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
+                px = _decode_image_bytes(content, meta)
+                if encoder is not None:
+                    vec = np.asarray(encoder(px), dtype=np.float64)
+                    norm = np.linalg.norm(vec)
+                    if norm > 0:
+                        vec = vec / norm
+                else:
+                    vec = _fallback_embed_py(px, dim, grid)
+                rows.append((int(aid), vec.tolist()))
+            yield pd.DataFrame(rows, columns=["asset_id", "embedding"])
+
+    return assets.filter(F.col("kind") == "image").mapInPandas(
+        _embed, schema=IMAGE_EMBEDDING_DDL
+    )

@@ -3438,7 +3438,10 @@ def q_multimodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     assets = spark.range(60).mapInPandas(_gen, schema=MM.ASSETS_DDL)
-    embs = MM.embed_images(MM.decode_images(assets))
+    # the FUSED decode+embed island (no decoded pixel buffers in the
+    # plan — the 100 TB ingest shape); bit-identical to
+    # decode_images -> embed_images, which the pytest suite pins
+    embs = MM.embed_image_assets(assets)
     centroids = embs.filter(
         (F.col("asset_id") % 3 == 0) | (F.col("asset_id") >= 45)
     ).select(F.col("asset_id").alias("centroid_id"), "embedding")
