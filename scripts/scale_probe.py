@@ -583,6 +583,70 @@ def main() -> None:
                 )
             )
 
+    # Fused vs staged image embedding: decode_images -> embed_images
+    # materializes every decoded pixel buffer (h*w*c bytes/row) through
+    # Arrow between the stages; embed_image_assets decodes and reduces
+    # inside ONE island.  Both are timed over the same synthesized
+    # 64x64 PPM assets (12 KB decoded/row); results must agree.
+    if not only or "embed_images" in only:
+        import numpy as _np
+        import pandas as _pd
+
+        from text_extensions_for_pandas_spark.operators import (
+            multimodal as MM,
+        )
+
+        header = b"P6\n64 64\n255\n"
+
+        def _img_gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    p = _np.arange(64 * 64, dtype=_np.int64)
+                    base = (i * 2654435761 + p * 40503 + i * p * 97) % 248
+                    px = _np.repeat(base.astype(_np.uint8), 3).tobytes()
+                    rows.append(
+                        (i, "image", header + px,
+                         (64, 64, 3, None, None, "image/x-portable-pixmap"))
+                    )
+                yield _pd.DataFrame(
+                    rows, columns=["asset_id", "kind", "content", "meta"]
+                )
+
+        for n in SCALES:
+            n_img = 2_500 * n
+            assets = (
+                spark.range(n_img)
+                .repartition(32)
+                .mapInPandas(_img_gen, schema=MM.ASSETS_DDL)
+            )
+            t0 = time.time()
+            s_staged = (
+                MM.embed_images(MM.decode_images(assets))
+                .agg(F.sum(F.element_at("embedding", 1)))
+                .collect()[0][0]
+            )
+            dt_staged = time.time() - t0
+            t0 = time.time()
+            s_fused = (
+                MM.embed_image_assets(assets)
+                .agg(F.sum(F.element_at("embedding", 1)))
+                .collect()[0][0]
+            )
+            dt_fused = time.time() - t0
+            assert abs(s_staged - s_fused) < 1e-6, (s_staged, s_fused)
+            times.setdefault("embed_staged", []).append((n, dt_staged))
+            times.setdefault("embed_fused", []).append((n, dt_fused))
+            print(
+                json.dumps(
+                    {"op": "embed_images", "scale": n, "images": n_img,
+                     "staged_sec": round(dt_staged, 2),
+                     "fused_sec": round(dt_fused, 2),
+                     "speedup": round(dt_staged / dt_fused, 2)}
+                )
+            )
+
     # BPE merge-loop boundedness: ~1k merges must complete in bounded
     # wall-clock on the in-memory path (the distributed per-merge loop is
     # one Spark job per merge — the documented wall-clock killer at 32k+
