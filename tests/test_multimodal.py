@@ -439,3 +439,75 @@ def test_fused_embed_matches_two_stage_path(spark):
     assert 999 not in {
         r.asset_id for r in MM.embed_image_assets(mixed).collect()
     }
+
+
+def _encode_wav(samples, sr=8000):
+    """16-bit mono PCM WAV bytes from float samples in [-1, 1]."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_embed_audio_assets_near_dups_cluster(spark):
+    """Audio flows through the same semantic dedup tier: re-leveled
+    copies of the same clip (x0.9 amplitude) land at cosine ~1 and
+    cluster; different-frequency clips separate.  Real WAV decode, no
+    fake path."""
+    import numpy as np
+
+    from text_extensions_for_pandas_spark.operators import multimodal as MM
+    from text_extensions_for_pandas_spark.operators import similarity as SIM
+    from text_extensions_for_pandas_spark.operators.multimodal import (
+        _fallback_embed_audio_py,
+    )
+    from pyspark.sql import functions as F
+
+    t = np.arange(8000) / 8000.0
+    rows = []
+    for i in range(8):
+        key, v = i // 2, i % 2
+        # distinct tone mixes per pair; variant = slight re-level
+        wave_f = (
+            np.sin(2 * np.pi * (220 + 110 * key) * t)
+            + 0.5 * np.sin(2 * np.pi * (500 + 70 * key) * t)
+        ) * (1.0 - 0.1 * v)
+        rows.append(
+            (i, "audio", _encode_wav(wave_f),
+             (None, None, None, 8000, None, "audio/wav"))
+        )
+    assets = spark.createDataFrame(rows, MM.ASSETS_DDL)
+    embs = MM.embed_audio_assets(assets)
+    got = {r.asset_id: np.array(r.embedding) for r in embs.collect()}
+    assert len(got) == 8 and all(len(v) == 64 for v in got.values())
+    for i in range(0, 8, 2):
+        assert float(got[i] @ got[i + 1]) > 0.9, i
+    assert float(got[0] @ got[2]) < 0.8
+    # driver-side reference agrees with the island
+    samples, _ = MM._decode_audio_bytes(rows[0][2], None)
+    ref = _fallback_embed_audio_py(samples, 64, 32)
+    assert np.allclose(ref, got[0])
+
+    # full tier: semantic_dedup groups the pairs
+    vecs = embs.withColumnRenamed("asset_id", "vec_id")
+    cents = vecs.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = {
+        r.vec_id: r
+        for r in SIM.semantic_dedup(
+            vecs, cents, threshold=0.85, id_col="vec_id"
+        ).collect()
+    }
+    for i in range(8):
+        assert out[i].component == (i // 2) * 2
+        assert out[i].keep == (i % 2 == 0)

@@ -559,3 +559,112 @@ def embed_image_assets(
     return assets.filter(F.col("kind") == "image").mapInPandas(
         _embed, schema=IMAGE_EMBEDDING_DDL
     )
+
+
+def _fallback_embed_audio_py(
+    samples: "np.ndarray", dim: int, frames: int
+) -> "np.ndarray":
+    """Deterministic stand-in audio encoder (the island maps this):
+    frame the waveform into ``frames`` equal windows, per-window RMS +
+    zero-crossing rate (2·frames features), mean-center each feature
+    family, project with the same fixed seeded Gaussian family as the
+    image fallback, L2-normalize.  Smooth: small amplitude/sample
+    perturbations move the embedding slightly, so near-duplicate clips
+    land at cosine ≈ 1 while different signals separate.  NOT a
+    semantic encoder — swap in a real model via
+    :func:`embed_audio_assets`' ``model`` hook."""
+    key = ("audio", frames, dim)
+    proj = _EMBED_PROJ_CACHE.get(key)
+    if proj is None:
+        proj = np.random.default_rng(0xA0D10).standard_normal(
+            (2 * frames, dim)
+        )
+        _EMBED_PROJ_CACHE[key] = proj
+    x = samples.astype(np.float64)
+    n = len(x)
+    if n < frames:
+        x = np.pad(x, (0, frames - n))
+        n = frames
+    edges = np.linspace(0, n, frames + 1).astype(int)
+    rms = np.empty(frames)
+    zcr = np.empty(frames)
+    for f in range(frames):
+        w = x[edges[f]:max(edges[f + 1], edges[f] + 1)]
+        rms[f] = np.sqrt((w * w).mean())
+        zcr[f] = np.mean(np.signbit(w[1:]) != np.signbit(w[:-1])) if len(w) > 1 else 0.0
+    feats = np.concatenate([rms - rms.mean(), zcr - zcr.mean()])
+    emb = feats @ proj
+    norm = np.linalg.norm(emb)
+    if norm > 0:
+        emb = emb / norm
+    else:
+        emb = np.zeros(dim)
+        emb[0] = 1.0
+    return emb
+
+
+def _load_audio_encoder(model: str):
+    """Import-try a real audio encoder (same pattern as
+    :func:`_load_image_encoder`); returns ``samples -> 1-D vector`` or
+    None when the stack isn't importable."""
+    try:  # pragma: no cover - the audio stack isn't in this container
+        import torch  # noqa: F401
+        from transformers import AutoFeatureExtractor, AutoModel
+
+        proc = AutoFeatureExtractor.from_pretrained(model)
+        enc = AutoModel.from_pretrained(model)
+        enc.eval()
+
+        def encode(samples, sr):
+            with torch.no_grad():
+                inputs = proc(
+                    samples, sampling_rate=sr, return_tensors="pt"
+                )
+                out = enc(**inputs)
+                return (
+                    out.last_hidden_state.mean(dim=1)[0]
+                    .numpy()
+                    .astype(np.float64)
+                )
+
+        return encode
+    except Exception:
+        return None
+
+
+def embed_audio_assets(
+    assets: DataFrame,
+    dim: int = 64,
+    frames: int = 32,
+    model: str | None = None,
+) -> DataFrame:
+    """Audio assets → ``(asset_id, embedding array<double>)`` — the
+    audio twin of :func:`embed_image_assets`, feeding the same ANN /
+    SemDeDup tiers so near-duplicate CLIPS (re-encodes, level changes)
+    dedup semantically like text and images.  Fused decode + embed in
+    one ``mapInPandas`` island (waveforms, like pixels, are much larger
+    than their embeddings); ``model`` names a HuggingFace audio encoder
+    import-tried per executor, with the deterministic windowed
+    RMS/zero-crossing fallback otherwise.  L2-normalized either way."""
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        encoder = _load_audio_encoder(model) if model else None
+        for pdf in batches:
+            rows = []
+            for aid, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
+                samples, sr = _decode_audio_bytes(content, meta)
+                if encoder is not None:
+                    vec = np.asarray(encoder(samples, sr), dtype=np.float64)
+                    norm = np.linalg.norm(vec)
+                    if norm > 0:
+                        vec = vec / norm
+                else:
+                    vec = _fallback_embed_audio_py(samples, dim, frames)
+                rows.append((int(aid), vec.tolist()))
+            yield pd.DataFrame(rows, columns=["asset_id", "embedding"])
+
+    return assets.filter(F.col("kind") == "audio").mapInPandas(
+        _embed, schema=IMAGE_EMBEDDING_DDL
+    )
