@@ -457,6 +457,17 @@ def test_fix_text_never_raises_never_lengthens_idempotent(s):
     assert _fix_text_py(out, None) == out
 
 
+def test_fix_text_c1_blocker_still_repairs():
+    """Hypothesis-found regression: a stray C1 char makes the strict
+    UTF-8 re-decode fail, so repair stalled, the control-strip removed
+    the blocker, and the mojibake survived one call (breaking
+    idempotence).  The fixpoint loop must strip, then RETRY repair."""
+    from text_extensions_for_pandas_spark.functions.text import _fix_text_py
+
+    assert _fix_text_py("Ã§\x9c", None) == "ç"
+    assert _fix_text_py("caf\x9dÃ© menu", None) == "café menu"
+
+
 @settings(max_examples=300, deadline=None)
 @given(
     st.text(

@@ -595,25 +595,33 @@ def _fix_text_py(s: str, form: str | None) -> str:
     "sloppy cp1252") and strictly re-decode as UTF-8; accept only if the
     strict decode succeeds AND the text got shorter (a real repair
     always folds a multi-char digraph into one char, so acceptance is
-    loss-free and the pass loop terminates).  Double-encoded text folds
-    across passes (capped at 3)."""
+    loss-free).  Repair and control-strip alternate to a FIXPOINT: a
+    stray C1 char can block the strict re-decode of otherwise-repairable
+    mojibake (``'Ã§\\x9c'``), so after repair stalls we strip controls
+    and retry — otherwise the function isn't idempotent (stripping the
+    blocker leaves mojibake the NEXT call would fix).  Every productive
+    iteration strictly shortens the string, so the loop terminates in at
+    most ``len(s)`` rounds (in practice ≤ mojibake depth + 2)."""
     import re
     import unicodedata
 
     moji = _FIX_MOJIBAKE_RE or re.compile(_FIX_DETECT_PATTERN)
-    for _ in range(3):
-        if not moji.search(s):
+    ctrl = _FIX_CONTROL_RE or re.compile(_FIX_CONTROL_PATTERN)
+    for _ in range(len(s) + 1):
+        prev = s
+        if moji.search(s):
+            try:
+                cand = s.encode("cp1252", errors="tep_c1_fallback").decode(
+                    "utf-8"
+                )
+                if len(cand) < len(s):
+                    s = cand
+                    continue  # deeper encoding layers may remain
+            except (UnicodeEncodeError, UnicodeDecodeError, LookupError):
+                pass  # repair stalled: strip may unblock it
+        s = ctrl.sub("", s)
+        if s == prev:
             break
-        try:
-            cand = s.encode("cp1252", errors="tep_c1_fallback").decode(
-                "utf-8"
-            )
-        except (UnicodeEncodeError, UnicodeDecodeError, LookupError):
-            break
-        if len(cand) >= len(s):
-            break
-        s = cand
-    s = (_FIX_CONTROL_RE or re.compile(_FIX_CONTROL_PATTERN)).sub("", s)
     if form:
         s = unicodedata.normalize(form, s)
     return s
