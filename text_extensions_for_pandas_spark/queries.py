@@ -6787,6 +6787,171 @@ FROM ranked WHERE rk <= 2 ORDER BY url, rank
 """
 
 
+def q_cdx_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.sources.cdx.read_cdx_index` →
+    :func:`~.sources.cdx.select_captures` under the value-hash oracle —
+    the select-BEFORE-scan front: 120 CDXJ lines (3 captures each of 40
+    URLs across 3 crawl days) plus two malformed lines the reader must
+    drop.  The selection exercises every stage: status-404 (``i%7==0``)
+    and non-HTML-mime (``i%11==0``) captures filtered at the index,
+    ``max_by`` latest-capture per SURT, and ``min_by`` digest keep-first
+    collapsing the mirror pairs (URLs ``k`` and ``k+20`` share digest
+    ``d(k%20)``).  DuckDB recomputes the whole pipeline from ``range()``
+    with two window ranks.  The Spark parse is pure JVM (``split`` +
+    ``from_json`` — no Python island; ``test_cdx.py`` plan-asserts it)."""
+    import gzip
+    import os
+
+    from text_extensions_for_pandas_spark.sources.cdx import (
+        make_cdx_line,
+        read_cdx_index,
+        select_captures,
+    )
+
+    lines = [
+        make_cdx_line(
+            f"http://h{i % 8}.example/p/{i % 40}",
+            f"2024010{1 + i // 40}000000",
+            status=404 if i % 7 == 0 else 200,
+            mime="application/pdf" if i % 11 == 0 else "text/html",
+            digest=f"d{i % 20:02d}",
+            filename=f"w{i % 4}.warc.gz",
+            offset=i * 1000,
+            length=500 + i,
+        )
+        for i in range(120)
+    ]
+    lines.insert(40, "garbage line without json")
+    lines.insert(90, 'com,example)/bad 2024 {"url": "http://example.com/b"}')
+    path = _session_tmp("cdx_fixture")
+    with open(os.path.join(path, "cdx-0.gz"), "wb") as fh:
+        fh.write(gzip.compress(("\n".join(lines) + "\n").encode()))
+    sel = select_captures(read_cdx_index(spark, path))
+    return sel.select(
+        "surt", "url", "capture_ts", "digest", "filename", "offset",
+        "length",
+    ).orderBy("surt")
+
+
+Q_CDX_SELECT_SQL = """
+WITH caps AS (
+  SELECT concat('example,h', CAST(i % 8 AS VARCHAR), ')/p/',
+                CAST(i % 40 AS VARCHAR)) AS surt,
+         concat('http://h', CAST(i % 8 AS VARCHAR), '.example/p/',
+                CAST(i % 40 AS VARCHAR)) AS url,
+         concat('2024010', CAST(1 + i // 40 AS VARCHAR), '000000')
+           AS capture_ts,
+         concat('d', lpad(CAST(i % 20 AS VARCHAR), 2, '0')) AS digest,
+         concat('w', CAST(i % 4 AS VARCHAR), '.warc.gz') AS filename,
+         CAST(i * 1000 AS BIGINT) AS "offset",
+         CAST(500 + i AS BIGINT) AS "length"
+  FROM range(120) t(i)
+  WHERE i % 7 <> 0 AND i % 11 <> 0
+),
+latest AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY surt
+           ORDER BY capture_ts DESC, digest DESC, "offset" DESC
+         ) AS rk
+  FROM caps
+),
+uniq AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY digest ORDER BY surt, capture_ts, "offset"
+         ) AS rk2
+  FROM latest WHERE rk = 1
+)
+SELECT surt, url, capture_ts, digest, filename, "offset", "length"
+FROM uniq WHERE rk2 = 1 ORDER BY surt
+"""
+
+
+def q_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full select-before-scan path end-to-end under the value-hash
+    oracle: two WARC files of 30 per-record gzip members each, a CDX
+    index whose lines carry the REAL member offsets/lengths (odd records
+    planted with status 503), then ``select_captures`` (keeps the 30
+    even records) → ``fetch_plan(max_records_per_task=4)`` (chunked
+    ranged-fetch tasks) → :func:`~.sources.cdx.fetch_warc_ranges`, which
+    seeks exactly those byte ranges, gunzips each member, and parses
+    through the SAME island as full-shard ingest.  DuckDB recomputes the
+    expected documents from ``range()`` — any off-by-one in an offset or
+    length corrupts a gzip member and fails the hash."""
+    import gzip
+    import os
+
+    from text_extensions_for_pandas_spark.sources.cdx import (
+        fetch_plan,
+        fetch_warc_ranges,
+        make_cdx_line,
+        read_cdx_index,
+        select_captures,
+    )
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        make_warc_record,
+    )
+
+    path = _session_tmp("cdx_fetch_fixture")
+    cdx_lines = []
+    for fi in range(2):
+        fname = f"w{fi}.warc.gz"
+        offset = 0
+        blobs = []
+        for k in range(fi * 30, fi * 30 + 30):
+            member = gzip.compress(
+                make_warc_record(
+                    f"cdx page {k} body {k * k % 17}",
+                    url=f"http://h{k % 5}.example/d/{k}",
+                    warc_type="response",
+                    warc_date=f"2024-06-01T00:00:{k % 60:02d}Z",
+                    http_status=200,
+                )
+            )
+            blobs.append(member)
+            cdx_lines.append(
+                make_cdx_line(
+                    f"http://h{k % 5}.example/d/{k}",
+                    f"20240601{k:06d}",
+                    status=200 if k % 2 == 0 else 503,
+                    digest=f"dg{k}",
+                    filename=fname,
+                    offset=offset,
+                    length=len(member),
+                )
+            )
+            offset += len(member)
+        with open(os.path.join(path, fname), "wb") as fh:
+            fh.write(b"".join(blobs))
+    with open(os.path.join(path, "cdx-0"), "w") as fh:
+        fh.write("\n".join(cdx_lines) + "\n")
+    sel = select_captures(
+        read_cdx_index(spark, os.path.join(path, "cdx-0")), mimes=None
+    )
+    docs = fetch_warc_ranges(
+        spark,
+        fetch_plan(sel, max_records_per_task=4),
+        base_dir=path,
+        record_types=("response",),
+    )
+    return docs.select("text", "n_chars", "url", "warc_date").orderBy("text")
+
+
+Q_CDX_FETCH_SQL = """
+WITH recs AS (
+  SELECT i,
+         concat('cdx page ', CAST(i AS VARCHAR), ' body ',
+                CAST(i * i % 17 AS VARCHAR)) AS text,
+         concat('http://h', CAST(i % 5 AS VARCHAR), '.example/d/',
+                CAST(i AS VARCHAR)) AS url,
+         concat('2024-06-01T00:00:', lpad(CAST(i % 60 AS VARCHAR), 2, '0'),
+                'Z') AS warc_date
+  FROM range(60) t(i) WHERE i % 2 = 0
+)
+SELECT text, CAST(length(text) AS BIGINT) AS n_chars, url, warc_date
+FROM recs ORDER BY text
+"""
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.operators.html.html_to_text` under the value-hash oracle:
     HTML pages synthesized per doc_id exercising every extraction rule —
@@ -7790,7 +7955,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- anchor_text_index_from_edges shared-tail refactor's gate twin).
     # -- Same below-boundary placement and r10-first promise.
     "wat_anchor_text": (q_wat_anchor_text, Q_WAT_ANCHOR_TEXT_SQL),
-    # -- [53-57] the five r06-verified entries the six r9 additions/
+    # -- [53-54] cdx_select / cdx_fetch: NEW late-r9 — the Common Crawl
+    # -- capture-index front (sources/cdx.py): select-before-scan over
+    # -- CDXJ lines (JVM-only parse, max_by/min_by latest+digest dedup)
+    # -- and the ranged-fetch path that reads ONLY the selected WARC
+    # -- byte ranges through the shared WET parse island.  Same
+    # -- below-boundary placement and r10-first promise as [51-52].
+    "cdx_select": (q_cdx_select, Q_CDX_SELECT_SQL),
+    "cdx_fetch": (q_cdx_fetch, Q_CDX_FETCH_SQL),
+    # -- [55-59] the five r06-verified entries the six r9 additions/
     # -- re-gates displaced: lang_id (whose plan ALSO changed late-r9 —
     # -- the script pre-check branches — locally re-verified after the
     # -- change), q3_shipping_priority, q5_region_revenue,

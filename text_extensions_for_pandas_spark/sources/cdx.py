@@ -1,0 +1,425 @@
+"""Common Crawl capture-index (CDXJ) front — select BEFORE you scan.
+
+Beyond-reference surface (the reference has no crawl notion).  At 100 TB
+the single most important optimization is not reading the bytes at all:
+Common Crawl publishes a capture index (`cdx-*.gz` shards of
+``SURT-key timestamp {json}`` lines, ~200 GB/crawl vs ~100 TB of WARC)
+whose JSON records carry ``filename``/``offset``/``length`` pointers to
+the individually-gzipped WARC record members.  A selective pipeline
+therefore runs
+
+    read_cdx_index → select_captures → fetch_plan → fetch_warc_ranges
+
+and touches only the WARC *byte ranges* it selected — typically well
+under 1% of the corpus — instead of streaming every shard through the
+parser.  This module implements that front.
+
+Scale shape, stage by stage:
+
+* :func:`read_cdx_index` — ``spark.read.text`` over the gzip index
+  shards (one shard per task, the same unit-of-parallelism story as
+  :func:`.corpus.read_wet_corpus`), then ONE JVM-side projection:
+  ``split(limit=3)`` + ``from_json`` + casts.  No Python island — the
+  whole parse is whole-stage-codegen, and downstream predicates on
+  status/mime/prefix are ordinary pushdown-friendly filters.
+* :func:`select_captures` — pure column predicates plus at most two
+  combinable aggregates (``max_by`` latest-capture, ``min_by`` digest
+  keep-first) and an optional broadcast anti-join against a prior
+  crawl's digest index (the cross-snapshot incremental-dedup hook,
+  mirroring :func:`..operators.dedup.incremental_candidates`).
+* :func:`fetch_plan` — one ``collect_list`` per WARC file, sorted by
+  offset so each fetch task reads its file monotonically (sequential
+  I/O, coalescible ranges).  ``max_records_per_task`` splits hot files
+  so one mega-file cannot straggle the stage.
+* :func:`fetch_warc_ranges` — the only Python stage, and it only ever
+  sees the SELECTED ranges: an Arrow-batched island seeks each
+  ``(offset, length)`` member, gunzips it, and re-emits a synthetic
+  ``(path, content)`` shard that flows through the SAME
+  ``_wet_parse_island`` as full-shard reads — ranged and full ingest
+  share one parser by construction.
+
+SURT keys (the index's sort order) are computed JVM-side by
+:func:`surt_key` with a Python twin (:func:`surt_key_py`) used by the
+fixture writer; a property test pins the two to each other.
+
+Reference scope note: the reference library (CODAIT
+text_extensions_for_pandas) stops at NLP-on-DataFrames; this crawl-index
+front is part of the beyond-reference LLM-pipeline layer (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "surt_key",
+    "surt_key_py",
+    "make_cdx_line",
+    "read_cdx_index",
+    "select_captures",
+    "fetch_plan",
+    "fetch_warc_ranges",
+]
+
+
+# ---------------------------------------------------------------- SURT --
+
+def surt_key(url) -> F.Column:
+    """Sort-friendly URI Reordering Transform of ``url`` as a pure
+    Column expression (codegen — no UDF): lowercase, host labels
+    reversed and comma-joined with a leading-``www.`` strip, ``)/`` +
+    path, ``?`` + query with parameters sorted so equivalent URLs
+    collide::
+
+        http://www.News.Example.com/A/B?b=2&a=1
+          → com,example,news)/a/b?a=1&b=2
+
+    NULL for unparseable URLs (``try_parse_url`` semantics).  Divergence
+    from the full Internet-Archive SURT spec, on purpose: no scheme
+    folding table beyond dropping the scheme, no session-param
+    stripping — composing with :func:`..operators.urls.normalize_url`
+    first covers those.
+    """
+    u = url if isinstance(url, F.Column) else F.col(url)
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("/")))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.lower(F.try_parse_url(u, F.lit("QUERY")))
+    qnorm = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            rev,
+            F.lit(")"),
+            path,
+            F.when(
+                query.isNotNull() & (query != ""), F.concat(F.lit("?"), qnorm)
+            ).otherwise(F.lit("")),
+        )
+    )
+
+
+def surt_key_py(url: str) -> str | None:
+    """Driver/fixture-side twin of :func:`surt_key` — MUST agree with the
+    Column expression (pinned by ``test_cdx.py``'s property test)."""
+    from urllib.parse import urlsplit
+
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    if host.startswith("www."):
+        host = host[4:]
+    rev = ",".join(reversed(host.split(".")))
+    path = (parts.path or "/").lower() or "/"
+    out = f"{rev}){path}"
+    if parts.query:
+        out += "?" + "&".join(sorted(parts.query.lower().split("&")))
+    return out
+
+
+# ------------------------------------------------------------- fixture --
+
+def make_cdx_line(
+    url: str,
+    timestamp: str,
+    *,
+    status: int = 200,
+    mime: str = "text/html",
+    digest: str = "0" * 32,
+    filename: str = "shard0.warc.gz",
+    offset: int = 0,
+    length: int = 0,
+    languages: str | None = None,
+) -> str:
+    """Serialize one CDXJ index line — the fixture-side twin of
+    :func:`read_cdx_index`, mirroring Common Crawl's format: SURT key,
+    14-digit timestamp, then a JSON blob whose numerics are STRINGS
+    (as the real index ships them; the reader casts)."""
+    meta = {
+        "url": url,
+        "mime": mime,
+        "status": str(status),
+        "digest": digest,
+        "length": str(length),
+        "offset": str(offset),
+        "filename": filename,
+    }
+    if languages is not None:
+        meta["languages"] = languages
+    return f"{surt_key_py(url)} {timestamp} {json.dumps(meta, sort_keys=True)}"
+
+
+# --------------------------------------------------------------- reader --
+
+# the real index ships numerics as JSON strings; parse as strings, cast
+# in the projection so a malformed field nulls instead of failing the row
+_CDX_JSON_DDL = (
+    "url string, mime string, `mime-detected` string, status string, "
+    "digest string, length string, offset string, filename string, "
+    "languages string, encoding string"
+)
+
+CDX_SCHEMA = (
+    "surt string, capture_ts string, url string, status int, mime string, "
+    "digest string, length bigint, offset bigint, filename string, "
+    "languages string"
+)
+
+
+def read_cdx_index(spark: SparkSession, path: str) -> DataFrame:
+    """CDXJ index shards → one capture per row
+    (``surt, capture_ts, url, status, mime, digest, length, offset,
+    filename, languages``).
+
+    Entirely JVM-side: ``spark.read.text`` (gzip shards decompress one
+    per task), ``split(value, ' ', 3)`` to isolate the JSON remainder
+    (the SURT key and timestamp never contain spaces; the JSON does),
+    ``from_json`` + casts.  Malformed lines — bad JSON, non-14-digit
+    timestamp, missing url — are dropped, never fatal, matching the
+    fail-soft contract of the WARC readers.
+    """
+    parts = F.split(F.col("value"), " ", 3)
+    meta = F.from_json(parts[2], _CDX_JSON_DDL)
+    return (
+        spark.read.text(path)
+        .select(
+            parts[0].alias("surt"),
+            parts[1].alias("capture_ts"),
+            meta.alias("m"),
+        )
+        .where(
+            F.col("capture_ts").rlike(r"^\d{14}$")
+            & F.col("m.url").isNotNull()
+        )
+        .select(
+            "surt",
+            "capture_ts",
+            F.col("m.url").alias("url"),
+            F.col("m.status").cast("int").alias("status"),
+            F.col("m.mime").alias("mime"),
+            F.col("m.digest").alias("digest"),
+            F.col("m.length").cast("bigint").alias("length"),
+            F.col("m.offset").cast("bigint").alias("offset"),
+            F.col("m.filename").alias("filename"),
+            F.col("m.languages").alias("languages"),
+        )
+    )
+
+
+# ------------------------------------------------------------ selection --
+
+def select_captures(
+    cdx: DataFrame,
+    *,
+    statuses: tuple[int, ...] | None = (200,),
+    mimes: tuple[str, ...] | None = ("text/html",),
+    surt_prefixes: list[str] | None = None,
+    languages: tuple[str, ...] | None = None,
+    latest_per_url: bool = True,
+    dedupe_digest: bool = True,
+    prior_digests: DataFrame | None = None,
+) -> DataFrame:
+    """The select-before-scan step: narrow the capture index to the rows
+    worth fetching.
+
+    * ``statuses`` / ``mimes`` / ``languages`` — plain ``isin`` filters
+      (``languages`` matches any member of the index's comma-list).
+    * ``surt_prefixes`` — host/path scoping as SURT prefixes (e.g.
+      ``["org,example)/docs"]``); an OR of ``startswith`` predicates.
+      On a SURT-sorted parquet mirror of the index these become range
+      predicates (min/max pruning); on raw text shards they are still
+      one codegen pass.
+    * ``latest_per_url`` — crawls capture a URL repeatedly;
+      ``max_by(struct(*), capture_ts)`` per SURT keeps the newest
+      capture.  One combinable aggregate, ties broken by digest then
+      offset for determinism.
+    * ``dedupe_digest`` — identical content at many URLs (mirrors, CDN
+      aliases) shares a content digest; ``min_by`` per digest keeps the
+      lexicographically-first SURT's capture.  Exact content dedup paid
+      at INDEX cost, before a single payload byte is read.
+    * ``prior_digests`` — single-column ``(digest)`` frame from already-
+      ingested crawls; a ``left_anti`` join (broadcast when small)
+      drops everything a previous snapshot already contributed — the
+      cross-dump incremental hook.
+    """
+    out = cdx
+    if statuses is not None:
+        out = out.where(F.col("status").isin(*statuses))
+    if mimes is not None:
+        out = out.where(F.col("mime").isin(*mimes))
+    if languages is not None:
+        lang_arr = F.split(F.coalesce(F.col("languages"), F.lit("")), ",")
+        out = out.where(
+            F.arrays_overlap(
+                lang_arr, F.array(*[F.lit(x) for x in languages])
+            )
+        )
+    if surt_prefixes:
+        pred = F.col("surt").startswith(surt_prefixes[0])
+        for p in surt_prefixes[1:]:
+            pred = pred | F.col("surt").startswith(p)
+        out = out.where(pred)
+    if prior_digests is not None:
+        out = out.join(prior_digests.select("digest"), "digest", "left_anti")
+
+    cols = [c for c in out.columns]
+    row = F.struct(*[F.col(c) for c in cols])
+    if latest_per_url:
+        # deterministic: newest capture, digest/offset tie-break
+        key = F.struct(
+            F.col("capture_ts"), F.col("digest"), F.col("offset")
+        )
+        out = out.groupBy("surt").agg(F.max_by(row, key).alias("r")).select(
+            *[F.col(f"r.{c}").alias(c) for c in cols]
+        )
+    if dedupe_digest:
+        key = F.struct(F.col("surt"), F.col("capture_ts"), F.col("offset"))
+        out = (
+            out.groupBy("digest")
+            .agg(F.min_by(row, key).alias("r"))
+            .select(*[F.col(f"r.{c}").alias(c) for c in cols])
+        )
+    return out
+
+
+# ------------------------------------------------------------ fetch plan --
+
+def fetch_plan(
+    selected: DataFrame, max_records_per_task: int | None = None
+) -> DataFrame:
+    """Selected captures → ranged-fetch tasks: one row per (WARC file,
+    chunk) with an offset-sorted ``records array<struct<offset,length,
+    url>>``, ``n_records``, and ``fetch_bytes``.
+
+    Sorting by offset makes each task's reads monotone (sequential I/O;
+    adjacent members coalesce into one ranged GET on object stores).
+    ``max_records_per_task`` splits a hot file's list into fixed-size
+    chunks so one mega-file cannot straggle the fetch stage — the same
+    anti-skew trade as ``repartition_for_decode``.
+    """
+    recs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("offset"), F.col("length"), F.col("url")
+            )
+        )
+    )
+    per_file = (
+        selected.groupBy("filename")
+        .agg(recs.alias("records"))
+    )
+    if max_records_per_task is not None:
+        n = F.size(F.col("records"))
+        chunks = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(n / F.lit(max_records_per_task)).cast("int") - 1,
+            ),
+            lambda i: F.slice(
+                F.col("records"),
+                i * max_records_per_task + 1,
+                max_records_per_task,
+            ),
+        )
+        per_file = per_file.select(
+            "filename", F.posexplode(chunks).alias("task_idx", "records")
+        )
+    else:
+        per_file = per_file.select(
+            "filename", F.lit(0).alias("task_idx"), "records"
+        )
+    return per_file.select(
+        "filename",
+        "task_idx",
+        "records",
+        F.size("records").alias("n_records"),
+        F.aggregate(
+            "records", F.lit(0).cast("bigint"), lambda acc, r: acc + r["length"]
+        ).alias("fetch_bytes"),
+    )
+
+
+# ---------------------------------------------------------- ranged fetch --
+
+def fetch_warc_ranges(
+    spark: SparkSession,
+    plan: DataFrame,
+    base_dir: str | None = None,
+    record_types: tuple[str, ...] = ("response",),
+    min_chars: int = 1,
+    keep_http_statuses: tuple[int, ...] | None = None,
+) -> DataFrame:
+    """Execute a :func:`fetch_plan` → the canonical ``documents`` table,
+    reading ONLY the planned byte ranges.
+
+    Each task opens its WARC file once, seeks each ``(offset, length)``
+    member in offset order, gunzips the member (Common Crawl gzips each
+    record independently — that is what makes ranged fetch possible; a
+    plain-bytes member passes through for plain fixtures), and emits a
+    synthetic ``(path, content)`` shard of just the selected records.
+    That shard flows through the SAME ``_wet_parse_island`` /
+    ``_wet_documents`` tail as :func:`.corpus.read_wet_corpus`, so
+    ranged and full-shard ingest share one parser, one decode path, one
+    schema — by construction.
+
+    ``base_dir`` resolves the plan's (typically relative) filenames; on
+    a cluster it is the bucket/prefix mount.  Local driver for the
+    seek+read; a cloud build swaps ranged GETs into the same island.
+    """
+    import gzip
+    import os
+
+    import pandas as pd
+
+    from .corpus import WET_RAW_SCHEMA, _wet_documents, _wet_parse_island
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_path: list[str] = []
+            out_content: list[bytes] = []
+            for fname, task_idx, records in zip(
+                pdf["filename"], pdf["task_idx"], pdf["records"]
+            ):
+                full = (
+                    os.path.join(base_dir, fname) if base_dir else fname
+                )
+                blobs: list[bytes] = []
+                try:
+                    fh = open(full, "rb")
+                except OSError:
+                    continue  # fail-soft: a missing shard drops its rows
+                with fh:
+                    for rec in records:
+                        try:
+                            fh.seek(int(rec["offset"]))
+                            blob = fh.read(int(rec["length"]))
+                        except (OSError, ValueError):
+                            continue
+                        if blob[:2] == b"\x1f\x8b":
+                            try:
+                                blob = gzip.decompress(blob)
+                            except OSError:
+                                continue
+                        blobs.append(blob)
+                if blobs:
+                    out_path.append(f"{full}#task{int(task_idx)}")
+                    out_content.append(b"".join(blobs))
+            yield pd.DataFrame({"path": out_path, "content": out_content})
+
+    shards = plan.select("filename", "task_idx", "records").mapInPandas(
+        _fetch, "path string, content binary"
+    )
+    raw = shards.mapInPandas(
+        _wet_parse_island(record_types, min_chars, keep_http_statuses),
+        WET_RAW_SCHEMA,
+    )
+    return _wet_documents(raw)
