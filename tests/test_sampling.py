@@ -439,3 +439,83 @@ def test_deterministic_shuffle_order_cols_groups_clusters(spark):
     a = {r["doc_id"]: r["shard"] for r in out}
     b = {r["doc_id"]: r["shard"] for r in plain.collect()}
     assert a == b
+
+
+def test_sample_to_token_budget_matches_window_oracle(spark):
+    """The operator's contract IS the global cumulative-sum window
+    (sum(size) OVER (ORDER BY priority DESC, key) <= budget); the
+    threshold-refinement plan must reproduce it row-for-row — including
+    priority ties resolved by key — without ever running it."""
+    from pyspark.sql import Window
+
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    df = (
+        spark.range(500)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") * 37 % 100 + 5).alias("n_tokens"),
+            # heavy ties: only 13 distinct priorities over 500 docs
+            ((F.col("id") * 7 % 13) / 13.0).alias("quality"),
+        )
+    )
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for budget in (0, 1, 5_000, 13_000, 100_000_000):
+        got = sorted(
+            r[0]
+            for r in sample_to_token_budget(
+                df, budget, size_col="n_tokens", priority_col="quality"
+            )
+            .select("doc_id")
+            .collect()
+        )
+        want = sorted(
+            r[0]
+            for r in df.withColumn("c", F.sum("n_tokens").over(w))
+            .filter(F.col("c") <= budget)
+            .select("doc_id")
+            .collect()
+        )
+        assert got == want, f"budget={budget}: {len(got)} vs {len(want)}"
+
+
+def test_sample_to_token_budget_schema_and_hash_priority(spark):
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("n_tokens")
+    )
+    out = sample_to_token_budget(df, 500)  # hash priority, 50 docs fit
+    assert out.columns == ["doc_id", "n_tokens"]
+    rows = out.collect()
+    assert len(rows) == 50
+    # deterministic: same call, same kept set
+    again = sample_to_token_budget(df, 500)
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_sample_to_token_budget_no_global_sort_of_corpus(spark):
+    """The exact window may only ever see the boundary slice: the plan's
+    Sort+Window must sit under filters, and the kept 'above' arm must be
+    window-free.  Cheap structural check: the unioned plan contains
+    exactly one Window, and the full-corpus arm none."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 1).alias("n_tokens"),
+        (F.col("id") % 89 / 89.0).alias("q"),
+    )
+    out = sample_to_token_budget(df, 5000, priority_col="q")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window") == 1

@@ -24,6 +24,9 @@ Operators:
 * :func:`cap_per_domain` — RefinedWeb/C4 anti-host-dominance budgets;
 * :func:`deterministic_shuffle` — epoch-stable (shard, pos) training
   order (with ``order_cols`` for in-context/curriculum grouping);
+* :func:`sample_to_token_budget` — greedy highest-priority prefix under
+  a token budget via quantile-threshold refinement (never a global
+  cumulative-sum sort);
 * :func:`unigram_divergence` / :func:`source_divergence` — KL/JS
   distribution-drift checks.
 """
@@ -624,3 +627,138 @@ def deterministic_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("__frac")
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_tokens",
+    priority_col: str | Column | None = None,
+    key_col: str = "doc_id",
+    n_buckets: int = 256,
+    levels: int = 2,
+) -> DataFrame:
+    """Greedy prefix under a budget: walk documents in priority order
+    (highest first) and keep each one while the running ``size_col``
+    total stays ≤ ``budget`` — the "take the best N tokens" step that
+    turns a scored corpus into a right-sized training set.  Semantics
+    are EXACTLY the SQL window ``sum(size) OVER (ORDER BY priority
+    DESC, key) <= budget`` (ties break on ``key``), and the driver
+    correctness gate holds this operator to that oracle — but the plan
+    never runs that window: a global cumulative sum means a global
+    range-partitioned sort, the classic full-corpus straggler.
+
+    Scale shape (threshold refinement instead of a global sort):
+
+    1. ``approxQuantile`` buckets the priority into ``n_buckets``
+       quantile ranges (driver state: ``n_buckets`` doubles).
+    2. One map-side-combinable aggregate sums ``size_col`` per bucket;
+       the driver scans the ≤ ``n_buckets`` sums highest-first to find
+       the BOUNDARY bucket where the cumulative total crosses the
+       budget.  Everything strictly above it is kept by a row-local
+       filter; everything below is dropped the same way.
+    3. Recurse into the boundary bucket (``levels`` rounds, each a
+       ~``n_buckets``× narrowing), then run the exact cumulative-sum
+       window over ONLY the final boundary slice — ~``N / n_buckets^
+       levels`` rows (at 100 TB with the defaults: tens of MB on one
+       task), seeded with the tokens already committed above it.
+
+    Every driver action is bounded by ``n_buckets`` rows — no corpus
+    collect.  Degenerate priorities (one value carrying most of the
+    mass) collapse the narrowing: heavy ties all land in one boundary
+    bucket, and the final window pays the skew.  ``priority_col=None``
+    uses :func:`hash_fraction` of the key — a uniform, tie-free random
+    prefix (budget-capped deterministic subsampling).
+
+    Returns the kept rows with original columns (priority/size helper
+    columns dropped).
+    """
+    from pyspark.sql import Window
+
+    prio = (
+        hash_fraction(F.col(key_col))
+        if priority_col is None
+        else (
+            F.col(priority_col)
+            if isinstance(priority_col, str)
+            else priority_col
+        )
+    )
+    work = df.select(
+        F.struct(*df.columns).alias("__row"),
+        prio.cast("double").alias("__p"),
+        F.col(size_col).cast("long").alias("__sz"),
+        F.col(key_col).alias("__k"),
+    ).persist()
+    try:
+        # [lo, hi] is the half-open priority interval still undecided;
+        # None bound = unbounded.  committed = tokens already taken by
+        # fully-kept buckets above hi.
+        lo: float | None = None
+        hi: float | None = None
+        committed = 0
+        for _ in range(max(1, levels)):
+            sliced = work
+            if hi is not None:
+                sliced = sliced.filter(F.col("__p") <= hi)
+            if lo is not None:
+                sliced = sliced.filter(F.col("__p") > lo)
+            probs = [i / n_buckets for i in range(1, n_buckets)]
+            edges = sorted(
+                set(sliced.approxQuantile("__p", probs, 0.001)),
+                reverse=True,
+            )
+            if not edges:
+                break  # empty or single-valued slice: stop narrowing
+            # bucket j = count of (desc-sorted) edges >= __p: bucket 0
+            # holds the highest priorities (__p > edges[0]), bucket
+            # len(edges) the lowest (__p <= edges[-1]) — one array scan,
+            # no O(n_buckets)-deep CASE chain
+            arr = F.array(*[F.lit(e) for e in edges])
+            bucket = F.size(F.filter(arr, lambda e: F.col("__p") <= e))
+            sums = dict(
+                sliced.groupBy(bucket.alias("__b"))
+                .agg(F.sum("__sz").alias("s"))
+                .collect()
+            )
+            acc = committed
+            boundary = None
+            for b in range(len(edges) + 1):
+                s = sums.get(b, 0) or 0
+                if acc + s > budget:
+                    boundary = b
+                    break
+                acc += s
+            if boundary is None:
+                # entire slice fits: everything undecided is kept
+                lo_edge = lo
+                kept = work.filter(F.col("__p") > lo_edge) if lo_edge is not None else work
+                return kept.select("__row.*")
+            committed = acc
+            hi = edges[boundary - 1] if boundary > 0 else hi
+            lo = edges[boundary] if boundary < len(edges) else lo
+            if hi is not None and lo is not None and hi <= lo:
+                break
+
+        # exact pass over the final boundary slice only
+        sliced = work
+        if hi is not None:
+            sliced = sliced.filter(F.col("__p") <= hi)
+        if lo is not None:
+            sliced = sliced.filter(F.col("__p") > lo)
+        w = Window.orderBy(F.col("__p").desc(), F.col("__k")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        boundary_kept = (
+            sliced.withColumn("__cum", F.sum("__sz").over(w))
+            .filter(F.col("__cum") + committed <= budget)
+            .select("__row.*")
+        )
+        above = (
+            work.filter(F.col("__p") > hi).select("__row.*")
+            if hi is not None
+            else work.limit(0).select("__row.*")
+        )
+        return above.unionByName(boundary_kept)
+    finally:
+        work.unpersist()

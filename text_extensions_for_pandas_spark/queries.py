@@ -6069,6 +6069,53 @@ ORDER BY rt.doc_id
 """
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.sampling.sample_to_token_budget` under the
+    value-hash oracle: score every document ``quality = (doc_id*7%13)/13``
+    (13 distinct values — heavy ties exercise the key tie-break), size it
+    by ``n_chars``, and keep the greedy highest-quality prefix whose
+    running total stays ≤ 60 000 chars.  DuckDB recomputes the kept set
+    with the global cumulative-sum window the operator is DEFINED by but
+    never executes — the Spark plan is quantile-threshold refinement with
+    the exact window confined to the boundary slice (asserted by
+    ``test_sampling.py``: exactly one Window in the optimized plan)."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        ((F.col("doc_id") * 7 % 13) / 13.0).alias("quality"),
+    )
+    kept = sample_to_token_budget(
+        docs,
+        60_000,
+        size_col="n_chars",
+        priority_col="quality",
+        key_col="doc_id",
+        n_buckets=32,
+    )
+    return kept.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+Q_TOKEN_BUDGET_SAMPLE_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(doc_id * 7 % 13 AS DOUBLE) / 13.0 AS quality
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY quality DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scored
+)
+SELECT doc_id, n_chars FROM c WHERE cum <= 60000 ORDER BY doc_id
+"""
+
+
 def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain caps (RefinedWeb/C4-style anti-host-dominance): within
     each source keep docs in deterministic md5-hash order until 10 docs
@@ -7963,7 +8010,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- below-boundary placement and r10-first promise as [51-52].
     "cdx_select": (q_cdx_select, Q_CDX_SELECT_SQL),
     "cdx_fetch": (q_cdx_fetch, Q_CDX_FETCH_SQL),
-    # -- [55-59] the five r06-verified entries the six r9 additions/
+    # -- [55] token_budget_sample: NEW late-r9 — greedy highest-priority
+    # -- prefix under a token budget (quantile-threshold refinement;
+    # -- DuckDB recomputes with the defining cumulative-sum window).
+    # -- Same below-boundary placement and r10-first promise.
+    "token_budget_sample": (q_token_budget_sample, Q_TOKEN_BUDGET_SAMPLE_SQL),
+    # -- [56-60] the five r06-verified entries the six r9 additions/
     # -- re-gates displaced: lang_id (whose plan ALSO changed late-r9 —
     # -- the script pre-check branches — locally re-verified after the
     # -- change), q3_shipping_priority, q5_region_revenue,
