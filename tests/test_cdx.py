@@ -92,6 +92,7 @@ def cdx_dir(tmp_path_factory):
             languages="eng,deu",
         ),
         "garbage line without json",
+        "spaceless",  # fewer than 3 fields: must drop, not index-error
     ]
     lines1 = [
         make_cdx_line(

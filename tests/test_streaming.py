@@ -1528,3 +1528,61 @@ def test_streaming_wat_link_graph_converges_to_batch(spark, tmp_path):
         ("a.example", "b.example", 3),
         ("b.example", "a.example", 1),
     ]
+
+
+def test_cdx_stream_batch_parity(spark, tmp_path):
+    """read_cdx_stream shares the batch reader's pure-Column projection
+    (cdx_project_lines); streaming the same index shards must yield the
+    identical capture rows, malformed lines dropped the same way, and
+    the row-local select_captures filters must run unchanged on the
+    stream side."""
+    import gzip
+
+    from text_extensions_for_pandas_spark.sources.cdx import (
+        make_cdx_line,
+        read_cdx_index,
+    )
+    from text_extensions_for_pandas_spark.streaming.ops import (
+        read_cdx_stream,
+    )
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "cdx"
+    d.mkdir()
+    lines = [
+        make_cdx_line(
+            f"http://h{i % 4}.example/p/{i}",
+            f"202401010000{i:02d}",
+            status=200 if i % 3 else 404,
+            digest=f"d{i}",
+            filename="w.warc.gz",
+            offset=i * 100,
+            length=90,
+        )
+        for i in range(12)
+    ] + ["malformed", "x)/y 2024 {\"url\": \"http://x/y\"}"]
+    (d / "cdx-0.gz").write_bytes(
+        gzip.compress(("\n".join(lines[:7]) + "\n").encode())
+    )
+    (d / "cdx-1.gz").write_bytes(
+        gzip.compress(("\n".join(lines[7:]) + "\n").encode())
+    )
+
+    stream = read_cdx_stream(spark, str(d), max_files_per_trigger=1).where(
+        F.col("status") == 200
+    )
+    _run_to_memory(stream, "cdx_stream")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "select surt, capture_ts, url, digest, offset from cdx_stream"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in read_cdx_index(spark, str(d))
+        .where(F.col("status") == 200)
+        .select("surt", "capture_ts", "url", "digest", "offset")
+        .collect()
+    )
+    assert got == want and len(got) == 8

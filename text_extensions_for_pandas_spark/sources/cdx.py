@@ -60,6 +60,7 @@ __all__ = [
     "surt_key_py",
     "make_cdx_line",
     "read_cdx_index",
+    "cdx_project_lines",
     "select_captures",
     "fetch_plan",
     "fetch_warc_ranges",
@@ -186,14 +187,26 @@ def read_cdx_index(spark: SparkSession, path: str) -> DataFrame:
     ``from_json`` + casts.  Malformed lines — bad JSON, non-14-digit
     timestamp, missing url — are dropped, never fatal, matching the
     fail-soft contract of the WARC readers.
+
+    The projection is :func:`cdx_project_lines`, shared verbatim by the
+    streaming twin (``streaming.ops.read_cdx_stream``) — batch and
+    stream parse identically by construction.
     """
+    return cdx_project_lines(spark.read.text(path))
+
+
+def cdx_project_lines(lines: DataFrame) -> DataFrame:
+    """The pure-Column CDXJ projection over a ``value: string`` frame —
+    one codegen pass, no Python.  Shared by batch and streaming."""
     parts = F.split(F.col("value"), " ", 3)
-    meta = F.from_json(parts[2], _CDX_JSON_DDL)
+    # F.get, not [i]: a truncated line with fewer than three fields must
+    # yield NULLs (dropped by the filter below), not ANSI index errors
+    meta = F.from_json(F.get(parts, 2), _CDX_JSON_DDL)
     return (
-        spark.read.text(path)
+        lines
         .select(
-            parts[0].alias("surt"),
-            parts[1].alias("capture_ts"),
+            F.get(parts, 0).alias("surt"),
+            F.get(parts, 1).alias("capture_ts"),
             meta.alias("m"),
         )
         .where(

@@ -148,6 +148,35 @@ def read_wat_stream(
     return files.mapInPandas(_wat_parse_island(link_paths), WAT_LINKS_SCHEMA)
 
 
+def read_cdx_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-arrival streaming twin of
+    :func:`..sources.cdx.read_cdx_index`: CDXJ index shards landing in
+    ``path`` become micro-batches of capture rows — the continuous form
+    of select-before-scan, where each newly published index shard is
+    filtered (``select_captures``' row-local predicates run unchanged on
+    streams) and its survivors feed a ranged-fetch stage downstream.
+
+    The IDENTICAL pure-Column projection as the batch reader
+    (``cdx.cdx_project_lines`` — ``split`` + ``from_json``, no Python
+    island), so batch/stream captures agree by construction.  The
+    stateful selection stages (latest-per-URL, digest keep-first) are
+    batch-shaped aggregates; on a stream, run the digest dedup as
+    :func:`streaming_dedup_exact`-style keyed state or window the
+    selection per micro-batch with ``foreachBatch``."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    from text_extensions_for_pandas_spark.sources.cdx import (
+        cdx_project_lines,
+    )
+
+    return cdx_project_lines(reader.text(path))
+
+
 # ---------------------------------------------------------------------------
 # Stateless: the batch extract operators run unchanged on streams
 # ---------------------------------------------------------------------------
