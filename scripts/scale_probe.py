@@ -647,6 +647,72 @@ def main() -> None:
                 )
             )
 
+    # CDX select-before-scan: parse + select over a synthetic capture
+    # index (3 captures/URL across 3 crawl days, 1/7 non-200, 1/11
+    # non-HTML, mirror pairs sharing digests).  The whole path is
+    # JVM-side (split + from_json + two combinable aggregates), so the
+    # exponent must sit ~1 with NO Arrow/Python cost at all — this is
+    # the stage that decides which 1% of 100 TB gets fetched, and it has
+    # to be cheap enough to run casually.  Index shards are generated
+    # distributed (spark.range -> concat -> write.text gzip x8).
+    if not only or "cdx_select" in only:
+        import tempfile
+
+        from text_extensions_for_pandas_spark.sources.cdx import (
+            read_cdx_index,
+            select_captures,
+        )
+
+        cdx_dir = tempfile.mkdtemp(prefix="cdx_probe_")
+        for n in SCALES:
+            n_rec = 25_000 * n
+            k_urls = max(1, n_rec // 3)
+            shard_dir = os.path.join(cdx_dir, f"s{n}")
+            i = F.col("id")
+            ku = i % k_urls
+            url = F.concat(
+                F.lit("http://h"), (ku % 101).cast("string"),
+                F.lit(".example/p/"), ku.cast("string"),
+            )
+            line = F.concat(
+                F.lit("example,h"), (ku % 101).cast("string"),
+                F.lit(")/p/"), ku.cast("string"),
+                F.lit(" 2024010"), (i / k_urls + 1).cast("int").cast("string"),
+                F.lit('000000 {"url": "'), url,
+                F.lit('", "mime": "'),
+                F.when(i % 11 == 0, "application/pdf").otherwise("text/html"),
+                F.lit('", "status": "'),
+                F.when(i % 7 == 0, "404").otherwise("200"),
+                F.lit('", "digest": "d'),
+                (i % (k_urls // 2 + 1)).cast("string"),
+                F.lit('", "length": "'), (500 + i % 1000).cast("string"),
+                F.lit('", "offset": "'), (i * 1000).cast("string"),
+                F.lit('", "filename": "w'), (i % 16).cast("string"),
+                F.lit('.warc.gz"}'),
+            )
+            (
+                spark.range(n_rec).select(line.alias("value"))
+                .repartition(8)
+                .write.mode("overwrite")
+                .option("compression", "gzip")
+                .text(shard_dir)
+            )
+            t0 = time.time()
+            rows, fetch_bytes = (
+                select_captures(read_cdx_index(spark, shard_dir))
+                .agg(F.count("*"), F.sum("length"))
+                .collect()[0]
+            )
+            dt = time.time() - t0
+            times.setdefault("cdx_select", []).append((n, dt))
+            print(
+                json.dumps(
+                    {"op": "cdx_select", "scale": n, "records": n_rec,
+                     "rows": rows, "fetch_bytes": fetch_bytes,
+                     "sec": round(dt, 2)}
+                )
+            )
+
     # BPE merge-loop boundedness: ~1k merges must complete in bounded
     # wall-clock on the in-memory path (the distributed per-merge loop is
     # one Spark job per merge — the documented wall-clock killer at 32k+

@@ -444,3 +444,81 @@ def test_filter_by_robots_agent_groups_and_preparsed(spark):
     )
     assert out.columns == ["url", "host"]
     assert out.collect()[0].host == "keepme"
+
+
+def test_parse_sitemaps_urlset_and_index(spark):
+    from text_extensions_for_pandas_spark.operators.urls import (
+        parse_sitemaps,
+    )
+
+    urlset = (
+        '<?xml version="1.0"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc> http://a.example/p/1 </loc>"
+        "<lastmod>2024-01-01</lastmod><changefreq>daily</changefreq>"
+        "<priority>0.8</priority></url>\n"
+        # entity-escaped loc + CDATA form + missing optional fields
+        "<url><loc>http://a.example/p/2?x=1&amp;y=2</loc></url>\n"
+        "<url><loc><![CDATA[http://a.example/p/3]]></loc></url>\n"
+        "<url><lastmod>2024-01-02</lastmod></url>\n"  # no loc: dropped
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>http://b.example/s1.xml</loc>"
+        "<lastmod>2024-02-01</lastmod></sitemap>"
+        "<sitemap><loc>http://b.example/s2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("A.example", urlset), ("b.example", index), ("c.example", "<garbage")],
+        ["host", "sitemap_xml"],
+    )
+    rows = sorted(
+        tuple(r) for r in parse_sitemaps(df).collect()
+    )
+    assert rows == sorted(
+        [
+            ("a.example", "url", "http://a.example/p/1", "2024-01-01",
+             "daily", 0.8),
+            ("a.example", "url", "http://a.example/p/2?x=1&y=2", None,
+             None, None),
+            ("a.example", "url", "http://a.example/p/3", None, None, None),
+            ("b.example", "sitemap", "http://b.example/s1.xml",
+             "2024-02-01", None, None),
+            ("b.example", "sitemap", "http://b.example/s2.xml", None,
+             None, None),
+        ]
+    )
+
+
+def test_parse_sitemaps_is_jvm_only(spark):
+    from text_extensions_for_pandas_spark.operators.urls import (
+        parse_sitemaps,
+    )
+
+    df = spark.createDataFrame([("h", "<urlset/>")], ["host", "sitemap_xml"])
+    plan = parse_sitemaps(df)._jdf.queryExecution().toString()
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_extract_sitemap_directives(spark):
+    from text_extensions_for_pandas_spark.operators.urls import (
+        extract_sitemap_directives,
+    )
+
+    robots = (
+        "User-agent: *\nDisallow: /x\n"
+        "SITEMAP: http://h.example/sitemap.xml\n"
+        "sitemap:http://h.example/s2.xml\n"
+        "# sitemap: http://h.example/commented.xml is prose, not a "
+        "directive\n"
+    )
+    df = spark.createDataFrame(
+        [("H.example", robots), ("e.example", "User-agent: *\n")],
+        ["host", "robots_txt"],
+    )
+    rows = sorted(tuple(r) for r in extract_sitemap_directives(df).collect())
+    assert rows == [
+        ("h.example", "http://h.example/s2.xml"),
+        ("h.example", "http://h.example/sitemap.xml"),
+    ]

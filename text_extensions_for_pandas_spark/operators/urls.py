@@ -26,6 +26,8 @@ __all__ = [
     "normalize_url",
     "parse_robots",
     "filter_by_robots",
+    "parse_sitemaps",
+    "extract_sitemap_directives",
 ]
 
 
@@ -363,3 +365,103 @@ def filter_by_robots(
         F.col("__rules").isNull() | (F.size(matches) == 0), F.lit(True)
     ).otherwise(best["is_allow"])
     return joined.filter(verdict).drop("__rhost", "__rules", "__host", "__path")
+
+
+# XML entity decoding for <loc> values — the five predefined entities
+# plus numeric character references are what sitemaps.org requires
+# producers to escape; &amp; MUST decode last so "&amp;lt;" round-trips
+# to the literal "&lt;" rather than double-decoding
+def _xml_unescape(c):
+    c = F.regexp_replace(c, r"^\s*<!\[CDATA\[(.*)\]\]>\s*$", r"$1")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
+def parse_sitemaps(
+    df: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Per-host sitemap XML → one row per entry: ``(host, kind, loc,
+    lastmod, changefreq, priority)``.
+
+    ``kind`` is ``'url'`` for ``<urlset>`` page entries and
+    ``'sitemap'`` for ``<sitemapindex>`` child pointers — a fetch loop
+    re-fetches the ``'sitemap'`` rows and feeds them back through this
+    operator until none remain (sitemap trees are shallow: the protocol
+    caps files at 50k entries, so large sites are exactly two levels).
+    The ``'url'`` rows are the crawl-frontier companion to
+    :func:`filter_by_robots`: seed/refresh lists with the site's OWN
+    lastmod/priority hints, joinable against a capture index (e.g.
+    ``cdx.select_captures``) to find pages a crawl is missing or has
+    gone stale on.
+
+    Scale shape: entirely JVM — ``regexp_extract_all`` pulls the entry
+    blocks, one ``explode`` emits them, row-local ``regexp_extract``
+    projects the fields (entity-decoded, whitespace-trimmed, CDATA
+    unwrapped); no Python island, no shuffle.  Sitemap files are
+    protocol-capped at 50 MB uncompressed, so per-row memory is bounded
+    by contract.  Malformed XML yields however many well-formed entries
+    it contains — fail-soft like every reader here; entries with no
+    ``<loc>`` are dropped.
+    """
+    x = F.col(xml_col)
+    url_blocks = F.regexp_extract_all(
+        x, F.lit(r"(?s)<url[\s>](.*?)</url>"), F.lit(1)
+    )
+    sm_blocks = F.regexp_extract_all(
+        x, F.lit(r"(?s)<sitemap[\s>](.*?)</sitemap>"), F.lit(1)
+    )
+    entries = F.concat(
+        F.transform(
+            url_blocks,
+            lambda b: F.struct(F.lit("url").alias("kind"), b.alias("b")),
+        ),
+        F.transform(
+            sm_blocks,
+            lambda b: F.struct(F.lit("sitemap").alias("kind"), b.alias("b")),
+        ),
+    )
+    b = F.col("__e.b")
+
+    def _field(tag: str):
+        return F.regexp_extract(
+            b, rf"(?s)<{tag}[^>]*>\s*(.*?)\s*</{tag}>", 1
+        )
+
+    out = df.select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.explode(entries).alias("__e"),
+    ).select(
+        "host",
+        F.col("__e.kind").alias("kind"),
+        _xml_unescape(_field("loc")).alias("loc"),
+        F.nullif(_field("lastmod"), F.lit("")).alias("lastmod"),
+        F.nullif(_field("changefreq"), F.lit("")).alias("changefreq"),
+        F.nullif(_field("priority"), F.lit("")).cast("double")
+        .alias("priority"),
+    )
+    return out.filter(F.col("loc") != "")
+
+
+def extract_sitemap_directives(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` directives from robots.txt bodies → ``(host,
+    sitemap_url)`` rows — the standard discovery channel (RFC 9309 §2.3
+    allows the directive anywhere in the file, outside any user-agent
+    group, case-insensitive).  Pure JVM: one ``regexp_extract_all`` per
+    robots body + explode; feed the result to a fetcher and then to
+    :func:`parse_sitemaps`."""
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)\s*$"), F.lit(1)
+    )
+    return df.select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.explode(urls).alias("sitemap_url"),
+    )

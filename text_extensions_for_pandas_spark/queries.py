@@ -6116,6 +6116,92 @@ SELECT doc_id, n_chars FROM c WHERE cum <= 60000 ORDER BY doc_id
 """
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.urls.parse_sitemaps` under the value-hash
+    oracle: 12 hosts, three of every four serving a ``<urlset>`` of five
+    entries (entity-escaped query strings on even slots, sparse
+    lastmod/changefreq/priority), the fourth a two-child
+    ``<sitemapindex>`` — DuckDB recomputes every row closed-form.  The
+    Spark side is the pure-JVM block-regex explode (``test_urls.py``
+    plan-asserts no Python stage)."""
+    from text_extensions_for_pandas_spark.operators.urls import (
+        parse_sitemaps,
+    )
+
+    k = F.col("id")
+
+    def url_block(j: int):
+        parts = [
+            F.lit("<url><loc>http://h"),
+            k.cast("string"),
+            F.lit(f".example/p/{j}"),
+            F.lit("?a=1&amp;b=2" if j % 2 == 0 else ""),
+            F.lit("</loc>"),
+        ]
+        if j % 3 == 0:
+            parts.append(F.lit(f"<lastmod>2024-01-0{j + 1}</lastmod>"))
+        if j == 2:
+            parts.append(F.lit("<changefreq>daily</changefreq>"))
+        if j % 2 == 1:
+            parts.append(F.lit(f"<priority>0.{j}</priority>"))
+        parts.append(F.lit("</url>"))
+        return F.concat(*parts)
+
+    urlset = F.concat(
+        F.lit("<urlset>"), *[url_block(j) for j in range(5)],
+        F.lit("</urlset>"),
+    )
+    smidx = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>http://h"),
+        k.cast("string"),
+        F.lit(
+            ".example/a.xml</loc><lastmod>2024-02-01</lastmod></sitemap>"
+            "<sitemap><loc>http://h"
+        ),
+        k.cast("string"),
+        F.lit(".example/b.xml</loc></sitemap></sitemapindex>"),
+    )
+    df = spark.range(12).select(
+        F.concat(F.lit("h"), k.cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.when(k % 4 == 3, smidx).otherwise(urlset).alias("sitemap_xml"),
+    )
+    return parse_sitemaps(df).orderBy("host", "kind", "loc")
+
+
+Q_SITEMAP_URLS_SQL = """
+WITH hosts AS (
+  SELECT i AS k, concat('h', CAST(i AS VARCHAR), '.example') AS host
+  FROM range(12) t(i)
+),
+urls AS (
+  SELECT host, 'url' AS kind,
+         concat('http://', host, '/p/', CAST(j AS VARCHAR),
+                CASE WHEN j % 2 = 0 THEN '?a=1&b=2' ELSE '' END) AS loc,
+         CASE WHEN j % 3 = 0
+              THEN concat('2024-01-0', CAST(j + 1 AS VARCHAR)) END
+           AS lastmod,
+         CASE WHEN j = 2 THEN 'daily' END AS changefreq,
+         CASE WHEN j % 2 = 1 THEN j / 10.0 END AS priority
+  FROM hosts, range(5) s(j) WHERE k % 4 <> 3
+),
+idx AS (
+  SELECT host, 'sitemap' AS kind,
+         concat('http://', host, '/a.xml') AS loc,
+         '2024-02-01' AS lastmod, CAST(NULL AS VARCHAR) AS changefreq,
+         CAST(NULL AS DOUBLE) AS priority
+  FROM hosts WHERE k % 4 = 3
+  UNION ALL
+  SELECT host, 'sitemap', concat('http://', host, '/b.xml'),
+         NULL, NULL, NULL
+  FROM hosts WHERE k % 4 = 3
+)
+SELECT * FROM (SELECT * FROM urls UNION ALL SELECT * FROM idx)
+ORDER BY host, kind, loc
+"""
+
+
 def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain caps (RefinedWeb/C4-style anti-host-dominance): within
     each source keep docs in deterministic md5-hash order until 10 docs
@@ -8015,7 +8101,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- DuckDB recomputes with the defining cumulative-sum window).
     # -- Same below-boundary placement and r10-first promise.
     "token_budget_sample": (q_token_budget_sample, Q_TOKEN_BUDGET_SAMPLE_SQL),
-    # -- [56-60] the five r06-verified entries the six r9 additions/
+    # -- [56] sitemap_urls: NEW late-r9 — sitemap/sitemapindex parsing
+    # -- (pure-JVM block-regex explode, crawl-frontier companion to
+    # -- robots).  Same below-boundary placement and r10-first promise.
+    "sitemap_urls": (q_sitemap_urls, Q_SITEMAP_URLS_SQL),
+    # -- [57-61] the five r06-verified entries the six r9 additions/
     # -- re-gates displaced: lang_id (whose plan ALSO changed late-r9 —
     # -- the script pre-check branches — locally re-verified after the
     # -- change), q3_shipping_priority, q5_region_revenue,
