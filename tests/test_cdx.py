@@ -283,3 +283,53 @@ def test_fetch_warc_ranges_missing_file_fail_soft(spark, warc_with_index):
     )
     # w0's five records survive; the missing file drops its rows only
     assert got.count() == 5
+
+
+def test_crawl_freshness_classification(spark):
+    """Sitemap truth vs capture index: missing / stale / fresh, with
+    the SURT key as the join bridge (www-strip and query-sort must make
+    equivalent URLs meet) and no-lastmod entries never reported stale."""
+    from text_extensions_for_pandas_spark.sources.cdx import (
+        crawl_freshness,
+    )
+
+    entries = spark.createDataFrame(
+        [
+            # fresh: captured after lastmod
+            ("a.example", "url", "http://a.example/p1", "2024-01-01", 0.9),
+            # stale: lastmod postdates the newest capture
+            ("a.example", "url", "http://a.example/p2", "2024-03-05", 0.5),
+            # missing: never captured
+            ("a.example", "url", "http://a.example/p3", "2024-01-01", None),
+            # no lastmod + captured: fresh by definition
+            ("a.example", "url", "http://a.example/p4", None, None),
+            # www + unsorted query on the sitemap side must still join
+            ("b.example", "url", "http://www.b.example/q?b=2&a=1", None,
+             None),
+            # child pointers are not pages: excluded
+            ("a.example", "sitemap", "http://a.example/s.xml", None, None),
+        ],
+        "host string, kind string, loc string, lastmod string, "
+        "priority double",
+    )
+    captures = spark.createDataFrame(
+        [
+            ("example,a)/p1", "20240102000000"),
+            ("example,a)/p1", "20231201000000"),  # older capture ignored
+            ("example,a)/p2", "20240301000000"),
+            ("example,a)/p4", "20230101000000"),
+            ("example,b)/q?a=1&b=2", "20240101000000"),
+        ],
+        "surt string, capture_ts string",
+    )
+    got = {
+        r["loc"]: (r["freshness"], r["last_capture_ts"])
+        for r in crawl_freshness(entries, captures).collect()
+    }
+    assert got == {
+        "http://a.example/p1": ("fresh", "20240102000000"),
+        "http://a.example/p2": ("stale", "20240301000000"),
+        "http://a.example/p3": ("missing", None),
+        "http://a.example/p4": ("fresh", "20230101000000"),
+        "http://www.b.example/q?b=2&a=1": ("fresh", "20240101000000"),
+    }

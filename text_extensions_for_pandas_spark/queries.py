@@ -6116,6 +6116,77 @@ SELECT doc_id, n_chars FROM c WHERE cum <= 60000 ORDER BY doc_id
 """
 
 
+def q_crawl_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.sources.cdx.crawl_freshness` under the value-hash
+    oracle — the recrawl-frontier composition of the sitemap and
+    capture-index fronts: 36 sitemap page entries (plus four child
+    pointers that must be excluded) against a capture index where every
+    third page was never captured and each captured page has two
+    captures (the ``max`` must pick the newer).  Freshness classes come
+    out of the ``lastmod``-vs-capture-day compare: jan lastmod → fresh,
+    mar → stale, absent → fresh-by-definition, feb 10 vs feb 1 capture
+    → stale.  DuckDB recomputes all of it closed-form."""
+    from text_extensions_for_pandas_spark.sources.cdx import (
+        crawl_freshness,
+    )
+
+    i = F.col("id")
+    lastmod = (
+        F.when(i % 4 == 0, F.lit("2024-01-10"))
+        .when(i % 4 == 1, F.lit("2024-03-10"))
+        .when(i % 4 == 3, F.lit("2024-02-10"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    entries = spark.range(40).select(
+        F.concat(F.lit("h"), (i % 5).cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.when(i % 10 == 9, F.lit("sitemap")).otherwise(F.lit("url"))
+        .alias("kind"),
+        F.concat(
+            F.lit("http://h"), (i % 5).cast("string"), F.lit(".example/p/"),
+            i.cast("string"),
+        ).alias("loc"),
+        lastmod.alias("lastmod"),
+        F.when(i % 2 == 0, i / 100.0).alias("priority"),
+    )
+    captures = (
+        spark.range(40)
+        .filter(i % 3 != 0)
+        .select(
+            F.concat(
+                F.lit("example,h"), (i % 5).cast("string"), F.lit(")/p/"),
+                i.cast("string"),
+            ).alias("surt"),
+            F.explode(
+                F.array(F.lit("20240115000000"), F.lit("20240201000000"))
+            ).alias("capture_ts"),
+        )
+    )
+    return crawl_freshness(entries, captures).orderBy("surt")
+
+
+Q_CRAWL_FRESHNESS_SQL = """
+WITH e AS (
+  SELECT i,
+         concat('h', CAST(i % 5 AS VARCHAR), '.example') AS host,
+         concat('http://h', CAST(i % 5 AS VARCHAR), '.example/p/',
+                CAST(i AS VARCHAR)) AS loc,
+         concat('example,h', CAST(i % 5 AS VARCHAR), ')/p/',
+                CAST(i AS VARCHAR)) AS surt,
+         CASE i % 4 WHEN 0 THEN '2024-01-10' WHEN 1 THEN '2024-03-10'
+                    WHEN 3 THEN '2024-02-10' END AS lastmod,
+         CASE WHEN i % 2 = 0 THEN i / 100.0 END AS priority
+  FROM range(40) t(i) WHERE i % 10 <> 9
+)
+SELECT surt, host, loc, lastmod, priority,
+       CASE WHEN i % 3 <> 0 THEN '20240201000000' END AS last_capture_ts,
+       CASE WHEN i % 3 = 0 THEN 'missing'
+            WHEN i % 4 IN (1, 3) THEN 'stale'
+            ELSE 'fresh' END AS freshness
+FROM e ORDER BY surt
+"""
+
+
 def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.operators.urls.parse_sitemaps` under the value-hash
     oracle: 12 hosts, three of every four serving a ``<urlset>`` of five
@@ -8105,7 +8176,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- (pure-JVM block-regex explode, crawl-frontier companion to
     # -- robots).  Same below-boundary placement and r10-first promise.
     "sitemap_urls": (q_sitemap_urls, Q_SITEMAP_URLS_SQL),
-    # -- [57-61] the five r06-verified entries the six r9 additions/
+    # -- [57] crawl_freshness: NEW late-r9 — the recrawl-frontier
+    # -- composition (sitemap lastmod vs capture index on SURT keys:
+    # -- missing/stale/fresh).  Same below-boundary placement and
+    # -- r10-first promise.
+    "crawl_freshness": (q_crawl_freshness, Q_CRAWL_FRESHNESS_SQL),
+    # -- [58-62] the five r06-verified entries the six r9 additions/
     # -- re-gates displaced: lang_id (whose plan ALSO changed late-r9 —
     # -- the script pre-check branches — locally re-verified after the
     # -- change), q3_shipping_priority, q5_region_revenue,

@@ -64,6 +64,7 @@ __all__ = [
     "select_captures",
     "fetch_plan",
     "fetch_warc_ranges",
+    "crawl_freshness",
 ]
 
 
@@ -436,3 +437,57 @@ def fetch_warc_ranges(
         WET_RAW_SCHEMA,
     )
     return _wet_documents(raw)
+
+
+# ------------------------------------------------------------- freshness --
+
+def crawl_freshness(
+    sitemap_entries: DataFrame,
+    captures: DataFrame,
+) -> DataFrame:
+    """Site-declared truth vs crawl reality: join :func:`parse_sitemaps`'
+    ``'url'`` rows against a capture index on SURT key and classify each
+    page — ``'missing'`` (the site lists it, the crawl never captured
+    it), ``'stale'`` (the site's ``lastmod`` postdates the newest
+    capture day), or ``'fresh'``.  The output IS the recrawl frontier:
+    feed the missing/stale rows to a fetcher, prioritized by the
+    sitemap's own ``priority`` hints.
+
+    Scale shape: one combinable ``max`` per SURT over the capture index
+    (map-side partial), one equijoin on the SURT key — the same key the
+    index is already sorted/bucketed by, so a parquet mirror of the
+    index co-locates the join for free.  Freshness is a row-local date
+    compare (``lastmod`` ``YYYY-MM-DD`` vs the capture timestamp's
+    day prefix); entries with no ``lastmod`` can only be missing or
+    fresh — a site that doesn't declare timestamps never reports stale.
+
+    Returns ``(surt, host, loc, lastmod, priority, last_capture_ts,
+    freshness)``.
+    """
+    latest = captures.groupBy("surt").agg(
+        F.max("capture_ts").alias("last_capture_ts")
+    )
+    entries = sitemap_entries.filter(F.col("kind") == "url").select(
+        "host",
+        "loc",
+        "lastmod",
+        "priority",
+        surt_key(F.col("loc")).alias("surt"),
+    )
+    joined = entries.join(latest, "surt", "left")
+    capture_day = F.substring(F.col("last_capture_ts"), 1, 8)
+    lastmod_day = F.regexp_replace(
+        F.substring(F.col("lastmod"), 1, 10), "-", ""
+    )
+    freshness = (
+        F.when(F.col("last_capture_ts").isNull(), F.lit("missing"))
+        .when(
+            F.col("lastmod").isNotNull() & (lastmod_day > capture_day),
+            F.lit("stale"),
+        )
+        .otherwise(F.lit("fresh"))
+    )
+    return joined.select(
+        "surt", "host", "loc", "lastmod", "priority",
+        "last_capture_ts", freshness.alias("freshness"),
+    )
