@@ -763,3 +763,66 @@ def test_pagerank_validates_params(spark):
         pagerank(df, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(df, iterations=0)
+
+
+def test_durable_band_index_probe_append_cycle(spark, tmp_path):
+    """write -> probe -> append -> probe again: the durable artifact's
+    probe must equal the in-memory incremental_candidates path, the
+    appended index must equal a from-scratch rebuild byte-for-row, and
+    parameters must come from the stored meta (not caller kwargs)."""
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        append_to_band_index,
+        incremental_candidates,
+        probe_band_index,
+        write_band_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    existing = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "bidx")
+
+    write_band_index(existing, path)
+    got = {
+        (r.new_doc, r.existing_doc)
+        for r in probe_band_index(spark, batch, path).collect()
+    }
+    want = {
+        (r.new_doc, r.existing_doc)
+        for r in incremental_candidates(
+            batch, spark.read.parquet(f"{path}/bands")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # append, then the index must equal a full rebuild over the union
+    append_to_band_index(spark, batch, path)
+    path2 = str(tmp_path / "bidx_rebuild")
+    write_band_index(docs, path2)
+    appended = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/bands")
+        .select("doc_id", "band", "band_hash")
+        .collect()
+    )
+    rebuilt = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path2}/bands")
+        .select("doc_id", "band", "band_hash")
+        .collect()
+    )
+    assert appended == rebuilt
+
+    # a post-append probe sees the union (self-pairs filtered)
+    probe2 = probe_band_index(
+        spark, docs.filter(F.col("doc_id") % 7 == 0), path
+    )
+    assert probe2.filter(F.col("new_doc") == F.col("existing_doc")).count() == 0
+
+    # partition layout: one directory per band
+    import os
+
+    bands_dirs = [
+        d for d in os.listdir(f"{path}/bands") if d.startswith("band=")
+    ]
+    assert sorted(bands_dirs) == ["band=0", "band=1"]

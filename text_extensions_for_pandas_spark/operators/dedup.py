@@ -1279,3 +1279,127 @@ def fingerprint_overlap_pairs(
             ).alias("overlap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Durable LSH band index: cross-dump near-dup state as an on-disk artifact
+# --------------------------------------------------------------------------
+
+def write_band_index(
+    documents: DataFrame,
+    path: str,
+    shingle_n: int = 3,
+    n_hashes: int = 8,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> None:
+    """Materialize the corpus' LSH band signatures as an on-disk index —
+    the text-dedup twin of ``similarity.write_ivfpq_index``: the corpus
+    is shingled/hashed ONCE, and every later crawl dump probes and
+    appends signatures instead of re-hashing 100 TB per snapshot.
+
+    Layout: ``{path}/bands`` — :func:`lsh_bands` rows ``(doc_id, band,
+    band_hash)`` written ``partitionBy(band)`` (bands are few and
+    uniformly sized, and a probe joins band-by-band, so each join task
+    reads exactly its band's directory); ``{path}/meta`` — one row
+    pinning ``(shingle_n, n_hashes, rows_per_band)`` so probe/append
+    can never silently mix parameters (mismatched signatures join as
+    pure noise)."""
+    bands = lsh_bands(
+        minhash_signatures(
+            doc_shingles(
+                documents, shingle_n, text_col, doc_col, distinct=False
+            ),
+            n_hashes,
+            doc_col,
+        ),
+        rows_per_band,
+        doc_col,
+    )
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        f"{path}/bands"
+    )
+    spark = documents.sparkSession
+    spark.createDataFrame(
+        [(shingle_n, n_hashes, rows_per_band)],
+        "shingle_n int, n_hashes int, rows_per_band int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _band_index_params(spark, path: str) -> tuple[int, int, int]:
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    return int(m["shingle_n"]), int(m["n_hashes"]), int(m["rows_per_band"])
+
+
+def _bands_of(documents, path_params, text_col, doc_col):
+    shingle_n, n_hashes, rows_per_band = path_params
+    return lsh_bands(
+        minhash_signatures(
+            doc_shingles(
+                documents, shingle_n, text_col, doc_col, distinct=False
+            ),
+            n_hashes,
+            doc_col,
+        ),
+        rows_per_band,
+        doc_col,
+    )
+
+
+def probe_band_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidates of ``new_docs`` against everything the index
+    at ``path`` has seen — one signature pass over the NEW batch only,
+    an equijoin on ``(band, band_hash)`` against the stored bands, and
+    a self-pair filter (an id probing an index that already contains it
+    matches itself trivially).  Returns distinct ``(new_doc,
+    existing_doc)``; verify exact Jaccard with
+    :func:`jaccard_for_pairs` where the decision matters.  Parameters
+    come from the index's meta — callers cannot drift them."""
+    params = _band_index_params(spark, path)
+    new_bands = _bands_of(new_docs, params, text_col, doc_col).select(
+        F.col(doc_col).alias("new_doc"),
+        F.col("band").alias("__band_n"),
+        F.col("band_hash").alias("__bh_n"),
+    )
+    idx = spark.read.parquet(f"{path}/bands").select(
+        F.col(doc_col).alias("existing_doc"), "band", "band_hash"
+    )
+    return (
+        new_bands.join(
+            idx,
+            (F.col("band") == F.col("__band_n"))
+            & (F.col("band_hash") == F.col("__bh_n")),
+        )
+        .filter(F.col("new_doc") != F.col("existing_doc"))
+        .select("new_doc", "existing_doc")
+        .distinct()
+    )
+
+
+def append_to_band_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> None:
+    """Append a new dump's band signatures into the index — one pass
+    over the new batch with the index's pinned parameters, existing
+    partition files untouched, probes see the union immediately.  Same
+    contract as ``append_to_ivfpq_index``: ids must be disjoint from
+    the indexed corpus (content-hash ids make retries collide into the
+    same id — detectable, not silently wrong), and a blindly retried
+    append duplicates rows (plain batch append, not exactly-once).
+    The probe-then-append composition IS dedup-on-arrival: probe the
+    incoming dump, drop its near-dups, append only the survivors."""
+    params = _band_index_params(spark, path)
+    _bands_of(new_docs, params, text_col, doc_col).write.mode(
+        "append"
+    ).partitionBy("band").parquet(f"{path}/bands")

@@ -1331,6 +1331,65 @@ ORDER BY p.doc_a, p.doc_b
 """
 
 
+def q_band_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable LSH band index under the value-hash oracle — the
+    text-dedup twin of ``ivfpq_index_append``: phase ``b1`` probes a
+    fresh batch (``doc_id%3==0``) against an index built from the rest
+    of the corpus; phase ``b2`` probes ``doc_id%5==0`` against a SECOND
+    index that had the batch appended — proving the append is live and
+    parameter-pinned (probe/append read shingle/hash/band settings from
+    the stored meta).  Two artifacts, not one, so each lazy probe reads
+    a deterministic on-disk state.  DuckDB recomputes both phases from
+    the shared minhash-band CTE with membership arithmetic; the b2 side
+    must also reproduce the self-pair filter."""
+    import os
+
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        append_to_band_index,
+        probe_band_index,
+        write_band_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    base = _session_tmp("band_index_gate")
+    path_a = os.path.join(base, "a")
+    path_b = os.path.join(base, "b")
+    write_band_index(existing, path_a)
+    c1 = probe_band_index(spark, batch, path_a)
+    write_band_index(existing, path_b)
+    append_to_band_index(spark, batch, path_b)
+    c2 = probe_band_index(spark, docs.filter(F.col("doc_id") % 5 == 0), path_b)
+    out = c1.select(
+        F.lit("b1").alias("phase"), "new_doc", "existing_doc"
+    ).unionByName(
+        c2.select(F.lit("b2").alias("phase"), "new_doc", "existing_doc")
+    )
+    return out.orderBy("phase", "new_doc", "existing_doc")
+
+
+Q_BAND_INDEX_INGEST_SQL = f"""
+WITH {SHINGLES_CTE},
+p1 AS (
+  SELECT DISTINCT n.doc_id AS new_doc, e.doc_id AS existing_doc
+  FROM bands n JOIN bands e
+    ON n.band = e.band AND n.band_hash = e.band_hash
+  WHERE n.doc_id % 3 = 0 AND e.doc_id % 3 <> 0
+),
+p2 AS (
+  SELECT DISTINCT n.doc_id AS new_doc, e.doc_id AS existing_doc
+  FROM bands n JOIN bands e
+    ON n.band = e.band AND n.band_hash = e.band_hash
+  WHERE n.doc_id % 5 = 0 AND n.doc_id <> e.doc_id
+)
+SELECT 'b1' AS phase, new_doc, existing_doc FROM p1
+UNION ALL
+SELECT 'b2' AS phase, new_doc, existing_doc FROM p2
+ORDER BY phase, new_doc, existing_doc
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -8181,7 +8240,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- missing/stale/fresh).  Same below-boundary placement and
     # -- r10-first promise.
     "crawl_freshness": (q_crawl_freshness, Q_CRAWL_FRESHNESS_SQL),
-    # -- [58-62] the five r06-verified entries the six r9 additions/
+    # -- [58] band_index_ingest: NEW late-r9 — the durable LSH band
+    # -- index (write/probe/append, text twin of ivfpq_index_append).
+    # -- Same below-boundary placement and r10-first promise.
+    "band_index_ingest": (q_band_index_ingest, Q_BAND_INDEX_INGEST_SQL),
+    # -- [59-63] the five r06-verified entries the six r9 additions/
     # -- re-gates displaced: lang_id (whose plan ALSO changed late-r9 —
     # -- the script pre-check branches — locally re-verified after the
     # -- change), q3_shipping_priority, q5_region_revenue,
