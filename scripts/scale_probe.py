@@ -713,6 +713,102 @@ def main() -> None:
                 )
             )
 
+    # Ranged fetch vs full scan: the SAME selection (10% of captures)
+    # obtained by seeking the index's (offset, length) members vs
+    # parsing every shard and filtering afterwards.  Ranged cost grows
+    # with the SELECTED bytes, full-scan cost with the CORPUS bytes —
+    # the 10x asymmetry here is the floor (real selections run well
+    # under 1%).  Both paths must yield identical document sets.
+    if not only or "cdx_fetch" in only:
+        import gzip as _gzip
+        import tempfile
+
+        from text_extensions_for_pandas_spark.sources.cdx import (
+            fetch_plan,
+            fetch_warc_ranges,
+            make_cdx_line,
+            read_cdx_index,
+        )
+        from text_extensions_for_pandas_spark.sources.corpus import (
+            make_warc_record,
+            read_wet_corpus,
+        )
+
+        fdir = tempfile.mkdtemp(prefix="cdx_fetch_probe_")
+        for n in SCALES:
+            n_rec = 1_250 * n
+            per_file = n_rec // 8
+            sdir = os.path.join(fdir, f"s{n}")
+            os.makedirs(sdir, exist_ok=True)
+            cdx_lines = []
+            for f_no in range(8):
+                fname = f"seg{f_no}.warc.gz"
+                offset = 0
+                with open(os.path.join(sdir, fname), "wb") as fh:
+                    for i in range(f_no * per_file, (f_no + 1) * per_file):
+                        body = (
+                            f"<html><body>page {i} "
+                            + "filler prose word " * 100
+                            + "</body></html>"
+                        )
+                        member = _gzip.compress(
+                            make_warc_record(
+                                body,
+                                url=f"http://h{i % 97}.example/p/{i}",
+                                warc_type="response",
+                                http_status=200,
+                            )
+                        )
+                        cdx_lines.append(
+                            make_cdx_line(
+                                f"http://h{i % 97}.example/p/{i}",
+                                f"20240601{i % 1000000:06d}",
+                                digest=f"dg{i}",
+                                filename=fname,
+                                offset=offset,
+                                length=len(member),
+                            )
+                        )
+                        fh.write(member)
+                        offset += len(member)
+            with _gzip.open(os.path.join(sdir, "cdx-0.gz"), "wt") as fh:
+                fh.write("\n".join(cdx_lines) + "\n")
+
+            sel = read_cdx_index(
+                spark, os.path.join(sdir, "cdx-0.gz")
+            ).where(F.col("surt").rlike("0$"))  # ~10%: paths ending in 0
+            t0 = time.time()
+            ranged = fetch_warc_ranges(
+                spark,
+                fetch_plan(sel, max_records_per_task=256),
+                base_dir=sdir,
+                record_types=("response",),
+            ).count()
+            dt_ranged = time.time() - t0
+            t0 = time.time()
+            full = (
+                read_wet_corpus(
+                    spark,
+                    os.path.join(sdir, "seg*.warc.gz"),
+                    record_types=("response",),
+                )
+                .where(F.col("url").rlike("0$"))
+                .count()
+            )
+            dt_full = time.time() - t0
+            assert ranged == full, (ranged, full)
+            times.setdefault("fetch_ranged", []).append((n, dt_ranged))
+            times.setdefault("fetch_fullscan", []).append((n, dt_full))
+            print(
+                json.dumps(
+                    {"op": "cdx_fetch", "scale": n, "records": n_rec,
+                     "selected": ranged,
+                     "ranged_sec": round(dt_ranged, 2),
+                     "fullscan_sec": round(dt_full, 2),
+                     "speedup": round(dt_full / dt_ranged, 2)}
+                )
+            )
+
     # BPE merge-loop boundedness: ~1k merges must complete in bounded
     # wall-clock on the in-memory path (the distributed per-merge loop is
     # one Spark job per merge — the documented wall-clock killer at 32k+
