@@ -333,3 +333,70 @@ def test_crawl_freshness_classification(spark):
         "http://a.example/p4": ("fresh", "20230101000000"),
         "http://www.b.example/q?b=2&a=1": ("fresh", "20240101000000"),
     }
+
+
+def test_cdx_mirror_ranges_and_pushdown(spark, tmp_path):
+    """The parquet mirror's reason to exist: per-file SURT spans must be
+    non-overlapping (range partitioning — the file-skipping
+    precondition), a SURT-prefix predicate must push down to the scan
+    (parquet handles StringStartsWith), and mirror results must equal
+    the text-index results."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from text_extensions_for_pandas_spark.sources.cdx import (
+        read_cdx_mirror,
+        write_cdx_mirror,
+    )
+
+    lines = [
+        make_cdx_line(
+            f"http://h{i % 50:02d}.example/p/{i}",
+            f"20240101{i % 1000000:06d}",
+            digest=f"d{i}",
+            filename="w.warc.gz",
+            offset=i * 100,
+            length=90,
+        )
+        for i in range(2000)
+    ]
+    src = tmp_path / "cdx-0"
+    src.write_text("\n".join(lines) + "\n")
+    cdx = read_cdx_index(spark, str(src))
+    mirror_path = str(tmp_path / "mirror")
+    write_cdx_mirror(cdx, mirror_path, n_files=8)
+
+    # non-overlapping per-file surt ranges from the real footers
+    spans = []
+    for fp in glob.glob(f"{mirror_path}/*.parquet"):
+        meta = pq.ParquetFile(fp).metadata
+        mins, maxs = [], []
+        for i in range(meta.num_row_groups):
+            rg = meta.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema == "surt" and c.statistics is not None:
+                    mins.append(c.statistics.min)
+                    maxs.append(c.statistics.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 4  # range partitioning produced several files
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file spans {hi1!r} vs {lo2!r}"
+
+    # prefix predicate pushes to the parquet scan
+    q = read_cdx_mirror(spark, mirror_path).where(
+        F.col("surt").startswith("example,h07)")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith(surt,example,h07)" in plan.replace(" ", "")
+
+    # and the mirror agrees with the text index
+    want = rows_to_tuples(
+        cdx.where(F.col("surt").startswith("example,h07)")),
+        "surt", "capture_ts", "offset",
+    )
+    assert rows_to_tuples(q, "surt", "capture_ts", "offset") == want
+    assert len(want) == 40

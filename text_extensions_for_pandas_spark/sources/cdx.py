@@ -65,6 +65,8 @@ __all__ = [
     "fetch_plan",
     "fetch_warc_ranges",
     "crawl_freshness",
+    "write_cdx_mirror",
+    "read_cdx_mirror",
 ]
 
 
@@ -491,3 +493,40 @@ def crawl_freshness(
         "surt", "host", "loc", "lastmod", "priority",
         "last_capture_ts", freshness.alias("freshness"),
     )
+
+
+# --------------------------------------------------------------- mirror --
+
+def write_cdx_mirror(
+    cdx: DataFrame, path: str, n_files: int = 32
+) -> None:
+    """Materialize the raw text index as a SURT-range-sorted parquet
+    mirror — the one-time investment that turns every later
+    ``surt_prefixes`` selection into real I/O skipping: gzip text
+    shards must always be fully decompressed and parsed, but a parquet
+    mirror range-partitioned and sorted on ``surt`` gives (a) columnar
+    pruning (a host-scoping pass reads the ``surt`` column, not the
+    JSON), (b) per-file min/max ``surt`` ranges so a prefix predicate
+    skips whole files, and (c) row-group statistics inside each file
+    for the same predicate (parquet pushes ``StringStartsWith``).
+    Re-selections against a crawl index are routine — every new
+    curriculum, domain study, or recrawl plan re-scopes the same index
+    — so the mirror pays for itself on the second query.
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` — a RANGE
+    exchange, not a global sort: files end up with narrow,
+    non-overlapping SURT spans (asserted from real parquet footers in
+    ``test_cdx.py``)."""
+    (
+        cdx.repartitionByRange(n_files, F.col("surt"))
+        .sortWithinPartitions("surt")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_cdx_mirror(spark: SparkSession, path: str) -> DataFrame:
+    """Read a :func:`write_cdx_mirror` artifact.  Selection predicates
+    (``select_captures``' filters, SURT prefixes) push down to the
+    parquet scan — compose exactly as with :func:`read_cdx_index`."""
+    return spark.read.parquet(path)
