@@ -519,3 +519,49 @@ def test_sample_to_token_budget_no_global_sort_of_corpus(spark):
     out = sample_to_token_budget(df, 5000, priority_col="q")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Window") == 1
+
+
+def test_upsample_mixture_epoch_semantics(spark):
+    """rate 2.5 -> two full epochs + a ~50% hash-kept third; rate 1 ->
+    exactly one epoch; rate 0.4 -> a ~40% single epoch; rate 0 / -1 ->
+    dropped; unlisted strata default to one epoch.  Deterministic:
+    identical calls keep identical (doc, epoch) sets."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        upsample_mixture,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("src"),
+    )
+    rates = {"0": 2.5, "1": 1.0, "2": 0.4, "3": 0.0}
+    out = upsample_mixture(df, "src", rates).cache()
+    per = {
+        r["src"]: (r["n"], r["max_e"], r["min_e"])
+        for r in out.groupBy("src")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("epoch").alias("max_e"),
+            F.min("epoch").alias("min_e"),
+        )
+        .collect()
+    }
+    # stratum 0: 200 docs x 2 full epochs + fractional third
+    n0, max_e0, min_e0 = per["0"]
+    assert min_e0 == 0 and max_e0 == 2
+    assert 400 < n0 < 600  # 400 + a ~half-kept fractional epoch
+    # full epochs are complete; the fractional one is a strict subset
+    full = out.filter((F.col("src") == "0") & (F.col("epoch") < 2)).count()
+    frac = out.filter((F.col("src") == "0") & (F.col("epoch") == 2)).count()
+    assert full == 400 and 0 < frac < 200
+    assert per["1"] == (200, 0, 0)
+    n2, max_e2, _ = per["2"]
+    assert max_e2 == 0 and 50 < n2 < 110
+    assert "3" not in per
+    assert per["4"] == (200, 0, 0)  # unlisted -> default rate 1
+
+    again = upsample_mixture(df, "src", rates)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    out.unpersist()

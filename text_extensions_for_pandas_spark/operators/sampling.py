@@ -19,6 +19,8 @@ Operators:
   hand-specified target weights under a token budget;
 * :func:`alpha_mixture_rates` — temperature-scaled weights derived from
   stratum mass (the mT5/XLM-R multilingual schedule);
+* :func:`upsample_mixture` — rates ABOVE 1: deterministic epoch
+  repetition (floor copies + a hash-kept fractional epoch);
 * :func:`dsir_llr_table` / :func:`dsir_score` / :func:`dsir_log_weights`
   — Data Selection via Importance Resampling;
 * :func:`cap_per_domain` — RefinedWeb/C4 anti-host-dominance budgets;
@@ -762,3 +764,51 @@ def sample_to_token_budget(
         return above.unionByName(boundary_kept)
     finally:
         work.unpersist()
+
+
+def upsample_mixture(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Mixture rates ABOVE 1: emit each row ``floor(rate)`` times (epoch
+    copies ``0..floor(rate)-1``) plus one more with probability
+    ``rate - floor(rate)`` — deterministic epoch repetition, the other
+    half of the story :func:`mixture_rates` caps away (an oversubscribed
+    stratum there degrades to rate 1 rather than upsampling; THIS is the
+    operator that says "the model sees wikipedia 2.5 times").
+
+    The fractional copy keeps by :func:`hash_fraction` of ``key:epoch``,
+    so membership is a pure row-local function of the data — stable
+    under repartitioning, oracle-reproducible, and each epoch's
+    fractional subset is an independent hash draw.  Rates ≤ 0 drop the
+    stratum; unlisted strata default to rate 1 (one epoch, always
+    kept).  Output gains ``epoch_col``; compose with
+    :func:`deterministic_shuffle` using the epoch in the salt so copies
+    of a document land in different shards::
+
+        shuffled = deterministic_shuffle(
+            upsampled.withColumn("k", F.concat_ws(":", "doc_id", "epoch")),
+            key_col="k",
+        )
+
+    Scale shape: one row-local ``explode`` of a ``ceil(rate)``-element
+    sequence per row — output-proportional work, no shuffle, no state;
+    rates ship as a plan literal like the other mixture operators.
+    """
+    rate = F.lit(1.0)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, float(r)).otherwise(rate)
+    n_epochs = F.when(
+        rate > 0, F.sequence(F.lit(0), F.ceil(rate).cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    e = F.col(epoch_col)
+    frac_keep = hash_fraction(
+        F.concat(F.col(key_col).cast("string"), F.lit(":"), e.cast("string"))
+    ) < (rate - F.floor(rate))
+    return (
+        df.withColumn(epoch_col, F.explode(n_epochs))
+        .filter((e < F.floor(rate)) | frac_keep)
+    )

@@ -6246,6 +6246,49 @@ FROM e ORDER BY surt
 """
 
 
+def q_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.sampling.upsample_mixture` under the value-hash
+    oracle: strata from ``doc_id % 4`` with rates 2.5 / 1.0 / 0.4 / 0 —
+    two full epochs plus an md5-kept fractional third, a pass-through,
+    a fractional single epoch, and a drop.  DuckDB reproduces epoch
+    membership EXACTLY via the documented md5 hash-fraction identity
+    over ``doc_id:epoch`` keys.  One row-local explode, no shuffle."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        upsample_mixture,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).cast("string").alias("stratum")
+    )
+    out = upsample_mixture(
+        docs, "stratum", {"0": 2.5, "1": 1.0, "2": 0.4, "3": 0.0}
+    )
+    return out.select("doc_id", "stratum", "epoch").orderBy(
+        "doc_id", "epoch"
+    )
+
+
+Q_UPSAMPLE_MIXTURE_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS stratum,
+         CASE doc_id % 4 WHEN 0 THEN 2.5 WHEN 1 THEN 1.0
+                         WHEN 2 THEN 0.4 ELSE 0.0 END AS rate
+  FROM documents
+),
+e AS (
+  SELECT doc_id, stratum, rate, CAST(t.e AS INTEGER) AS epoch
+  FROM d, unnest(range(CAST(ceil(rate) AS INTEGER))) AS t(e)
+  WHERE rate > 0
+)
+SELECT doc_id, stratum, epoch FROM e
+WHERE epoch < floor(rate)
+   OR CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                  CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 < rate - floor(rate)
+ORDER BY doc_id, epoch
+"""
+
+
 def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.operators.urls.parse_sitemaps` under the value-hash
     oracle: 12 hosts, three of every four serving a ``<urlset>`` of five
@@ -8121,21 +8164,23 @@ FROM chunks ORDER BY doc_id, chunk_idx
 # r8 comment promised (line_repetition ... cap_per_domain); [16-50] the
 # first thirty-five of the remaining forty r06-verified entries
 # (q22_sales_opportunity ... ivf_topk and on to token_count).
-# Below the boundary: [51-58] the EIGHT late-r9 entries — two from the
-# first r9 session (lang_id_script, wat_anchor_text) and six from the
+# Below the boundary: [51-59] the NINE late-r9 entries — two from the
+# first r9 session (lang_id_script, wat_anchor_text) and seven from the
 # second (cdx_select, cdx_fetch, token_budget_sample, sitemap_urls,
-# crawl_freshness, band_index_ingest — the CDX/sitemap crawl-frontier
-# front, the token-budget sampler, and the durable LSH band index),
-# each verified locally at sf0.001 AND sf0.01 when added; then [59-63]
+# crawl_freshness, band_index_ingest, upsample_mixture — the
+# CDX/sitemap crawl-frontier front, the token-budget sampler, the
+# durable LSH band index, and epoch-repetition upsampling),
+# each verified locally at sf0.001 AND sf0.01 when added; then [60-64]
 # the five r06-verified entries the six r9 gate slots displaced
 # (lang_id, q3_shipping_priority, q5_region_revenue, q_top_customers,
 # q8_market_share) -- now THREE rounds driver-stale, displaced
 # EXPLICITLY per the r8 verdict's do-not-let-it-happen-silently
 # instruction and re-verified locally at sf0.001 AND sf0.01 this round
-# (recorded in BASELINE.md).  The r10 gate rotates in the eight late-r9
+# (recorded in BASELINE.md).  The r10 gate rotates in the nine late-r9
 # entries FIRST, then the five displaced r06 entries, then the
-# forty-eight r07-verified entries (the remainder of the 50 slots),
-# then the r08-verified entries.  The FULL registry is locally
+# thirty-six most-stale r07-verified entries (the remainder of the 50
+# slots; the other twelve r07 entries and the r08/r09-gated entries
+# follow in later rounds).  The FULL registry is locally
 # hash-verified by scripts/check_oracle.py at sf0.001 AND sf0.01
 # regardless of position.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -8250,7 +8295,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- index (write/probe/append, text twin of ivfpq_index_append).
     # -- Same below-boundary placement and r10-first promise.
     "band_index_ingest": (q_band_index_ingest, Q_BAND_INDEX_INGEST_SQL),
-    # -- [59-63] the five r06-verified entries the six r9 additions/
+    # -- [59] upsample_mixture: NEW late-r9 — epoch repetition for rates
+    # -- above 1 (floor copies + md5-kept fractional epoch).  Same
+    # -- below-boundary placement and r10-first promise.
+    "upsample_mixture": (q_upsample_mixture, Q_UPSAMPLE_MIXTURE_SQL),
+    # -- [60-64] the five r06-verified entries the six r9 additions/
     # -- re-gates displaced: lang_id (whose plan ALSO changed late-r9 —
     # -- the script pre-check branches — locally re-verified after the
     # -- change), q3_shipping_priority, q5_region_revenue,
