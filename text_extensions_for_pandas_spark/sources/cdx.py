@@ -108,9 +108,34 @@ def surt_key(url) -> F.Column:
     )
 
 
+import re as _re
+
+# one label of a Java-URI-valid hostname: alphanumeric edges, hyphens
+# inside, no underscores (sun's RFC 2396 server-authority grammar)
+_JAVA_LABEL = _re.compile(r"[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?$")
+
+
+def _java_host_ok(host: str) -> bool:
+    """Mirror ``try_parse_url``'s (java.net.URI's) host acceptance —
+    found empirically by the property test and pinned by it: every
+    label alphanumeric-edged; a MULTI-label host's last label must not
+    start with a digit unless the whole host is a 4-part dotted-digit
+    IPv4; one trailing dot allowed."""
+    labels = host.split(".")
+    if labels and labels[-1] == "":  # single trailing dot
+        labels = labels[:-1]
+    if not labels or any(not _JAVA_LABEL.match(lb) for lb in labels):
+        return False
+    if len(labels) > 1 and labels[-1][0].isdigit():
+        return len(labels) == 4 and all(lb.isdigit() for lb in labels)
+    return True
+
+
 def surt_key_py(url: str) -> str | None:
     """Driver/fixture-side twin of :func:`surt_key` — MUST agree with the
-    Column expression (pinned by ``test_cdx.py``'s property test)."""
+    Column expression (pinned by ``test_cdx.py``'s property tests,
+    including a 300-URL generated sweep).  Known unmirrored edge:
+    IPv6 literals (absent from crawl indexes in practice)."""
     from urllib.parse import urlsplit
 
     try:
@@ -118,7 +143,7 @@ def surt_key_py(url: str) -> str | None:
     except ValueError:
         return None
     host = (parts.hostname or "").lower()
-    if not host:
+    if not host or not _java_host_ok(host):
         return None
     if host.startswith("www."):
         host = host[4:]
