@@ -809,6 +809,53 @@ def main() -> None:
                 )
             )
 
+    # Token-budget sampling: the quantile-threshold plan vs the naive
+    # global cumulative-sum window it is defined by.  Same kept set
+    # asserted; the naive plan range-sorts the WHOLE corpus into the
+    # window (single straggling sort at scale), the operator confines
+    # the exact window to the boundary slice.
+    if not only or "token_budget" in only:
+        from pyspark.sql import Window
+
+        from text_extensions_for_pandas_spark.operators.sampling import (
+            sample_to_token_budget,
+        )
+
+        for n in SCALES:
+            n_docs = 25_000 * n
+            d = spark.range(n_docs).select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") * 37 % 1000 + 10).alias("n_tokens"),
+                ((F.col("id") * 2654435761) % 1000003 / 1000003.0).alias("q"),
+            )
+            budget = n_docs * 100  # cuts ~20% in (mean size ~510)
+            t0 = time.time()
+            kept = sample_to_token_budget(
+                d, budget, size_col="n_tokens", priority_col="q"
+            ).count()
+            dt_op = time.time() - t0
+            w = Window.orderBy(
+                F.col("q").desc(), F.col("doc_id")
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            t0 = time.time()
+            naive = (
+                d.withColumn("c", F.sum("n_tokens").over(w))
+                .filter(F.col("c") <= budget)
+                .count()
+            )
+            dt_naive = time.time() - t0
+            assert kept == naive, (kept, naive)
+            times.setdefault("token_budget_op", []).append((n, dt_op))
+            times.setdefault("token_budget_window", []).append((n, dt_naive))
+            print(
+                json.dumps(
+                    {"op": "token_budget", "scale": n, "docs": n_docs,
+                     "kept": kept, "op_sec": round(dt_op, 2),
+                     "window_sec": round(dt_naive, 2),
+                     "speedup": round(dt_naive / dt_op, 2)}
+                )
+            )
+
     # BPE merge-loop boundedness: ~1k merges must complete in bounded
     # wall-clock on the in-memory path (the distributed per-merge loop is
     # one Spark job per merge — the documented wall-clock killer at 32k+
