@@ -615,3 +615,56 @@ def test_lang_id_cjk_script_detection(spark):
     for row in r:
         for v in row.r.asDict().values():
             assert 0.0 <= v <= 1.0
+
+
+def test_cjk_quality_rules_and_dispatch(spark):
+    """The word-based Gopher gate rejects good Chinese prose outright
+    (no spaces -> one giant 'word'); the char-based CJK gate passes it,
+    fails repetition spam / too-short / punctuation-free dumps, and
+    quality_gate_by_script routes each script to its gate."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        cjk_quality_rules,
+        gopher_rules,
+        quality_gate_by_script,
+    )
+
+    han = "".join(chr(0x4E00 + i) for i in range(60))
+    good_zh = han[:20] + "。" + han[20:40] + "，" + han[40:60] + "。"
+    good_en = (
+        "the quick brown fox jumps over the lazy dog and then the "
+        "fox is seen in a field of data that is growing daily "
+    ) * 3
+    cases = [
+        (0, good_zh),
+        (1, "啊" * 200 + "。"),  # repetition spam
+        (2, han[:10] + "。"),  # too short
+        (3, good_en),  # latin: routed to gopher
+        (4, "".join(chr(0x4E00 + i) for i in range(100)) * 3),  # no punct
+    ]
+    df = spark.createDataFrame(cases, ["k", "text"])
+    rows = {
+        r["k"]: (r["c"], r["g"])
+        for r in df.select(
+            "k",
+            cjk_quality_rules("text").alias("c"),
+            quality_gate_by_script("text").alias("g"),
+        ).collect()
+    }
+    assert rows[0][0]["passes"] is True
+    assert rows[1][0]["distinct_ratio_ok"] is False
+    assert rows[2][0]["char_count_ok"] is False
+    assert rows[4][0]["punct_ok"] is False
+    # dispatch: CJK rows judged by the CJK gate, latin by gopher
+    assert rows[0][1]["is_cjk"] is True and rows[0][1]["passes"] is True
+    assert rows[3][1]["is_cjk"] is False
+    # the silent-damage proof: word-based gopher REJECTS good zh prose
+    g = df.filter(F.col("k") == 0).select(
+        gopher_rules("text").alias("g")
+    ).collect()[0]["g"]
+    assert g["passes"] is False and g["word_count_ok"] is False
+    # ... while good English passes gopher via the dispatcher
+    gd = rows[3][1]
+    en_gopher = df.filter(F.col("k") == 3).select(
+        gopher_rules("text").alias("g")
+    ).collect()[0]["g"]
+    assert gd["passes"] == en_gopher["passes"]

@@ -1059,3 +1059,108 @@ def repetition_metrics(
             6,
         ).alias("dup_ngram_frac"),
     )
+
+
+_CJK_CHAR_CLASS = "぀-ヿ㐀-䶿一-鿿가-힯"
+# full-width sentence punctuation + enumeration/quote marks CJK prose
+# actually carries; absence over hundreds of chars marks tables/SEO spam
+_CJK_PUNCT_CLASS = (
+    "。，、！？；："
+    "「」『』（）…—"
+)
+
+
+def cjk_quality_rules(
+    text: Column | str,
+    min_chars: int = 50,
+    max_chars: int = 100_000,
+) -> Column:
+    """Char-based quality gate for CJK text — the counterpart of the
+    word-based :func:`gopher_rules`, whose word_count / mean_word_len /
+    alpha_ratio / stopword rules all silently malfunction on
+    unsegmented Han/kana/Hangul prose (every "word" is a whole line,
+    mean word length is enormous, no ``[a-zA-Z]``, no English
+    stopwords).  Struct of per-rule booleans plus combined ``passes``:
+
+    * ``char_count_ok`` — CJK char count in [min_chars, max_chars]
+      (chars are the token unit; 50 Han chars ≈ the information of
+      Gopher's 50 words);
+    * ``cjk_ratio_ok`` — ≥ 30% of non-space chars are CJK (the gate is
+      for documents that ARE CJK; route others to gopher_rules, or use
+      :func:`quality_gate_by_script` which dispatches);
+    * ``distinct_ratio_ok`` — ≥ 10% of CJK chars are distinct
+      (repetition spam — "啊啊啊…" floods — collapses this; normal
+      prose over a few hundred chars sits far above);
+    * ``punct_ok`` — ≥ 1 CJK punctuation mark per 200 CJK chars
+      (running prose carries 。，、; keyword-stuffing and table dumps
+      carry none);
+    * ``symbol_ok`` — (# + ellipsis) per CJK char ≤ 5%;
+    * ``bullet_ok`` / ``ellipsis_ok`` — the Gopher line rules,
+      script-independent, unchanged thresholds.
+
+    Thresholds are documented heuristics (WuDao/WanJuan-style cleanup
+    defaults), tunable per corpus.  Pure built-in arithmetic, row-local
+    and stream-transparent, codegen throughout.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    compact = F.regexp_replace(c, r"\s", "")
+    n_all = F.greatest(F.length(compact), F.lit(1))
+    cjk = F.regexp_replace(compact, f"[^{_CJK_CHAR_CLASS}]", "")
+    n_cjk = F.length(cjk)
+    safe_cjk = F.greatest(n_cjk, F.lit(1))
+    n_distinct = F.size(F.array_distinct(F.split(cjk, "")))
+    punct = F.regexp_replace(compact, f"[^{_CJK_PUNCT_CLASS}]", "")
+    n_punct = F.length(punct)
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3 + (F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit(""))))
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•] ")))
+    n_ell_line = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    rules = {
+        "char_count_ok": (n_cjk >= min_chars) & (n_cjk <= max_chars),
+        "cjk_ratio_ok": n_cjk / n_all >= 0.3,
+        "distinct_ratio_ok": n_distinct / safe_cjk >= 0.1,
+        "punct_ok": n_punct / safe_cjk >= 0.005,
+        "symbol_ok": (n_hash + n_ell) / safe_cjk <= 0.05,
+        "bullet_ok": n_bullet / n_lines <= 0.9,
+        "ellipsis_ok": n_ell_line / n_lines <= 0.3,
+    }
+    passes = None
+    for expr in rules.values():
+        passes = expr if passes is None else (passes & expr)
+    return F.struct(
+        *[expr.alias(name) for name, expr in rules.items()],
+        passes.alias("passes"),
+    )
+
+
+def quality_gate_by_script(
+    text: Column | str,
+    toks: Column | None = None,
+    cjk_threshold: float = 0.3,
+    **gopher_kwargs,
+) -> Column:
+    """Script-dispatched quality gate: documents whose combined
+    Han/kana/Hangul char ratio (:func:`script_ratios`) reaches
+    ``cjk_threshold`` are judged by :func:`cjk_quality_rules`, the rest
+    by :func:`gopher_rules` — closing the silent failure where the
+    word-based gate rejects virtually ALL CJK prose (no spaces → one
+    giant "word") and a naive pipeline quietly drops half a real
+    crawl.  Returns ``struct(is_cjk, passes)``; run the respective
+    rule struct directly when per-rule diagnostics are needed.  Both
+    branches are row-local codegen expressions — the dispatch is one
+    CASE, stream-transparent."""
+    c = F.col(text) if isinstance(text, str) else text
+    s = script_ratios(c)
+    is_cjk = (s["kana"] + s["hangul"] + s["han"]) >= cjk_threshold
+    return F.struct(
+        is_cjk.alias("is_cjk"),
+        F.when(is_cjk, cjk_quality_rules(c)["passes"])
+        .otherwise(gopher_rules(c, toks, **gopher_kwargs)["passes"])
+        .alias("passes"),
+    )

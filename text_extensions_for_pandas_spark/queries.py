@@ -6246,6 +6246,69 @@ FROM e ORDER BY surt
 """
 
 
+def q_cjk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.functions.text.cjk_quality_rules` +
+    :func:`~.functions.text.quality_gate_by_script` under the value-hash
+    oracle: five planted classes per ``doc_id % 5`` — clean Chinese
+    prose (passes; the word-based Gopher gate REJECTS this same text,
+    which is the silent-damage failure this gate closes), repetition
+    spam (distinct-ratio fail), too-short, English prose (dispatched to
+    gopher_rules), and a punctuation-free Han dump (punct fail).  DuckDB
+    recomputes every boolean closed-form per class; the dispatcher's
+    ``is_cjk`` is carried so the routing itself is hashed."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        cjk_quality_rules,
+        quality_gate_by_script,
+    )
+
+    han = "".join(chr(0x4E00 + i) for i in range(60))
+    big = "".join(chr(0x4E00 + i) for i in range(100)) * 3
+    good_en = (
+        "the quick brown fox jumps over the lazy dog and then the "
+        "fox is seen in a field of data that is growing daily "
+    ) * 3
+    classes = [
+        han[:20] + "。" + han[20:40] + "，" + han[40:60] + "。",
+        "啊" * 200 + "。",
+        han[:10] + "。",
+        good_en,
+        big,
+    ]
+    text = F.element_at(
+        F.array(*[F.lit(t) for t in classes]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", text.alias("t"))
+    r = cjk_quality_rules("t")
+    g = quality_gate_by_script("t")
+    return docs.select(
+        "doc_id",
+        r["char_count_ok"].alias("char_count_ok"),
+        r["cjk_ratio_ok"].alias("cjk_ratio_ok"),
+        r["distinct_ratio_ok"].alias("distinct_ratio_ok"),
+        r["punct_ok"].alias("punct_ok"),
+        r["passes"].alias("cjk_passes"),
+        g["is_cjk"].alias("is_cjk"),
+        g["passes"].alias("passes"),
+    ).orderBy("doc_id")
+
+
+Q_CJK_QUALITY_SQL = """
+SELECT doc_id,
+       doc_id % 5 IN (0, 1, 4) AS char_count_ok,
+       doc_id % 5 <> 3 AS cjk_ratio_ok,
+       doc_id % 5 <> 1 AS distinct_ratio_ok,
+       doc_id % 5 IN (0, 1, 2) AS punct_ok,
+       doc_id % 5 = 0 AS cjk_passes,
+       doc_id % 5 <> 3 AS is_cjk,
+       -- the dispatcher passes BOTH good-prose classes: zh through the
+       -- CJK gate, en through gopher_rules — and fails the three
+       -- damage classes
+       doc_id % 5 IN (0, 3) AS passes
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.operators.sampling.upsample_mixture` under the value-hash
     oracle: strata from ``doc_id % 4`` with rates 2.5 / 1.0 / 0.4 / 0 —
@@ -8164,22 +8227,23 @@ FROM chunks ORDER BY doc_id, chunk_idx
 # r8 comment promised (line_repetition ... cap_per_domain); [16-50] the
 # first thirty-five of the remaining forty r06-verified entries
 # (q22_sales_opportunity ... ivf_topk and on to token_count).
-# Below the boundary: [51-59] the NINE late-r9 entries — two from the
-# first r9 session (lang_id_script, wat_anchor_text) and seven from the
+# Below the boundary: [51-60] the TEN late-r9 entries — two from the
+# first r9 session (lang_id_script, wat_anchor_text) and eight from the
 # second (cdx_select, cdx_fetch, token_budget_sample, sitemap_urls,
-# crawl_freshness, band_index_ingest, upsample_mixture — the
-# CDX/sitemap crawl-frontier front, the token-budget sampler, the
-# durable LSH band index, and epoch-repetition upsampling),
-# each verified locally at sf0.001 AND sf0.01 when added; then [60-64]
+# crawl_freshness, band_index_ingest, upsample_mixture, cjk_quality —
+# the CDX/sitemap crawl-frontier front, the token-budget sampler, the
+# durable LSH band index, epoch-repetition upsampling, and the
+# script-dispatched CJK quality gate),
+# each verified locally at sf0.001 AND sf0.01 when added; then [61-65]
 # the five r06-verified entries the six r9 gate slots displaced
 # (lang_id, q3_shipping_priority, q5_region_revenue, q_top_customers,
 # q8_market_share) -- now THREE rounds driver-stale, displaced
 # EXPLICITLY per the r8 verdict's do-not-let-it-happen-silently
 # instruction and re-verified locally at sf0.001 AND sf0.01 this round
-# (recorded in BASELINE.md).  The r10 gate rotates in the nine late-r9
+# (recorded in BASELINE.md).  The r10 gate rotates in the ten late-r9
 # entries FIRST, then the five displaced r06 entries, then the
-# thirty-six most-stale r07-verified entries (the remainder of the 50
-# slots; the other twelve r07 entries and the r08/r09-gated entries
+# thirty-five most-stale r07-verified entries (the remainder of the 50
+# slots; the other thirteen r07 entries and the r08/r09-gated entries
 # follow in later rounds).  The FULL registry is locally
 # hash-verified by scripts/check_oracle.py at sf0.001 AND sf0.01
 # regardless of position.
@@ -8299,7 +8363,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- above 1 (floor copies + md5-kept fractional epoch).  Same
     # -- below-boundary placement and r10-first promise.
     "upsample_mixture": (q_upsample_mixture, Q_UPSAMPLE_MIXTURE_SQL),
-    # -- [60-64] the five r06-verified entries the six r9 additions/
+    # -- [60] cjk_quality: NEW late-r9 — char-based CJK quality gate +
+    # -- script-dispatched routing (closes the gopher-rejects-all-CJK
+    # -- silent failure).  Same below-boundary placement and r10-first
+    # -- promise.
+    "cjk_quality": (q_cjk_quality, Q_CJK_QUALITY_SQL),
+    # -- [61-65] the five r06-verified entries the six r9 additions/
     # -- re-gates displaced: lang_id (whose plan ALSO changed late-r9 —
     # -- the script pre-check branches — locally re-verified after the
     # -- change), q3_shipping_priority, q5_region_revenue,
