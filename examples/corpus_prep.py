@@ -172,6 +172,29 @@ def main() -> None:
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
     ).orderBy("shard").show()
 
+    # --- sizing the final mix: budget, upsampling, and script-aware
+    # quality — the last mile between a cleaned corpus and a train set
+    from text_extensions_for_pandas_spark.functions.text import (
+        quality_gate_by_script,
+    )
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        sample_to_token_budget,
+        upsample_mixture,
+    )
+
+    gated = docs.select(
+        "doc_id", "source", "text", F.length("text").alias("n_chars")
+    ).filter(quality_gate_by_script("text")["passes"])
+    # keep the best 100k chars by a quality prior (here: length prior)
+    sized = sample_to_token_budget(
+        gated, 100_000, size_col="n_chars",
+        priority_col=F.col("n_chars").cast("double"),
+    )
+    # then repeat one high-value source 2x in the final epoch plan
+    mix = upsample_mixture(sized, "source", {"src0": 2.0}, epoch_col="epoch")
+    print("=== budgeted + upsampled mix (rows per source x epoch) ===")
+    mix.groupBy("source", "epoch").count().orderBy("source", "epoch").show()
+
     spark.stop()
 
 
