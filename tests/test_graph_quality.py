@@ -826,3 +826,25 @@ def test_durable_band_index_probe_append_cycle(spark, tmp_path):
         d for d in os.listdir(f"{path}/bands") if d.startswith("band=")
     ]
     assert sorted(bands_dirs) == ["band=0", "band=1"]
+
+
+def test_dedup_keep_best_picks_highest_score(spark):
+    from text_extensions_for_pandas_spark.operators.graph import (
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate([5, 9, 7, 3, 3, 1, 8])],
+        "doc_id long, quality double",
+    )
+    # cluster A = {0,1,2} (winner 1, score 9); cluster B = {3,4}
+    # (tie at 3.0 -> lowest id 3); 5 and 6 unclustered
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(docs, pairs, "quality").collect()
+    )
+    assert kept == [1, 3, 5, 6]
+    # contrast: keep-lowest-id would keep 0, not the best copy 1

@@ -285,3 +285,44 @@ def soft_dedup_weights(
             (1.0 / F.coalesce("cluster_size", F.lit(1))).alias("weight"),
         )
     )
+
+
+def dedup_keep_best(
+    documents: DataFrame,
+    pairs: DataFrame,
+    score_col,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup cluster collapse keeping the BEST member per cluster —
+    the curation-grade variant of keep-lowest-id: when a page was
+    crawled five times, keep the copy with the highest quality score
+    (longest clean extraction, best gopher/CJK verdict, highest
+    pagerank prior...), not whichever hashed lowest.
+
+    ``pairs``: near-dup edges ``(doc_a, doc_b)``; ``score_col``: a
+    column/name on ``documents`` — higher wins, ties break on
+    ``doc_col`` ascending for determinism.
+
+    Scale shape: :func:`connected_components` over the PAIR graph
+    (cluster-member-sized, not corpus-sized), one ``max_by`` per
+    component, then a broadcast-friendly semi-join discipline: the kept
+    set = (all unclustered docs) ∪ (per-cluster winners) is expressed
+    as one left join against the label table + one winner table join —
+    the corpus shuffles once on ``doc_col``.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    cc = connected_components(pairs)
+    scored = documents.select(
+        F.col(doc_col), s.cast("double").alias("__score")
+    ).join(cc.withColumnRenamed("node", doc_col), doc_col)
+    winners = scored.groupBy("component").agg(
+        F.max_by(
+            F.col(doc_col),
+            F.struct(F.col("__score"), -F.col(doc_col)),
+        ).alias("__keep")
+    )
+    keep_ids = winners.select(F.col("__keep").alias(doc_col))
+    clustered = cc.select(F.col("node").alias(doc_col))
+    return documents.join(clustered, doc_col, "left_anti").unionByName(
+        documents.join(keep_ids, doc_col, "left_semi")
+    )
