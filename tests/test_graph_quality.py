@@ -848,3 +848,54 @@ def test_dedup_keep_best_picks_highest_score(spark):
     )
     assert kept == [1, 3, 5, 6]
     # contrast: keep-lowest-id would keep 0, not the best copy 1
+
+
+def test_band_index_bucket_layout_and_legacy_compat(spark, tmp_path):
+    """New indexes carry band=X/bucket=Y partitions (the DPP handle for
+    small-batch probes); probe results are identical to an unbucketed
+    legacy index, and a legacy meta (no n_hash_buckets field) still
+    probes correctly."""
+    import os
+
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        doc_shingles,
+        lsh_bands,
+        minhash_signatures,
+        probe_band_index,
+        write_band_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    existing = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    path = str(tmp_path / "bucketed")
+    write_band_index(existing, path, n_hash_buckets=8)
+    band_dirs = sorted(
+        d for d in os.listdir(f"{path}/bands") if d.startswith("band=")
+    )
+    assert band_dirs == ["band=0", "band=1"]
+    buckets = [
+        d
+        for d in os.listdir(f"{path}/bands/band=0")
+        if d.startswith("bucket=")
+    ]
+    assert 1 < len(buckets) <= 8
+    got = {
+        (r.new_doc, r.existing_doc)
+        for r in probe_band_index(spark, batch, path).collect()
+    }
+
+    # legacy layout: flat bands + 3-field meta
+    legacy = str(tmp_path / "legacy")
+    lsh_bands(
+        minhash_signatures(doc_shingles(existing, distinct=False))
+    ).write.partitionBy("band").parquet(f"{legacy}/bands")
+    spark.createDataFrame(
+        [(3, 8, 4)], "shingle_n int, n_hashes int, rows_per_band int"
+    ).write.parquet(f"{legacy}/meta")
+    legacy_got = {
+        (r.new_doc, r.existing_doc)
+        for r in probe_band_index(spark, batch, legacy).collect()
+    }
+    assert got == legacy_got and len(got) > 0

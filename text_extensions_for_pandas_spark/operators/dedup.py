@@ -1293,6 +1293,7 @@ def write_band_index(
     rows_per_band: int = 4,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    n_hash_buckets: int = 16,
 ) -> None:
     """Materialize the corpus' LSH band signatures as an on-disk index —
     the text-dedup twin of ``similarity.write_ivfpq_index``: the corpus
@@ -1300,12 +1301,58 @@ def write_band_index(
     appends signatures instead of re-hashing 100 TB per snapshot.
 
     Layout: ``{path}/bands`` — :func:`lsh_bands` rows ``(doc_id, band,
-    band_hash)`` written ``partitionBy(band)`` (bands are few and
-    uniformly sized, and a probe joins band-by-band, so each join task
-    reads exactly its band's directory); ``{path}/meta`` — one row
-    pinning ``(shingle_n, n_hashes, rows_per_band)`` so probe/append
-    can never silently mix parameters (mismatched signatures join as
-    pure noise)."""
+    band_hash)`` written ``partitionBy(band, bucket)`` where ``bucket =
+    pmod(xxhash64(band_hash), n_hash_buckets)``: the bucket column is a
+    pure function of the join key, so a probe that includes it in the
+    equijoin gives Spark a dynamic-partition-pruning handle — a SMALL
+    incoming batch (the continuous-ingest case) touches only its
+    buckets' directories instead of scanning the whole corpus-sized
+    index; a full-dump probe degrades gracefully to reading everything,
+    which it must anyway.  ``{path}/meta`` — one row pinning
+    ``(shingle_n, n_hashes, rows_per_band, n_hash_buckets)`` so
+    probe/append can never silently mix parameters or bucket layouts
+    (mismatched signatures join as pure noise; a mismatched bucketing
+    would silently miss candidates)."""
+    bands = lsh_bands(
+        minhash_signatures(
+            doc_shingles(
+                documents, shingle_n, text_col, doc_col, distinct=False
+            ),
+            n_hashes,
+            doc_col,
+        ),
+        rows_per_band,
+        doc_col,
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(n_hash_buckets))
+    )
+    bands.write.mode("overwrite").partitionBy("band", "bucket").parquet(
+        f"{path}/bands"
+    )
+    spark = documents.sparkSession
+    spark.createDataFrame(
+        [(shingle_n, n_hashes, rows_per_band, n_hash_buckets)],
+        "shingle_n int, n_hashes int, rows_per_band int, "
+        "n_hash_buckets int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _band_index_params(spark, path: str) -> tuple[int, int, int, int]:
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    # indexes written before the bucketed layout carry no bucket count
+    buckets = (
+        int(m["n_hash_buckets"]) if "n_hash_buckets" in m.__fields__ else 0
+    )
+    return (
+        int(m["shingle_n"]),
+        int(m["n_hashes"]),
+        int(m["rows_per_band"]),
+        buckets,
+    )
+
+
+def _bands_of(documents, path_params, text_col, doc_col):
+    shingle_n, n_hashes, rows_per_band, n_buckets = path_params
     bands = lsh_bands(
         minhash_signatures(
             doc_shingles(
@@ -1317,34 +1364,11 @@ def write_band_index(
         rows_per_band,
         doc_col,
     )
-    bands.write.mode("overwrite").partitionBy("band").parquet(
-        f"{path}/bands"
-    )
-    spark = documents.sparkSession
-    spark.createDataFrame(
-        [(shingle_n, n_hashes, rows_per_band)],
-        "shingle_n int, n_hashes int, rows_per_band int",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-
-
-def _band_index_params(spark, path: str) -> tuple[int, int, int]:
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
-    return int(m["shingle_n"]), int(m["n_hashes"]), int(m["rows_per_band"])
-
-
-def _bands_of(documents, path_params, text_col, doc_col):
-    shingle_n, n_hashes, rows_per_band = path_params
-    return lsh_bands(
-        minhash_signatures(
-            doc_shingles(
-                documents, shingle_n, text_col, doc_col, distinct=False
-            ),
-            n_hashes,
-            doc_col,
-        ),
-        rows_per_band,
-        doc_col,
-    )
+    if n_buckets:
+        bands = bands.withColumn(
+            "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(n_buckets))
+        )
+    return bands
 
 
 def probe_band_index(
@@ -1361,22 +1385,35 @@ def probe_band_index(
     matches itself trivially).  Returns distinct ``(new_doc,
     existing_doc)``; verify exact Jaccard with
     :func:`jaccard_for_pairs` where the decision matters.  Parameters
-    come from the index's meta — callers cannot drift them."""
+    come from the index's meta — callers cannot drift them.
+
+    On a bucket-partitioned index the stored ``bucket`` partition
+    column joins against the batch's recomputed bucket, handing Spark a
+    dynamic-partition-pruning opportunity: a small incoming batch reads
+    only the band/bucket directories it can possibly match (the
+    continuous-ingest shape), while a full-dump probe degrades to the
+    full scan it needs anyway."""
     params = _band_index_params(spark, path)
-    new_bands = _bands_of(new_docs, params, text_col, doc_col).select(
+    n_buckets = params[3]
+    new_bands = _bands_of(new_docs, params, text_col, doc_col)
+    sel = [
         F.col(doc_col).alias("new_doc"),
         F.col("band").alias("__band_n"),
         F.col("band_hash").alias("__bh_n"),
+    ]
+    idx_cols = [F.col(doc_col).alias("existing_doc"), "band", "band_hash"]
+    if n_buckets:
+        sel.append(F.col("bucket").alias("__bk_n"))
+        idx_cols.append("bucket")
+    new_bands = new_bands.select(*sel)
+    idx = spark.read.parquet(f"{path}/bands").select(*idx_cols)
+    cond = (F.col("band") == F.col("__band_n")) & (
+        F.col("band_hash") == F.col("__bh_n")
     )
-    idx = spark.read.parquet(f"{path}/bands").select(
-        F.col(doc_col).alias("existing_doc"), "band", "band_hash"
-    )
+    if n_buckets:
+        cond = cond & (F.col("bucket") == F.col("__bk_n"))
     return (
-        new_bands.join(
-            idx,
-            (F.col("band") == F.col("__band_n"))
-            & (F.col("band_hash") == F.col("__bh_n")),
-        )
+        new_bands.join(idx, cond)
         .filter(F.col("new_doc") != F.col("existing_doc"))
         .select("new_doc", "existing_doc")
         .distinct()
@@ -1400,6 +1437,7 @@ def append_to_band_index(
     The probe-then-append composition IS dedup-on-arrival: probe the
     incoming dump, drop its near-dups, append only the survivors."""
     params = _band_index_params(spark, path)
+    part_cols = ["band", "bucket"] if params[3] else ["band"]
     _bands_of(new_docs, params, text_col, doc_col).write.mode(
         "append"
-    ).partitionBy("band").parquet(f"{path}/bands")
+    ).partitionBy(*part_cols).parquet(f"{path}/bands")
