@@ -1293,7 +1293,7 @@ def write_band_index(
     rows_per_band: int = 4,
     text_col: str = "text",
     doc_col: str = "doc_id",
-    n_hash_buckets: int = 16,
+    n_hash_buckets: int = 0,
 ) -> None:
     """Materialize the corpus' LSH band signatures as an on-disk index —
     the text-dedup twin of ``similarity.write_ivfpq_index``: the corpus
@@ -1308,7 +1308,11 @@ def write_band_index(
     incoming batch (the continuous-ingest case) touches only its
     buckets' directories instead of scanning the whole corpus-sized
     index; a full-dump probe degrades gracefully to reading everything,
-    which it must anyway.  ``{path}/meta`` — one row pinning
+    which it must anyway.  Default OFF (flat layout): measured at an
+    80k-doc index, bucketing is a small LOSS (probe 1.15s flat vs 1.37s
+    @64 / 2.55s @256 buckets — more, smaller files cost more than the
+    pruning saves); turn it on (≥ 64) for continuous-ingest deployments
+    whose index partitions are large enough that skipping them wins.  ``{path}/meta`` — one row pinning
     ``(shingle_n, n_hashes, rows_per_band, n_hash_buckets)`` so
     probe/append can never silently mix parameters or bucket layouts
     (mismatched signatures join as pure noise; a mismatched bucketing
@@ -1323,10 +1327,14 @@ def write_band_index(
         ),
         rows_per_band,
         doc_col,
-    ).withColumn(
-        "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(n_hash_buckets))
     )
-    bands.write.mode("overwrite").partitionBy("band", "bucket").parquet(
+    part_cols = ["band"]
+    if n_hash_buckets:  # 0 = flat legacy layout, no bucket column
+        bands = bands.withColumn(
+            "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(n_hash_buckets))
+        )
+        part_cols.append("bucket")
+    bands.write.mode("overwrite").partitionBy(*part_cols).parquet(
         f"{path}/bands"
     )
     spark = documents.sparkSession
