@@ -856,6 +856,43 @@ def main() -> None:
                 )
             )
 
+    # Durable band index: probe a FIXED small batch against a growing
+    # stored index.  Probe cost = batch signature pass (fixed) + one
+    # scan+join of the stored bands, so the exponent must sit <= ~1 in
+    # index size with no superlinear drift (a drift would mean the
+    # probe re-hashes or re-shuffles the corpus).
+    if not only or "band_probe" in only:
+        import tempfile
+
+        from text_extensions_for_pandas_spark.operators.dedup import (
+            probe_band_index,
+            write_band_index,
+        )
+
+        bdir = tempfile.mkdtemp(prefix="band_probe_")
+        for n in SCALES:
+            corpus = scaled_docs(spark, n)
+            n_docs = corpus.count()
+            batch = corpus.filter(F.col("doc_id") % (n_docs // 50) == 1)
+            path = os.path.join(bdir, f"s{n}")
+            t0 = time.time()
+            write_band_index(corpus, path)
+            dt_build = time.time() - t0
+            t0 = time.time()
+            cands = probe_band_index(spark, batch, path).count()
+            dt_probe = time.time() - t0
+            times.setdefault("band_index_build", []).append((n, dt_build))
+            times.setdefault("band_index_probe", []).append((n, dt_probe))
+            print(
+                json.dumps(
+                    {"op": "band_probe", "scale": n, "index_docs": n_docs,
+                     "batch_docs": batch.count(), "cands": cands,
+                     "build_sec": round(dt_build, 2),
+                     "probe_sec": round(dt_probe, 2)}
+                )
+            )
+            corpus.unpersist()
+
     # BPE merge-loop boundedness: ~1k merges must complete in bounded
     # wall-clock on the in-memory path (the distributed per-merge loop is
     # one Spark job per merge — the documented wall-clock killer at 32k+
