@@ -499,3 +499,60 @@ def test_read_wat_links_never_fails_on_hostile_shards(spark, tmp_path):
     assert [(r.url, r.link_url, r.anchor) for r in rows] == [
         ("http://ok.example/p", "http://t.example/q", "fine")
     ]
+
+
+def test_write_jsonl_shards_roundtrip_and_manifest(spark, tmp_path):
+    """Export -> re-read round-trips every document; the manifest's
+    per-shard counts match; the content hash is order-insensitive
+    (re-export of a repartitioned frame agrees) and flips on any
+    altered document."""
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        read_jsonl_corpus,
+        write_jsonl_shards,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+        (F.col("id") % 4).cast("int").alias("shard"),
+    )
+    out = str(tmp_path / "export")
+    m1 = {r["shard"]: tuple(r) for r in write_jsonl_shards(docs, out).collect()}
+    assert len(m1) == 4 and all(r[1] == 50 for r in m1.values())
+
+    back = spark.read.json(f"{out}/data")
+    assert back.count() == 200
+    got_texts = sorted(r["text"] for r in back.collect())
+    want_texts = sorted(r["text"] for r in docs.collect())
+    assert got_texts == want_texts
+    # the exported files are consumable by the corpus reader too
+    rd = read_jsonl_corpus(spark, f"{out}/data/shard=0/*.json.gz")
+    assert rd.count() == 50
+
+    # order-insensitivity: shuffled input, same manifest hashes
+    m2 = {
+        r["shard"]: tuple(r)
+        for r in write_jsonl_shards(
+            docs.repartition(7), str(tmp_path / "export2")
+        ).collect()
+    }
+    assert m1 == m2
+    # tamper detection: one changed char flips that shard's hash only
+    tampered = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.lit("TAMPERED")).otherwise(
+            F.col("text")
+        ),
+    )
+    m3 = {
+        r["shard"]: tuple(r)
+        for r in write_jsonl_shards(
+            tampered, str(tmp_path / "export3")
+        ).collect()
+    }
+    assert m3[0] != m1[0]
+    assert all(m3[s] == m1[s] for s in (1, 2, 3))

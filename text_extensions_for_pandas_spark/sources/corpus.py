@@ -582,3 +582,50 @@ def _wet_documents(raw: DataFrame) -> DataFrame:
         "warc_date",
         "record_id",
     )
+
+
+# ---------------------------------------------------------------- export --
+
+def write_jsonl_shards(
+    documents: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    compression: str = "gzip",
+) -> "DataFrame":
+    """Export a prepared corpus as shard-partitioned JSONL — the
+    interchange format training stacks actually consume — plus a
+    manifest the consumer can trust without rescanning.
+
+    Layout: ``{path}/data/shard=N/*.json.gz`` (one directory per
+    training shard; within a shard, files split by task — consumers
+    read a shard's directory as one logical stream) and
+    ``{path}/manifest`` — one parquet row per shard with ``n_docs``,
+    ``n_chars``, and ``content_hash`` (order-insensitive XOR of per-doc
+    hashes, so ANY dropped/duplicated/altered document flips it; two
+    exports of the same corpus agree bit-for-bit).
+
+    One pass writes the data; the manifest is one map-side-combinable
+    aggregate over the same frame.  Returns the manifest DataFrame.
+    Compose upstream with ``sampling.deterministic_shuffle`` (whose
+    ``(shard, pos)`` is already a pure function of the data) for a
+    fully reproducible export: same corpus in, byte-identical manifest
+    out.
+    """
+    (
+        documents.write.mode("overwrite")
+        .partitionBy(shard_col)
+        .option("compression", compression)
+        .json(f"{path}/data")
+    )
+    row_hash = F.xxhash64(
+        *[F.col(c) for c in documents.columns if c != shard_col]
+    )
+    manifest = documents.groupBy(shard_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        # bit_xor is order-insensitive and partial-aggregable — the
+        # combine-safe content checksum
+        F.bit_xor(row_hash).alias("content_hash"),
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+    return manifest
