@@ -668,3 +668,59 @@ def test_cjk_quality_rules_and_dispatch(spark):
         gopher_rules("text").alias("g")
     ).collect()[0]["g"]
     assert gd["passes"] == en_gopher["passes"]
+
+
+def test_blocked_terms_literal_and_join_paths_agree(spark):
+    """Word-boundary semantics ('term.' matches, 'terminal' doesn't),
+    phrase matching, the max_hits budget, and literal-list vs
+    DataFrame-join path identity."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        blocked_term_hits,
+        filter_blocked_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a perfectly clean document about data pipelines"),
+            (1, "contains the Badword. right there"),
+            (2, "badwordish and terminal are fine words"),
+            (3, "the very bad phrase appears here"),
+            (4, "badword once and very bad phrase too"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["badword", "very bad phrase", "unused"]
+    hits = {
+        r["doc_id"]: sorted(r["h"])
+        for r in docs.select(
+            "doc_id", blocked_term_hits("text", terms).alias("h")
+        ).collect()
+    }
+    assert hits == {
+        0: [],
+        1: ["badword"],
+        2: [],
+        3: ["very bad phrase"],
+        4: ["badword", "very bad phrase"],
+    }
+    kept0 = sorted(
+        r["doc_id"] for r in filter_blocked_terms(docs, terms).collect()
+    )
+    assert kept0 == [0, 2]
+    kept1 = sorted(
+        r["doc_id"]
+        for r in filter_blocked_terms(docs, terms, max_hits=1).collect()
+    )
+    assert kept1 == [0, 1, 2, 3]
+
+    tdf = spark.createDataFrame([(t,) for t in terms], ["term"])
+    for mh in (0, 1):
+        a = sorted(
+            r["doc_id"]
+            for r in filter_blocked_terms(docs, terms, max_hits=mh).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in filter_blocked_terms(docs, tdf, max_hits=mh).collect()
+        )
+        assert a == b, mh

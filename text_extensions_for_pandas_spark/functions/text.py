@@ -1164,3 +1164,136 @@ def quality_gate_by_script(
         .otherwise(gopher_rules(c, toks, **gopher_kwargs)["passes"])
         .alias("passes"),
     )
+
+
+def blocked_term_hits(
+    text: Column | str, terms: list[str]
+) -> Column:
+    """Array of blocklist terms the document contains — word-boundary
+    matching on punctuation-stripped lowercase whitespace tokens (the
+    same tokenization as :func:`gopher_rules`' stopword rule, so
+    "Term." matches "term" but "terminal" never does), with multi-word
+    phrases matched against the document's n-grams of the phrase's
+    length.
+
+    Entirely row-local: the term list ships as a plan literal and the
+    match is array arithmetic inside codegen — no shuffle, no UDF,
+    stream-transparent.  Per-row cost is O(tokens × terms), so this
+    path is for the usual curated lists (hundreds to a few thousand
+    entries); for very large lists use :func:`filter_blocked_terms`'
+    DataFrame form, which explodes tokens into a broadcast semi-join
+    instead.  Case-insensitive by construction; empty list → empty
+    array.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.transform(
+        F.split(F.lower(F.trim(c)), r"\s+"),
+        lambda t: F.regexp_replace(t, r"^\W+|\W+$", ""),
+    )
+    by_len: dict[int, list[str]] = {}
+    for t in terms:
+        norm = " ".join(t.lower().split())
+        if norm:
+            by_len.setdefault(len(norm.split()), []).append(norm)
+    if not by_len:
+        return F.array().cast("array<string>")
+    hit_arrays = []
+    for n, ts in sorted(by_len.items()):
+        term_arr = F.array(*[F.lit(t) for t in sorted(set(ts))])
+        if n == 1:
+            grams = toks
+        else:
+            grams = F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        hit_arrays.append(F.array_intersect(term_arr, grams))
+    out = hit_arrays[0]
+    for h in hit_arrays[1:]:
+        out = F.concat(out, h)
+    return out
+
+
+def filter_blocked_terms(
+    documents: DataFrame,
+    terms: list[str] | DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Drop documents containing blocklisted words/phrases — the content
+    sibling of ``urls.filter_blocked_domains``.  Keeps rows with at
+    most ``max_hits`` DISTINCT matched terms (default 0: any hit
+    drops; a small positive budget tolerates incidental mentions in
+    encyclopedic text, the usual false-positive pressure on word
+    blocklists).
+
+    ``terms`` as a list uses the row-local plan-literal match
+    (:func:`blocked_term_hits` — no shuffle at all).  ``terms`` as a
+    single-column DataFrame (arbitrarily large lists) switches to the
+    scale path: explode the document's tokens/n-grams once, broadcast
+    hash semi-join the term table, count distinct hits per doc (only
+    FLAGGED docs shuffle — a tiny fraction), and broadcast-anti-join
+    the over-budget ids back out.  Both paths match identically
+    (pinned by test)."""
+    if isinstance(terms, list):
+        hits = blocked_term_hits(F.col(text_col), terms)
+        return documents.filter(F.size(F.array_distinct(hits)) <= max_hits)
+
+    term_norm = (
+        terms.select(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(terms.columns[0]))), r"\s+", " "
+            ).alias("__term")
+        )
+        .where(F.col("__term") != "")
+        .distinct()
+    )
+    # phrase lengths present in the list: bounded driver collect (a
+    # blocklist has a handful of distinct phrase lengths)
+    lens = [
+        int(r[0])
+        for r in term_norm.select(
+            F.size(F.split(F.col("__term"), " ")).alias("n")
+        ).distinct().collect()
+    ]
+    toks = F.transform(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.regexp_replace(t, r"^\W+|\W+$", ""),
+    )
+    gram_arrays = []
+    for n in sorted(lens):
+        if n == 1:
+            gram_arrays.append(toks)
+        else:
+            # NOTE: the lambda must take exactly ONE parameter — a
+            # second parameter makes pyspark's transform() pass the
+            # array INDEX into it (the (element, index) form), silently
+            # shadowing any default-bound loop variable.  Closing over
+            # ``n`` is safe here: transform() invokes the lambda at
+            # expression-construction time, inside this iteration.
+            gram_arrays.append(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(toks) - (n - 1), F.lit(0)),
+                    ),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            )
+    grams = gram_arrays[0]
+    for g in gram_arrays[1:]:
+        grams = F.concat(grams, g)
+    exploded = documents.select(
+        F.col(doc_col), F.explode(F.array_distinct(grams)).alias("__g")
+    )
+    flagged = (
+        exploded.join(
+            F.broadcast(term_norm), exploded["__g"] == term_norm["__term"]
+        )
+        .groupBy(doc_col)
+        .agg(F.count_distinct("__term").alias("__n_hits"))
+        .where(F.col("__n_hits") > max_hits)
+        .select(doc_col)
+    )
+    return documents.join(F.broadcast(flagged), doc_col, "left_anti")

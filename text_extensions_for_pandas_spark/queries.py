@@ -6309,6 +6309,55 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.functions.text.blocked_term_hits` under the value-hash
+    oracle over REAL document text: two word terms plus one bigram
+    phrase ("batch batch" — present wherever the generator stuttered),
+    per-doc sorted matched-term list and the ``max_hits=1`` keep
+    verdict.  DuckDB rebuilds the same token + bigram inventory with
+    list ops and filters it against the same list.  The Spark side is
+    one row-local codegen projection — the plan-literal path of
+    :func:`~.functions.text.filter_blocked_terms` (the broadcast-join
+    path for huge lists is pinned to it by ``test_search.py``)."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        blocked_term_hits,
+    )
+
+    terms = ["customer", "spark", "batch batch"]
+    docs = load(spark, sf_dir, "documents")
+    hits = F.array_distinct(blocked_term_hits("text", terms))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.array_sort(hits), ",").alias("matched"),
+        (F.size(hits) <= 1).alias("kept"),
+    ).orderBy("doc_id")
+
+
+Q_TERM_BLOCKLIST_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tl FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_filter(
+           list_concat(
+             tl,
+             list_transform(range(1, greatest(len(tl) - 1, 0) + 1),
+                            i -> concat(tl[i], ' ', tl[i + 1]))
+           ),
+           x -> x IN ('customer', 'spark', 'batch batch')
+         ) AS hits
+  FROM t
+)
+SELECT doc_id,
+       -- array_to_string of an EMPTY list is NULL in DuckDB, '' in Spark
+       coalesce(array_to_string(list_sort(list_distinct(hits)), ','), '')
+         AS matched,
+       len(list_distinct(hits)) <= 1 AS kept
+FROM g ORDER BY doc_id
+"""
+
+
 def q_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.operators.sampling.upsample_mixture` under the value-hash
     oracle: strata from ``doc_id % 4`` with rates 2.5 / 1.0 / 0.4 / 0 —
@@ -8227,23 +8276,24 @@ FROM chunks ORDER BY doc_id, chunk_idx
 # r8 comment promised (line_repetition ... cap_per_domain); [16-50] the
 # first thirty-five of the remaining forty r06-verified entries
 # (q22_sales_opportunity ... ivf_topk and on to token_count).
-# Below the boundary: [51-60] the TEN late-r9 entries — two from the
-# first r9 session (lang_id_script, wat_anchor_text) and eight from the
-# second (cdx_select, cdx_fetch, token_budget_sample, sitemap_urls,
-# crawl_freshness, band_index_ingest, upsample_mixture, cjk_quality —
-# the CDX/sitemap crawl-frontier front, the token-budget sampler, the
-# durable LSH band index, epoch-repetition upsampling, and the
-# script-dispatched CJK quality gate),
-# each verified locally at sf0.001 AND sf0.01 when added; then [61-65]
+# Below the boundary: [51-61] the ELEVEN late-r9 entries — two from
+# the first r9 session (lang_id_script, wat_anchor_text) and nine from
+# the second (cdx_select, cdx_fetch, token_budget_sample, sitemap_urls,
+# crawl_freshness, band_index_ingest, upsample_mixture, cjk_quality,
+# term_blocklist — the CDX/sitemap crawl-frontier front, the
+# token-budget sampler, the durable LSH band index, epoch-repetition
+# upsampling, the script-dispatched CJK quality gate, and word/phrase
+# blocklist filtering),
+# each verified locally at sf0.001 AND sf0.01 when added; then [62-66]
 # the five r06-verified entries the six r9 gate slots displaced
 # (lang_id, q3_shipping_priority, q5_region_revenue, q_top_customers,
 # q8_market_share) -- now THREE rounds driver-stale, displaced
 # EXPLICITLY per the r8 verdict's do-not-let-it-happen-silently
 # instruction and re-verified locally at sf0.001 AND sf0.01 this round
-# (recorded in BASELINE.md).  The r10 gate rotates in the ten late-r9
-# entries FIRST, then the five displaced r06 entries, then the
-# thirty-five most-stale r07-verified entries (the remainder of the 50
-# slots; the other thirteen r07 entries and the r08/r09-gated entries
+# (recorded in BASELINE.md).  The r10 gate rotates in the eleven
+# late-r9 entries FIRST, then the five displaced r06 entries, then the
+# thirty-four most-stale r07-verified entries (the remainder of the 50
+# slots; the other fourteen r07 entries and the r08/r09-gated entries
 # follow in later rounds).  The FULL registry is locally
 # hash-verified by scripts/check_oracle.py at sf0.001 AND sf0.01
 # regardless of position.
@@ -8368,7 +8418,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- silent failure).  Same below-boundary placement and r10-first
     # -- promise.
     "cjk_quality": (q_cjk_quality, Q_CJK_QUALITY_SQL),
-    # -- [61-65] the five r06-verified entries the six r9 additions/
+    # -- [61] term_blocklist: NEW late-r9 — word/phrase blocklist
+    # -- matching over real document text (the content sibling of
+    # -- url_blocklist).  Same below-boundary placement and r10-first
+    # -- promise.
+    "term_blocklist": (q_term_blocklist, Q_TERM_BLOCKLIST_SQL),
+    # -- [62-66] the five r06-verified entries the six r9 additions/
     # -- re-gates displaced: lang_id (whose plan ALSO changed late-r9 —
     # -- the script pre-check branches — locally re-verified after the
     # -- change), q3_shipping_priority, q5_region_revenue,
