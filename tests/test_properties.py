@@ -555,3 +555,34 @@ def test_split_sentences_offsets_exact_and_ordered(t):
     kept = "".join("".join(s.split()) for _, _, s in sents)
     src = "".join(t.split())
     assert kept == src
+
+
+def test_parse_sitemaps_total_on_xmlish_garbage(spark):
+    """The sitemap block-regex projection must be total: any XML-ish
+    garbage yields zero-or-more well-formed rows, never an error, and
+    every emitted loc is non-empty with kind in {url, sitemap}.  One
+    Spark job over a generated batch (the file's one-batch discipline
+    for Spark-involving properties)."""
+    import random
+
+    from text_extensions_for_pandas_spark.operators.urls import (
+        parse_sitemaps,
+    )
+
+    rng = random.Random(1234)
+    alphabet = "<>/ulrsitemapocndfq&;\"'![]CDATA \n\t0.9:h-"
+    cases = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 200))))
+        for i in range(300)
+    ] + [
+        (300, "<url><loc></loc></url>"),        # empty loc: dropped
+        (301, "<url><loc>  </loc></url>"),      # whitespace loc: dropped
+        (302, "<urlset><url><loc>x</loc>"),     # truncated doc
+        (303, "<sitemap><loc>a</loc></sitemap><url><loc>b</loc></url>"),
+    ]
+    df = spark.createDataFrame(cases, ["host", "sitemap_xml"])
+    rows = parse_sitemaps(df.selectExpr("cast(host as string) host",
+                                        "sitemap_xml")).collect()
+    for r in rows:
+        assert r["kind"] in ("url", "sitemap")
+        assert r["loc"] is not None and r["loc"] != ""
