@@ -1586,3 +1586,108 @@ def test_cdx_stream_batch_parity(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) == 8
+
+
+def test_streaming_selective_ingest_cdx_to_documents(spark, tmp_path):
+    """The continuous select-before-scan loop: CDX index shards arrive
+    as a stream; each micro-batch is selected (status filter + digest
+    dedup + anti-join against everything ALREADY INGESTED), its byte
+    ranges fetched from the WARC files, and the documents appended with
+    their digests.  A second wave re-offering an already-ingested
+    digest at a new URL must fetch everything EXCEPT that duplicate."""
+    import gzip
+    import os
+
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.sources.cdx import (
+        fetch_plan,
+        fetch_warc_ranges,
+        make_cdx_line,
+        select_captures,
+    )
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        make_warc_record,
+    )
+    from text_extensions_for_pandas_spark.streaming.ops import (
+        read_cdx_stream,
+    )
+
+    base = tmp_path
+    cdx_dir = base / "cdx"
+    cdx_dir.mkdir()
+    out = str(base / "ingested")
+    ckpt = str(base / "ckpt")
+
+    # two WARC files; w1's record 8 duplicates w0's record 2 CONTENT
+    # (same digest, different URL) — the second wave must skip it
+    lines_by_file = {}
+    for fi in range(2):
+        fname = f"w{fi}.warc.gz"
+        offset, blobs, lines = 0, [], []
+        for k in range(fi * 6, fi * 6 + 6):
+            body = f"<html><body>page {k % 8} content</body></html>"
+            member = gzip.compress(
+                make_warc_record(
+                    body, url=f"http://h.example/p/{k}",
+                    warc_type="response", http_status=200,
+                )
+            )
+            blobs.append(member)
+            lines.append(
+                make_cdx_line(
+                    f"http://h.example/p/{k}", f"2024060100000{k % 10}",
+                    digest=f"dg{k % 8}",  # k=8,9 -> dg0, dg1 (dups of 0,1)
+                    filename=fname, offset=offset, length=len(member),
+                )
+            )
+            offset += len(member)
+        with open(base / fname, "wb") as fh:
+            fh.write(b"".join(blobs))
+        lines_by_file[fi] = lines
+
+    def ingest(batch_df, batch_id):
+        prior = None
+        if os.path.isdir(out):
+            prior = spark.read.parquet(out).select("digest").distinct()
+        sel = select_captures(
+            batch_df, mimes=None, prior_digests=prior
+        ).cache()
+        docs = fetch_warc_ranges(
+            spark, fetch_plan(sel), base_dir=str(base),
+            record_types=("response",),
+        )
+        with_digest = docs.join(
+            sel.select("url", "digest"), "url", "inner"
+        )
+        with_digest.select("url", "digest", "text").write.mode(
+            "append"
+        ).parquet(out)
+        sel.unpersist()
+
+    def run_wave():
+        q = (
+            read_cdx_stream(spark, str(cdx_dir), max_files_per_trigger=1)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    (cdx_dir / "cdx-a").write_text("\n".join(lines_by_file[0]) + "\n")
+    run_wave()
+    wave1 = spark.read.parquet(out)
+    assert wave1.count() == 6
+
+    (cdx_dir / "cdx-b").write_text("\n".join(lines_by_file[1]) + "\n")
+    run_wave()
+    final = spark.read.parquet(out)
+    # wave 2 offered k=6..11 (digests dg6 dg7 dg0 dg1 dg2 dg3): four
+    # duplicate wave-1 digests, only dg6/dg7 new -> 2 fetched
+    assert final.count() == 8
+    assert final.select("digest").distinct().count() == 8
+    urls = {r["url"] for r in final.collect()}
+    assert {f"http://h.example/p/{k}" for k in (6, 7)} <= urls
+    for k in (8, 9, 10, 11):  # duplicate content: never fetched
+        assert f"http://h.example/p/{k}" not in urls
