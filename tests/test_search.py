@@ -724,3 +724,46 @@ def test_blocked_terms_literal_and_join_paths_agree(spark):
             for r in filter_blocked_terms(docs, tdf, max_hits=mh).collect()
         )
         assert a == b, mh
+
+
+def test_char_repetition_metrics_sees_cjk_spam(spark):
+    """Word-based repetition_metrics is signal-less on unsegmented CJK
+    (one 'word' per doc -> no n-grams); the char variant separates a
+    啊-flood and a copied paragraph from varied prose, and matches a
+    pure-Python oracle exactly."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        char_repetition_metrics,
+        repetition_metrics,
+    )
+
+    varied = "".join(chr(0x4E00 + (i * 37) % 800) for i in range(400))
+    para = "".join(chr(0x4E00 + i) for i in range(60))
+    cases = [
+        (0, varied),
+        (1, "啊" * 400),
+        (2, para * 5),      # copied paragraph
+        (3, "short"),       # < k: no row
+    ]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["top_ngram_frac"], r["dup_ngram_frac"])
+        for r in char_repetition_metrics(docs, k=10).collect()
+    }
+    assert 3 not in got
+    # python oracle
+    from collections import Counter
+
+    for i, t in cases[:3]:
+        grams = Counter(t[j:j + 10] for j in range(len(t) - 9))
+        total = sum(grams.values())
+        top = round(max(grams.values()) / total, 6)
+        dup = round(sum(c for c in grams.values() if c > 1) / total, 6)
+        assert got[i] == (total, top, dup), i
+    # separation: flood and copy saturate, varied prose is clean
+    assert got[1][2] == 1.0 and got[2][2] > 0.8 and got[0][2] == 0.0
+    # ... while the WORD variant yields no usable signal on any of them
+    word = {
+        r["doc_id"]: r["n_ngrams"]
+        for r in repetition_metrics(docs, n=2).collect()
+    }
+    assert all(word.get(i, 0) <= 1 for i in (0, 1, 2))

@@ -1297,3 +1297,42 @@ def filter_blocked_terms(
         .select(doc_col)
     )
     return documents.join(F.broadcast(flagged), doc_col, "left_anti")
+
+
+def char_repetition_metrics(
+    documents: "DataFrame",
+    k: int = 10,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> "DataFrame":
+    """Character-k-gram twin of :func:`repetition_metrics` — the
+    repetition signal for scripts the word-based variant cannot see:
+    unsegmented CJK text has ~one "word" per line, so its word n-grams
+    are empty/degenerate and the Gopher dup-fraction rules go silent
+    (fail-soft, but signal-less).  Char grams need no segmentation:
+    ``top_ngram_frac`` / ``dup_ngram_frac`` over the document's
+    character ``k``-grams behave for 啊-floods and copied-paragraph
+    spam exactly as the word variant does for English.
+
+    Same output schema as :func:`repetition_metrics` (``n_ngrams``,
+    ``top_ngram_frac``, ``dup_ngram_frac``) so gate rules compose
+    unchanged; documents shorter than ``k`` chars produce no row.
+    Same scale shape too: one narrow explode + two map-side-combined
+    aggregates keyed on ``doc_id``, one shuffle total.  Default k=10:
+    ~Gopher's 2-3 word grams worth of Han characters, and long enough
+    that ordinary English prose doesn't self-collide.
+    """
+    ng = documents.select(
+        F.col(doc_col),
+        F.explode(char_shingles(F.col(text_col), k)).alias("__ng"),
+    )
+    counts = ng.groupBy(doc_col, "__ng").agg(F.count("*").alias("__c"))
+    return counts.groupBy(doc_col).agg(
+        F.sum("__c").alias("n_ngrams"),
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_ngram_frac"),
+        F.round(
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
+            / F.sum("__c"),
+            6,
+        ).alias("dup_ngram_frac"),
+    )
