@@ -556,3 +556,66 @@ def test_write_jsonl_shards_roundtrip_and_manifest(spark, tmp_path):
     }
     assert m3[0] != m1[0]
     assert all(m3[s] == m1[s] for s in (1, 2, 3))
+
+
+def test_write_warc_segments_roundtrip_all_paths(spark, tmp_path):
+    """The writer's output must be consumable by the WHOLE crawl front:
+    full-shard read_wet_corpus, and index-driven select+ranged-fetch,
+    both reproducing the input texts byte-for-byte; the CDX digests
+    dedup identical content."""
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.sources.cdx import (
+        fetch_plan,
+        fetch_warc_ranges,
+        read_cdx_index,
+        select_captures,
+    )
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        read_wet_corpus,
+        write_warc_segments,
+    )
+
+    docs = spark.range(40).select(
+        F.concat(
+            F.lit("http://h"), (F.col("id") % 5).cast("string"),
+            F.lit(".example/p/"), F.col("id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><body>body "),
+            # ids 30..39 duplicate the CONTENT of 0..9 at new urls
+            (F.col("id") % 30).cast("string"),
+            F.lit("</body></html>"),
+        ).alias("text"),
+        F.concat(
+            F.lit("2024-07-0"), (F.col("id") % 9 + 1).cast("string"),
+            F.lit("T00:00:00Z"),
+        ).alias("warc_date"),
+    ).repartition(3)
+    out = str(tmp_path / "segments")
+    summary = write_warc_segments(
+        docs, out, date_col="warc_date"
+    )
+    assert sum(s["n_records"] for s in summary) == 40
+    assert 1 < len(summary) <= 3  # one segment per non-empty partition
+
+    # full-shard path
+    full = read_wet_corpus(
+        spark, f"{out}/seg-*.warc.gz", record_types=("response",)
+    )
+    assert sorted(r["text"] for r in full.collect()) == sorted(
+        r["text"] for r in docs.collect()
+    )
+
+    # index-driven path: digest dedup collapses the 10 duplicate bodies
+    cdx = read_cdx_index(spark, f"{out}/cdx")
+    assert cdx.count() == 40
+    sel = select_captures(cdx, mimes=None)
+    assert sel.count() == 30
+    fetched = fetch_warc_ranges(
+        spark, fetch_plan(sel), base_dir=out, record_types=("response",)
+    )
+    texts = sorted(r["text"] for r in fetched.collect())
+    assert texts == sorted(
+        f"<html><body>body {k}</body></html>" for k in range(30)
+    )

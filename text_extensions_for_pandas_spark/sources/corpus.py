@@ -31,6 +31,8 @@ __all__ = [
     "make_warc_record",
     "make_wat_record",
     "stable_doc_id",
+    "write_jsonl_shards",
+    "write_warc_segments",
 ]
 
 
@@ -629,3 +631,114 @@ def write_jsonl_shards(
     )
     manifest.write.mode("overwrite").parquet(f"{path}/manifest")
     return manifest
+
+
+def write_warc_segments(
+    documents: DataFrame,
+    path: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: str | None = None,
+    http_status: int = 200,
+) -> "list":
+    """Documents → Common Crawl-shaped WARC segments: each task writes
+    one ``{path}/seg-<partition>.warc.gz`` of INDIVIDUALLY-gzipped
+    ``response`` records (the per-member layout that makes ranged fetch
+    possible) plus the matching ``{path}/cdx/part-<partition>`` CDXJ
+    shard whose lines carry the REAL member offsets/lengths and an md5
+    content digest.  The output is directly consumable by the entire
+    crawl front: ``read_cdx_index({path}/cdx)`` →
+    ``select_captures`` → ``fetch_warc_ranges(base_dir=path)`` and
+    ``read_wet_corpus({path})`` both reproduce the input (round-trip
+    pinned by test) — so archival re-sharding, fixture generation at
+    any scale, and selective re-reads of one's own corpus all share one
+    format.
+
+    Scale shape: one ``mapInPandas`` island per partition writing its
+    segment sequentially (the file is the unit of parallelism, same as
+    the readers); offsets are known exactly because the writer owns the
+    file.  Returns the per-segment summary rows (filename, n_records,
+    bytes) — the eager action that performs the write; re-invoking
+    overwrites (segments are named by partition id, not randomness, so
+    reruns are idempotent).  Repartition upstream to choose segment
+    count/size.
+    """
+    import gzip as _gzip
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    os.makedirs(os.path.join(path, "cdx"), exist_ok=True)
+    date_name = date_col
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = f"seg-{pid:05d}.warc.gz"
+        full = os.path.join(path, fname)
+        cdx_path = os.path.join(path, "cdx", f"part-{pid:05d}")
+        n, offset = 0, 0
+        lines = []
+        with open(full, "wb") as fh:
+            for pdf in batches:
+                dates = (
+                    pdf[date_name]
+                    if date_name is not None
+                    else [None] * len(pdf)
+                )
+                for url, text, date in zip(
+                    pdf[url_col], pdf[text_col], dates
+                ):
+                    member = _gzip.compress(
+                        make_warc_record(
+                            text,
+                            url=url,
+                            warc_type="response",
+                            warc_date=date,
+                            http_status=http_status,
+                        )
+                    )
+                    fh.write(member)
+                    body = text.encode()
+                    ts = (
+                        "".join(c for c in date if c.isdigit())[:14]
+                        if date
+                        else "20000101000000"
+                    )
+                    lines.append(
+                        make_cdx_line_for_writer(
+                            url, ts.ljust(14, "0"),
+                            digest=hashlib.md5(body).hexdigest(),
+                            filename=fname, offset=offset,
+                            length=len(member),
+                        )
+                    )
+                    offset += len(member)
+                    n += 1
+        if n:
+            with open(cdx_path, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+        else:
+            os.unlink(full)
+        yield pd.DataFrame(
+            [(fname, n, offset)], columns=["filename", "n_records", "bytes"]
+        )
+
+    summary = documents.select(url_col, text_col, *(
+        [date_col] if date_col else []
+    )).mapInPandas(_write, "filename string, n_records int, bytes long")
+    return [r for r in summary.collect() if r["n_records"] > 0]
+
+
+def make_cdx_line_for_writer(url, ts, *, digest, filename, offset, length):
+    """Executor-side import indirection: ``cdx.make_cdx_line`` without a
+    module-level corpus↔cdx import cycle."""
+    from text_extensions_for_pandas_spark.sources.cdx import make_cdx_line
+
+    return make_cdx_line(
+        url, ts, digest=digest, filename=filename, offset=offset,
+        length=length,
+    )
