@@ -767,3 +767,50 @@ def test_char_repetition_metrics_sees_cjk_spam(spark):
         for r in repetition_metrics(docs, n=2).collect()
     }
     assert all(word.get(i, 0) <= 1 for i in (0, 1, 2))
+
+
+def test_quality_gate_by_language_stopword_profiles(spark):
+    """Good French prose fails the ENGLISH stopword rule (no 'the'/
+    'and') but passes once the dispatcher applies the French profile;
+    English still gates on the English list; CJK still routes to the
+    char rules."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        gopher_rules,
+        quality_gate_by_language,
+    )
+
+    fr = (
+        "le gouvernement et la commission ont publié un rapport sur "
+        "les données et le projet de loi qui est attendu depuis des "
+        "mois par les familles et les entreprises de la région et "
+        "un grand nombre de citoyens qui est un signe de la vitalité "
+        "des institutions et des communes de France et un exemple "
+    ) * 2
+    en = (
+        "the committee and the board have published a report with "
+        "details of the data and the draft law that many families "
+        "and businesses of the region have been waiting for with "
+        "patience and the numbers that have come with it are a sign "
+        "of the vitality of the institutions and of the towns too "
+    ) * 2
+    zh = "".join(chr(0x4E00 + i) for i in range(60))
+    zh = zh[:20] + "。" + zh[20:40] + "，" + zh[40:60] + "。"
+    docs = spark.createDataFrame(
+        [(0, fr, "fr"), (1, en, "en"), (2, zh, "zh")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r["doc_id"]: r["g"]
+        for r in docs.select(
+            "doc_id", quality_gate_by_language("text", "lang").alias("g")
+        ).collect()
+    }
+    assert rows[0]["passes"] is True and rows[0]["is_cjk"] is False
+    assert rows[1]["passes"] is True
+    assert rows[2]["passes"] is True and rows[2]["is_cjk"] is True
+    # the failure this closes: the same French text under the ENGLISH
+    # stopword list
+    g = docs.filter(F.col("doc_id") == 0).select(
+        gopher_rules("text").alias("g")
+    ).collect()[0]["g"]
+    assert g["stopword_ok"] is False and g["passes"] is False

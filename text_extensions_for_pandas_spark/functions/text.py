@@ -1336,3 +1336,56 @@ def char_repetition_metrics(
             6,
         ).alias("dup_ngram_frac"),
     )
+
+
+def quality_gate_by_language(
+    text: Column | str,
+    lang: Column | str,
+    toks: Column | None = None,
+    cjk_threshold: float = 0.3,
+    profiles: dict[str, tuple[str, ...]] | None = None,
+    **gopher_kwargs,
+) -> Column:
+    """Language-aware quality gate: CJK scripts route to
+    :func:`cjk_quality_rules` (as in :func:`quality_gate_by_script`),
+    and the Gopher branch swaps its ``required_words`` stopword list by
+    the document's ``lang`` label — the rule is "looks like running
+    prose of ITS OWN language", and the default English list silently
+    fails es/fr/de prose the same way word counting fails CJK (a French
+    page contains no "the"/"and", so ``stopword_ok`` is near-always
+    false and good French is rejected).
+
+    ``profiles`` maps language code → required-word tuple; defaults to
+    the marker-word lists in :data:`LANG_PROFILES` (en/es/fr/de — the
+    same vocabulary :func:`lang_id` detects with, so detection and
+    gating agree by construction); unlisted languages fall back to the
+    Gopher English list via ``gopher_kwargs``.  One ``gopher_rules``
+    expression per profile combined by a CASE on ``lang`` — wide but
+    pure codegen; pass a materialized ``toks`` to share tokenization
+    across the branches (HOF arguments do not CSE).
+
+    Returns ``struct(is_cjk, passes)`` like the script dispatcher.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    lg = F.col(lang) if isinstance(lang, str) else lang
+    toks = word_tokens(c) if toks is None else toks
+    profs = (
+        {k: tuple(v) for k, v in LANG_PROFILES.items() if k != "zh"}
+        if profiles is None
+        else profiles
+    )
+    s = script_ratios(c)
+    is_cjk = (s["kana"] + s["hangul"] + s["han"]) >= cjk_threshold
+    latin = gopher_rules(c, toks, **gopher_kwargs)["passes"]
+    for code, words in sorted(profs.items()):
+        kw = dict(gopher_kwargs)
+        kw["required_words"] = tuple(words)
+        latin = F.when(
+            lg == code, gopher_rules(c, toks, **kw)["passes"]
+        ).otherwise(latin)
+    return F.struct(
+        is_cjk.alias("is_cjk"),
+        F.when(is_cjk, cjk_quality_rules(c)["passes"])
+        .otherwise(latin)
+        .alias("passes"),
+    )
