@@ -1308,11 +1308,13 @@ def write_band_index(
     incoming batch (the continuous-ingest case) touches only its
     buckets' directories instead of scanning the whole corpus-sized
     index; a full-dump probe degrades gracefully to reading everything,
-    which it must anyway.  Default OFF (flat layout): measured at an
-    80k-doc index, bucketing is a small LOSS (probe 1.15s flat vs 1.37s
-    @64 / 2.55s @256 buckets — more, smaller files cost more than the
-    pruning saves); turn it on (≥ 64) for continuous-ingest deployments
-    whose index partitions are large enough that skipping them wins.  ``{path}/meta`` — one row pinning
+    which it must anyway.  Default OFF (flat layout), and measurements
+    say leave it off: bucketing LOSES at every scale probed — 80k docs
+    (probe 1.15s flat vs 1.37s @64 / 2.55s @256) and 1.28M docs (2.1s
+    flat vs 8.6s @256; build 28% slower) — the many small partition
+    directories cost more than the pruning saves.  Consider it only
+    when a single band's directory reaches many LARGE files (order
+    100M+ rows), and re-measure there first (BASELINE.md).  ``{path}/meta`` — one row pinning
     ``(shingle_n, n_hashes, rows_per_band, n_hash_buckets)`` so
     probe/append can never silently mix parameters or bucket layouts
     (mismatched signatures join as pure noise; a mismatched bucketing
