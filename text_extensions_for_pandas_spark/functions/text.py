@@ -1166,6 +1166,26 @@ def quality_gate_by_script(
     )
 
 
+def _ngrams_of(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array by ITERATIVE
+    ``zip_with`` against shifted copies of the array — O(tokens)
+    column work per level with no per-position ``slice`` allocation
+    (the slice-per-index form both allocated an array per gram and
+    compiled far slower).  NOTE for maintainers: pyspark HOF lambdas
+    here must take exactly ONE parameter — a second parameter makes
+    ``transform``/``zip_with`` pass the array index into it, silently
+    shadowing default-bound loop variables (found the hard way)."""
+    grams = toks
+    for k in range(2, n + 1):
+        shifted = F.slice(toks, k, F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+        grams = F.zip_with(
+            F.slice(grams, 1, F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+            shifted,
+            lambda g, t: F.concat(g, F.lit(" "), t),
+        )
+    return grams
+
+
 def blocked_term_hits(
     text: Column | str, terms: list[str]
 ) -> Column:
@@ -1200,14 +1220,7 @@ def blocked_term_hits(
     hit_arrays = []
     for n, ts in sorted(by_len.items()):
         term_arr = F.array(*[F.lit(t) for t in sorted(set(ts))])
-        if n == 1:
-            grams = toks
-        else:
-            grams = F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        hit_arrays.append(F.array_intersect(term_arr, grams))
+        hit_arrays.append(F.array_intersect(term_arr, _ngrams_of(toks, n)))
     out = hit_arrays[0]
     for h in hit_arrays[1:]:
         out = F.concat(out, h)
@@ -1261,26 +1274,7 @@ def filter_blocked_terms(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: F.regexp_replace(t, r"^\W+|\W+$", ""),
     )
-    gram_arrays = []
-    for n in sorted(lens):
-        if n == 1:
-            gram_arrays.append(toks)
-        else:
-            # NOTE: the lambda must take exactly ONE parameter — a
-            # second parameter makes pyspark's transform() pass the
-            # array INDEX into it (the (element, index) form), silently
-            # shadowing any default-bound loop variable.  Closing over
-            # ``n`` is safe here: transform() invokes the lambda at
-            # expression-construction time, inside this iteration.
-            gram_arrays.append(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(F.size(toks) - (n - 1), F.lit(0)),
-                    ),
-                    lambda i: F.array_join(F.slice(toks, i, n), " "),
-                )
-            )
+    gram_arrays = [_ngrams_of(toks, n) for n in sorted(lens)]
     grams = gram_arrays[0]
     for g in gram_arrays[1:]:
         grams = F.concat(grams, g)
