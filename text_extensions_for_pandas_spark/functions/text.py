@@ -1194,7 +1194,11 @@ def blocked_term_hits(
     same tokenization as :func:`gopher_rules`' stopword rule, so
     "Term." matches "term" but "terminal" never does), with multi-word
     phrases matched against the document's n-grams of the phrase's
-    length.
+    length.  List entries are normalized with the SAME per-token
+    edge-strip as document tokens, so curated entries that carry
+    punctuation ("buy now!", "spam.") match their document forms —
+    the two sides of the comparison always see identical
+    normalization.
 
     Entirely row-local: the term list ships as a plan literal and the
     match is array arithmetic inside codegen — no shuffle, no UDF,
@@ -1205,6 +1209,8 @@ def blocked_term_hits(
     instead.  Case-insensitive by construction; empty list → empty
     array.
     """
+    import re as _re
+
     c = F.col(text) if isinstance(text, str) else text
     toks = F.transform(
         F.split(F.lower(F.trim(c)), r"\s+"),
@@ -1212,9 +1218,18 @@ def blocked_term_hits(
     )
     by_len: dict[int, list[str]] = {}
     for t in terms:
-        norm = " ".join(t.lower().split())
-        if norm:
-            by_len.setdefault(len(norm.split()), []).append(norm)
+        # SYMMETRIC normalization: strip each term token exactly the way
+        # document tokens are stripped above (Java \W is ASCII, hence
+        # re.ASCII), so punctuated list entries like "buy now!" or
+        # "spam." match their unpunctuated document forms instead of
+        # silently never matching.
+        tok_norm = [
+            _re.sub(r"^\W+|\W+$", "", w, flags=_re.ASCII)
+            for w in t.lower().split()
+        ]
+        if not any(tok_norm):
+            continue
+        by_len.setdefault(len(tok_norm), []).append(" ".join(tok_norm))
     if not by_len:
         return F.array().cast("array<string>")
     hit_arrays = []
@@ -1253,13 +1268,25 @@ def filter_blocked_terms(
         hits = blocked_term_hits(F.col(text_col), terms)
         return documents.filter(F.size(F.array_distinct(hits)) <= max_hits)
 
+    # SYMMETRIC normalization (same as the plan-literal path): split on
+    # whitespace and strip each term token with the exact edge-strip
+    # applied to document tokens below, so punctuated list entries
+    # ("buy now!", "spam.") match their document forms.  Interior
+    # tokens that strip to empty are kept so "buy - now" still joins
+    # to the same 3-gram the document side produces.
     term_norm = (
         terms.select(
-            F.regexp_replace(
-                F.lower(F.trim(F.col(terms.columns[0]))), r"\s+", " "
+            F.array_join(
+                F.transform(
+                    F.split(
+                        F.lower(F.trim(F.col(terms.columns[0]))), r"\s+"
+                    ),
+                    lambda w: F.regexp_replace(w, r"^\W+|\W+$", ""),
+                ),
+                " ",
             ).alias("__term")
         )
-        .where(F.col("__term") != "")
+        .where(F.trim(F.col("__term")) != "")
         .distinct()
     )
     # phrase lengths present in the list: bounded driver collect (a

@@ -6314,16 +6314,21 @@ def q_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle over REAL document text: two word terms plus one bigram
     phrase ("batch batch" — present wherever the generator stuttered),
     per-doc sorted matched-term list and the ``max_hits=1`` keep
-    verdict.  DuckDB rebuilds the same token + bigram inventory with
-    list ops and filters it against the same list.  The Spark side is
-    one row-local codegen projection — the plan-literal path of
-    :func:`~.functions.text.filter_blocked_terms` (the broadcast-join
-    path for huge lists is pinned to it by ``test_search.py``)."""
+    verdict.  The list entries carry edge PUNCTUATION ("customer!",
+    "batch batch.") to gate the r9-found normalization asymmetry: the
+    operator strips term tokens exactly as it strips document tokens,
+    so these entries match their unpunctuated document forms, and the
+    DuckDB oracle rebuilds the token + bigram inventory WITH the same
+    per-token edge-strip and filters against the normalized list.  The
+    Spark side is one row-local codegen projection — the plan-literal
+    path of :func:`~.functions.text.filter_blocked_terms` (the
+    broadcast-join path for huge lists is pinned to it by
+    ``test_search.py``)."""
     from text_extensions_for_pandas_spark.functions.text import (
         blocked_term_hits,
     )
 
-    terms = ["customer", "spark", "batch batch"]
+    terms = ["customer!", "spark", "batch batch."]
     docs = load(spark, sf_dir, "documents")
     hits = F.array_distinct(blocked_term_hits("text", terms))
     return docs.select(
@@ -6335,7 +6340,15 @@ def q_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_TERM_BLOCKLIST_SQL = """
 WITH t AS (
-  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tl FROM documents
+  -- same tokenization as the operator: whitespace split + per-token
+  -- edge-strip of ASCII non-word chars (Java \\W); the punctuated
+  -- list entries normalize to the bare terms below
+  SELECT doc_id,
+         list_transform(
+           string_split_regex(lower(trim(text)), '\\s+'),
+           x -> regexp_replace(x, '^[^a-z0-9_]+|[^a-z0-9_]+$', '', 'g')
+         ) AS tl
+  FROM documents
 ),
 g AS (
   SELECT doc_id,
