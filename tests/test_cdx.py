@@ -141,6 +141,43 @@ def test_read_cdx_index_parses_and_drops_malformed(spark, cdx_dir):
     assert all(isinstance(r[2], int) for r in rows)
 
 
+def test_cdx_project_lines_nulls_nonnumeric_fields(spark):
+    """Real capture indexes carry non-numeric sentinels (status "-" on
+    revisit records, length/offset "-" in some writers); under Spark 4
+    ANSI mode a plain cast would abort the whole job — the projection
+    must null them instead, as its docstring promises."""
+    from text_extensions_for_pandas_spark.sources.cdx import (
+        cdx_project_lines,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            (
+                'com,example)/revisit 20240101000000 {"url": '
+                '"http://example.com/revisit", "status": "-", '
+                '"mime": "warc/revisit", "digest": "dR", '
+                '"length": "-", "offset": "-", "filename": "f.warc.gz"}',
+            ),
+            (
+                'com,example)/ok 20240101000001 {"url": '
+                '"http://example.com/ok", "status": "200", '
+                '"mime": "text/html", "digest": "dO", '
+                '"length": "10", "offset": "0", "filename": "f.warc.gz"}',
+            ),
+        ],
+        ["value"],
+    )
+    rows = {
+        r["url"]: r for r in cdx_project_lines(lines).collect()
+    }
+    assert len(rows) == 2  # neither row dropped, nothing thrown
+    rev = rows["http://example.com/revisit"]
+    assert rev["status"] is None
+    assert rev["length"] is None and rev["offset"] is None
+    ok = rows["http://example.com/ok"]
+    assert (ok["status"], ok["length"], ok["offset"]) == (200, 10, 0)
+
+
 def test_select_captures_filters_and_dedupes(spark, cdx_dir):
     cdx = read_cdx_index(spark, cdx_dir)
     # default: status 200 + text/html → drops 404 and pdf; latest h0

@@ -619,3 +619,75 @@ def test_write_warc_segments_roundtrip_all_paths(spark, tmp_path):
     assert texts == sorted(
         f"<html><body>body {k}</body></html>" for k in range(30)
     )
+
+
+def test_write_warc_segments_wat_roundtrip(spark, tmp_path):
+    """With ``links_col``, the writer emits WAT metadata records whose
+    ``read_wat_links`` graph equals the HTML-parsed ``link_graph`` over
+    the same pages — the self-written crawl-format loop is closed for
+    all three formats (WARC payloads, CDX index, WAT links)."""
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.operators.html import (
+        extract_links,
+        link_graph,
+        link_graph_from_edges,
+    )
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        read_wat_links,
+        write_warc_segments,
+    )
+
+    rows = []
+    for i in range(12):
+        url = f"http://h{i % 4}.example/p/{i}"
+        html = (
+            f'<html><body><a href="http://h{(i + 1) % 4}.example/t/{i}">'
+            f"next {i}</a>"
+            f'<a href="/local/{i}">self nav</a>'
+            f'<a href="//h{(i + 2) % 4}.example/pp">proto-rel</a>'
+            "</body></html>"
+        )
+        rows.append((url, html))
+    docs = spark.createDataFrame(rows, "url string, text string").withColumn(
+        "links", extract_links(F.col("text"), F.col("url"))
+    ).repartition(2)
+
+    out = str(tmp_path / "segments")
+    summary = write_warc_segments(docs, out, links_col="links")
+    assert sum(s["n_records"] for s in summary) == 12
+
+    wat_edges = read_wat_links(spark, f"{out}/wat")
+    wat_graph = link_graph_from_edges(
+        wat_edges, src_url_col="url", dst_url_col="link_url"
+    )
+    html_graph = link_graph(docs.select("url", "text"))
+    w = sorted(map(tuple, wat_graph.collect()))
+    h = sorted(map(tuple, html_graph.collect()))
+    assert w == h and len(w) > 0
+
+
+def test_write_warc_segments_non200_status_in_index(spark, tmp_path):
+    """A non-200 export's CDX lines must carry the REAL status so the
+    index never contradicts the payloads — and select_captures' default
+    status filter drops them instead of wrongly keeping them."""
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.sources.cdx import (
+        read_cdx_index,
+        select_captures,
+    )
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        write_warc_segments,
+    )
+
+    docs = spark.range(5).select(
+        F.concat(F.lit("http://g.example/p/"), F.col("id")).alias("url"),
+        F.concat(F.lit("gone "), F.col("id")).alias("text"),
+    ).coalesce(1)
+    out = str(tmp_path / "seg404")
+    write_warc_segments(docs, out, http_status=404)
+    cdx = read_cdx_index(spark, f"{out}/cdx")
+    assert [r[0] for r in cdx.select("status").distinct().collect()] == [404]
+    assert select_captures(cdx, mimes=None).count() == 0
+    assert select_captures(cdx, statuses=(404,), mimes=None).count() == 5

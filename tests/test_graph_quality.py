@@ -849,6 +849,22 @@ def test_dedup_keep_best_picks_highest_score(spark):
     assert kept == [1, 3, 5, 6]
     # contrast: keep-lowest-id would keep 0, not the best copy 1
 
+    # STRING doc ids: the tie-break must not assume numeric ids (the
+    # r9 advice finding — unary minus on a string id throws under ANSI)
+    sdocs = spark.createDataFrame(
+        [(f"u{i}", float(s)) for i, s in enumerate([5, 9, 7, 3, 3, 1, 8])],
+        "doc_id string, quality double",
+    )
+    spairs = spark.createDataFrame(
+        [("u0", "u1"), ("u1", "u2"), ("u3", "u4")],
+        "doc_a string, doc_b string",
+    )
+    skept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(sdocs, spairs, "quality").collect()
+    )
+    assert skept == ["u1", "u3", "u5", "u6"]
+
 
 def test_band_index_bucket_layout_and_legacy_compat(spark, tmp_path):
     """New indexes carry band=X/bucket=Y partitions (the DPP handle for

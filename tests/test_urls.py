@@ -491,6 +491,35 @@ def test_parse_sitemaps_urlset_and_index(spark):
     )
 
 
+def test_parse_sitemaps_numeric_char_refs(spark):
+    """sitemaps.org producers escape with numeric character references
+    too (&#47; / &#x2F; style); the decoder must handle decimal, hex,
+    non-ASCII code points, keep &amp;#47; as a literal '&#47;' (no
+    double-decode), and leave out-of-range refs untouched."""
+    from text_extensions_for_pandas_spark.operators.urls import (
+        parse_sitemaps,
+    )
+
+    urlset = (
+        "<urlset>"
+        "<url><loc>http://a.example&#47;p&#x2F;1</loc></url>"
+        "<url><loc>http://a.example/&#x4E2D;&#25991;</loc></url>"
+        "<url><loc>http://a.example/amp&amp;#47;lit</loc></url>"
+        "<url><loc>http://a.example/bad&#x110000;ref</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("a.example", urlset)], ["host", "sitemap_xml"])
+    locs = sorted(r["loc"] for r in parse_sitemaps(df).collect())
+    assert locs == sorted(
+        [
+            "http://a.example/p/1",
+            "http://a.example/中文",
+            "http://a.example/amp&#47;lit",
+            "http://a.example/bad&#x110000;ref",
+        ]
+    )
+
+
 def test_parse_sitemaps_is_jvm_only(spark):
     from text_extensions_for_pandas_spark.operators.urls import (
         parse_sitemaps,

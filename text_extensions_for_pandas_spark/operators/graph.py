@@ -315,10 +315,13 @@ def dedup_keep_best(
     scored = documents.select(
         F.col(doc_col), s.cast("double").alias("__score")
     ).join(cc.withColumnRenamed("node", doc_col), doc_col)
+    # min_by on (-score, doc) rather than max_by on (score, -doc): the
+    # tie-break must work for ANY orderable doc id (string ids would
+    # throw on unary minus under ANSI mode); only the score is numeric.
     winners = scored.groupBy("component").agg(
-        F.max_by(
+        F.min_by(
             F.col(doc_col),
-            F.struct(F.col("__score"), -F.col(doc_col)),
+            F.struct(-F.col("__score"), F.col(doc_col)),
         ).alias("__keep")
     )
     keep_ids = winners.select(F.col("__keep").alias(doc_col))

@@ -370,13 +370,53 @@ def filter_by_robots(
 # XML entity decoding for <loc> values — the five predefined entities
 # plus numeric character references are what sitemaps.org requires
 # producers to escape; &amp; MUST decode last so "&amp;lt;" round-trips
-# to the literal "&lt;" rather than double-decoding
+# to the literal "&lt;" rather than double-decoding.  (Decoding numeric
+# refs before &amp; is safe: "&amp;#47;" contains no "&#" substring.)
+_XML_NUMREF = r"&#(?:[xX][0-9a-fA-F]+|[0-9]+);"
+
+
+def _decode_numref(r):
+    """One ``&#NN;`` / ``&#xHH;`` reference Column → its character,
+    entirely JVM-side: code point → 4 big-endian bytes (unhex of the
+    zero-padded hex) → one UTF-32 decode.  Out-of-range or unparseable
+    code points keep the original reference text (fail-soft)."""
+    body = r.substr(F.lit(3), F.length(r) - F.lit(3))
+    n = F.when(
+        body.rlike("^[xX]"),
+        F.conv(body.substr(F.lit(2), F.length(body) - F.lit(1)), 16, 10),
+    ).otherwise(body).try_cast("bigint")
+    ch = F.decode(F.unhex(F.lpad(F.hex(n), 8, "0")), "UTF-32")
+    return F.when(
+        n.isNull() | (n <= 0) | (n > F.lit(0x10FFFF)), r
+    ).otherwise(ch)
+
+
 def _xml_unescape(c):
     c = F.regexp_replace(c, r"^\s*<!\[CDATA\[(.*)\]\]>\s*$", r"$1")
     for ent, ch in (
         ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
     ):
         c = F.replace(c, F.lit(ent), F.lit(ch))
+    # numeric character references: split keeps the text between refs,
+    # regexp_extract_all keeps the refs; re-interleave with the decoded
+    # characters.  No refs → the split has one part and the original
+    # string passes through untouched.
+    parts = F.split(c, _XML_NUMREF)
+    refs = F.regexp_extract_all(c, F.lit("(" + _XML_NUMREF + ")"), 1)
+    c = F.when(F.size(refs) == 0, c).otherwise(
+        F.concat(
+            F.element_at(parts, 1),
+            F.aggregate(
+                F.sequence(F.lit(1), F.size(refs)),
+                F.lit(""),
+                lambda acc, i: F.concat(
+                    acc,
+                    _decode_numref(F.element_at(refs, i)),
+                    F.element_at(parts, i + F.lit(1)),
+                ),
+            ),
+        )
+    )
     return F.replace(c, F.lit("&amp;"), F.lit("&"))
 
 

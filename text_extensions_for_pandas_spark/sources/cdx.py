@@ -245,11 +245,15 @@ def cdx_project_lines(lines: DataFrame) -> DataFrame:
             "surt",
             "capture_ts",
             F.col("m.url").alias("url"),
-            F.col("m.status").cast("int").alias("status"),
+            # try_cast, not cast: real capture indexes carry non-numeric
+            # sentinels (status "-" on revisit records); under ANSI mode
+            # a plain cast would abort the whole read instead of nulling
+            # the field as documented
+            F.col("m.status").try_cast("int").alias("status"),
             F.col("m.mime").alias("mime"),
             F.col("m.digest").alias("digest"),
-            F.col("m.length").cast("bigint").alias("length"),
-            F.col("m.offset").cast("bigint").alias("offset"),
+            F.col("m.length").try_cast("bigint").alias("length"),
+            F.col("m.offset").try_cast("bigint").alias("offset"),
             F.col("m.filename").alias("filename"),
             F.col("m.languages").alias("languages"),
         )

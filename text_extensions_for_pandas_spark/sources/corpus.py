@@ -602,8 +602,11 @@ def write_jsonl_shards(
     training shard; within a shard, files split by task — consumers
     read a shard's directory as one logical stream) and
     ``{path}/manifest`` — one parquet row per shard with ``n_docs``,
-    ``n_chars``, and ``content_hash`` (order-insensitive XOR of per-doc
-    hashes, so ANY dropped/duplicated/altered document flips it; two
+    ``n_chars``, and ``content_hash`` (order-insensitive, multiplicity-
+    sensitive modular SUM of per-doc hashes — a plain XOR would let
+    identical rows cancel in pairs, so duplicating a document twice or
+    dropping both copies of a duplicated pair would go undetected; the
+    sum flips on ANY dropped/duplicated/altered document, and two
     exports of the same corpus agree bit-for-bit).
 
     One pass writes the data; the manifest is one map-side-combinable
@@ -625,9 +628,17 @@ def write_jsonl_shards(
     manifest = documents.groupBy(shard_col).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).alias("n_chars"),
-        # bit_xor is order-insensitive and partial-aggregable — the
-        # combine-safe content checksum
-        F.bit_xor(row_hash).alias("content_hash"),
+        # modular SUM: order-insensitive and partial-aggregable like
+        # bit_xor, but multiplicity-sensitive (duplicated rows cannot
+        # cancel).  DECIMAL(38,0) accumulation keeps the sum exact to
+        # ~10^19 rows per shard; pmod by the Mersenne prime 2^61-1
+        # folds it back to a bigint.
+        F.pmod(
+            F.sum(row_hash.cast("decimal(38,0)")),
+            F.lit(2305843009213693951).cast("decimal(38,0)"),
+        )
+        .cast("bigint")
+        .alias("content_hash"),
     )
     manifest.write.mode("overwrite").parquet(f"{path}/manifest")
     return manifest
@@ -640,6 +651,7 @@ def write_warc_segments(
     text_col: str = "text",
     date_col: str | None = None,
     http_status: int = 200,
+    links_col: str | None = None,
 ) -> "list":
     """Documents → Common Crawl-shaped WARC segments: each task writes
     one ``{path}/seg-<partition>.warc.gz`` of INDIVIDUALLY-gzipped
@@ -662,6 +674,15 @@ def write_warc_segments(
     overwrites (segments are named by partition id, not randomness, so
     reruns are idempotent).  Repartition upstream to choose segment
     count/size.
+
+    ``links_col`` (optional): an ``array<struct<url/href, anchor>>``
+    column (e.g. :func:`~..operators.html.extract_links` output);
+    when given, each task ALSO writes ``{path}/wat/seg-<partition>
+    .warc.gz`` of WAT ``metadata`` records (:func:`make_wat_record`'s
+    Common Crawl envelope, one per page, links pre-extracted) — so
+    ``read_wat_links({path}/wat)`` reproduces the link graph without
+    ever re-parsing HTML, closing the last crawl-format loop
+    (round-trip pinned by test against the HTML-parsed graph).
     """
     import gzip as _gzip
     import hashlib
@@ -671,7 +692,10 @@ def write_warc_segments(
 
     os.makedirs(path, exist_ok=True)
     os.makedirs(os.path.join(path, "cdx"), exist_ok=True)
+    if links_col is not None:
+        os.makedirs(os.path.join(path, "wat"), exist_ok=True)
     date_name = date_col
+    links_name = links_col
 
     def _write(batches):
         from pyspark import TaskContext
@@ -680,65 +704,105 @@ def write_warc_segments(
         fname = f"seg-{pid:05d}.warc.gz"
         full = os.path.join(path, fname)
         cdx_path = os.path.join(path, "cdx", f"part-{pid:05d}")
+        wat_full = os.path.join(path, "wat", fname)
         n, offset = 0, 0
         lines = []
-        with open(full, "wb") as fh:
-            for pdf in batches:
-                dates = (
-                    pdf[date_name]
-                    if date_name is not None
-                    else [None] * len(pdf)
-                )
-                for url, text, date in zip(
-                    pdf[url_col], pdf[text_col], dates
-                ):
-                    member = _gzip.compress(
-                        make_warc_record(
-                            text,
-                            url=url,
-                            warc_type="response",
-                            warc_date=date,
-                            http_status=http_status,
+        wat_fh = open(wat_full, "wb") if links_name is not None else None
+        try:
+            with open(full, "wb") as fh:
+                for pdf in batches:
+                    dates = (
+                        pdf[date_name]
+                        if date_name is not None
+                        else [None] * len(pdf)
+                    )
+                    link_lists = (
+                        pdf[links_name]
+                        if links_name is not None
+                        else [None] * len(pdf)
+                    )
+                    for url, text, date, page_links in zip(
+                        pdf[url_col], pdf[text_col], dates, link_lists
+                    ):
+                        member = _gzip.compress(
+                            make_warc_record(
+                                text,
+                                url=url,
+                                warc_type="response",
+                                warc_date=date,
+                                http_status=http_status,
+                            )
                         )
-                    )
-                    fh.write(member)
-                    body = text.encode()
-                    ts = (
-                        "".join(c for c in date if c.isdigit())[:14]
-                        if date
-                        else "20000101000000"
-                    )
-                    lines.append(
-                        make_cdx_line_for_writer(
-                            url, ts.ljust(14, "0"),
-                            digest=hashlib.md5(body).hexdigest(),
-                            filename=fname, offset=offset,
-                            length=len(member),
+                        fh.write(member)
+                        body = text.encode()
+                        ts = (
+                            "".join(c for c in date if c.isdigit())[:14]
+                            if date
+                            else "20000101000000"
                         )
-                    )
-                    offset += len(member)
-                    n += 1
+                        lines.append(
+                            make_cdx_line_for_writer(
+                                url, ts.ljust(14, "0"),
+                                digest=hashlib.md5(body).hexdigest(),
+                                filename=fname, offset=offset,
+                                length=len(member),
+                                # the index must agree with the payloads:
+                                # a non-200 export previously wrote
+                                # status=200 lines that contradicted the
+                                # records (and select_captures' default
+                                # filter would wrongly keep them)
+                                status=http_status,
+                            )
+                        )
+                        offset += len(member)
+                        n += 1
+                        if wat_fh is not None:
+                            pairs = []
+                            for d in (
+                                page_links if page_links is not None else []
+                            ):
+                                if isinstance(d, dict):
+                                    href = d.get("url") or d.get("href")
+                                    pairs.append(
+                                        (href, d.get("anchor") or "")
+                                    )
+                                else:
+                                    pairs.append((d[0], d[1] or ""))
+                            wat_fh.write(
+                                _gzip.compress(
+                                    make_wat_record(
+                                        url, pairs, warc_date=date
+                                    )
+                                )
+                            )
+        finally:
+            if wat_fh is not None:
+                wat_fh.close()
         if n:
             with open(cdx_path, "w") as fh:
                 fh.write("\n".join(lines) + "\n")
         else:
             os.unlink(full)
+            if wat_fh is not None:
+                os.unlink(wat_full)
         yield pd.DataFrame(
             [(fname, n, offset)], columns=["filename", "n_records", "bytes"]
         )
 
     summary = documents.select(url_col, text_col, *(
-        [date_col] if date_col else []
+        ([date_col] if date_col else []) + ([links_col] if links_col else [])
     )).mapInPandas(_write, "filename string, n_records int, bytes long")
     return [r for r in summary.collect() if r["n_records"] > 0]
 
 
-def make_cdx_line_for_writer(url, ts, *, digest, filename, offset, length):
+def make_cdx_line_for_writer(
+    url, ts, *, digest, filename, offset, length, status=200
+):
     """Executor-side import indirection: ``cdx.make_cdx_line`` without a
     module-level corpus↔cdx import cycle."""
     from text_extensions_for_pandas_spark.sources.cdx import make_cdx_line
 
     return make_cdx_line(
         url, ts, digest=digest, filename=filename, offset=offset,
-        length=length,
+        length=length, status=status,
     )
