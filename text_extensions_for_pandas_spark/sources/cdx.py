@@ -81,17 +81,39 @@ def surt_key(url) -> F.Column:
 
         http://www.News.Example.com/A/B?b=2&a=1
           → com,example,news)/a/b?a=1&b=2
+        http://host.com:8080/  → com,host:8080)/
 
-    NULL for unparseable URLs (``try_parse_url`` semantics).  Divergence
-    from the full Internet-Archive SURT spec, on purpose: no scheme
-    folding table beyond dropping the scheme, no session-param
-    stripping — composing with :func:`..operators.urls.normalize_url`
-    first covers those.
+    Non-default ports stay in the key (``:8080`` after the reversed
+    host, as standard SURT and Common Crawl's CDXJ write them — keys
+    computed here JOIN cleanly against externally-produced indexes);
+    scheme-default ports (http:80, https:443) are dropped so the two
+    spellings of the same origin collide.  A single trailing dot on the
+    host is stripped (``example.com.`` ≡ ``example.com``, the DNS-root
+    form), again matching standard SURT.  NULL for unparseable URLs
+    (``try_parse_url`` semantics).  Divergence from the full
+    Internet-Archive SURT spec, on purpose: no scheme folding table
+    beyond dropping the scheme, no session-param stripping — composing
+    with :func:`..operators.urls.normalize_url` first covers those.
     """
     u = url if isinstance(url, F.Column) else F.col(url)
     host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    host = F.regexp_replace(host, r"\.$", "")
     host = F.regexp_replace(host, r"^www\.", "")
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    # the port lives only in AUTHORITY ([userinfo@]host[:port]); cast
+    # through bigint so ":08080" and ":8080" collide
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    port = F.regexp_extract(
+        F.try_parse_url(u, F.lit("AUTHORITY")), r":(\d+)$", 1
+    ).try_cast("bigint")
+    default_port = F.when(scheme == "http", F.lit(80)).when(
+        scheme == "https", F.lit(443)
+    )
+    port_part = F.when(
+        port.isNotNull() & ~port.eqNullSafe(default_port),
+        F.concat(F.lit(":"), port.cast("string")),
+    ).otherwise(F.lit(""))
+    rev = F.concat(rev, port_part)
     path = F.lower(F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("/")))
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.lower(F.try_parse_url(u, F.lit("QUERY")))
@@ -145,9 +167,20 @@ def surt_key_py(url: str) -> str | None:
     host = (parts.hostname or "").lower()
     if not host or not _java_host_ok(host):
         return None
+    if host.endswith("."):
+        host = host[:-1]
     if host.startswith("www."):
         host = host[4:]
     rev = ",".join(reversed(host.split(".")))
+    # mirror the JVM side exactly: a trailing ":digits" run on the
+    # authority (urlsplit .port would range-check; java.net.URI does
+    # not), capped at 18 digits to match try_cast("bigint")
+    m = _re.search(r":(\d{1,18})$", parts.netloc)
+    port = int(m.group(1)) if m else None
+    scheme = (parts.scheme or "").lower()
+    default_port = {"http": 80, "https": 443}.get(scheme)
+    if port is not None and port != default_port:
+        rev += f":{port}"
     path = (parts.path or "/").lower() or "/"
     out = f"{rev}){path}"
     if parts.query:
