@@ -55,7 +55,25 @@ LANG_PROFILES: dict[str, list[str]] = {
     "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
     "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
     "de": ["der", "die", "und", "das", "von", "ein", "ist", "zu"],
+    "it": ["di", "che", "il", "per", "non", "con", "una", "sono"],
+    "pt": ["de", "que", "não", "uma", "para", "com", "os", "do"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "op"],
+    "ru": ["и", "в", "не", "на", "что", "с", "как", "это"],
+    "ar": ["في", "من", "على", "أن", "إلى", "عن", "مع", "هذا"],
+    "hi": ["के", "है", "में", "की", "और", "से", "का", "यह"],
     "zh": ["de", "le", "shi", "wo", "zai", "you", "he", "ren"],
+}
+
+# per-language "contains a letter" character classes for the Gopher
+# alpha-ratio rule: good Russian/Arabic/Hindi prose contains no [a-zA-Z]
+# at all, so the default class silently rejected every such document —
+# the same cliff CJK segmentation hit, one script later.  Languages not
+# listed use the default ASCII class (Latin-script languages all pass
+# it: accented words still contain at least one ASCII letter).
+LANG_LETTER_PATTERNS: dict[str, str] = {
+    "ru": "[\\u0400-\\u04ff]",
+    "ar": "[\\u0600-\\u06ff\\u0750-\\u077f]",
+    "hi": "[\\u0900-\\u097f]",
 }
 
 STOPWORDS = sorted({w for ws in LANG_PROFILES.values() for w in ws})
@@ -218,6 +236,7 @@ def gopher_rules(
     min_words: int = 50,
     max_words: int = 100_000,
     required_words: tuple[str, ...] = GOPHER_STOPWORDS,
+    letter_pattern: str = "[a-zA-Z]",
 ) -> Column:
     """The Gopher quality-filter rule set (Rae et al. 2021, Appendix A1.1)
     as a struct of per-rule booleans plus the combined ``passes`` — the
@@ -236,6 +255,9 @@ def gopher_rules(
     ``required_words`` defaults to Gopher's English list; swap in a
     corpus-appropriate list for other languages/domains (the rule is
     "looks like running prose of THIS corpus's language").
+    ``letter_pattern`` is the alpha-rule's "contains a letter" class —
+    override for non-Latin scripts (see :data:`LANG_LETTER_PATTERNS`),
+    whose prose contains no ``[a-zA-Z]`` at all.
 
     Pure built-in arithmetic, row-local and stream-transparent; survives
     whole-stage codegen on a full-corpus scan.
@@ -259,14 +281,16 @@ def gopher_rules(
     n_ell_line = F.size(
         F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
     )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike(letter_pattern)))
     stop_arr = F.array(*[F.lit(w) for w in required_words])
     # membership is tested on punctuation-stripped tokens ("the." counts as
     # "the") — the Gopher rule is word-level, and whitespace tokenization
     # would otherwise under-count prose where required words precede
-    # punctuation
+    # punctuation.  (?U): Java's default \W is ASCII-only, so without it
+    # every non-Latin token strips to "" and non-English profiles can
+    # never match their own marker words.
     clean_toks = F.transform(
-        toks, lambda t: F.regexp_replace(t, r"^\W+|\W+$", "")
+        toks, lambda t: F.regexp_replace(t, r"(?U)^\W+|\W+$", "")
     )
     n_stop = F.size(
         F.filter(stop_arr, lambda w: F.array_contains(clean_toks, w))
@@ -305,10 +329,13 @@ def lang_scores(text: Column | str, toks: Column | None = None) -> Column:
 def script_ratios(text: Column | str) -> Column:
     """Per-script character ratios as a struct — ``kana`` (Hiragana +
     Katakana U+3040-30FF), ``hangul`` (U+AC00-D7AF), ``han`` (CJK
-    unified + ext-A) over total length.  Pure ``regexp_replace`` length
-    arithmetic, codegen, stream-safe.  The decisive signal for CJK
-    language ID: marker WORDS require whitespace tokenization, which
-    CJK text doesn't have — script ranges don't."""
+    unified + ext-A), ``cyrillic`` (U+0400-04FF), ``arabic``
+    (U+0600-06FF + supplement), ``devanagari`` (U+0900-097F) over total
+    length.  Pure ``regexp_replace`` length arithmetic, codegen,
+    stream-safe.  The decisive signal for non-Latin language ID and
+    gate routing: marker WORDS require whitespace tokenization (absent
+    in CJK) and per-script letter classes (Cyrillic/Arabic/Devanagari
+    prose contains no ``[a-zA-Z]``) — script ranges cover both."""
     c = F.col(text) if isinstance(text, str) else text
     n = F.greatest(F.length(c), F.lit(1))
 
@@ -320,6 +347,9 @@ def script_ratios(text: Column | str) -> Column:
         ratio("\\u3040-\\u30ff").alias("kana"),
         ratio("\\uac00-\\ud7af").alias("hangul"),
         ratio("\\u3400-\\u4dbf\\u4e00-\\u9fff").alias("han"),
+        ratio("\\u0400-\\u04ff").alias("cyrillic"),
+        ratio("\\u0600-\\u06ff\\u0750-\\u077f").alias("arabic"),
+        ratio("\\u0900-\\u097f").alias("devanagari"),
     )
 
 
@@ -329,8 +359,13 @@ def lang_id(text: Column | str, toks: Column | None = None) -> Column:
     Korean, han-dominant (≥ 30%) without kana is Chinese — because CJK
     text has no whitespace tokens for the marker-word path to see (it
     used to arrive as 'und', silently, on roughly half of a real
-    crawl); then argmax marker-word ratio, ties broken by language code
-    order; 'und' when nothing fires.
+    crawl); Arabic-script- or Devanagari-dominant (≥ 30%) text routes
+    to 'ar'/'hi' the same way (whitespace exists there, but short or
+    marker-sparse text would otherwise fall to 'und'); then argmax
+    marker-word ratio, ties broken by language code order; 'und' when
+    nothing fires.  Cyrillic deliberately has NO script override: the
+    script spans ru/uk/bg/sr, so only the ru marker words claim it —
+    non-Russian Cyrillic stays 'und' rather than being mislabeled.
 
     The marker path is ``array_max`` over (score, -rank, lang) structs:
     a chained ``when`` scan would nest each score expression inside
@@ -357,6 +392,8 @@ def lang_id(text: Column | str, toks: Column | None = None) -> Column:
         F.when(scripts["kana"] >= 0.05, F.lit("ja"))
         .when(scripts["hangul"] >= 0.3, F.lit("ko"))
         .when(scripts["han"] >= 0.3, F.lit("zh"))
+        .when(scripts["arabic"] >= 0.3, F.lit("ar"))
+        .when(scripts["devanagari"] >= 0.3, F.lit("hi"))
         .otherwise(marker_pred)
     )
 
@@ -1214,17 +1251,18 @@ def blocked_term_hits(
     c = F.col(text) if isinstance(text, str) else text
     toks = F.transform(
         F.split(F.lower(F.trim(c)), r"\s+"),
-        lambda t: F.regexp_replace(t, r"^\W+|\W+$", ""),
+        lambda t: F.regexp_replace(t, r"(?U)^\W+|\W+$", ""),
     )
     by_len: dict[int, list[str]] = {}
     for t in terms:
         # SYMMETRIC normalization: strip each term token exactly the way
-        # document tokens are stripped above (Java \W is ASCII, hence
-        # re.ASCII), so punctuated list entries like "buy now!" or
-        # "spam." match their unpunctuated document forms instead of
-        # silently never matching.
+        # document tokens are stripped above (both sides Unicode \W —
+        # (?U) on the Java side, Python's default here), so punctuated
+        # list entries like "buy now!" or "spam." match their
+        # unpunctuated document forms instead of silently never
+        # matching, and non-Latin terms survive the strip.
         tok_norm = [
-            _re.sub(r"^\W+|\W+$", "", w, flags=_re.ASCII)
+            _re.sub(r"^\W+|\W+$", "", w)
             for w in t.lower().split()
         ]
         if not any(tok_norm):
@@ -1281,7 +1319,7 @@ def filter_blocked_terms(
                     F.split(
                         F.lower(F.trim(F.col(terms.columns[0]))), r"\s+"
                     ),
-                    lambda w: F.regexp_replace(w, r"^\W+|\W+$", ""),
+                    lambda w: F.regexp_replace(w, r"(?U)^\W+|\W+$", ""),
                 ),
                 " ",
             ).alias("__term")
@@ -1299,7 +1337,7 @@ def filter_blocked_terms(
     ]
     toks = F.transform(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: F.regexp_replace(t, r"^\W+|\W+$", ""),
+        lambda t: F.regexp_replace(t, r"(?U)^\W+|\W+$", ""),
     )
     gram_arrays = [_ngrams_of(toks, n) for n in sorted(lens)]
     grams = gram_arrays[0]
@@ -1377,13 +1415,23 @@ def quality_gate_by_language(
     false and good French is rejected).
 
     ``profiles`` maps language code → required-word tuple; defaults to
-    the marker-word lists in :data:`LANG_PROFILES` (en/es/fr/de — the
-    same vocabulary :func:`lang_id` detects with, so detection and
-    gating agree by construction); unlisted languages fall back to the
-    Gopher English list via ``gopher_kwargs``.  One ``gopher_rules``
-    expression per profile combined by a CASE on ``lang`` — wide but
-    pure codegen; pass a materialized ``toks`` to share tokenization
-    across the branches (HOF arguments do not CSE).
+    the marker-word lists in :data:`LANG_PROFILES` (en/es/fr/de/it/pt/
+    nl/ru/ar/hi — the same vocabulary :func:`lang_id` detects with, so
+    detection and gating agree by construction); unlisted languages
+    fall back to the Gopher English list via ``gopher_kwargs``.
+    Non-Latin-script languages additionally swap the alpha rule's
+    letter class per :data:`LANG_LETTER_PATTERNS` — good Russian/
+    Arabic/Hindi prose contains no ``[a-zA-Z]``, so with the default
+    class the alpha rule alone silently rejected all of it regardless
+    of stopwords.
+
+    Expression shape: only the two language-DEPENDENT rules (stopword
+    membership, alpha letter class) dispatch through the CASE on
+    ``lang``; the five language-independent Gopher rules are built
+    ONCE and ANDed outside it — a full ``gopher_rules`` per branch
+    measured ~10× the codegen cost for identical semantics.  Pass a
+    materialized ``toks`` to share tokenization (HOF arguments do not
+    CSE).
 
     Returns ``struct(is_cjk, passes)`` like the script dispatcher.
     """
@@ -1397,13 +1445,33 @@ def quality_gate_by_language(
     )
     s = script_ratios(c)
     is_cjk = (s["kana"] + s["hangul"] + s["han"]) >= cjk_threshold
-    latin = gopher_rules(c, toks, **gopher_kwargs)["passes"]
+    base = gopher_rules(c, toks, **gopher_kwargs)
+    shared = (
+        base["word_count_ok"]
+        & base["mean_word_len_ok"]
+        & base["symbol_ratio_ok"]
+        & base["bullet_ok"]
+        & base["ellipsis_ok"]
+    )
+    clean_toks = F.transform(
+        toks, lambda t: F.regexp_replace(t, r"(?U)^\W+|\W+$", "")
+    )
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    stop_ok = base["stopword_ok"]
+    alpha_ok = base["alpha_ratio_ok"]
     for code, words in sorted(profs.items()):
-        kw = dict(gopher_kwargs)
-        kw["required_words"] = tuple(words)
-        latin = F.when(
-            lg == code, gopher_rules(c, toks, **kw)["passes"]
-        ).otherwise(latin)
+        marker = F.array(*[F.lit(w) for w in words])
+        n_stop = F.size(
+            F.filter(marker, lambda w: F.array_contains(clean_toks, w))
+        )
+        stop_ok = F.when(lg == code, n_stop >= 2).otherwise(stop_ok)
+        if code in LANG_LETTER_PATTERNS:
+            pat = LANG_LETTER_PATTERNS[code]
+            n_alpha = F.size(F.filter(toks, lambda t: t.rlike(pat)))
+            alpha_ok = F.when(
+                lg == code, n_alpha / n_words >= 0.8
+            ).otherwise(alpha_ok)
+    latin = shared & stop_ok & alpha_ok
     return F.struct(
         is_cjk.alias("is_cjk"),
         F.when(is_cjk, cjk_quality_rules(c)["passes"])

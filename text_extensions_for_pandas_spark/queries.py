@@ -6309,6 +6309,115 @@ FROM documents ORDER BY doc_id
 """
 
 
+_RU_PROSE = (
+    "правительство и комиссия опубликовали доклад о данных и проект "
+    "закона что ожидают семьи и предприятия региона с большим "
+    "вниманием как это было раньше в стране и многие граждане на "
+    "местах не остались в стороне от обсуждения важных вопросов "
+) * 2
+_IT_PROSE = (
+    "il governo e la commissione hanno pubblicato un rapporto che "
+    "descrive i dati per il progetto di legge non ancora approvato "
+    "con una serie di misure che sono attese da mesi dalle famiglie "
+    "e dalle imprese della regione e che il paese intero aspetta "
+    "con grande attenzione da parte di tutti i cittadini "
+) * 2
+_PT_PROSE = (
+    "o governo e a comissão publicaram um relatório sobre os dados "
+    "do projeto de lei que não foi aprovado para dar uma resposta "
+    "às famílias e às empresas da região com o apoio de todos os "
+    "cidadãos que esperam há meses por uma decisão sobre o assunto "
+) * 2
+_NL_PROSE = (
+    "de regering en de commissie hebben een rapport gepubliceerd "
+    "over de gegevens van het wetsvoorstel dat niet eerder werd "
+    "goedgekeurd en dat nu op veel steun kan rekenen van de "
+    "gezinnen en de bedrijven in de regio die al maanden op een "
+    "besluit wachten en op duidelijkheid over de gevolgen "
+) * 2
+_EN_PROSE = (
+    "the committee and the board have published a report with "
+    "details of the data and the draft law that many families "
+    "and businesses of the region have been waiting for with "
+    "patience and the numbers that have come with it are a sign "
+    "of the vitality of the institutions and of the towns too "
+) * 2
+
+
+def q_multilingual_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.functions.text.quality_gate_by_language` fed by
+    :func:`~.functions.text.lang_id` under the value-hash oracle — the
+    r9 verdict's remaining silent-drop class closed: eight planted
+    classes per ``doc_id % 8`` — good Russian / Italian / Portuguese /
+    Dutch / English prose (all PASS: detection picks the language, the
+    gate applies that language's marker profile and, for Cyrillic, its
+    letter class — under the English-list default every non-English
+    one of these was rejected) and three damaged twins (Russian +
+    symbol flood → symbol_ratio fail; Italian truncated → word_count
+    fail; Portuguese as bullet spam → bullet fail) that keep their
+    detected language but FAIL.  DuckDB recomputes prediction and
+    verdict closed-form per class, so detection AND dispatch are both
+    hashed."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        lang_id,
+        quality_gate_by_language,
+        word_tokens,
+    )
+
+    ru_damaged = _RU_PROSE + " ##########" * 5
+    it_damaged = " ".join(_IT_PROSE.split()[:18])
+    pt_words = _PT_PROSE.split()
+    pt_damaged = "\n".join(
+        "- " + " ".join(pt_words[i : i + 4])
+        for i in range(0, min(len(pt_words), 120), 4)
+    )
+    classes = [
+        _RU_PROSE,      # 0: ru, passes
+        ru_damaged,     # 1: ru, symbol_ratio fail
+        _IT_PROSE,      # 2: it, passes
+        it_damaged,     # 3: it, word_count fail
+        _PT_PROSE,      # 4: pt, passes
+        pt_damaged,     # 5: pt, bullet fail
+        _NL_PROSE,      # 6: nl, passes
+        _EN_PROSE,      # 7: en, passes
+    ]
+    text = F.element_at(
+        F.array(*[F.lit(t) for t in classes]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", text.alias("t"))
+    docs = docs.withColumn("__toks", word_tokens(F.col("t")))
+    # materialize the prediction: the gate's CASE references the lang
+    # ~13 times, and passing the raw lang_id EXPRESSION would re-inline
+    # its full marker-argmax into every branch
+    docs = docs.withColumn(
+        "lang", lang_id(F.col("t"), toks=F.col("__toks"))
+    )
+    g = quality_gate_by_language(
+        F.col("t"), F.col("lang"), toks=F.col("__toks")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        g["is_cjk"].alias("is_cjk"),
+        g["passes"].alias("passes"),
+    ).orderBy("doc_id")
+
+
+Q_MULTILINGUAL_QUALITY_SQL = """
+SELECT doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN 'ru' WHEN 1 THEN 'ru'
+         WHEN 2 THEN 'it' WHEN 3 THEN 'it'
+         WHEN 4 THEN 'pt' WHEN 5 THEN 'pt'
+         WHEN 6 THEN 'nl' ELSE 'en'
+       END AS lang,
+       FALSE AS is_cjk,
+       doc_id % 8 IN (0, 2, 4, 6, 7) AS passes
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.functions.text.blocked_term_hits` under the value-hash
     oracle over REAL document text: two word terms plus one bigram
@@ -6341,12 +6450,15 @@ def q_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TERM_BLOCKLIST_SQL = """
 WITH t AS (
   -- same tokenization as the operator: whitespace split + per-token
-  -- edge-strip of ASCII non-word chars (Java \\W); the punctuated
-  -- list entries normalize to the bare terms below
+  -- edge-strip of Unicode non-word chars (Java (?U)\\W); the
+  -- punctuated list entries normalize to the bare terms below
   SELECT doc_id,
          list_transform(
            string_split_regex(lower(trim(text)), '\\s+'),
-           x -> regexp_replace(x, '^[^a-z0-9_]+|[^a-z0-9_]+$', '', 'g')
+           x -> regexp_replace(
+                  x,
+                  '^[^\\p{L}\\p{N}\\p{M}_]+|[^\\p{L}\\p{N}\\p{M}_]+$',
+                  '', 'g')
          ) AS tl
   FROM documents
 ),
@@ -8568,6 +8680,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q18_large_volume": (q18_large_volume_customers, Q18_SQL),
     "exactsubstr_clean": (q_exactsubstr_clean, Q_EXACTSUBSTR_CLEAN_SQL),
+    "multilingual_quality": (
+        q_multilingual_quality,
+        Q_MULTILINGUAL_QUALITY_SQL,
+    ),
 }
 
 
