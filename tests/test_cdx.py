@@ -475,6 +475,21 @@ def test_cdx_mirror_ranges_and_pushdown(spark, tmp_path):
     assert len(want) == 40
 
 
+def test_gated_cdx_mirror_select_pushes_prefix_filter(spark):
+    """The gated ``cdx_mirror_select`` composition (mirror → select →
+    fetch) must carry the SURT-prefix predicate into the mirror's
+    parquet scan as a pushed StringStartsWith — the driver's oracle now
+    exercises the exact pushed-filter path a deployment runs."""
+    from text_extensions_for_pandas_spark.queries import (
+        q_cdx_mirror_select,
+    )
+
+    df = q_cdx_mirror_select(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith(surt,example,h2)" in plan.replace(" ", "")
+    assert df.count() == 6  # h2's even (status-200) records
+
+
 def test_surt_twins_agree_on_generated_urls(spark):
     """Property: the Column-side surt_key and the Python twin agree on
     machine-generated URLs (hosts with odd casing and www layers, paths

@@ -7495,6 +7495,100 @@ FROM recs ORDER BY text
 """
 
 
+def q_cdx_mirror_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production re-selection path under the value-hash oracle:
+    the same two-WARC fixture as ``cdx_fetch``, but the index is first
+    materialized as the SURT-sorted parquet MIRROR
+    (:func:`~.sources.cdx.write_cdx_mirror`) and the selection runs
+    against :func:`~.sources.cdx.read_cdx_mirror` with a
+    ``surt_prefixes`` host scope — the pushed-``StringStartsWith``
+    parquet path a deployment actually runs for every new curriculum /
+    domain study (``test_cdx.py`` plan-asserts the pushed filter on
+    this exact composition).  Selection keeps host h2's even records
+    (status 200), then ranged-fetches ONLY those byte ranges.  DuckDB
+    recomputes the expected documents from ``range()``."""
+    import gzip
+    import os
+
+    from text_extensions_for_pandas_spark.sources.cdx import (
+        fetch_plan,
+        fetch_warc_ranges,
+        make_cdx_line,
+        read_cdx_index,
+        read_cdx_mirror,
+        select_captures,
+        write_cdx_mirror,
+    )
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        make_warc_record,
+    )
+
+    path = _session_tmp("cdx_mirror_fixture")
+    cdx_lines = []
+    for fi in range(2):
+        fname = f"w{fi}.warc.gz"
+        offset = 0
+        blobs = []
+        for k in range(fi * 30, fi * 30 + 30):
+            member = gzip.compress(
+                make_warc_record(
+                    f"mirror page {k} body {k * k % 13}",
+                    url=f"http://h{k % 5}.example/m/{k}",
+                    warc_type="response",
+                    warc_date=f"2024-06-02T00:00:{k % 60:02d}Z",
+                    http_status=200,
+                )
+            )
+            blobs.append(member)
+            cdx_lines.append(
+                make_cdx_line(
+                    f"http://h{k % 5}.example/m/{k}",
+                    f"20240602{k:06d}",
+                    status=200 if k % 2 == 0 else 503,
+                    digest=f"dm{k}",
+                    filename=fname,
+                    offset=offset,
+                    length=len(member),
+                )
+            )
+            offset += len(member)
+        with open(os.path.join(path, fname), "wb") as fh:
+            fh.write(b"".join(blobs))
+    with open(os.path.join(path, "cdx-0"), "w") as fh:
+        fh.write("\n".join(cdx_lines) + "\n")
+    mirror = os.path.join(path, "mirror")
+    write_cdx_mirror(read_cdx_index(spark, os.path.join(path, "cdx-0")),
+                     mirror, n_files=8)
+    sel = select_captures(
+        read_cdx_mirror(spark, mirror),
+        mimes=None,
+        surt_prefixes=["example,h2)/"],
+    )
+    docs = fetch_warc_ranges(
+        spark,
+        fetch_plan(sel, max_records_per_task=4),
+        base_dir=path,
+        record_types=("response",),
+    )
+    return docs.select("text", "n_chars", "url", "warc_date").orderBy("text")
+
+
+Q_CDX_MIRROR_SELECT_SQL = """
+WITH recs AS (
+  SELECT i,
+         concat('mirror page ', CAST(i AS VARCHAR), ' body ',
+                CAST(i * i % 13 AS VARCHAR)) AS text,
+         concat('http://h', CAST(i % 5 AS VARCHAR), '.example/m/',
+                CAST(i AS VARCHAR)) AS url,
+         concat('2024-06-02T00:00:', lpad(CAST(i % 60 AS VARCHAR), 2, '0'),
+                'Z') AS warc_date
+  FROM range(60) t(i) WHERE i % 2 = 0 AND i % 5 = 2
+)
+SELECT text, CAST(length(text) AS BIGINT) AS n_chars, url, warc_date
+FROM recs ORDER BY text
+"""
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.operators.html.html_to_text` under the value-hash oracle:
     HTML pages synthesized per doc_id exercising every extraction rule —
@@ -8684,6 +8778,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_multilingual_quality,
         Q_MULTILINGUAL_QUALITY_SQL,
     ),
+    "cdx_mirror_select": (q_cdx_mirror_select, Q_CDX_MIRROR_SELECT_SQL),
 }
 
 
