@@ -902,6 +902,31 @@ HI_PROSE = (
     "बड़ा कदम है और आने वाले समय में इसके परिणाम सबके सामने होंगे "
     "क्योंकि यह सबसे जरूरी विषय है और इसकी जानकारी सबके काम आएगी "
 ) * 2
+PL_PROSE = (
+    "rząd i komisja opublikowały raport o danych i projekcie ustawy "
+    "na który od miesięcy czekają rodziny i firmy w regionie bo nie "
+    "było wcześniej takiej decyzji a to jest ważny krok do przodu "
+    "po długich rozmowach się okazało że wszystko jest możliwe "
+) * 2
+TR_PROSE = (
+    "hükümet ve komisyon bu hafta yeni bir rapor yayımladı ve bu "
+    "rapor bölgedeki aileler ile şirketler için çok önemli çünkü "
+    "daha önce böyle bir karar yoktu ve şimdi herkes bu kararın "
+    "sonuçlarını bekliyor ama süreç daha yeni başlıyor "
+) * 2
+ID_PROSE = (
+    "pemerintah dan komisi menerbitkan laporan baru tentang data "
+    "dan rancangan undang undang yang sudah lama ditunggu oleh "
+    "keluarga dan perusahaan di wilayah ini karena belum ada "
+    "keputusan seperti itu dan untuk itu semua pihak menunggu "
+    "dengan sabar hasil dari proses ini ke arah yang lebih baik "
+) * 2
+VI_PROSE = (
+    "chính phủ và ủy ban đã công bố một báo cáo mới về dữ liệu "
+    "của dự án luật mà các gia đình và doanh nghiệp trong khu vực "
+    "đã chờ đợi từ lâu vì trước đây không có quyết định nào như "
+    "vậy và mọi người đều mong được thấy kết quả của quá trình này "
+) * 2
 
 
 def test_multilingual_lang_id_and_quality_gate(spark):
@@ -924,6 +949,10 @@ def test_multilingual_lang_id_and_quality_gate(spark):
         (3, NL_PROSE, "nl"),
         (4, AR_PROSE, "ar"),
         (5, HI_PROSE, "hi"),
+        (6, PL_PROSE, "pl"),
+        (7, TR_PROSE, "tr"),
+        (8, ID_PROSE, "id"),
+        (9, VI_PROSE, "vi"),  # monosyllabic: needs the word-len bounds
     ]
     docs = spark.createDataFrame(
         cases, "doc_id long, text string, expected string"

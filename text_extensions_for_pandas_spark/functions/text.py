@@ -58,6 +58,10 @@ LANG_PROFILES: dict[str, list[str]] = {
     "it": ["di", "che", "il", "per", "non", "con", "una", "sono"],
     "pt": ["de", "que", "não", "uma", "para", "com", "os", "do"],
     "nl": ["de", "het", "een", "van", "en", "dat", "niet", "op"],
+    "pl": ["nie", "się", "na", "do", "jest", "że", "od", "po"],
+    "tr": ["bir", "ve", "bu", "için", "ile", "daha", "çok", "ama"],
+    "id": ["yang", "dan", "di", "ke", "untuk", "dengan", "ini", "itu"],
+    "vi": ["và", "của", "là", "không", "một", "người", "có", "được"],
     "ru": ["и", "в", "не", "на", "что", "с", "как", "это"],
     "ar": ["في", "من", "على", "أن", "إلى", "عن", "مع", "هذا"],
     "hi": ["के", "है", "में", "की", "और", "से", "का", "यह"],
@@ -74,6 +78,14 @@ LANG_LETTER_PATTERNS: dict[str, str] = {
     "ru": "[\\u0400-\\u04ff]",
     "ar": "[\\u0600-\\u06ff\\u0750-\\u077f]",
     "hi": "[\\u0900-\\u097f]",
+}
+
+# per-language mean-word-length bounds for the Gopher word-length rule:
+# Vietnamese is monosyllabic (và/của/có — mean ~3 chars), so the
+# English-calibrated [3, 10] rejects good vi prose on length alone.
+# Languages not listed keep the caller's/default bounds.
+LANG_WORD_LEN_BOUNDS: dict[str, tuple[float, float]] = {
+    "vi": (2.0, 10.0),
 }
 
 STOPWORDS = sorted({w for ws in LANG_PROFILES.values() for w in ws})
@@ -1416,9 +1428,12 @@ def quality_gate_by_language(
 
     ``profiles`` maps language code → required-word tuple; defaults to
     the marker-word lists in :data:`LANG_PROFILES` (en/es/fr/de/it/pt/
-    nl/ru/ar/hi — the same vocabulary :func:`lang_id` detects with, so
-    detection and gating agree by construction); unlisted languages
-    fall back to the Gopher English list via ``gopher_kwargs``.
+    nl/pl/tr/id/vi/ru/ar/hi — the same vocabulary :func:`lang_id`
+    detects with, so detection and gating agree by construction);
+    unlisted languages fall back to the Gopher English list via
+    ``gopher_kwargs``.  Languages in :data:`LANG_WORD_LEN_BOUNDS` also
+    swap the mean-word-length bounds (monosyllabic Vietnamese fails
+    the English-calibrated [3, 10] on length alone).
     Non-Latin-script languages additionally swap the alpha rule's
     letter class per :data:`LANG_LETTER_PATTERNS` — good Russian/
     Arabic/Hindi prose contains no ``[a-zA-Z]``, so with the default
@@ -1448,7 +1463,6 @@ def quality_gate_by_language(
     base = gopher_rules(c, toks, **gopher_kwargs)
     shared = (
         base["word_count_ok"]
-        & base["mean_word_len_ok"]
         & base["symbol_ratio_ok"]
         & base["bullet_ok"]
         & base["ellipsis_ok"]
@@ -1459,6 +1473,7 @@ def quality_gate_by_language(
     n_words = F.greatest(F.size(toks), F.lit(1))
     stop_ok = base["stopword_ok"]
     alpha_ok = base["alpha_ratio_ok"]
+    len_ok = base["mean_word_len_ok"]
     for code, words in sorted(profs.items()):
         marker = F.array(*[F.lit(w) for w in words])
         n_stop = F.size(
@@ -1471,7 +1486,16 @@ def quality_gate_by_language(
             alpha_ok = F.when(
                 lg == code, n_alpha / n_words >= 0.8
             ).otherwise(alpha_ok)
-    latin = shared & stop_ok & alpha_ok
+        if code in LANG_WORD_LEN_BOUNDS:
+            lo, hi = LANG_WORD_LEN_BOUNDS[code]
+            mean_len = (
+                F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+                / n_words
+            )
+            len_ok = F.when(
+                lg == code, (mean_len >= lo) & (mean_len <= hi)
+            ).otherwise(len_ok)
+    latin = shared & len_ok & stop_ok & alpha_ok
     return F.struct(
         is_cjk.alias("is_cjk"),
         F.when(is_cjk, cjk_quality_rules(c)["passes"])

@@ -6342,22 +6342,48 @@ _EN_PROSE = (
     "patience and the numbers that have come with it are a sign "
     "of the vitality of the institutions and of the towns too "
 ) * 2
+_PL_PROSE = (
+    "rząd i komisja opublikowały raport o danych i projekcie ustawy "
+    "na który od miesięcy czekają rodziny i firmy w regionie bo nie "
+    "było wcześniej takiej decyzji a to jest ważny krok do przodu "
+    "po długich rozmowach się okazało że wszystko jest możliwe "
+) * 2
+_TR_PROSE = (
+    "hükümet ve komisyon bu hafta yeni bir rapor yayımladı ve bu "
+    "rapor bölgedeki aileler ile şirketler için çok önemli çünkü "
+    "daha önce böyle bir karar yoktu ve şimdi herkes bu kararın "
+    "sonuçlarını bekliyor ama süreç daha yeni başlıyor "
+) * 2
+_ID_PROSE = (
+    "pemerintah dan komisi menerbitkan laporan baru tentang data "
+    "dan rancangan undang undang yang sudah lama ditunggu oleh "
+    "keluarga dan perusahaan di wilayah ini karena belum ada "
+    "keputusan seperti itu dan untuk itu semua pihak menunggu "
+    "dengan sabar hasil dari proses ini ke arah yang lebih baik "
+) * 2
+_VI_PROSE = (
+    "chính phủ và ủy ban đã công bố một báo cáo mới về dữ liệu "
+    "của dự án luật mà các gia đình và doanh nghiệp trong khu vực "
+    "đã chờ đợi từ lâu vì trước đây không có quyết định nào như "
+    "vậy và mọi người đều mong được thấy kết quả của quá trình này "
+) * 2
 
 
 def q_multilingual_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.functions.text.quality_gate_by_language` fed by
     :func:`~.functions.text.lang_id` under the value-hash oracle — the
-    r9 verdict's remaining silent-drop class closed: eight planted
-    classes per ``doc_id % 8`` — good Russian / Italian / Portuguese /
-    Dutch / English prose (all PASS: detection picks the language, the
-    gate applies that language's marker profile and, for Cyrillic, its
-    letter class — under the English-list default every non-English
-    one of these was rejected) and three damaged twins (Russian +
-    symbol flood → symbol_ratio fail; Italian truncated → word_count
-    fail; Portuguese as bullet spam → bullet fail) that keep their
-    detected language but FAIL.  DuckDB recomputes prediction and
-    verdict closed-form per class, so detection AND dispatch are both
-    hashed."""
+    r9 verdict's remaining silent-drop class closed: twelve planted
+    classes per ``doc_id % 12`` — good Russian / Italian / Portuguese /
+    Dutch / Polish / Turkish / Indonesian / Vietnamese / English prose
+    (all PASS: detection picks the language, the gate applies that
+    language's marker profile, for Cyrillic its letter class, and for
+    monosyllabic Vietnamese its word-length bounds — under the
+    English-list default every non-English one of these was rejected)
+    and three damaged twins (Russian + symbol flood → symbol_ratio
+    fail; Italian truncated → word_count fail; Portuguese as bullet
+    spam → bullet fail) that keep their detected language but FAIL.
+    DuckDB recomputes prediction and verdict closed-form per class, so
+    detection AND dispatch are both hashed."""
     from text_extensions_for_pandas_spark.functions.text import (
         lang_id,
         quality_gate_by_language,
@@ -6380,10 +6406,14 @@ def q_multilingual_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         pt_damaged,     # 5: pt, bullet fail
         _NL_PROSE,      # 6: nl, passes
         _EN_PROSE,      # 7: en, passes
+        _PL_PROSE,      # 8: pl, passes
+        _TR_PROSE,      # 9: tr, passes
+        _ID_PROSE,      # 10: id, passes
+        _VI_PROSE,      # 11: vi, passes (word-len bounds dispatch)
     ]
     text = F.element_at(
         F.array(*[F.lit(t) for t in classes]),
-        (F.col("doc_id") % 8 + 1).cast("int"),
+        (F.col("doc_id") % 12 + 1).cast("int"),
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", text.alias("t"))
     docs = docs.withColumn("__toks", word_tokens(F.col("t")))
@@ -6406,14 +6436,16 @@ def q_multilingual_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_MULTILINGUAL_QUALITY_SQL = """
 SELECT doc_id,
-       CASE doc_id % 8
+       CASE doc_id % 12
          WHEN 0 THEN 'ru' WHEN 1 THEN 'ru'
          WHEN 2 THEN 'it' WHEN 3 THEN 'it'
          WHEN 4 THEN 'pt' WHEN 5 THEN 'pt'
-         WHEN 6 THEN 'nl' ELSE 'en'
+         WHEN 6 THEN 'nl' WHEN 7 THEN 'en'
+         WHEN 8 THEN 'pl' WHEN 9 THEN 'tr'
+         WHEN 10 THEN 'id' ELSE 'vi'
        END AS lang,
        FALSE AS is_cjk,
-       doc_id % 8 IN (0, 2, 4, 6, 7) AS passes
+       doc_id % 12 NOT IN (1, 3, 5) AS passes
 FROM documents ORDER BY doc_id
 """
 
