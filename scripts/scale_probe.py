@@ -353,7 +353,40 @@ def main() -> None:
                 )
             ).alias("t")
         ).agg(F.sum(F.length("t"))).collect()[0][0],
+        # language-dispatched quality gate (r10): lang_id over 14
+        # marker profiles + per-language stopword/alpha/word-len CASE —
+        # all row-local codegen; the count(passes) sink forces every
+        # branch to evaluate
+        "multilingual_gate": lambda d: _multilingual_gate(d),
     }
+
+    def _multilingual_gate(d):
+        from text_extensions_for_pandas_spark.functions.text import (
+            lang_id,
+            quality_gate_by_language,
+            word_tokens,
+        )
+
+        g = (
+            d.withColumn("__toks", word_tokens(F.col("text")))
+            .withColumn(
+                "__clean",
+                F.transform(
+                    F.col("__toks"),
+                    lambda t: F.regexp_replace(t, r"(?U)^\W+|\W+$", ""),
+                ),
+            )
+            .withColumn("lang", lang_id(F.col("text"), toks=F.col("__toks")))
+        )
+        gate = quality_gate_by_language(
+            F.col("text"),
+            F.col("lang"),
+            toks=F.col("__toks"),
+            clean_toks=F.col("__clean"),
+        )
+        return g.agg(
+            F.sum(gate["passes"].cast("int"))
+        ).collect()[0][0]
 
     # optional argv filter: probe only the named ops (e.g.
     # `python scripts/scale_probe.py fingerprint_overlap training_prep bpe`)

@@ -304,9 +304,11 @@ def gopher_rules(
     clean_toks = F.transform(
         toks, lambda t: F.regexp_replace(t, r"(?U)^\W+|\W+$", "")
     )
-    n_stop = F.size(
-        F.filter(stop_arr, lambda w: F.array_contains(clean_toks, w))
-    )
+    # array_intersect, not filter+array_contains: it hashes one side,
+    # O(n_tok + n_words) instead of O(n_words * n_tok), and its
+    # distinct-common-elements semantics IS the rule (>= 2 distinct
+    # required words present)
+    n_stop = F.size(F.array_intersect(stop_arr, clean_toks))
     rules = {
         "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
         "mean_word_len_ok": (mean_len >= 3) & (mean_len <= 10),
@@ -327,15 +329,55 @@ def gopher_rules(
 
 def lang_scores(text: Column | str, toks: Column | None = None) -> Column:
     """Per-language marker-word hit ratios as a struct — the language-ID
-    heuristic's feature vector."""
-    toks = word_tokens(text) if toks is None else toks
+    heuristic's feature vector.
+
+    Evaluation shape: ONE compiled-regex pass over the text extracts
+    every marker-word occurrence (whole-token boundaries, so counts
+    equal token-equality membership exactly), then the per-language
+    filters run over that TINY hit array instead of the full token
+    array.  The naive form — 14 higher-order ``filter``s over all
+    tokens, each interpreted (HOFs don't enter codegen) — measured
+    ~6× slower at 14 profiles on 80k documents."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = word_tokens(c) if toks is None else toks
     n_tok = F.greatest(F.size(toks), F.lit(1))
-    fields = []
-    for lang, words in sorted(LANG_PROFILES.items()):
-        marker = F.array(*[F.lit(w) for w in words])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker, t)))
-        fields.append(F.round(hits / n_tok, 6).alias(lang))
-    return F.struct(*fields)
+
+    # bind the hit array ONCE via a one-element transform lambda: the
+    # 14 per-language filters below would otherwise each re-run the
+    # full-text extraction (HOF arguments do not CSE).  NOTE for
+    # consumers: extracting a SINGLE field from the returned struct
+    # re-evaluates the whole binding — take the struct once (or use
+    # :func:`lang_id`, which does its argmax inside the binding scope).
+    def _scores_over(a):
+        fields = []
+        for lang, words in sorted(LANG_PROFILES.items()):
+            marker = F.array(*[F.lit(w) for w in words])
+            hits = F.size(
+                F.filter(a, lambda t: F.array_contains(marker, t))
+            )
+            fields.append(F.round(hits / n_tok, 6).alias(lang))
+        return F.struct(*fields)
+
+    return F.element_at(
+        F.transform(F.array(_marker_hits_arr(c)), _scores_over), 1
+    )
+
+
+def _marker_hits_arr(c: Column) -> Column:
+    """Every marker-word occurrence in ``c`` as a (small) array — one
+    compiled-regex pass with whole-token boundaries, so counting
+    occurrences in the result equals token-equality membership over
+    ``word_tokens``.  Shared by :func:`lang_scores` and
+    :func:`lang_id`."""
+    import re as _re
+
+    all_words = sorted({w for ws in LANG_PROFILES.values() for w in ws})
+    pat = (
+        r"(^|\s)("
+        + "|".join(_re.escape(w) for w in all_words)
+        + r")(?=\s|$)"
+    )
+    return F.regexp_extract_all(F.lower(F.trim(c)), F.lit(pat), 2)
 
 
 def script_ratios(text: Column | str) -> Column:
@@ -379,26 +421,56 @@ def lang_id(text: Column | str, toks: Column | None = None) -> Column:
     script spans ru/uk/bg/sr, so only the ru marker words claim it —
     non-Russian Cyrillic stays 'und' rather than being mislabeled.
 
-    The marker path is ``array_max`` over (score, -rank, lang) structs:
-    a chained ``when`` scan would nest each score expression inside
-    every later branch (exponential expression growth under projection
-    collapse); the array form references each score exactly once.  The
-    script pre-check is three ``regexp_replace`` length counts — all
-    JVM-side, no UDF anywhere.
+    The marker path is one ``array_max`` over fixed-width sortable
+    STRINGS ``"%013.6f~%02d~%s" % (score, 99 - rank, lang)`` plus an
+    ``"000000.000001~00~und"`` sentinel: lexicographic max IS the
+    (score, earlier-language-wins) argmax, the sentinel beats every
+    all-zero score so "nothing fired" decodes to 'und' with no second
+    look at the scores, and ``substring_index(...)`` peels the
+    language off the single winner.  This keeps every per-language
+    score expression evaluated exactly ONCE in whole-stage codegen —
+    a (score, rank, lang) struct form needed two field extractions of
+    the ``array_max`` result, each re-evaluating the entire score
+    array (measured 2× the operator's cost at 14 profiles), and a
+    lambda rebinding fixed that only by dropping the array build out
+    of codegen.  A chained ``when`` scan would be worse still (each
+    score nested inside every later branch — exponential growth under
+    projection collapse).  The script pre-check is regexp length
+    counts — all JVM-side, no UDF anywhere.
     """
-    scripts = script_ratios(text)
-    scores = lang_scores(text, toks)
-    entries = [
-        F.struct(
-            scores[lang].alias("s"),
-            F.lit(-i).alias("nr"),  # earlier language wins ties under max()
-            F.lit(lang).alias("lang"),
+    c = F.col(text) if isinstance(text, str) else text
+    scripts = script_ratios(c)
+    toks = word_tokens(c) if toks is None else toks
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+
+    # the whole marker argmax runs INSIDE the one-element transform
+    # binding: one regex extraction, 14 small-array counts, one
+    # array_max — extracting per-language fields from a bound
+    # lang_scores struct would re-run the binding per field (measured
+    # 14× on 80k docs)
+    def _pred_over(a):
+        entries = []
+        for i, (lang, words) in enumerate(sorted(LANG_PROFILES.items())):
+            marker = F.array(*[F.lit(w) for w in words])
+            hits = F.size(
+                F.filter(a, lambda t: F.array_contains(marker, t))
+            )
+            entries.append(
+                F.format_string(
+                    f"%013.6f~{99 - i:02d}~{lang}",
+                    F.round(hits / n_tok, 6),
+                )
+            )
+        return F.substring_index(
+            F.array_max(
+                F.array(F.lit("000000.000001~00~und"), *entries)
+            ),
+            "~",
+            -1,
         )
-        for i, lang in enumerate(sorted(LANG_PROFILES))
-    ]
-    best = F.array_max(F.array(*entries))
-    marker_pred = F.when(best["s"] <= 0, F.lit("und")).otherwise(
-        best["lang"]
+
+    marker_pred = F.element_at(
+        F.transform(F.array(_marker_hits_arr(c)), _pred_over), 1
     )
     return (
         F.when(scripts["kana"] >= 0.05, F.lit("ja"))
@@ -1415,6 +1487,7 @@ def quality_gate_by_language(
     toks: Column | None = None,
     cjk_threshold: float = 0.3,
     profiles: dict[str, tuple[str, ...]] | None = None,
+    clean_toks: Column | None = None,
     **gopher_kwargs,
 ) -> Column:
     """Language-aware quality gate: CJK scripts route to
@@ -1445,8 +1518,11 @@ def quality_gate_by_language(
     ``lang``; the five language-independent Gopher rules are built
     ONCE and ANDed outside it — a full ``gopher_rules`` per branch
     measured ~10× the codegen cost for identical semantics.  Pass a
-    materialized ``toks`` to share tokenization (HOF arguments do not
-    CSE).
+    materialized ``toks`` AND ``clean_toks`` (the ``(?U)``-stripped
+    token array) to share tokenization — HOF arguments do not CSE, so
+    without ``clean_toks`` every per-language stopword filter re-runs
+    the per-token regexp strip (measured: the strip re-evaluation
+    dominates the whole gate at 14 profiles).
 
     Returns ``struct(is_cjk, passes)`` like the script dispatcher.
     """
@@ -1467,18 +1543,18 @@ def quality_gate_by_language(
         & base["bullet_ok"]
         & base["ellipsis_ok"]
     )
-    clean_toks = F.transform(
-        toks, lambda t: F.regexp_replace(t, r"(?U)^\W+|\W+$", "")
-    )
+    if clean_toks is None:
+        clean_toks = F.transform(
+            toks, lambda t: F.regexp_replace(t, r"(?U)^\W+|\W+$", "")
+        )
     n_words = F.greatest(F.size(toks), F.lit(1))
     stop_ok = base["stopword_ok"]
     alpha_ok = base["alpha_ratio_ok"]
     len_ok = base["mean_word_len_ok"]
     for code, words in sorted(profs.items()):
         marker = F.array(*[F.lit(w) for w in words])
-        n_stop = F.size(
-            F.filter(marker, lambda w: F.array_contains(clean_toks, w))
-        )
+        # array_intersect = hash probe + exactly the distinct-count rule
+        n_stop = F.size(F.array_intersect(marker, clean_toks))
         stop_ok = F.when(lg == code, n_stop >= 2).otherwise(stop_ok)
         if code in LANG_LETTER_PATTERNS:
             pat = LANG_LETTER_PATTERNS[code]

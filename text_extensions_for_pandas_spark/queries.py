@@ -6417,14 +6417,23 @@ def q_multilingual_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", text.alias("t"))
     docs = docs.withColumn("__toks", word_tokens(F.col("t")))
-    # materialize the prediction: the gate's CASE references the lang
-    # ~13 times, and passing the raw lang_id EXPRESSION would re-inline
-    # its full marker-argmax into every branch
+    # materialize the stripped tokens AND the prediction: HOF lambdas
+    # don't CSE, so the 14 per-language stopword filters would each
+    # re-run the per-token regexp strip, and the gate's CASE references
+    # the lang ~17 times — passing raw EXPRESSIONS would re-inline both
+    # into every branch
     docs = docs.withColumn(
-        "lang", lang_id(F.col("t"), toks=F.col("__toks"))
-    )
+        "__clean",
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.regexp_replace(t, r"(?U)^\W+|\W+$", ""),
+        ),
+    ).withColumn("lang", lang_id(F.col("t"), toks=F.col("__toks")))
     g = quality_gate_by_language(
-        F.col("t"), F.col("lang"), toks=F.col("__toks")
+        F.col("t"),
+        F.col("lang"),
+        toks=F.col("__toks"),
+        clean_toks=F.col("__clean"),
     )
     return docs.select(
         "doc_id",
