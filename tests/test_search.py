@@ -774,6 +774,103 @@ def test_blocked_terms_punctuated_entries_match(spark):
     ) == [1]
 
 
+def test_lang_scores_regex_extraction_matches_token_filter(spark):
+    """The r10 one-pass regex marker extraction must count EXACTLY what
+    the naive token-equality filter counts — generated texts mix marker
+    words from several languages with punctuation-adjacent decoys
+    ("the," must NOT count), repeated markers (occurrences, not
+    distinct), markers at string edges, and multi-space runs."""
+    import random
+
+    from text_extensions_for_pandas_spark.functions.text import (
+        LANG_PROFILES,
+        lang_scores,
+        word_tokens,
+    )
+
+    rng = random.Random(7)
+    all_words = sorted({w for ws in LANG_PROFILES.values() for w in ws})
+    fillers = ["data", "xq", "report", "zz9", "field"]
+    texts = []
+    for _ in range(120):
+        parts = []
+        for _ in range(rng.randint(1, 40)):
+            r = rng.random()
+            w = rng.choice(all_words if r < 0.5 else fillers)
+            if r > 0.9:
+                w += rng.choice([",", ".", "!", "?"])  # decoy: no count
+            if rng.random() < 0.1:
+                w = w.upper()
+            parts.append(w)
+        sep = "  " if rng.random() < 0.2 else " "
+        texts.append(sep.join(parts))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    df = df.withColumn("__toks", word_tokens(F.col("text")))
+    got = df.select(
+        "i", lang_scores("text", toks=F.col("__toks")).alias("s")
+    ).collect()
+    langs = sorted(LANG_PROFILES)
+    for row in got:
+        toks = texts[row["i"]].lower().split()
+        n = max(len(toks), 1)
+        for lang in langs:
+            want = round(
+                sum(t in LANG_PROFILES[lang] for t in toks) / n, 6
+            )
+            assert abs(row["s"][lang] - want) < 1e-9, (
+                row["i"], lang, row["s"][lang], want, texts[row["i"]]
+            )
+
+
+def test_lang_id_string_argmax_matches_python_oracle(spark):
+    """The fixed-width sortable-string argmax (score desc, earlier
+    language wins ties, all-zero → 'und') must agree with a plain
+    Python argmax over the same score vectors, on texts engineered to
+    produce ties and near-zero scores."""
+    import random
+
+    from text_extensions_for_pandas_spark.functions.text import (
+        LANG_PROFILES,
+        lang_id,
+        word_tokens,
+    )
+
+    rng = random.Random(11)
+    langs = sorted(LANG_PROFILES)
+    texts = []
+    for _ in range(80):
+        k = rng.randint(0, 3)
+        parts = []
+        for _ in range(k):
+            lang = rng.choice(langs)
+            parts += rng.sample(LANG_PROFILES[lang],
+                                rng.randint(1, 3))
+        parts += ["flr%d" % rng.randint(0, 9)] * rng.randint(0, 6)
+        rng.shuffle(parts)
+        texts.append(" ".join(parts) if parts else "only fillers here")
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {
+        r["i"]: r["p"]
+        for r in df.withColumn("__toks", word_tokens(F.col("text")))
+        .select("i", lang_id("text", toks=F.col("__toks")).alias("p"))
+        .collect()
+    }
+    for i, text in enumerate(texts):
+        toks = text.lower().split()
+        n = max(len(toks), 1)
+        scores = {
+            lang: round(
+                sum(t in LANG_PROFILES[lang] for t in toks) / n, 6
+            )
+            for lang in langs
+        }
+        best = max(langs, key=lambda l: (scores[l], -langs.index(l)))
+        want = "und" if scores[best] <= 0 else best
+        assert got[i] == want, (i, got[i], want, scores, text)
+
+
 def test_char_repetition_metrics_sees_cjk_spam(spark):
     """Word-based repetition_metrics is signal-less on unsegmented CJK
     (one 'word' per doc -> no n-grams); the char variant separates a
