@@ -148,6 +148,44 @@ def test_prep_and_shard_invariants(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_prep_and_shard_lang_aware_keeps_multilingual_prose(spark):
+    """With lang_aware=True the gate stage dispatches per detected
+    language: good Russian and Vietnamese prose SURVIVES the pipeline
+    that the default English-list gopher gate silently drops — the
+    multilingual cliff closed at the composite level, not just in the
+    column function."""
+    from text_extensions_for_pandas_spark.operators.pipeline import (
+        prep_and_shard,
+    )
+    from tests.test_search import EN_PROSE_FOR_PIPELINE, RU_PROSE, VI_PROSE
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ru.example", RU_PROSE),
+            (2, "vi.example", VI_PROSE),
+            (3, "en.example", EN_PROSE_FOR_PIPELINE),
+        ],
+        "doc_id long, source string, text string",
+    )
+    kw = dict(
+        sep_regex=" zzz ",
+        join_sep=" ",
+        min_words=30,
+        boiler_min_docs=99,  # nothing boilerplate in a 3-doc corpus
+        n_shards=2,
+        checkpoint=False,
+    )
+    default_ids = sorted(
+        r["doc_id"] for r in prep_and_shard(docs, **kw).collect()
+    )
+    aware_ids = sorted(
+        r["doc_id"]
+        for r in prep_and_shard(docs, lang_aware=True, **kw).collect()
+    )
+    assert default_ids == [3]  # English-only gate drops ru + vi
+    assert aware_ids == [1, 2, 3]  # dispatcher keeps all three
+
+
 def test_prepare_training_corpus_repair_encoding_collapses_mojibake(spark):
     """With repair_encoding=True, two crawls of the same page that
     differ only in decode damage become exact duplicates and collapse;

@@ -1026,6 +1026,16 @@ VI_PROSE = (
 ) * 2
 
 
+# a pipeline-shaped English control (imported by test_pipeline.py)
+EN_PROSE_FOR_PIPELINE = (
+    "the committee and the board have published a report with "
+    "details of the data and the draft law that many families "
+    "and businesses of the region have been waiting for with "
+    "patience and the numbers that have come with it are a sign "
+    "of the vitality of the institutions and of the towns too "
+) * 2
+
+
 def test_multilingual_lang_id_and_quality_gate(spark):
     """The r9 verdict's remaining silent-drop class: good Russian,
     Arabic, Hindi, Italian, Portuguese, Dutch prose must be DETECTED

@@ -256,6 +256,7 @@ def prep_and_shard(
     boiler_min_docs: int = 2,
     min_words: int = 30,
     required_words: tuple[str, ...] | None = None,
+    lang_aware: bool = False,
     max_docs_per_domain: int = 50,
     max_chars_per_domain: int = 50_000,
     n_shards: int = 8,
@@ -269,7 +270,13 @@ def prep_and_shard(
     existing verified operator:
 
     1. :func:`~..dedup.remove_boilerplate` — per-domain frequent lines out;
-    2. :func:`~...functions.text.gopher_rules` gate on the cleaned text;
+    2. :func:`~...functions.text.gopher_rules` gate on the cleaned text —
+       or, with ``lang_aware=True``, :func:`~...functions.text.lang_id` +
+       :func:`~...functions.text.quality_gate_by_language`, so a
+       multilingual crawl keeps its good non-English prose (the plain
+       English-list gopher gate silently drops ru/ar/hi/vi/... — the
+       exact cliff the dispatcher closes; ``required_words`` then only
+       affects the fallback profile for UNdetected languages);
     3. :func:`~..dedup.dedup_paragraphs` — corpus-wide keep-first;
     4. exact dedup — keep the lowest doc id per md5 of the rebuilt text;
     5. :func:`~..sampling.cap_per_domain` — anti-host-dominance budgets;
@@ -321,9 +328,45 @@ def prep_and_shard(
     gopher_kwargs = (
         {"required_words": required_words} if required_words is not None else {}
     )
-    gated = cleaned.filter(
-        gopher_rules(text_col, min_words=min_words, **gopher_kwargs)["passes"]
-    )
+    if lang_aware:
+        from text_extensions_for_pandas_spark.functions.text import (
+            lang_id,
+            quality_gate_by_language,
+            word_tokens,
+        )
+
+        # materialize tokens, stripped tokens and the prediction: the
+        # dispatcher's CASE references them many times and HOF
+        # arguments do not CSE (see quality_gate_by_language)
+        pre = (
+            cleaned.withColumn("__toks", word_tokens(F.col(text_col)))
+            .withColumn(
+                "__clean",
+                F.transform(
+                    F.col("__toks"),
+                    lambda t: F.regexp_replace(t, r"(?U)^\W+|\W+$", ""),
+                ),
+            )
+            .withColumn(
+                "__lang", lang_id(F.col(text_col), toks=F.col("__toks"))
+            )
+        )
+        gated = pre.filter(
+            quality_gate_by_language(
+                F.col(text_col),
+                F.col("__lang"),
+                toks=F.col("__toks"),
+                clean_toks=F.col("__clean"),
+                min_words=min_words,
+                **gopher_kwargs,
+            )["passes"]
+        ).drop("__toks", "__clean", "__lang")
+    else:
+        gated = cleaned.filter(
+            gopher_rules(text_col, min_words=min_words, **gopher_kwargs)[
+                "passes"
+            ]
+        )
     paras = (
         dedup_paragraphs(
             gated, sep_regex=sep_regex, join_sep=join_sep,
