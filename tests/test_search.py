@@ -774,6 +774,57 @@ def test_blocked_terms_punctuated_entries_match(spark):
     ) == [1]
 
 
+def test_thai_quality_gate_and_detection(spark):
+    """Thai: unsegmented but NOT in the CJK ranges — before the thai
+    rules, good Thai prose failed gopher (one giant 'word') AND the
+    CJK gate (cjk_ratio 0) — the same silent-drop class, one script
+    over.  Good Thai (no terminal punctuation, long) passes; a
+    char-flood fails the capped distinct rule; detection says 'th';
+    routing works in BOTH dispatchers."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        cjk_quality_rules,
+        gopher_rules,
+        lang_id,
+        quality_gate_by_language,
+        quality_gate_by_script,
+        thai_quality_rules,
+    )
+
+    good = (
+        "รัฐบาลและคณะกรรมการได้เผยแพร่รายงานฉบับใหม่เกี่ยวกับข้อมูลของ"
+        "โครงการกฎหมายที่ครอบครัวและธุรกิจในภูมิภาครอคอยมานานเพราะก่อน"
+        "หน้านี้ไม่มีการตัดสินใจเช่นนี้และทุกคนหวังว่าจะได้เห็นผลลัพธ์ของ"
+        "กระบวนการนี้ในเร็ววันเพื่อวางแผนการทำงานต่อไปอย่างมั่นใจ"
+    ) * 3  # ~600 chars: beyond the uncapped distinct rule's cliff
+    flood = "มา" * 300
+    docs = spark.createDataFrame(
+        [(0, good), (1, flood)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            lang_id("text").alias("lang"),
+            thai_quality_rules("text").alias("t"),
+            quality_gate_by_script("text").alias("gs"),
+            quality_gate_by_language("text", lang_id("text")).alias("gl"),
+            gopher_rules("text").alias("gopher"),
+            cjk_quality_rules("text").alias("cjk"),
+        ).collect()
+    }
+    g = rows[0]
+    assert g["lang"] == "th"
+    assert g["t"]["passes"] is True
+    assert g["gs"]["passes"] is True and g["gl"]["passes"] is True
+    # the cliff this closes: both pre-existing gates reject good Thai
+    assert g["gopher"]["passes"] is False
+    assert g["cjk"]["passes"] is False
+    f = rows[1]
+    assert f["lang"] == "th"
+    assert f["t"]["distinct_ratio_ok"] is False
+    assert f["gs"]["passes"] is False and f["gl"]["passes"] is False
+
+
 def test_lang_scores_regex_extraction_matches_token_filter(spark):
     """The r10 one-pass regex marker extraction must count EXACTLY what
     the naive token-equality filter counts — generated texts mix marker

@@ -404,6 +404,7 @@ def script_ratios(text: Column | str) -> Column:
         ratio("\\u0400-\\u04ff").alias("cyrillic"),
         ratio("\\u0600-\\u06ff\\u0750-\\u077f").alias("arabic"),
         ratio("\\u0900-\\u097f").alias("devanagari"),
+        ratio("\\u0e01-\\u0e5b").alias("thai"),
     )
 
 
@@ -478,6 +479,7 @@ def lang_id(text: Column | str, toks: Column | None = None) -> Column:
         .when(scripts["han"] >= 0.3, F.lit("zh"))
         .when(scripts["arabic"] >= 0.3, F.lit("ar"))
         .when(scripts["devanagari"] >= 0.3, F.lit("hi"))
+        .when(scripts["thai"] >= 0.3, F.lit("th"))
         .otherwise(marker_pred)
     )
 
@@ -1260,6 +1262,71 @@ def cjk_quality_rules(
     )
 
 
+# Thai letters, vowels/tone marks and digits (U+0E01-0E5B) — the script
+# block minus the currency sign
+_THAI_CHAR_CLASS = "\\u0e01-\\u0e5b"
+
+
+def thai_quality_rules(
+    text: Column | str,
+    min_chars: int = 50,
+    max_chars: int = 100_000,
+) -> Column:
+    """Char-based quality gate for THAI text — the same silent-drop
+    cliff as CJK one script over: Thai is unsegmented (no spaces
+    between words), so every word-based Gopher rule malfunctions, but
+    it is NOT in the CJK ranges, so :func:`cjk_quality_rules`'
+    cjk_ratio rule rejects it too.  Two rules differ from the CJK
+    gate, for script-structural reasons:
+
+    * no punctuation rule — Thai running prose conventionally carries
+      NO terminal punctuation (phrase breaks are spaces), so a
+      CJK-style punct-density floor would reject good Thai;
+    * the distinct-char rule is CAPPED: the Thai alphabet has ~70
+      usable characters, so ``distinct/chars >= 0.1`` mathematically
+      fails every document beyond ~700 chars regardless of quality —
+      the rule becomes ``distinct >= least(0.1 * chars, 40)`` (Han has
+      thousands of distinct chars, so the CJK gate never hits this).
+
+    Same output shape as :func:`cjk_quality_rules` minus ``punct_ok``
+    (fields: char_count_ok, thai_ratio_ok, distinct_ratio_ok,
+    symbol_ok, bullet_ok, ellipsis_ok, passes).  Row-local codegen,
+    stream-transparent."""
+    c = F.col(text) if isinstance(text, str) else text
+    compact = F.regexp_replace(c, r"\s", "")
+    n_all = F.greatest(F.length(compact), F.lit(1))
+    th = F.regexp_replace(compact, f"[^{_THAI_CHAR_CLASS}]", "")
+    n_th = F.length(th)
+    safe_th = F.greatest(n_th, F.lit(1))
+    n_distinct = F.size(F.array_distinct(F.split(th, "")))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3 + (F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit(""))))
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•] ")))
+    n_ell_line = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    rules = {
+        "char_count_ok": (n_th >= min_chars) & (n_th <= max_chars),
+        "thai_ratio_ok": n_th / n_all >= 0.3,
+        "distinct_ratio_ok": n_distinct
+        >= F.least(0.1 * safe_th, F.lit(40.0)),
+        "symbol_ok": (n_hash + n_ell) / safe_th <= 0.05,
+        "bullet_ok": n_bullet / n_lines <= 0.9,
+        "ellipsis_ok": n_ell_line / n_lines <= 0.3,
+    }
+    passes = None
+    for expr in rules.values():
+        passes = expr if passes is None else (passes & expr)
+    return F.struct(
+        *[expr.alias(name) for name, expr in rules.items()],
+        passes.alias("passes"),
+    )
+
+
 def quality_gate_by_script(
     text: Column | str,
     toks: Column | None = None,
@@ -1268,20 +1335,24 @@ def quality_gate_by_script(
 ) -> Column:
     """Script-dispatched quality gate: documents whose combined
     Han/kana/Hangul char ratio (:func:`script_ratios`) reaches
-    ``cjk_threshold`` are judged by :func:`cjk_quality_rules`, the rest
-    by :func:`gopher_rules` — closing the silent failure where the
-    word-based gate rejects virtually ALL CJK prose (no spaces → one
-    giant "word") and a naive pipeline quietly drops half a real
-    crawl.  Returns ``struct(is_cjk, passes)``; run the respective
-    rule struct directly when per-rule diagnostics are needed.  Both
-    branches are row-local codegen expressions — the dispatch is one
-    CASE, stream-transparent."""
+    ``cjk_threshold`` are judged by :func:`cjk_quality_rules`,
+    Thai-dominant documents by :func:`thai_quality_rules` (the other
+    unsegmented script, with its own structural rules), the rest by
+    :func:`gopher_rules` — closing the silent failure where the
+    word-based gate rejects virtually ALL unsegmented prose (no
+    spaces → one giant "word") and a naive pipeline quietly drops
+    half a real crawl.  Returns ``struct(is_cjk, passes)``; run the
+    respective rule struct directly when per-rule diagnostics are
+    needed.  All branches are row-local codegen expressions — the
+    dispatch is one CASE, stream-transparent."""
     c = F.col(text) if isinstance(text, str) else text
     s = script_ratios(c)
     is_cjk = (s["kana"] + s["hangul"] + s["han"]) >= cjk_threshold
+    is_thai = s["thai"] >= cjk_threshold
     return F.struct(
         is_cjk.alias("is_cjk"),
         F.when(is_cjk, cjk_quality_rules(c)["passes"])
+        .when(is_thai, thai_quality_rules(c)["passes"])
         .otherwise(gopher_rules(c, toks, **gopher_kwargs)["passes"])
         .alias("passes"),
     )
@@ -1572,9 +1643,11 @@ def quality_gate_by_language(
                 lg == code, (mean_len >= lo) & (mean_len <= hi)
             ).otherwise(len_ok)
     latin = shared & len_ok & stop_ok & alpha_ok
+    is_thai = s["thai"] >= cjk_threshold
     return F.struct(
         is_cjk.alias("is_cjk"),
         F.when(is_cjk, cjk_quality_rules(c)["passes"])
+        .when(is_thai, thai_quality_rules(c)["passes"])
         .otherwise(latin)
         .alias("passes"),
     )
