@@ -1075,6 +1075,19 @@ VI_PROSE = (
     "đã chờ đợi từ lâu vì trước đây không có quyết định nào như "
     "vậy và mọi người đều mong được thấy kết quả của quá trình này "
 ) * 2
+EL_PROSE = (
+    "η κυβέρνηση και η επιτροπή δημοσίευσαν μια νέα έκθεση για τα "
+    "δεδομένα του σχεδίου νόμου που περιμένουν εδώ και μήνες οι "
+    "οικογένειες και οι επιχειρήσεις της περιοχής επειδή δεν "
+    "υπήρχε πριν τέτοια απόφαση και όλοι ελπίζουν να δουν τα "
+    "αποτελέσματα των διαδικασιών αυτών σύντομα "
+) * 2
+HE_PROSE = (
+    "הממשלה והוועדה פרסמו דוח חדש על הנתונים של הצעת החוק שמשפחות "
+    "ועסקים באזור חיכו לו זמן רב כי לא הייתה קודם החלטה כזאת וכולם "
+    "מקווים לראות את התוצאות של התהליך הזה בקרוב וגם להבין את "
+    "ההשלכות של ההחלטה על כל התחומים "
+) * 2
 
 
 # a pipeline-shaped English control (imported by test_pipeline.py)
@@ -1111,6 +1124,8 @@ def test_multilingual_lang_id_and_quality_gate(spark):
         (7, TR_PROSE, "tr"),
         (8, ID_PROSE, "id"),
         (9, VI_PROSE, "vi"),  # monosyllabic: needs the word-len bounds
+        (10, EL_PROSE, "el"),  # Greek letter class
+        (11, HE_PROSE, "he"),  # Hebrew letter class
     ]
     docs = spark.createDataFrame(
         cases, "doc_id long, text string, expected string"

@@ -58,6 +58,8 @@ LANG_PROFILES: dict[str, list[str]] = {
     "it": ["di", "che", "il", "per", "non", "con", "una", "sono"],
     "pt": ["de", "que", "não", "uma", "para", "com", "os", "do"],
     "nl": ["de", "het", "een", "van", "en", "dat", "niet", "op"],
+    "el": ["και", "του", "την", "είναι", "που", "των", "από", "μια"],
+    "he": ["של", "את", "על", "עם", "הוא", "זה", "לא", "גם"],
     "pl": ["nie", "się", "na", "do", "jest", "że", "od", "po"],
     "tr": ["bir", "ve", "bu", "için", "ile", "daha", "çok", "ama"],
     "id": ["yang", "dan", "di", "ke", "untuk", "dengan", "ini", "itu"],
@@ -78,6 +80,8 @@ LANG_LETTER_PATTERNS: dict[str, str] = {
     "ru": "[\\u0400-\\u04ff]",
     "ar": "[\\u0600-\\u06ff\\u0750-\\u077f]",
     "hi": "[\\u0900-\\u097f]",
+    "el": "[\\u0370-\\u03ff\\u1f00-\\u1fff]",
+    "he": "[\\u0590-\\u05ff]",
 }
 
 # per-language mean-word-length bounds for the Gopher word-length rule:

@@ -6335,6 +6335,25 @@ _NL_PROSE = (
     "gezinnen en de bedrijven in de regio die al maanden op een "
     "besluit wachten en op duidelijkheid over de gevolgen "
 ) * 2
+_TH_PROSE = (
+    "รัฐบาลและคณะกรรมการได้เผยแพร่รายงานฉบับใหม่เกี่ยวกับข้อมูลของ"
+    "โครงการกฎหมายที่ครอบครัวและธุรกิจในภูมิภาครอคอยมานานเพราะก่อน"
+    "หน้านี้ไม่มีการตัดสินใจเช่นนี้และทุกคนหวังว่าจะได้เห็นผลลัพธ์ของ"
+    "กระบวนการนี้ในเร็ววันเพื่อวางแผนการทำงานต่อไปอย่างมั่นใจ"
+) * 3
+_EL_PROSE = (
+    "η κυβέρνηση και η επιτροπή δημοσίευσαν μια νέα έκθεση για τα "
+    "δεδομένα του σχεδίου νόμου που περιμένουν εδώ και μήνες οι "
+    "οικογένειες και οι επιχειρήσεις της περιοχής επειδή δεν "
+    "υπήρχε πριν τέτοια απόφαση και όλοι ελπίζουν να δουν τα "
+    "αποτελέσματα των διαδικασιών αυτών σύντομα "
+) * 2
+_HE_PROSE = (
+    "הממשלה והוועדה פרסמו דוח חדש על הנתונים של הצעת החוק שמשפחות "
+    "ועסקים באזור חיכו לו זמן רב כי לא הייתה קודם החלטה כזאת וכולם "
+    "מקווים לראות את התוצאות של התהליך הזה בקרוב וגם להבין את "
+    "ההשלכות של ההחלטה על כל התחומים "
+) * 2
 _EN_PROSE = (
     "the committee and the board have published a report with "
     "details of the data and the draft law that many families "
@@ -6372,18 +6391,20 @@ _VI_PROSE = (
 def q_multilingual_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.functions.text.quality_gate_by_language` fed by
     :func:`~.functions.text.lang_id` under the value-hash oracle — the
-    r9 verdict's remaining silent-drop class closed: twelve planted
-    classes per ``doc_id % 12`` — good Russian / Italian / Portuguese /
-    Dutch / Polish / Turkish / Indonesian / Vietnamese / English prose
-    (all PASS: detection picks the language, the gate applies that
-    language's marker profile, for Cyrillic its letter class, and for
-    monosyllabic Vietnamese its word-length bounds — under the
-    English-list default every non-English one of these was rejected)
-    and three damaged twins (Russian + symbol flood → symbol_ratio
-    fail; Italian truncated → word_count fail; Portuguese as bullet
-    spam → bullet fail) that keep their detected language but FAIL.
-    DuckDB recomputes prediction and verdict closed-form per class, so
-    detection AND dispatch are both hashed."""
+    r9 verdict's remaining silent-drop class closed: sixteen planted
+    classes per ``doc_id % 16`` — good Russian / Italian / Portuguese /
+    Dutch / Polish / Turkish / Indonesian / Vietnamese / Thai / Greek /
+    Hebrew / English prose (all PASS: detection picks the language,
+    the gate applies that language's marker profile, for
+    Cyrillic/Greek/Hebrew its letter class, for monosyllabic
+    Vietnamese its word-length bounds, and for unsegmented Thai the
+    char-based thai rules — under the English-list default every
+    non-English one of these was rejected) and four damaged twins
+    (Russian + symbol flood → symbol_ratio fail; Italian truncated →
+    word_count fail; Portuguese as bullet spam → bullet fail; a Thai
+    char flood → capped-distinct fail) that keep their detected
+    language but FAIL.  DuckDB recomputes prediction and verdict
+    closed-form per class, so detection AND dispatch are both hashed."""
     from text_extensions_for_pandas_spark.functions.text import (
         lang_id,
         quality_gate_by_language,
@@ -6410,10 +6431,14 @@ def q_multilingual_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TR_PROSE,      # 9: tr, passes
         _ID_PROSE,      # 10: id, passes
         _VI_PROSE,      # 11: vi, passes (word-len bounds dispatch)
+        _TH_PROSE,      # 12: th, passes (unsegmented non-CJK rules)
+        "มา" * 300,     # 13: th, capped-distinct fail (char flood)
+        _EL_PROSE,      # 14: el, passes (Greek letter class)
+        _HE_PROSE,      # 15: he, passes (Hebrew letter class)
     ]
     text = F.element_at(
         F.array(*[F.lit(t) for t in classes]),
-        (F.col("doc_id") % 12 + 1).cast("int"),
+        (F.col("doc_id") % 16 + 1).cast("int"),
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", text.alias("t"))
     docs = docs.withColumn("__toks", word_tokens(F.col("t")))
@@ -6445,16 +6470,18 @@ def q_multilingual_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_MULTILINGUAL_QUALITY_SQL = """
 SELECT doc_id,
-       CASE doc_id % 12
+       CASE doc_id % 16
          WHEN 0 THEN 'ru' WHEN 1 THEN 'ru'
          WHEN 2 THEN 'it' WHEN 3 THEN 'it'
          WHEN 4 THEN 'pt' WHEN 5 THEN 'pt'
          WHEN 6 THEN 'nl' WHEN 7 THEN 'en'
          WHEN 8 THEN 'pl' WHEN 9 THEN 'tr'
-         WHEN 10 THEN 'id' ELSE 'vi'
+         WHEN 10 THEN 'id' WHEN 11 THEN 'vi'
+         WHEN 12 THEN 'th' WHEN 13 THEN 'th'
+         WHEN 14 THEN 'el' ELSE 'he'
        END AS lang,
        FALSE AS is_cjk,
-       doc_id % 12 NOT IN (1, 3, 5) AS passes
+       doc_id % 16 NOT IN (1, 3, 5, 13) AS passes
 FROM documents ORDER BY doc_id
 """
 
