@@ -667,6 +667,55 @@ def test_write_warc_segments_wat_roundtrip(spark, tmp_path):
     assert w == h and len(w) > 0
 
 
+def test_corpus_diff_and_host_churn(spark):
+    """Snapshot diff statuses (added/removed/changed/unchanged via a
+    single full-outer join) and the per-host churn rollup."""
+    from pyspark.sql import functions as F
+
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        corpus_diff,
+        snapshot_churn_by_host,
+    )
+
+    old = spark.createDataFrame(
+        [
+            ("http://a.example/1", "d1"),
+            ("http://a.example/2", "d2"),
+            ("http://b.example/3", "d3"),
+            ("http://b.example/gone", "d4"),
+        ],
+        ["url", "digest"],
+    )
+    new = spark.createDataFrame(
+        [
+            ("http://a.example/1", "d1"),        # unchanged
+            ("http://a.example/2", "d2-v2"),     # changed
+            ("http://b.example/3", "d3"),        # unchanged
+            ("http://b.example/new", "d5"),      # added
+        ],
+        ["url", "digest"],
+    )
+    diff = corpus_diff(old, new)
+    got = {r["url"]: r["status"] for r in diff.collect()}
+    assert got == {
+        "http://a.example/1": "unchanged",
+        "http://a.example/2": "changed",
+        "http://b.example/3": "unchanged",
+        "http://b.example/gone": "removed",
+        "http://b.example/new": "added",
+    }
+    churn = {
+        r["host"]: (r["n_added"], r["n_removed"], r["n_changed"],
+                    r["n_unchanged"], r["churn"])
+        for r in snapshot_churn_by_host(diff).collect()
+    }
+    assert churn["a.example"] == (0, 0, 1, 1, 0.5)
+    assert churn["b.example"] == (1, 1, 0, 1, round(2 / 3, 6))
+    # no accidental cartesian/nested loop in the diff plan
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 def test_write_warc_segments_non200_status_in_index(spark, tmp_path):
     """A non-200 export's CDX lines must carry the REAL status so the
     index never contradicts the payloads — and select_captures' default

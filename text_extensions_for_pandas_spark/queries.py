@@ -7657,6 +7657,82 @@ FROM recs ORDER BY text
 """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.sources.corpus.corpus_diff` +
+    :func:`~.sources.corpus.snapshot_churn_by_host` under the
+    value-hash oracle: two snapshots planted from the documents table
+    (old = ``doc_id % 5 != 0``, new = ``% 5 != 4``, content digest
+    rewritten for the ``% 5 == 2`` class) so every status —
+    added / removed / changed / unchanged — lands closed-form per
+    ``doc_id % 5``, rolled up per planted host (``doc_id % 7``).
+    DuckDB recomputes the per-host counts and churn ratio directly.
+    The Spark side is one full-outer sort-merge join on url + one
+    conditional-sum aggregate (the 100 TB shape: both snapshots
+    shuffle once, the rollup is map-side combinable)."""
+    from text_extensions_for_pandas_spark.sources.corpus import (
+        corpus_diff,
+        snapshot_churn_by_host,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://h"), (i % 7).cast("string"), F.lit(".example/p/"),
+        i.cast("string"),
+    )
+    base = docs.select(
+        "doc_id", url.alias("url"),
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("digest"),
+        F.md5(
+            F.encode(F.concat(F.col("text"), F.lit("v2")), "utf-8")
+        ).alias("digest_v2"),
+    )
+    old = base.filter(i % 5 != 0).select("url", "digest")
+    new = base.filter(i % 5 != 4).select(
+        "url",
+        F.when(i % 5 == 2, F.col("digest_v2"))
+        .otherwise(F.col("digest"))
+        .alias("digest"),
+    )
+    return (
+        snapshot_churn_by_host(corpus_diff(old, new))
+        .select(
+            "host",
+            F.col("n_added").cast("bigint").alias("n_added"),
+            F.col("n_removed").cast("bigint").alias("n_removed"),
+            F.col("n_changed").cast("bigint").alias("n_changed"),
+            F.col("n_unchanged").cast("bigint").alias("n_unchanged"),
+            "churn",
+        )
+        .orderBy("host")
+    )
+
+
+Q_CORPUS_DIFF_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         concat('h', CAST(doc_id % 7 AS VARCHAR), '.example') AS host,
+         CASE WHEN doc_id % 5 = 0 THEN 'added'
+              WHEN doc_id % 5 = 4 THEN 'removed'
+              WHEN doc_id % 5 = 2 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM documents
+)
+SELECT host,
+       CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged,
+       round(CAST(sum(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / greatest(count(*), 1), 6) AS churn
+FROM d GROUP BY host ORDER BY host
+"""
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.operators.html.html_to_text` under the value-hash oracle:
     HTML pages synthesized per doc_id exercising every extraction rule —
@@ -8779,6 +8855,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "align_to_tokens": (q_align_to_tokens, Q_ALIGN_SQL),
     "flag_suspicious": (q_flag_suspicious, Q_FLAG_SQL),
     "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
+    # -- NEW late-r10 (below the boundary; rotates into the r11 gate
+    # -- together with the seventeen stale r07 entries at the top of
+    # -- this below-boundary section): snapshot diff + per-host churn
+    # -- — the incremental-crawl front's "what changed since the last
+    # -- dump" primitive.  Verified locally at sf0.001 AND sf0.01 when
+    # -- added.
+    "corpus_diff": (q_corpus_diff, Q_CORPUS_DIFF_SQL),
 }
 
 

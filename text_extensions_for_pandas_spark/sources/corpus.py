@@ -33,6 +33,8 @@ __all__ = [
     "stable_doc_id",
     "write_jsonl_shards",
     "write_warc_segments",
+    "corpus_diff",
+    "snapshot_churn_by_host",
 ]
 
 
@@ -805,4 +807,91 @@ def make_cdx_line_for_writer(
     return make_cdx_line(
         url, ts, digest=digest, filename=filename, offset=offset,
         length=length, status=status,
+    )
+
+
+# ------------------------------------------------------------- snapshots --
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Per-key churn between two corpus snapshots — the question every
+    incremental crawl/training refresh asks first: what is ``added``,
+    ``removed``, ``changed`` (same key, different content digest), or
+    ``unchanged`` since the last dump?  Inputs are any frames carrying
+    a unique ``key_col`` (URL, SURT, doc id) and a content
+    ``digest_col`` (the CDX md5, ``xxhash64(text)``, ...); output is
+    ``(key_col, status, old_digest, new_digest)``.
+
+    Feeds straight into the existing incremental machinery: the
+    ``added``+``changed`` keys are the fetch list (``cdx.fetch_plan``),
+    ``removed`` drives retention, and ``changed`` is the re-embed /
+    re-dedup set (``band-index append``, ``ivfpq append``).
+
+    Scale shape: ONE full-outer sort-merge join keyed on ``key_col`` —
+    both snapshots shuffle once on the same key (co-partitioned by
+    construction), no driver state, no skew beyond the key's own
+    distribution.  Keys are assumed unique per snapshot (dedup upstream
+    with ``urls.dedup_by_url`` / ``select_captures``); duplicate keys
+    produce a row per pairing, never a wrong status.
+    """
+    o = old.select(
+        F.col(key_col).alias("__k"), F.col(digest_col).alias("old_digest")
+    )
+    n = new.select(
+        F.col(key_col).alias("__k"), F.col(digest_col).alias("new_digest")
+    )
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_digest") == F.col("new_digest"), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "__k", "full_outer").select(
+        F.col("__k").alias(key_col),
+        status.alias("status"),
+        "old_digest",
+        "new_digest",
+    )
+
+
+def snapshot_churn_by_host(
+    diff: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-host churn rollup of a :func:`corpus_diff` frame:
+    ``(host, n_added, n_removed, n_changed, n_unchanged, churn)`` where
+    ``churn`` = changed+added+removed over total — the signal that
+    drives per-host recrawl budgets (stable reference sites poll
+    rarely; news hosts poll often), composing with
+    ``cdx.crawl_freshness`` on the schedule side.  One conditional-sum
+    aggregate, map-side combinable — a 100 TB diff rolls up in a
+    single shuffle on the (bounded) host key."""
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+
+    def n(status: str) -> Column:
+        return F.sum(
+            (F.col("status") == status).cast("long")
+        ).alias(f"n_{status}")
+
+    out = diff.groupBy(host.alias("host")).agg(
+        n("added"), n("removed"), n("changed"), n("unchanged")
+    )
+    total = (
+        F.col("n_added")
+        + F.col("n_removed")
+        + F.col("n_changed")
+        + F.col("n_unchanged")
+    )
+    return out.withColumn(
+        "churn",
+        F.round(
+            (F.col("n_added") + F.col("n_removed") + F.col("n_changed"))
+            / F.greatest(total, F.lit(1)),
+            6,
+        ),
     )
