@@ -549,6 +549,41 @@ def test_quality_scoring_stream_batch_parity(spark):
     assert got == want and len(want) > 0
 
 
+def test_multilingual_gate_stream_batch_parity(spark):
+    """lang_id + quality_gate_by_language are pure row-local Column
+    expressions, so gating a document STREAM yields exactly the batch
+    verdicts — the language-dispatched gate slots into a live ingest
+    with no separate code path."""
+    import pyspark.sql.functions as F
+
+    from text_extensions_for_pandas_spark.functions.text import (
+        lang_id,
+        quality_gate_by_language,
+        word_tokens,
+    )
+
+    def gated(df):
+        g = df.withColumn(
+            "__toks", word_tokens(F.col("text"))
+        ).withColumn("lang", lang_id(F.col("text"), toks=F.col("__toks")))
+        gate = quality_gate_by_language(
+            F.col("text"), F.col("lang"), toks=F.col("__toks")
+        )
+        return g.select("doc_id", "lang", gate["passes"].alias("passes"))
+
+    docs = STR.read_documents_stream(spark, SF_DIR).select("doc_id", "text")
+    _run_to_memory(gated(docs), "t_mlgate")
+    got = {
+        (r.doc_id, r.lang, r.passes)
+        for r in spark.table("t_mlgate").collect()
+    }
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    want = {(r.doc_id, r.lang, r.passes) for r in gated(batch).collect()}
+    assert got == want and len(want) > 0
+
+
 def test_dsir_scoring_stream_batch_parity(spark, tmp_path):
     """DSIR scoring against a static LLR table is per-document row-local,
     so foreachBatch scoring of a document stream must equal the batch
