@@ -565,3 +565,49 @@ def test_upsample_mixture_epoch_semantics(spark):
         map(tuple, again.collect())
     )
     out.unpersist()
+
+
+def test_sample_to_token_budgets_by_group(spark):
+    """Per-group greedy prefixes: each group independently keeps its
+    highest-priority docs while its own budget lasts; unlisted groups
+    default to budget 0 and vanish; ties break on the key."""
+    import pyspark.sql.functions as F
+
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        sample_to_token_budgets_by_group,
+    )
+
+    rows = [
+        # (doc_id, lang, n_tokens, priority)
+        (1, "en", 50, 0.9),
+        (2, "en", 60, 0.8),
+        (3, "en", 40, 0.7),   # over budget after 1+2 -> dropped
+        (4, "ru", 80, 0.9),
+        (5, "ru", 30, 0.5),   # 80+30=110 <= 120 -> kept
+        (6, "de", 10, 0.9),   # 'de' unlisted -> dropped
+        (7, "vi", 25, 0.4),   # tie with 8 on priority: lower id first
+        (8, "vi", 25, 0.4),   # 25+25=50 > 40 -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long, priority double"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in sample_to_token_budgets_by_group(
+            df,
+            {"en": 110, "ru": 120, "vi": 40},
+            group_col="lang",
+            priority_col="priority",
+        ).collect()
+    )
+    assert kept == [1, 2, 4, 5, 7]
+    # the plan partitions by the group - no global ordering exchange
+    plan = (
+        sample_to_token_budgets_by_group(
+            df, {"en": 110}, group_col="lang", priority_col="priority"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan.lower()

@@ -812,3 +812,62 @@ def upsample_mixture(
         df.withColumn(epoch_col, F.explode(n_epochs))
         .filter((e < F.floor(rate)) | frac_keep)
     )
+
+
+def sample_to_token_budgets_by_group(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    size_col: str = "n_tokens",
+    priority_col: str | Column | None = None,
+    key_col: str = "doc_id",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Per-group greedy prefixes under per-group token budgets — the
+    mixture-sizing step a multilingual curriculum actually runs ("2B
+    tokens of the best English, 500M of the best Russian, ..."), the
+    grouped sibling of :func:`sample_to_token_budget`.  Semantics:
+    ``sum(size) OVER (PARTITION BY group ORDER BY priority DESC, key)
+    <= budgets[group]`` — ties break on ``key``; groups absent from
+    ``budgets`` get ``default_budget`` (0 = dropped entirely).
+
+    Scale shape: unlike the single-budget variant, the defining window
+    here PARTITIONS BY GROUP, so there is no global sort to dodge —
+    each group's cumulative sum sorts only its own partition slice,
+    and the budgets map ships as a plan literal (no join).  The caveat
+    is inherent: ONE group carrying most of the corpus degrades to the
+    single-budget problem — route that group through
+    :func:`sample_to_token_budget`'s threshold refinement and union.
+
+    ``priority_col=None`` uses :func:`hash_fraction` of the key — a
+    uniform, tie-free random prefix per group.
+    """
+    from pyspark.sql import Window
+
+    prio = (
+        hash_fraction(F.col(key_col))
+        if priority_col is None
+        else (
+            F.col(priority_col)
+            if isinstance(priority_col, str)
+            else priority_col
+        )
+    )
+    bmap = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    budget = F.coalesce(
+        bmap[F.col(group_col)], F.lit(int(default_budget))
+    ).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(prio.cast("double").desc(), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(
+            "__cum", F.sum(F.col(size_col).cast("long")).over(w)
+        )
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )

@@ -7657,6 +7657,56 @@ FROM recs ORDER BY text
 """
 
 
+def q_token_budgets_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`~.operators.sampling.sample_to_token_budgets_by_group`
+    under the value-hash oracle: four strata from ``doc_id % 4`` with
+    budgets 20000 / 8000 / 3000 chars and one UNLISTED stratum
+    (default budget 0 → dropped entirely); priority = document length,
+    ties broken on doc_id.  DuckDB recomputes with the defining
+    per-group cumulative-sum window.  The Spark window PARTITIONS by
+    the group, so each stratum sorts only its own slice — no global
+    sort anywhere."""
+    from text_extensions_for_pandas_spark.operators.sampling import (
+        sample_to_token_budgets_by_group,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("string").alias("stratum"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    out = sample_to_token_budgets_by_group(
+        docs,
+        {"0": 20000, "1": 8000, "2": 3000},
+        group_col="stratum",
+        size_col="n_chars",
+        priority_col="n_chars",
+    )
+    return out.select("doc_id", "stratum", "n_chars").orderBy("doc_id")
+
+
+Q_TOKEN_BUDGETS_BY_GROUP_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS stratum,
+         length(text) AS n_chars
+  FROM documents
+),
+c AS (
+  SELECT doc_id, stratum, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY stratum ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM d
+)
+SELECT doc_id, stratum, CAST(n_chars AS BIGINT) AS n_chars
+FROM c
+WHERE cum <= CASE stratum WHEN '0' THEN 20000 WHEN '1' THEN 8000
+                          WHEN '2' THEN 3000 ELSE 0 END
+ORDER BY doc_id
+"""
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.sources.corpus.corpus_diff` +
     :func:`~.sources.corpus.snapshot_churn_by_host` under the
@@ -8862,6 +8912,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- dump" primitive.  Verified locally at sf0.001 AND sf0.01 when
     # -- added.
     "corpus_diff": (q_corpus_diff, Q_CORPUS_DIFF_SQL),
+    # -- NEW late-r10, same below-boundary r11-first placement:
+    # -- per-group token budgets (the multilingual curriculum-sizing
+    # -- step; the window PARTITIONS by group, so no global sort).
+    # -- Verified locally at sf0.001 AND sf0.01 when added.
+    "token_budgets_by_group": (
+        q_token_budgets_by_group,
+        Q_TOKEN_BUDGETS_BY_GROUP_SQL,
+    ),
 }
 
 
