@@ -358,7 +358,40 @@ def main() -> None:
         # all row-local codegen; the count(passes) sink forces every
         # branch to evaluate
         "multilingual_gate": lambda d: _multilingual_gate(d),
+        # snapshot diff (r10): ONE full-outer sort-merge join between
+        # two derived snapshots (10% added / 10% removed / 10% changed)
+        # + the per-host churn aggregate — the incremental-crawl
+        # primitive's scaling shape
+        "corpus_diff": lambda d: _corpus_diff_probe(d),
     }
+
+    def _corpus_diff_probe(d):
+        from text_extensions_for_pandas_spark.sources.corpus import (
+            corpus_diff,
+            snapshot_churn_by_host,
+        )
+
+        i = F.col("doc_id")
+        base = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("http://h"), (i % 97).cast("string"),
+                F.lit(".example/p/"), i.cast("string"),
+            ).alias("url"),
+            F.xxhash64("text").alias("digest"),
+            F.xxhash64("text", F.lit("v2")).alias("digest_v2"),
+        )
+        old = base.filter(i % 10 != 0).select("url", "digest")
+        new = base.filter(i % 10 != 9).select(
+            "url",
+            F.when(i % 10 == 5, F.col("digest_v2"))
+            .otherwise(F.col("digest"))
+            .alias("digest"),
+        )
+        churn = snapshot_churn_by_host(corpus_diff(old, new))
+        return churn.agg(
+            F.sum("n_added") + F.sum("n_removed") + F.sum("n_changed")
+        ).collect()[0][0]
 
     def _multilingual_gate(d):
         from text_extensions_for_pandas_spark.functions.text import (
