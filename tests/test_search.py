@@ -825,6 +825,64 @@ def test_thai_quality_gate_and_detection(spark):
     assert f["gs"]["passes"] is False and f["gl"]["passes"] is False
 
 
+def test_khmer_lao_myanmar_gate_and_detection(spark):
+    """The remaining unsegmented non-CJK scripts route through the
+    generalized char rules: good Khmer/Lao/Burmese prose passes both
+    dispatchers and detects as km/lo/my; char floods fail the capped
+    distinct rule; the word-based gopher gate rejects all of them
+    (the cliff the generalization closes)."""
+    from text_extensions_for_pandas_spark.functions.text import (
+        gopher_rules,
+        lang_id,
+        quality_gate_by_language,
+        quality_gate_by_script,
+    )
+
+    km = (
+        "រដ្ឋាភិបាលនិងគណៈកម្មការបានចេញផ្សាយរបាយការណ៍ថ្មីអំពីទិន្នន័យ"
+        "នៃគម្រោងច្បាប់ដែលគ្រួសារនិងអាជីវកម្មក្នុងតំបន់បានរង់ចាំជាយូរ"
+        "មកហើយព្រោះមុននេះមិនមានការសម្រេចចិត្តបែបនេះទេ"
+    ) * 3
+    lo = (
+        "ລັດຖະບານແລະຄະນະກຳມະການໄດ້ເຜີຍແຜ່ບົດລາຍງານໃໝ່ກ່ຽວກັບຂໍ້ມູນ"
+        "ຂອງໂຄງການກົດໝາຍທີ່ຄອບຄົວແລະທຸລະກິດໃນພາກພື້ນລໍຖ້າມາດົນນານ"
+        "ເພາະກ່ອນໜ້ານີ້ບໍ່ມີການຕັດສິນໃຈແບບນີ້"
+    ) * 3
+    my = (
+        "အစိုးရနှင့်ကော်မတီသည်ဒေသတွင်းမိသားစုများနှင့်လုပ်ငန်းများ"
+        "စောင့်ဆိုင်းနေသောဥပဒေကြမ်းအချက်အလက်များအကြောင်းအစီရင်ခံစာ"
+        "အသစ်ကိုထုတ်ပြန်ခဲ့သည်ယခင်ကဤသို့သောဆုံးဖြတ်ချက်မရှိခဲ့ပါ"
+    ) * 3
+    cases = [
+        (0, km, "km", True),
+        (1, lo, "lo", True),
+        (2, my, "my", True),
+        (3, "កខ" * 200, "km", False),   # flood: capped distinct fails
+        (4, "ກຂ" * 200, "lo", False),
+        (5, "ကခ" * 200, "my", False),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in cases], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            lang_id("text").alias("lang"),
+            quality_gate_by_script("text").alias("gs"),
+            quality_gate_by_language("text", lang_id("text")).alias("gl"),
+            gopher_rules("text").alias("gopher"),
+        ).collect()
+    }
+    for i, _, want_lang, want_pass in cases:
+        r = rows[i]
+        assert r["lang"] == want_lang, (i, want_lang, r["lang"])
+        assert r["gs"]["passes"] is want_pass, (i, r["gs"])
+        assert r["gl"]["passes"] is want_pass, (i, r["gl"])
+        if want_pass:
+            assert r["gopher"]["passes"] is False  # the closed cliff
+
+
 def test_lang_scores_regex_extraction_matches_token_filter(spark):
     """The r10 one-pass regex marker extraction must count EXACTLY what
     the naive token-equality filter counts — generated texts mix marker

@@ -409,6 +409,9 @@ def script_ratios(text: Column | str) -> Column:
         ratio("\\u0600-\\u06ff\\u0750-\\u077f").alias("arabic"),
         ratio("\\u0900-\\u097f").alias("devanagari"),
         ratio("\\u0e01-\\u0e5b").alias("thai"),
+        ratio("\\u1780-\\u17dd").alias("khmer"),
+        ratio("\\u0e81-\\u0edf").alias("lao"),
+        ratio("\\u1000-\\u109f").alias("myanmar"),
     )
 
 
@@ -484,6 +487,23 @@ def lang_id(text: Column | str, toks: Column | None = None) -> Column:
         .when(scripts["arabic"] >= 0.3, F.lit("ar"))
         .when(scripts["devanagari"] >= 0.3, F.lit("hi"))
         .when(scripts["thai"] >= 0.3, F.lit("th"))
+        # rare unsegmented scripts: the rlike guard is one cheap scan
+        # that short-circuits the ratio computation for the 99.9% of
+        # documents carrying no such characters
+        .when(
+            c.rlike("[\\u1780-\\u17dd]")
+            & (scripts["khmer"] >= 0.3),
+            F.lit("km"),
+        )
+        .when(
+            c.rlike("[\\u0e81-\\u0edf]") & (scripts["lao"] >= 0.3),
+            F.lit("lo"),
+        )
+        .when(
+            c.rlike("[\\u1000-\\u109f]")
+            & (scripts["myanmar"] >= 0.3),
+            F.lit("my"),
+        )
         .otherwise(marker_pred)
     )
 
@@ -1266,43 +1286,57 @@ def cjk_quality_rules(
     )
 
 
-# Thai letters, vowels/tone marks and digits (U+0E01-0E5B) — the script
-# block minus the currency sign
+# Unsegmented scripts beyond CJK: no spaces between words, so every
+# word-based Gopher rule malfunctions — but they are NOT in the CJK
+# ranges either, so the CJK gate's ratio rule rejects them too.  Each
+# entry: (script_ratios field, char class, distinct-char cap).  The
+# cap exists because these alphabets have ~60-80 usable characters, so
+# a CJK-style ``distinct/chars >= 0.1`` rule mathematically fails
+# every document beyond ~700 chars regardless of quality; Han's
+# thousands of distinct chars never hit this.
 _THAI_CHAR_CLASS = "\\u0e01-\\u0e5b"
+UNSEGMENTED_SCRIPTS: dict[str, tuple[str, str, float]] = {
+    # lang code -> (script_ratios field, char class, distinct cap)
+    "th": ("thai", _THAI_CHAR_CLASS, 40.0),
+    "km": ("khmer", "\\u1780-\\u17dd", 40.0),
+    "lo": ("lao", "\\u0e81-\\u0edf", 35.0),
+    # Burmese prose concentrates on a smaller per-paragraph repertoire
+    # (~30-40 distinct of the block's ~80): cap 30, measured on real
+    # paragraph-shaped prose carrying 35 distinct chars
+    "my": ("myanmar", "\\u1000-\\u109f", 30.0),
+}
 
 
-def thai_quality_rules(
+def unsegmented_quality_rules(
     text: Column | str,
+    char_class: str,
     min_chars: int = 50,
     max_chars: int = 100_000,
+    distinct_cap: float = 40.0,
 ) -> Column:
-    """Char-based quality gate for THAI text — the same silent-drop
-    cliff as CJK one script over: Thai is unsegmented (no spaces
-    between words), so every word-based Gopher rule malfunctions, but
-    it is NOT in the CJK ranges, so :func:`cjk_quality_rules`'
-    cjk_ratio rule rejects it too.  Two rules differ from the CJK
-    gate, for script-structural reasons:
+    """Char-based quality gate for unsegmented non-CJK scripts (Thai,
+    Khmer, Lao, Burmese — see :data:`UNSEGMENTED_SCRIPTS`).  Two rules
+    differ from :func:`cjk_quality_rules`, for script-structural
+    reasons:
 
-    * no punctuation rule — Thai running prose conventionally carries
-      NO terminal punctuation (phrase breaks are spaces), so a
-      CJK-style punct-density floor would reject good Thai;
-    * the distinct-char rule is CAPPED: the Thai alphabet has ~70
-      usable characters, so ``distinct/chars >= 0.1`` mathematically
-      fails every document beyond ~700 chars regardless of quality —
-      the rule becomes ``distinct >= least(0.1 * chars, 40)`` (Han has
-      thousands of distinct chars, so the CJK gate never hits this).
+    * no punctuation rule — these scripts' running prose
+      conventionally carries NO terminal punctuation (phrase breaks
+      are spaces or script-specific marks used sparsely), so a
+      CJK-style punct-density floor would reject good prose;
+    * the distinct-char rule is CAPPED at ``distinct_cap``:
+      ``distinct >= least(0.1 * chars, cap)`` — see
+      :data:`UNSEGMENTED_SCRIPTS` for why.
 
-    Same output shape as :func:`cjk_quality_rules` minus ``punct_ok``
-    (fields: char_count_ok, thai_ratio_ok, distinct_ratio_ok,
-    symbol_ok, bullet_ok, ellipsis_ok, passes).  Row-local codegen,
+    Fields: ``char_count_ok, ratio_ok, distinct_ratio_ok, symbol_ok,
+    bullet_ok, ellipsis_ok, passes``.  Row-local codegen,
     stream-transparent."""
     c = F.col(text) if isinstance(text, str) else text
     compact = F.regexp_replace(c, r"\s", "")
     n_all = F.greatest(F.length(compact), F.lit(1))
-    th = F.regexp_replace(compact, f"[^{_THAI_CHAR_CLASS}]", "")
-    n_th = F.length(th)
-    safe_th = F.greatest(n_th, F.lit(1))
-    n_distinct = F.size(F.array_distinct(F.split(th, "")))
+    sc = F.regexp_replace(compact, f"[^{char_class}]", "")
+    n_sc = F.length(sc)
+    safe_sc = F.greatest(n_sc, F.lit(1))
+    n_distinct = F.size(F.array_distinct(F.split(sc, "")))
     n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
     n_ell = (
         F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
@@ -1314,11 +1348,11 @@ def thai_quality_rules(
         F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
     )
     rules = {
-        "char_count_ok": (n_th >= min_chars) & (n_th <= max_chars),
-        "thai_ratio_ok": n_th / n_all >= 0.3,
+        "char_count_ok": (n_sc >= min_chars) & (n_sc <= max_chars),
+        "ratio_ok": n_sc / n_all >= 0.3,
         "distinct_ratio_ok": n_distinct
-        >= F.least(0.1 * safe_th, F.lit(40.0)),
-        "symbol_ok": (n_hash + n_ell) / safe_th <= 0.05,
+        >= F.least(0.1 * safe_sc, F.lit(float(distinct_cap))),
+        "symbol_ok": (n_hash + n_ell) / safe_sc <= 0.05,
         "bullet_ok": n_bullet / n_lines <= 0.9,
         "ellipsis_ok": n_ell_line / n_lines <= 0.3,
     }
@@ -1328,6 +1362,22 @@ def thai_quality_rules(
     return F.struct(
         *[expr.alias(name) for name, expr in rules.items()],
         passes.alias("passes"),
+    )
+
+
+def thai_quality_rules(
+    text: Column | str,
+    min_chars: int = 50,
+    max_chars: int = 100_000,
+) -> Column:
+    """Char-based quality gate for THAI text — the same silent-drop
+    cliff as CJK one script over; see :func:`unsegmented_quality_rules`
+    (this is its Thai instantiation, kept as a named entry point
+    because Thai is by far the highest-volume unsegmented non-CJK
+    script on a real crawl)."""
+    _, char_class, cap = UNSEGMENTED_SCRIPTS["th"]
+    return unsegmented_quality_rules(
+        text, char_class, min_chars, max_chars, distinct_cap=cap
     )
 
 
@@ -1352,13 +1402,19 @@ def quality_gate_by_script(
     c = F.col(text) if isinstance(text, str) else text
     s = script_ratios(c)
     is_cjk = (s["kana"] + s["hangul"] + s["han"]) >= cjk_threshold
-    is_thai = s["thai"] >= cjk_threshold
+    branch = F.when(is_cjk, cjk_quality_rules(c)["passes"])
+    for _lang, (field, char_class, cap) in UNSEGMENTED_SCRIPTS.items():
+        branch = branch.when(
+            s[field] >= cjk_threshold,
+            unsegmented_quality_rules(c, char_class, distinct_cap=cap)[
+                "passes"
+            ],
+        )
     return F.struct(
         is_cjk.alias("is_cjk"),
-        F.when(is_cjk, cjk_quality_rules(c)["passes"])
-        .when(is_thai, thai_quality_rules(c)["passes"])
-        .otherwise(gopher_rules(c, toks, **gopher_kwargs)["passes"])
-        .alias("passes"),
+        branch.otherwise(
+            gopher_rules(c, toks, **gopher_kwargs)["passes"]
+        ).alias("passes"),
     )
 
 
@@ -1647,11 +1703,15 @@ def quality_gate_by_language(
                 lg == code, (mean_len >= lo) & (mean_len <= hi)
             ).otherwise(len_ok)
     latin = shared & len_ok & stop_ok & alpha_ok
-    is_thai = s["thai"] >= cjk_threshold
+    branch = F.when(is_cjk, cjk_quality_rules(c)["passes"])
+    for _lang, (field, char_class, cap) in UNSEGMENTED_SCRIPTS.items():
+        branch = branch.when(
+            s[field] >= cjk_threshold,
+            unsegmented_quality_rules(c, char_class, distinct_cap=cap)[
+                "passes"
+            ],
+        )
     return F.struct(
         is_cjk.alias("is_cjk"),
-        F.when(is_cjk, cjk_quality_rules(c)["passes"])
-        .when(is_thai, thai_quality_rules(c)["passes"])
-        .otherwise(latin)
-        .alias("passes"),
+        branch.otherwise(latin).alias("passes"),
     )
