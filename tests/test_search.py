@@ -825,6 +825,46 @@ def test_thai_quality_gate_and_detection(spark):
     assert f["gs"]["passes"] is False and f["gl"]["passes"] is False
 
 
+def test_char_shingle_near_dup_sees_cjk(spark):
+    """Word-shingle MinHash is SILENT on unsegmented scripts (a CJK doc
+    has ~one whitespace 'word', so it produces no word shingles and no
+    candidates); char-shingle mode finds the true near-dup pair with
+    exactly the closed-form Jaccard, and a precomputed word-mode
+    shingle frame is rejected when char mode is requested."""
+    import pytest as _pytest
+
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        doc_shingles,
+        near_dup_pairs,
+    )
+
+    p = "".join(chr(0x4E00 + i) for i in range(200))
+    sfx_a = "".join(chr(0x7000 + j) for j in range(8))
+    sfx_b = "".join(chr(0x7100 + j) for j in range(8))
+    other = "".join(chr(0x5600 + i) for i in range(208))
+    docs = spark.createDataFrame(
+        [(0, p + sfx_a), (1, p + sfx_b), (2, other)],
+        "doc_id long, text string",
+    )
+    # word mode: no shingles at all -> no pairs (the silent failure)
+    assert (
+        near_dup_pairs(docs, threshold=0.5, shingle_n=3).count() == 0
+    )
+    # char mode: the (0, 1) pair at jaccard 193/209 exactly
+    pairs = near_dup_pairs(
+        docs, threshold=0.9, shingle_n=8, n_hashes=16, rows_per_band=1,
+        shingle_mode="char",
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(0, 1)]
+    assert abs(pairs[0]["jaccard"] - 193 / 209) < 1e-6  # op rounds
+    # mode mismatch on a precomputed frame is an error, never silence
+    word_sh = doc_shingles(docs, shingle_n=8)
+    with _pytest.raises(ValueError, match="mode"):
+        near_dup_pairs(
+            docs, shingle_n=8, shingles=word_sh, shingle_mode="char"
+        )
+
+
 def test_khmer_lao_myanmar_gate_and_detection(spark):
     """The remaining unsegmented non-CJK scripts route through the
     generalized char rules: good Khmer/Lao/Burmese prose passes both

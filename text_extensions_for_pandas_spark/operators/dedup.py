@@ -58,19 +58,49 @@ def doc_shingles(
     text_col: str = "text",
     doc_col: str = "doc_id",
     distinct: bool = True,
+    mode: str = "word",
 ) -> DataFrame:
-    """Word-``n``-gram shingles per document: ``(doc_id, shingle)``.
+    """Shingles per document: ``(doc_id, shingle)``.
+
+    ``mode="word"`` (default): word ``n``-grams — the standard choice
+    for whitespace languages.  ``mode="char"``: character ``n``-grams —
+    REQUIRED for unsegmented scripts (CJK/Thai/Khmer/Lao/Burmese),
+    where a document has ~one whitespace "word" per line, so word
+    shingles are empty/degenerate and MinHash near-dup goes silent on
+    exactly the corpora that need it; use a larger ``shingle_n``
+    (8-12 chars ≈ the information of 2-3 word grams).  Char positions
+    explode JVM-side (sequence + substring projection — no HOF in the
+    exploded hot path).
 
     ``distinct=True`` (needed for set-Jaccard) costs a full shuffle of every
     (doc, shingle) row.  MinHash doesn't need it — min is insensitive to
     duplicates — so candidate generation alone passes ``distinct=False`` and
     the only wide op left is the map-side-combined per-doc min."""
-    out = word_shingle_rows(documents, shingle_n, text_col, doc_col)
+    if mode == "word":
+        out = word_shingle_rows(documents, shingle_n, text_col, doc_col)
+    elif mode == "char":
+        n = F.length(F.col(text_col))
+        positions = F.when(
+            n >= shingle_n, F.sequence(F.lit(0), n - shingle_n)
+        ).otherwise(F.array().cast("array<int>"))
+        out = documents.select(
+            F.col(doc_col), F.explode(positions).alias("__i"),
+            F.col(text_col),
+        ).select(
+            doc_col,
+            F.col(text_col)
+            .substr(F.col("__i") + 1, F.lit(shingle_n))
+            .alias("shingle"),
+        )
+    else:
+        raise ValueError(f"mode must be 'word' or 'char', got {mode!r}")
     out = out.distinct() if distinct else out
-    # stamp the shingle width into column metadata so consumers that accept
-    # a precomputed shingles frame (near_dup_pairs) can validate it was
-    # built with the width they expect — a silent mismatch changes Jaccard
-    return out.withMetadata("shingle", {"shingle_n": shingle_n})
+    # stamp the shingle width + mode into column metadata so consumers that
+    # accept a precomputed shingles frame (near_dup_pairs) can validate it
+    # was built the way they expect — a silent mismatch changes Jaccard
+    return out.withMetadata(
+        "shingle", {"shingle_n": shingle_n, "mode": mode}
+    )
 
 
 def minhash_signatures(
@@ -159,6 +189,7 @@ def minhash_candidates(
     text_col: str = "text",
     doc_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """LSH candidate pairs ``(doc_a, doc_b)`` (doc_a < doc_b): documents
     whose MinHash signatures collide in at least one band.
@@ -168,7 +199,9 @@ def minhash_candidates(
     sh = (
         shingles
         if shingles is not None
-        else doc_shingles(documents, shingle_n, text_col, doc_col)
+        else doc_shingles(
+            documents, shingle_n, text_col, doc_col, mode=shingle_mode
+        )
     )
     bands = lsh_bands(minhash_signatures(sh, n_hashes, doc_col), rows_per_band, doc_col)
     a = bands.select(
@@ -310,9 +343,15 @@ def near_dup_pairs(
     text_col: str = "text",
     doc_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ ``threshold`` —
     the standard two-stage near-dup pipeline.
+
+    ``shingle_mode="char"`` switches to character shingles — the form
+    that actually carries signal on unsegmented scripts (CJK/Thai/...),
+    where word shingles are empty/degenerate and the word-mode pipeline
+    silently finds nothing; pair it with a larger ``shingle_n`` (8-12).
 
     Pass a precomputed (persisted) ``shingles`` frame covering at least the
     input documents to share the shingle scan across queries; it is
@@ -331,6 +370,12 @@ def near_dup_pairs(
                 f"shingles frame was built with shingle_n={meta['shingle_n']},"
                 f" but near_dup_pairs was asked for shingle_n={shingle_n}"
             )
+        if meta.get("mode") is not None and meta["mode"] != shingle_mode:
+            raise ValueError(
+                f"shingles frame was built with mode={meta['mode']!r},"
+                f" but near_dup_pairs was asked for"
+                f" shingle_mode={shingle_mode!r}"
+            )
         # The id list is referenced from every downstream evaluation of the
         # semi-joined shingle set (LSH banding + three passes inside the
         # Jaccard verify).  When ``documents`` is itself a filtered subplan
@@ -340,7 +385,9 @@ def near_dup_pairs(
         ids = documents.select(doc_col).distinct().localCheckpoint(eager=False)
         sh = shingles.join(ids, doc_col, "left_semi")
     else:
-        sh = doc_shingles(documents, shingle_n, text_col, doc_col).persist()
+        sh = doc_shingles(
+            documents, shingle_n, text_col, doc_col, mode=shingle_mode
+        ).persist()
     cands = minhash_candidates(
         documents, shingle_n, n_hashes, rows_per_band, text_col, doc_col,
         shingles=sh,

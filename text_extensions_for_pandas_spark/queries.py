@@ -7707,6 +7707,75 @@ ORDER BY doc_id
 """
 
 
+def q_near_dup_char_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-shingle MinHash near-dup on unsegmented text under the
+    value-hash oracle — word-shingle MinHash finds NOTHING here (a CJK
+    document is ~one whitespace "word", zero word shingles), the
+    silent-miss class the ``shingle_mode="char"`` path closes.
+    Construction: each consecutive doc-id pair shares a 200-char Han
+    prefix unique to the pair (consecutive code points from a
+    pair-keyed window over a 3000-char ring) and differs in an 8-char
+    suffix from two disjoint blocks, so the char-8-shingle Jaccard is
+    EXACTLY 193/209 within a pair (201 shingles each: 193 prefix-only
+    shared, 8+8 suffix-touching distinct) and far below threshold
+    across pairs (window overlap caps cross-pair Jaccard ~0.5).
+    DuckDB emits the expected pair list + the closed-form constant;
+    Spark must reproduce it through the full minhash→LSH→verify
+    pipeline (md5-deterministic; 16 singleton bands make the
+    candidate-recall miss probability ~(1-0.923)^16)."""
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        near_dup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    pair = (i / 2).cast("bigint")
+
+    def han(offset_expr):
+        return F.decode(
+            F.unhex(F.lpad(F.hex(offset_expr), 8, "0")), "UTF-32"
+        )
+
+    prefix = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(199)),
+            lambda j: han(
+                F.lit(0x4E00) + F.pmod(pair * 53 + j, F.lit(3000))
+            ),
+        ),
+        "",
+    )
+    suffix = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: han(
+                F.when(i % 2 == 0, F.lit(0x7000)).otherwise(F.lit(0x7100))
+                + j
+            ),
+        ),
+        "",
+    )
+    texts = docs.select("doc_id", F.concat(prefix, suffix).alias("text"))
+    pairs = near_dup_pairs(
+        texts,
+        threshold=0.9,
+        shingle_n=8,
+        n_hashes=16,
+        rows_per_band=1,
+        shingle_mode="char",
+    )
+    return pairs.select("doc_a", "doc_b", "jaccard").orderBy("doc_a")
+
+
+Q_NEAR_DUP_CHAR_CJK_SQL = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(193.0 / 209.0, 6) AS jaccard
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 2 = 0
+ORDER BY doc_a
+"""
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`~.sources.corpus.corpus_diff` +
     :func:`~.sources.corpus.snapshot_churn_by_host` under the
@@ -8923,6 +8992,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_token_budgets_by_group,
         Q_TOKEN_BUDGETS_BY_GROUP_SQL,
     ),
+    # -- NEW late-r10, same below-boundary r11-first placement:
+    # -- char-shingle MinHash near-dup (word shingles are silent on
+    # -- unsegmented scripts; closed-form 193/209 Jaccard per planted
+    # -- pair).  Verified locally at sf0.001 AND sf0.01 when added.
+    "near_dup_char_cjk": (q_near_dup_char_cjk, Q_NEAR_DUP_CHAR_CJK_SQL),
 }
 
 
