@@ -8754,11 +8754,11 @@ FROM chunks ORDER BY doc_id, chunk_idx
 # with the new language profiles; gopher_rules: Unicode-aware stopword
 # cleanup); [21-50] the thirty most-stale r07-verified entries.  Below
 # the boundary: the seventeen remaining r07 entries (r11-first), the
-# r08 block, then the r09 block, then the TWO entries added late-r10
-# (corpus_diff, token_budgets_by_group — never driver-gated; the r11
-# gate owes them together with the seventeen r07 entries, 19 slots
-# total).  Staleness histogram after this round:
-# never:2 / r7:17 / r8:47 / r9:49 / r10:50.
+# r08 block, then the r09 block, then the THREE entries added late-r10
+# (corpus_diff, token_budgets_by_group, near_dup_char_cjk — never
+# driver-gated; the r11 gate owes them together with the seventeen r07
+# entries, 20 slots total).  Staleness histogram after this round:
+# never:3 / r7:17 / r8:47 / r9:49 / r10:50.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- [1-11] the ELEVEN late-r9 entries never yet driver-gated,
     # -- exactly as the r9 comment promised (r10-first)
