@@ -7712,17 +7712,25 @@ def q_near_dup_char_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash oracle — word-shingle MinHash finds NOTHING here (a CJK
     document is ~one whitespace "word", zero word shingles), the
     silent-miss class the ``shingle_mode="char"`` path closes.
-    Construction: each consecutive doc-id pair shares a 200-char Han
-    prefix unique to the pair (consecutive code points from a
-    pair-keyed window over a 3000-char ring) and differs in an 8-char
-    suffix from two disjoint blocks, so the char-8-shingle Jaccard is
-    EXACTLY 193/209 within a pair (201 shingles each: 193 prefix-only
-    shared, 8+8 suffix-touching distinct) and far below threshold
-    across pairs (window overlap caps cross-pair Jaccard ~0.5).
-    DuckDB emits the expected pair list + the closed-form constant;
-    Spark must reproduce it through the full minhash→LSH→verify
-    pipeline (md5-deterministic; 16 singleton bands make the
-    candidate-recall miss probability ~(1-0.923)^16)."""
+    Construction — every 8-gram embeds the PAIR ID, which is what
+    makes the gate scale-sound: the 208-char text is 26 period-8
+    blocks ``[I0 I1 I2 I3 x x x x]`` where the I quad renders
+    ``pair = doc_id // 2`` in base-20 (disjoint 32-codepoint alphabets
+    per digit), the x chars are position-keyed in the 25 body blocks
+    and PARITY-keyed (even/odd doc, disjoint blocks) in the final
+    block.  Any 8-char window covers all eight phases, so it contains
+    the full id quad → cross-pair shared shingles are exactly ZERO and
+    the LSH candidate set is linear in corpus size (a first version
+    let all docs share one suffix shingle: ~4% of all same-parity
+    pairs became candidates — an N² verification join measured at
+    104s on the sf0.1 bench; this form is ~3s).  Within a pair the
+    docs differ only in the four parity chars (text positions
+    204-207), so exactly the 4 windows touching them differ per doc:
+    char-8 Jaccard is EXACTLY 197/205.  DuckDB emits the expected
+    pair list + the closed-form constant; Spark must reproduce it
+    through the full minhash→LSH→verify pipeline (md5-deterministic;
+    16 singleton bands put the candidate-miss probability at
+    ~(1-0.961)^16 ≈ 4e-23)."""
     from text_extensions_for_pandas_spark.operators.dedup import (
         near_dup_pairs,
     )
@@ -7736,26 +7744,30 @@ def q_near_dup_char_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unhex(F.lpad(F.hex(offset_expr), 8, "0")), "UTF-32"
         )
 
-    prefix = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(199)),
-            lambda j: han(
-                F.lit(0x4E00) + F.pmod(pair * 53 + j, F.lit(3000))
-            ),
-        ),
-        "",
+    def char_at(t):
+        m = t % 8
+        blk = (t / 8).cast("int")
+        digit = F.floor(
+            pair / F.pow(F.lit(20.0), m.cast("double"))
+        ).cast("bigint") % 20
+        id_char = F.lit(0x4E00) + m.cast("bigint") * 32 + digit
+        body_char = F.lit(0x5E00) + blk.cast("bigint") * 4 + (m - 4)
+        parity_char = (
+            F.lit(0x7000) + (i % 2) * 0x100 + (m - 4)
+        )
+        code = (
+            F.when(m < 4, id_char)
+            .when(blk < 25, body_char)
+            .otherwise(parity_char)
+        )
+        return han(code)
+
+    texts = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(207)), char_at), ""
+        ).alias("text"),
     )
-    suffix = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(7)),
-            lambda j: han(
-                F.when(i % 2 == 0, F.lit(0x7000)).otherwise(F.lit(0x7100))
-                + j
-            ),
-        ),
-        "",
-    )
-    texts = docs.select("doc_id", F.concat(prefix, suffix).alias("text"))
     pairs = near_dup_pairs(
         texts,
         threshold=0.9,
@@ -7769,7 +7781,7 @@ def q_near_dup_char_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_NEAR_DUP_CHAR_CJK_SQL = """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(193.0 / 209.0, 6) AS jaccard
+       round(197.0 / 205.0, 6) AS jaccard
 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 WHERE a.doc_id % 2 = 0
 ORDER BY doc_a
