@@ -229,8 +229,10 @@ def quality_metrics(text: Column | str, toks: Column | None = None) -> Column:
     n_char = F.length(c)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_punct = n_char - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    n_digit = n_char - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    # counts, not length-of-stripped-copy: same value, no per-row string
+    # allocation (see script_ratios)
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    n_digit = F.regexp_count(c, F.lit(r"[0-9]"))
     return F.struct(
         n_char.cast("int").alias("n_chars"),
         n_tok.cast("int").alias("n_tokens"),
@@ -398,8 +400,13 @@ def script_ratios(text: Column | str) -> Column:
     n = F.greatest(F.length(c), F.lit(1))
 
     def ratio(rng: str) -> Column:
-        kept = F.length(F.regexp_replace(c, f"[{rng}]", ""))
-        return F.round((F.length(c) - kept) / n, 6)
+        # regexp_count, not length(regexp_replace(...)): the count of
+        # single-char-class matches equals the length difference exactly,
+        # but counting never materializes a stripped copy of the document —
+        # at 10 script classes the replace form allocated ten full-text
+        # strings per row (measured regex-extraction-dominated in the
+        # lang-ID chain).
+        return F.round(F.regexp_count(c, F.lit(f"[{rng}]")) / n, 6)
 
     return F.struct(
         ratio("\\u3040-\\u30ff").alias("kana"),
@@ -716,8 +723,9 @@ def encoding_metrics(text: Column | str) -> Column:
     """
     c = F.col(text) if isinstance(text, str) else text
     n_char = F.length(c)
-    # strip all ASCII; what remains is the non-ASCII char count
-    n_nonascii = F.length(F.regexp_replace(c, "[\\x00-\\x7f]", ""))
+    # count non-ASCII codepoints directly — same value as stripping all
+    # ASCII and measuring, without allocating the stripped copy
+    n_nonascii = F.regexp_count(c, F.lit("[^\\x00-\\x7f]"))
     return F.struct(
         F.size(F.regexp_extract_all(c, F.lit("�"), F.lit(0)))
         .cast("int")

@@ -203,7 +203,18 @@ def minhash_candidates(
             documents, shingle_n, text_col, doc_col, mode=shingle_mode
         )
     )
-    bands = lsh_bands(minhash_signatures(sh, n_hashes, doc_col), rows_per_band, doc_col)
+    # Materialize the banded signatures before the self-join: the two join
+    # sides are not canonically equal after their doc_a/doc_b renames, so
+    # without this the md5 + per-doc min aggregation over every shingle —
+    # the dominant compute of corpus-scale MinHash — runs TWICE (two
+    # independent HashAggregate+Exchange chains in the physical plan).
+    # The banded table is n_docs × n_bands skinny rows (id, int, 32-char
+    # hash) — at 100 TB this is exactly the signature table a production
+    # pipeline materializes anyway (the durable band index writes it to
+    # parquet); MEMORY_AND_DISK spills gracefully.
+    bands = lsh_bands(
+        minhash_signatures(sh, n_hashes, doc_col), rows_per_band, doc_col
+    ).persist()
     a = bands.select(
         F.col(doc_col).alias("doc_a"), "band", "band_hash"
     )

@@ -56,8 +56,21 @@ def connected_components(
     back in if they want singleton clusters).
     """
     sym = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("peer"))
-        .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("peer")))
+        # symmetrize in ONE pass over the edge input: a union of two
+        # selects evaluates the upstream twice inside the checkpoint job
+        # (Spark does not common-subexpression-eliminate across union
+        # branches), and the upstream here is typically the expensive part
+        # of the whole query — an LSH verify or an embedding-island pair
+        # join.  explode(array(fwd, rev)) reads each edge row once.
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("node"), F.col(dst).alias("peer")),
+                    F.struct(F.col(dst).alias("node"), F.col(src).alias("peer")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.node", "__e.peer")
         .distinct()
         .localCheckpoint(eager=True)  # eager: the edge list is referenced
         # several times per round — a lazy checkpoint would recompute the

@@ -3499,8 +3499,16 @@ def q_multimodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = spark.range(60).mapInPandas(_gen, schema=MM.ASSETS_DDL)
     # the FUSED decode+embed island (no decoded pixel buffers in the
     # plan — the 100 TB ingest shape); bit-identical to
-    # decode_images -> embed_images, which the pytest suite pins
-    embs = MM.embed_image_assets(assets)
+    # decode_images -> embed_images, which the pytest suite pins.
+    # Materialized ONCE: downstream the embeddings are referenced five
+    # times (centroid derivation, both sides of the within-cluster pair
+    # self-join, the CC edge symmetrization, the final keep join), and a
+    # mapInPandas island is opaque to Spark's subplan reuse — without the
+    # checkpoint the decode+embed pass runs once per reference.  Embed
+    # once, reuse the (corpus × dim) vectors is exactly the production
+    # shape at 100 TB; the checkpoint is the embeddings table, not a
+    # cached query result.
+    embs = MM.embed_image_assets(assets).localCheckpoint(eager=True)
     centroids = embs.filter(
         (F.col("asset_id") % 3 == 0) | (F.col("asset_id") >= 45)
     ).select(F.col("asset_id").alias("centroid_id"), "embedding")
@@ -3703,11 +3711,17 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = toks.groupBy("token").agg(
         F.count("*").cast("long").alias("exact_cnt")
     )
-    w20 = Window.orderBy(F.col("exact_cnt").desc(), "token")
+    # top-20 via sort+limit (TakeOrderedAndProject: per-partition top-k,
+    # merged on the driver) instead of a global row_number window, which
+    # funnels the whole vocabulary through ONE task; the total order
+    # (count desc, token) is identical, so the selected rows are too.
+    # Checkpointed because it is referenced twice (probe set + final
+    # join) — 20 rows, but each reference otherwise re-runs the full
+    # vocabulary aggregation and top-k.
     top = (
-        exact.withColumn("__rn", F.row_number().over(w20))
-        .filter(F.col("__rn") <= 20)
-        .drop("__rn")
+        exact.orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(20)
+        .localCheckpoint(eager=True)
     )
     est = cms_estimate(sk, top.select("token"), "token", d=4, w=1024)
     return (

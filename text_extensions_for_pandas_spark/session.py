@@ -44,6 +44,20 @@ def get_spark(
         # unless read as long (we convert back to timestamp in the loader)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Long-running sessions accumulate persisted/checkpointed blocks from
+        # completed queries (operators persist small internal tables — banded
+        # signatures, candidate pairs); the blocks are freed by the
+        # ContextCleaner only when the JVM garbage-collects the RDD handle,
+        # and the default periodic-GC interval is 30 MINUTES — far longer
+        # than a whole bench run, so storage fills and execution memory
+        # shrinks as a session ages.  One forced GC a minute is noise-level
+        # CPU and keeps block-manager residency proportional to the LIVE
+        # queries; same reasoning applies to a production driver that
+        # plans thousands of queries per hour.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_PERIODIC_GC", "60s"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
