@@ -1298,14 +1298,20 @@ def fingerprint_overlap_pairs(
     shuffle volume is capped at (filtered fp rows) ×
     ``max_docs_per_fp``.
     """
+    from pyspark.sql import Window
+
     from text_extensions_for_pandas_spark.functions.text import (
         fingerprint_rows,
     )
 
     fps = fingerprint_rows(documents, k, window, text_col, doc_col)
-    keep = fps.groupBy("fp").agg(F.count("*").alias("__nd")).filter(
-        F.col("__nd") <= max_docs_per_fp
-    )
+    # stop-key filter via count-over-window on the fp shuffle: the former
+    # groupBy + left-semi-join evaluated ``fps`` — an md5 per character
+    # position, the dominant compute here — TWICE (once to count, once to
+    # probe) and paid two shuffles on the same key.  The window keeps one
+    # evaluation and one exchange; its per-key fan-in equals what the
+    # semi-join's fp-keyed shuffle already had, so the skew exposure is
+    # unchanged (ubiquitous keys are exactly what the filter then drops).
     # persist, not localCheckpoint: the filtered fp rows feed both the
     # per-doc counts and the pair join, and a checkpoint would hide the
     # upstream plan from the repo's plan audits.  Like near_dup_pairs'
@@ -1313,7 +1319,13 @@ def fingerprint_overlap_pairs(
     # handle — MEMORY_AND_DISK blocks are LRU-evictable, and callers
     # running many corpora through one session should spark.catalog
     # .clearCache() between them
-    ff = fps.join(keep.select("fp"), "fp", "left_semi").persist()
+    wfp = Window.partitionBy("fp")
+    ff = (
+        fps.withColumn("__nd", F.count(F.lit(1)).over(wfp))
+        .filter(F.col("__nd") <= max_docs_per_fp)
+        .drop("__nd")
+        .persist()
+    )
     cnt = ff.groupBy(doc_col).agg(F.count("*").alias("__c"))
     a = ff.select(F.col(doc_col).alias("doc_a"), "fp")
     b = ff.select(F.col(doc_col).alias("doc_b"), F.col("fp").alias("__fpb"))
@@ -1394,9 +1406,12 @@ def write_band_index(
             "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(n_hash_buckets))
         )
         part_cols.append("bucket")
-    bands.write.mode("overwrite").partitionBy(*part_cols).parquet(
-        f"{path}/bands"
-    )
+    # cluster the write by the partition columns: one file per partition
+    # directory per holding task, instead of one shard per (shuffle
+    # partition × band) pair — probe scans then open few large files
+    bands.repartition(*part_cols).write.mode("overwrite").partitionBy(
+        *part_cols
+    ).parquet(f"{path}/bands")
     spark = documents.sparkSession
     spark.createDataFrame(
         [(shingle_n, n_hashes, rows_per_band, n_hash_buckets)],
@@ -1506,6 +1521,6 @@ def append_to_band_index(
     incoming dump, drop its near-dups, append only the survivors."""
     params = _band_index_params(spark, path)
     part_cols = ["band", "bucket"] if params[3] else ["band"]
-    _bands_of(new_docs, params, text_col, doc_col).write.mode(
-        "append"
-    ).partitionBy(*part_cols).parquet(f"{path}/bands")
+    _bands_of(new_docs, params, text_col, doc_col).repartition(
+        *part_cols  # one appended file per touched partition directory
+    ).write.mode("append").partitionBy(*part_cols).parquet(f"{path}/bands")

@@ -61,42 +61,67 @@ def connected_components(
         # (Spark does not common-subexpression-eliminate across union
         # branches), and the upstream here is typically the expensive part
         # of the whole query — an LSH verify or an embedding-island pair
-        # join.  explode(array(fwd, rev)) reads each edge row once.
+        # join.  explode(array(fwd, rev, self, self)) reads each edge row
+        # once and plants a MARKED self-loop per endpoint in the same
+        # pass: the self row makes the per-round neighbor-min aggregate
+        # also deliver the node's own current label (min over self∪peers
+        # ≡ least(own, neighbor-min)), which deletes the separate
+        # labels-to-neighbor-min equijoin each round — two joins per
+        # round instead of three.
         edges.select(
             F.explode(
                 F.array(
-                    F.struct(F.col(src).alias("node"), F.col(dst).alias("peer")),
-                    F.struct(F.col(dst).alias("node"), F.col(src).alias("peer")),
+                    F.struct(
+                        F.col(src).alias("node"),
+                        F.col(dst).alias("peer"),
+                        F.lit(False).alias("__self"),
+                    ),
+                    F.struct(
+                        F.col(dst).alias("node"),
+                        F.col(src).alias("peer"),
+                        F.lit(False).alias("__self"),
+                    ),
+                    F.struct(
+                        F.col(src).alias("node"),
+                        F.col(src).alias("peer"),
+                        F.lit(True).alias("__self"),
+                    ),
+                    F.struct(
+                        F.col(dst).alias("node"),
+                        F.col(dst).alias("peer"),
+                        F.lit(True).alias("__self"),
+                    ),
                 )
             ).alias("__e")
         )
-        .select("__e.node", "__e.peer")
+        .select("__e.node", "__e.peer", "__e.__self")
         .distinct()
         .localCheckpoint(eager=True)  # eager: the edge list is referenced
         # several times per round — a lazy checkpoint would recompute the
         # entire upstream near-dup pipeline once per reference in round 0
     )
-    labels = sym.select("node").distinct().withColumn(
-        "component", F.col("node")
+    labels = sym.filter(F.col("__self")).select(
+        "node", F.col("node").alias("component")
     )
 
     retained = []
     for it in range(max_iterations):
-        # neighbor min: one equijoin on peer + map-side-combined aggregate
-        nbr = (
+        # min label over self ∪ neighbors, plus the node's OWN label for
+        # the convergence test, in one equijoin + one map-side-combined
+        # aggregate (the self row carries the own label through the same
+        # join)
+        m = (
             sym.join(
                 labels.select(F.col("node").alias("peer"), "component"),
                 "peer",
             )
             .groupBy("node")
-            .agg(F.min("component").alias("__nbr"))
-        )
-        stepped = labels.join(nbr, "node", "left").select(
-            "node",
-            F.col("component").alias("__old"),
-            F.least(
-                "component", F.coalesce("__nbr", "component")
-            ).alias("__min1"),
+            .agg(
+                F.min("component").alias("__min1"),
+                F.min(
+                    F.when(F.col("__self"), F.col("component"))
+                ).alias("__old"),
+            )
         )
         # pointer doubling: chase the label one hop through the label table
         # (component ← label(component)); labels only ever decrease, so
@@ -106,7 +131,7 @@ def connected_components(
             F.col("node").alias("__min1"), F.col("component").alias("__chased")
         )
         labels = (
-            stepped.join(chased, "__min1", "left")
+            m.join(chased, "__min1", "left")
             .select(
                 "node",
                 F.least("__min1", F.coalesce("__chased", "__min1")).alias(

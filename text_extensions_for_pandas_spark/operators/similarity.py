@@ -875,12 +875,21 @@ def write_ivfpq_index(
     ).select(id_col, "cluster_id")
     (
         codes.join(assigned, id_col)
+        # cluster the write so each cluster_id directory gets ONE file per
+        # holding task instead of (write tasks × clusters) shards: without
+        # this every shuffle partition that holds a few rows of a cluster
+        # opens its own tiny part-file (guide-of-record file sizing: aim
+        # for few, large files — a pruned search then opens nprobe files,
+        # not nprobe × shuffle_partitions)
+        .repartition("cluster_id")
         .write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(f"{path}/codes")
     )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    # model tables are centroid/codebook-sized — one file each, not one
+    # shard per shuffle partition
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
 def append_to_ivfpq_index(
@@ -914,6 +923,8 @@ def append_to_ivfpq_index(
     ).select(id_col, "cluster_id")
     (
         codes.join(assigned, id_col)
+        .repartition("cluster_id")  # one appended file per touched
+        # cluster directory, not one per (task, cluster) pair
         .write.mode("append")
         .partitionBy("cluster_id")
         .parquet(f"{path}/codes")

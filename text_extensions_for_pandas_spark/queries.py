@@ -1358,7 +1358,17 @@ def q_band_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path_b = os.path.join(base, "b")
     write_band_index(existing, path_a)
     c1 = probe_band_index(spark, batch, path_a)
-    write_band_index(existing, path_b)
+    # the b2 index starts from the IDENTICAL built state — snapshot-copy
+    # the artifact instead of re-shingling and re-hashing the whole
+    # existing corpus a second time (what a production pipeline does with
+    # an index too: copy/distcp the files, never rebuild).  Parquet files
+    # are byte-identical, so the copied state is exactly write_band_index
+    # (existing, path_b)'s output.
+    import shutil
+
+    shutil.rmtree(path_b, ignore_errors=True)  # overwrite semantics: a
+    # previous run's appended files must not survive into this copy
+    shutil.copytree(path_a, path_b)
     append_to_band_index(spark, batch, path_b)
     c2 = probe_band_index(spark, docs.filter(F.col("doc_id") % 5 == 0), path_b)
     out = c1.select(
