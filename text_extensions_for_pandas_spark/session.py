@@ -44,19 +44,20 @@ def get_spark(
         # unless read as long (we convert back to timestamp in the loader)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # Long-running sessions accumulate persisted/checkpointed blocks from
-        # completed queries (operators persist small internal tables — banded
-        # signatures, candidate pairs); the blocks are freed by the
-        # ContextCleaner only when the JVM garbage-collects the RDD handle,
-        # and the default periodic-GC interval is 30 MINUTES — far longer
-        # than a whole bench run, so storage fills and execution memory
-        # shrinks as a session ages.  One forced GC a minute is noise-level
-        # CPU and keeps block-manager residency proportional to the LIVE
-        # queries; same reasoning applies to a production driver that
-        # plans thousands of queries per hour.
+        # ContextCleaner periodic GC: Spark's default (30min).  A previous
+        # round set this to 60s to free finished queries' persisted blocks
+        # faster, but spark.cleaner.periodicGC.interval fires System.gc() —
+        # a stop-the-world FULL GC of the whole local-mode JVM — and
+        # measured per-query cost was severe (ann_recall warm median 23.7s
+        # with 60s vs 2.9s with 30min on the sf0.1 bench box: every query
+        # long enough to straddle a tick ate a multi-second pause).  The
+        # persisted internals the 60s setting was cleaning are skinny
+        # id+hash tables with MEMORY_AND_DISK/LRU semantics, so letting
+        # them age out is the cheaper failure mode.  Env knob kept for
+        # genuinely week-long driver sessions.
         .config(
             "spark.cleaner.periodicGC.interval",
-            os.environ.get("SPARK_PERIODIC_GC", "60s"),
+            os.environ.get("SPARK_PERIODIC_GC", "30min"),
         )
         .config("spark.ui.enabled", "false")
     )
