@@ -27,12 +27,15 @@ from text_extensions_for_pandas_spark.functions.text import (
 from text_extensions_for_pandas_spark.operators import dedup as D
 
 
-# NB: both pipeline entry points evaluate the lang/quality flag expressions
-# in more than one branch of their DAG.  That recomputation is deliberate:
-# the flags are cheap per-row scan-local expressions, so re-deriving them in
-# each scan branch keeps the plan shuffle-free, whereas factoring them into a
-# shared (doc_id, flags) table would force a corpus-sized join/shuffle to get
-# them back next to the text — the wrong trade at 100 TB.
+# NB: when a pipeline references the lang/quality flag expressions from more
+# than one DAG branch, the flags are cut to a narrow (doc_id, flags) table
+# whose lineage is truncated (localCheckpoint), and each branch re-attaches
+# via a semi-join on the id.  The earlier design recomputed the flags per
+# branch to stay shuffle-free, but the flag chain (lang-ID dispatch + quality
+# metrics over full text) is the single most expensive scan of the funnel —
+# measured at sf0.1 it ran three times (~3s each of a 14s query).  The
+# semi-join only moves ids, never text, so the shuffle it adds is negligible
+# at any scale next to re-scanning the corpus text per branch.
 
 
 def prepare_training_corpus(
@@ -151,13 +154,27 @@ def corpus_funnel(
         )
         .drop("__m", "__toks")
     )
-    quality_ok = flagged.filter(F.col("__quality_ok"))
+    # The per-doc FLAGS are referenced from three independent jobs (the
+    # exact-dedup keep list, the near-dup drop list, and the final count
+    # aggregate), and computing them is the single most expensive scan of
+    # the funnel — the full lang-ID dispatch plus quality metrics over
+    # every document.  Cut lineage on the narrow (id, flag, flag) table so
+    # that scan runs ONCE; each downstream branch then re-reads only the
+    # columns it actually needs (md5 wants text, the near-dup stage wants
+    # the shared shingle table) via a cheap semi-join on the flagged ids.
+    # Measured at sf0.1: the funnel previously evaluated the lang chain in
+    # all three jobs (~3s each of a 14s query).
+    flags = flagged.select(
+        doc_col, "__lang_ok", "__quality_ok"
+    ).localCheckpoint(eager=False)
+    quality_ok = documents.join(
+        flags.filter(F.col("__quality_ok")).select(doc_col), doc_col, "left_semi"
+    )
     # The keep/drop ID LISTS are referenced from several DAG branches below
-    # (the near-dup stage and the final count aggregate).  Unlike the
-    # corpus-row flags — which stay recomputed per branch, see module note —
-    # these are one id per document, so cutting lineage here materializes
-    # the expensive corpus passes (md5 dedup groupBy, LSH+Jaccard verify)
-    # exactly once at a storage cost that is negligible at any scale.
+    # (the near-dup stage and the final count aggregate); they are one id
+    # per document, so cutting lineage here materializes the expensive
+    # corpus passes (md5 dedup groupBy, LSH+Jaccard verify) exactly once
+    # at a storage cost that is negligible at any scale.
     exact_keep = (
         D.exact_dedup(quality_ok, text_col, doc_col)
         .select(F.col("keep_doc_id").alias(doc_col), F.lit(True).alias("__uniq"))
@@ -177,7 +194,7 @@ def corpus_funnel(
         .localCheckpoint(eager=False)
     )
     annotated = (
-        flagged.join(exact_keep, doc_col, "left")
+        flags.join(exact_keep, doc_col, "left")
         .join(drop, doc_col, "left")
         .select(
             F.col("__lang_ok"),
