@@ -7763,34 +7763,50 @@ def q_near_dup_char_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = F.col("doc_id")
     pair = (i / 2).cast("bigint")
 
-    def han(offset_expr):
-        return F.decode(
-            F.unhex(F.lpad(F.hex(offset_expr), 8, "0")), "UTF-32"
+    # Semantically the text is char_at(t) for t in 0..207 where
+    #   m = t % 8, blk = t // 8
+    #   m < 4        -> id char   0x4E00 + m*32 + (pair // 20^m) % 20
+    #   m >= 4, blk<25 -> body    0x5E00 + blk*4 + (m-4)   (constant per t)
+    #   m >= 4, blk=25 -> parity  0x7000 + (doc_id%2)*0x100 + (m-4)
+    # A first formulation evaluated that as a 208-element transform() with a
+    # decode(unhex(...), 'UTF-32') per element — 208 interpreted decode
+    # calls per row, measured 1.2–2.3s of the query at sf0.1.  Only the
+    # 4-char id quad varies per document (repeated in all 26 blocks) and
+    # the parity tail has two variants; every other char is a compile-time
+    # constant.  So build the UTF-32 HEX of the whole 208-char text —
+    # per-row work is 4 hex/lpad calls plus string concat — and decode
+    # ONCE per row.  Byte-identical output (asserted against the
+    # transform() form over the full corpus before the swap).
+    quad_hex = F.concat(
+        *[
+            F.lpad(
+                F.hex(
+                    F.lit(0x4E00)
+                    + m * 32
+                    + F.floor(pair / F.lit(20.0 ** m)).cast("bigint") % 20
+                ),
+                8,
+                "0",
+            )
+            for m in range(4)
+        ]
+    )
+    body_tail_hex = [
+        "".join(f"{0x5E00 + blk * 4 + k:08X}" for k in range(4))
+        for blk in range(25)
+    ]
+    parity_tail_hex = F.when(
+        i % 2 == 0, F.lit("".join(f"{0x7000 + k:08X}" for k in range(4)))
+    ).otherwise(F.lit("".join(f"{0x7100 + k:08X}" for k in range(4))))
+    parts: list = []
+    for blk in range(26):
+        parts.append(F.col("__quad_hex"))
+        parts.append(
+            F.lit(body_tail_hex[blk]) if blk < 25 else parity_tail_hex
         )
-
-    def char_at(t):
-        m = t % 8
-        blk = (t / 8).cast("int")
-        digit = F.floor(
-            pair / F.pow(F.lit(20.0), m.cast("double"))
-        ).cast("bigint") % 20
-        id_char = F.lit(0x4E00) + m.cast("bigint") * 32 + digit
-        body_char = F.lit(0x5E00) + blk.cast("bigint") * 4 + (m - 4)
-        parity_char = (
-            F.lit(0x7000) + (i % 2) * 0x100 + (m - 4)
-        )
-        code = (
-            F.when(m < 4, id_char)
-            .when(blk < 25, body_char)
-            .otherwise(parity_char)
-        )
-        return han(code)
-
-    texts = docs.select(
+    texts = docs.withColumn("__quad_hex", quad_hex).select(
         "doc_id",
-        F.array_join(
-            F.transform(F.sequence(F.lit(0), F.lit(207)), char_at), ""
-        ).alias("text"),
+        F.decode(F.unhex(F.concat(*parts)), "UTF-32").alias("text"),
     )
     pairs = near_dup_pairs(
         texts,
