@@ -1056,12 +1056,33 @@ def _dict_spans(spark: SparkSession, sf_dir: str, entries: list[str]) -> DataFra
     return extract_dict(toks, d).select("doc_id", "span", "entry_id")
 
 
+def _entry_block_size(*entry_lists: list[str]) -> int:
+    """Mean character length of the dict entries, driver-side — a dict
+    span's length IS its matched entry's length, so this is the same
+    mean-span-length heuristic ``_blocked_pairs`` would estimate with a
+    cluster round-trip, computed for free.  Block size is performance-only
+    (identical join results for any value), so the queries pass it
+    explicitly and skip the estimate job: measured at sf0.1 the estimate
+    action cost ~1.5s warm because limit() cannot short-circuit the dict
+    extraction feeding it."""
+    entries = [e for lst in entry_lists for e in lst]
+    return max(1, round(sum(len(e) for e in entries) / len(entries)))
+
+
 def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_extensions_for_pandas_spark.operators.join import overlap_join
 
     bigrams = _dict_spans(spark, sf_dir, ["hash join", "sort merge"])
     unigrams = _dict_spans(spark, sf_dir, ["join", "sort"])
-    out = overlap_join(bigrams, unigrams, first_name="big", second_name="small")
+    out = overlap_join(
+        bigrams,
+        unigrams,
+        first_name="big",
+        second_name="small",
+        block_size=_entry_block_size(
+            ["hash join", "sort merge"], ["join", "sort"]
+        ),
+    )
     return out.select(
         "doc_id",
         F.col("big")["begin"].alias("big_begin"),
@@ -1092,7 +1113,15 @@ def q_contain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bigrams = _dict_spans(spark, sf_dir, ["hash join", "sort merge"])
     unigrams = _dict_spans(spark, sf_dir, ["join", "sort"])
-    out = contain_join(bigrams, unigrams, first_name="big", second_name="small")
+    out = contain_join(
+        bigrams,
+        unigrams,
+        first_name="big",
+        second_name="small",
+        block_size=_entry_block_size(
+            ["hash join", "sort merge"], ["join", "sort"]
+        ),
+    )
     return out.select(
         "doc_id",
         F.col("big")["begin"].alias("big_begin"),
