@@ -828,6 +828,64 @@ def test_durable_band_index_probe_append_cycle(spark, tmp_path):
     assert sorted(bands_dirs) == ["band=0", "band=1"]
 
 
+def test_band_index_precomputed_bands_parity(spark, tmp_path):
+    """The probe-then-append composition's shared hash pass: a persisted
+    compute_band_signatures frame handed to BOTH probe and append must
+    reproduce the compute-internally results exactly, and a frame built
+    under different parameters must be rejected (silent parameter drift
+    would join as noise)."""
+    import pytest
+
+    from text_extensions_for_pandas_spark.operators.dedup import (
+        append_to_band_index,
+        compute_band_signatures,
+        probe_band_index,
+        write_band_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    existing = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "bidx_pre")
+    path_ref = str(tmp_path / "bidx_ref")
+    write_band_index(existing, path)
+    write_band_index(existing, path_ref)
+
+    bands = compute_band_signatures(spark, batch, path).localCheckpoint()
+    got = {
+        (r.new_doc, r.existing_doc)
+        for r in probe_band_index(spark, batch, path, bands=bands).collect()
+    }
+    want = {
+        (r.new_doc, r.existing_doc)
+        for r in probe_band_index(spark, batch, path_ref).collect()
+    }
+    assert got == want and len(got) > 0
+
+    append_to_band_index(spark, batch, path, bands=bands)
+    append_to_band_index(spark, batch, path_ref)
+    a = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/bands")
+        .select("doc_id", "band", "band_hash")
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path_ref}/bands")
+        .select("doc_id", "band", "band_hash")
+        .collect()
+    )
+    assert a == b
+
+    # parameter drift must be rejected, not silently joined as noise
+    path_other = str(tmp_path / "bidx_other_params")
+    write_band_index(existing, path_other, shingle_n=4)
+    wrong = compute_band_signatures(spark, batch, path_other)
+    with pytest.raises(ValueError, match="precomputed bands"):
+        probe_band_index(spark, batch, path, bands=wrong)
+
+
 def test_dedup_keep_best_picks_highest_score(spark):
     from text_extensions_for_pandas_spark.operators.graph import (
         dedup_keep_best,

@@ -1451,7 +1451,61 @@ def _bands_of(documents, path_params, text_col, doc_col):
         bands = bands.withColumn(
             "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(n_buckets))
         )
+    # stamp the parameters so a precomputed frame handed back to
+    # probe/append can be validated against the index meta (same contract
+    # as doc_shingles' shingle_n/mode metadata)
+    return bands.withMetadata(
+        "band_hash",
+        {
+            "shingle_n": shingle_n,
+            "n_hashes": n_hashes,
+            "rows_per_band": rows_per_band,
+            "n_hash_buckets": n_buckets,
+        },
+    )
+
+
+def _validated_bands(bands: DataFrame, params, doc_col: str) -> DataFrame:
+    """Check a caller-supplied precomputed bands frame against the
+    index's pinned parameters.  Only frames produced by :func:`_bands_of`
+    carry the metadata; anything else (or a parameter mismatch — which
+    would silently join as noise) is rejected."""
+    meta = bands.schema["band_hash"].metadata or {}
+    expect = dict(
+        zip(("shingle_n", "n_hashes", "rows_per_band", "n_hash_buckets"), params)
+    )
+    got = {k: meta.get(k) for k in expect}
+    if got != expect:
+        raise ValueError(
+            f"precomputed bands were built with {got}, but the index at "
+            f"this path pins {expect}; recompute them via compute_band_signatures"
+        )
+    need = {doc_col, "band", "band_hash"} | (
+        {"bucket"} if params[3] else set()
+    )
+    missing = need - set(bands.columns)
+    if missing:
+        raise ValueError(f"precomputed bands missing columns {sorted(missing)}")
     return bands
+
+
+def compute_band_signatures(
+    spark,
+    documents: DataFrame,
+    path: str,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """The batch's band signatures under the index's pinned parameters —
+    the shared input of the probe-then-append composition.  Computing
+    them here once (and persisting) instead of letting probe and append
+    each re-shingle the batch halves the signature passes of
+    dedup-on-arrival: probe the dump, drop its near-dups, append the
+    survivors — one hash pass over the incoming bytes, which at 100 TB
+    is the difference that matters."""
+    return _bands_of(
+        documents, _band_index_params(spark, path), text_col, doc_col
+    )
 
 
 def probe_band_index(
@@ -1460,6 +1514,7 @@ def probe_band_index(
     path: str,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates of ``new_docs`` against everything the index
     at ``path`` has seen — one signature pass over the NEW batch only,
@@ -1468,7 +1523,11 @@ def probe_band_index(
     matches itself trivially).  Returns distinct ``(new_doc,
     existing_doc)``; verify exact Jaccard with
     :func:`jaccard_for_pairs` where the decision matters.  Parameters
-    come from the index's meta — callers cannot drift them.
+    come from the index's meta — callers cannot drift them.  Pass a
+    persisted :func:`compute_band_signatures` frame as ``bands`` when
+    the same batch is also being appended, so its signatures are
+    computed once (validated against the index meta, never trusted
+    blindly).
 
     On a bucket-partitioned index the stored ``bucket`` partition
     column joins against the batch's recomputed bucket, handing Spark a
@@ -1478,7 +1537,11 @@ def probe_band_index(
     full scan it needs anyway."""
     params = _band_index_params(spark, path)
     n_buckets = params[3]
-    new_bands = _bands_of(new_docs, params, text_col, doc_col)
+    new_bands = (
+        _validated_bands(bands, params, doc_col)
+        if bands is not None
+        else _bands_of(new_docs, params, text_col, doc_col)
+    )
     sel = [
         F.col(doc_col).alias("new_doc"),
         F.col("band").alias("__band_n"),
@@ -1509,6 +1572,7 @@ def append_to_band_index(
     path: str,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    bands: DataFrame | None = None,
 ) -> None:
     """Append a new dump's band signatures into the index — one pass
     over the new batch with the index's pinned parameters, existing
@@ -1518,9 +1582,17 @@ def append_to_band_index(
     same id — detectable, not silently wrong), and a blindly retried
     append duplicates rows (plain batch append, not exactly-once).
     The probe-then-append composition IS dedup-on-arrival: probe the
-    incoming dump, drop its near-dups, append only the survivors."""
+    incoming dump, drop its near-dups, append only the survivors —
+    and pass the same :func:`compute_band_signatures` frame (persisted)
+    as ``bands`` to both calls so the batch is shingled/hashed ONCE,
+    not once per call."""
     params = _band_index_params(spark, path)
     part_cols = ["band", "bucket"] if params[3] else ["band"]
-    _bands_of(new_docs, params, text_col, doc_col).repartition(
+    new_bands = (
+        _validated_bands(bands, params, doc_col)
+        if bands is not None
+        else _bands_of(new_docs, params, text_col, doc_col)
+    )
+    new_bands.select(doc_col, "band", "band_hash", *part_cols[1:]).repartition(
         *part_cols  # one appended file per touched partition directory
     ).write.mode("append").partitionBy(*part_cols).parquet(f"{path}/bands")

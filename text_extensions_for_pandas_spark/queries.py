@@ -1375,6 +1375,7 @@ def q_band_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from text_extensions_for_pandas_spark.operators.dedup import (
         append_to_band_index,
+        compute_band_signatures,
         probe_band_index,
         write_band_index,
     )
@@ -1386,7 +1387,14 @@ def q_band_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path_a = os.path.join(base, "a")
     path_b = os.path.join(base, "b")
     write_band_index(existing, path_a)
-    c1 = probe_band_index(spark, batch, path_a)
+    # the batch is both probed (b1) and appended (b2): compute its band
+    # signatures ONCE under the index's pinned params — the probe-then-
+    # append composition's shared hash pass (lazy checkpoint: the append
+    # job below materializes it, the b1 probe then reads the checkpoint)
+    batch_bands = compute_band_signatures(spark, batch, path_a).localCheckpoint(
+        eager=False
+    )
+    c1 = probe_band_index(spark, batch, path_a, bands=batch_bands)
     # the b2 index starts from the IDENTICAL built state — snapshot-copy
     # the artifact instead of re-shingling and re-hashing the whole
     # existing corpus a second time (what a production pipeline does with
@@ -1398,7 +1406,9 @@ def q_band_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path_b, ignore_errors=True)  # overwrite semantics: a
     # previous run's appended files must not survive into this copy
     shutil.copytree(path_a, path_b)
-    append_to_band_index(spark, batch, path_b)
+    # the copy pins identical meta, so the precomputed signatures are
+    # valid for the b2 index too — no second shingle/hash pass
+    append_to_band_index(spark, batch, path_b, bands=batch_bands)
     c2 = probe_band_index(spark, docs.filter(F.col("doc_id") % 5 == 0), path_b)
     out = c1.select(
         F.lit("b1").alias("phase"), "new_doc", "existing_doc"
