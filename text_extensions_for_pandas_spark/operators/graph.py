@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from text_extensions_for_pandas_spark.operators.lineage import cut_lineage
 
 __all__ = ["connected_components", "pagerank", "soft_dedup_weights"]
 
@@ -96,7 +97,7 @@ def connected_components(
         )
         .select("__e.node", "__e.peer", "__e.__self")
         .distinct()
-        .localCheckpoint(eager=True)  # eager: the edge list is referenced
+        .transform(cut_lineage, eager=True)  # eager: the edge list is referenced
         # several times per round — a lazy checkpoint would recompute the
         # entire upstream near-dup pipeline once per reference in round 0
     )
@@ -157,7 +158,7 @@ def connected_components(
             # checkpoints (medians of interleaved A/B).  The round tables
             # are one skinny row per node; the blocks age out via the
             # ContextCleaner.
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage, eager=False)
         )
         # ONE action: materializes the checkpoint AND returns the scalar
         n_changed = labels.agg(F.sum("__changed")).collect()[0][0]
@@ -228,13 +229,13 @@ def pagerank(
         # every later join/aggregate minimal
         .groupBy("__src", "__dst")
         .agg(F.sum("__w").alias("__w"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     nodes = (
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     n = nodes.count()  # one bounded action: the scalar N is in every term
     if n == 0:
@@ -245,11 +246,11 @@ def pagerank(
         .select(
             "__src", "__dst", (F.col("__w") / F.col("__out")).alias("__frac")
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     dangling = nodes.join(
         e.select(F.col("__src").alias("node")).distinct(), "node", "left_anti"
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage, eager=True)
 
     ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
@@ -285,8 +286,8 @@ def pagerank(
         )
         retained.append(ranks)
         if (it + 1) % 4 == 0:  # bound lineage growth across long chains
-            ranks = ranks.localCheckpoint(eager=True)
-    result = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(cut_lineage, eager=True)
+    result = ranks.transform(cut_lineage, eager=True)
     for df in retained:
         df.unpersist()
     return result

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from text_extensions_for_pandas_spark.operators.lineage import cut_lineage
 
 from text_extensions_for_pandas_spark.functions.text import (
     lang_id,
@@ -166,7 +167,7 @@ def corpus_funnel(
     # all three jobs (~3s each of a 14s query).
     flags = flagged.select(
         doc_col, "__lang_ok", "__quality_ok"
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     quality_ok = documents.join(
         flags.filter(F.col("__quality_ok")).select(doc_col), doc_col, "left_semi"
     )
@@ -178,7 +179,7 @@ def corpus_funnel(
     exact_keep = (
         D.exact_dedup(quality_ok, text_col, doc_col)
         .select(F.col("keep_doc_id").alias(doc_col), F.lit(True).alias("__uniq"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     uniq = quality_ok.join(exact_keep, doc_col, "left_semi")
     drop = (
@@ -191,7 +192,7 @@ def corpus_funnel(
         )
         .select(F.col("doc_b").alias(doc_col), F.lit(True).alias("__dropped"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     annotated = (
         flags.join(exact_keep, doc_col, "left")

@@ -258,6 +258,8 @@ def dsir_llr_table(
         toks = _dsir_buckets(docs, n_buckets, text_col)
         # one corpus scan: persist the (≤ n_buckets)-row count table and
         # derive the total from it rather than a separate count() pass
+        # persist-lifetime: ≤ n_buckets skinny rows; the returned llr
+        # table references it lazily — handle must outlive the call.
         counts = toks.groupBy("bucket").agg(F.count("*").alias("__c")).persist()
         total = counts.agg(F.sum("__c")).collect()[0][0] or 0
         spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))

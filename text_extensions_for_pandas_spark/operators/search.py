@@ -82,6 +82,9 @@ def bm25_search(
     stats = (
         term_freqs
         if term_freqs is not None
+        # persist-lifetime: the returned top-k frame references this
+        # cache lazily (fallback path only; queries pass the session
+        # matview) — handle must outlive the call; LRU-evictable.
         else term_frequencies(documents, text_col, doc_col).persist()
     )
     tf = stats.filter(F.col("term").isin(terms))
@@ -328,7 +331,9 @@ def doc_perplexity(
         # referenced five times below (three model tables, the normalizer,
         # and the scoring join): persist so the per-doc lead window runs
         # once, not per branch (persist, not localCheckpoint — a
-        # checkpoint would hide the upstream plan from the plan audits)
+        # checkpoint would hide the upstream plan from the plan audits).
+        # persist-lifetime: the returned per-doc scores reference this
+        # cache lazily — handle must outlive the call; LRU-evictable.
         .persist()
     )
     bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))

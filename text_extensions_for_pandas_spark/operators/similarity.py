@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from text_extensions_for_pandas_spark.operators.lineage import cut_lineage
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -427,7 +428,7 @@ def kmeans_fit(
                 "embedding"
             ),
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     for _ in range(iterations):
         assigned = ivf_assign(
@@ -474,7 +475,7 @@ def kmeans_fit(
                 "centroid_id",
                 F.coalesce("__emb", "embedding").alias("embedding"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage, eager=True)
         )
     return centroids
 

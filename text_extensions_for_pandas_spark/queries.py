@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from text_extensions_for_pandas_spark.operators.lineage import cut_lineage
 
 from text_extensions_for_pandas_spark.functions import spans as S
 from text_extensions_for_pandas_spark.functions import text as T
@@ -1391,7 +1392,7 @@ def q_band_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures ONCE under the index's pinned params — the probe-then-
     # append composition's shared hash pass (lazy checkpoint: the append
     # job below materializes it, the b1 probe then reads the checkpoint)
-    batch_bands = compute_band_signatures(spark, batch, path_a).localCheckpoint(
+    batch_bands = compute_band_signatures(spark, batch, path_a).transform(cut_lineage,
         eager=False
     )
     c1 = probe_band_index(spark, batch, path_a, bands=batch_bands)
@@ -1400,7 +1401,10 @@ def q_band_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # existing corpus a second time (what a production pipeline does with
     # an index too: copy/distcp the files, never rebuild).  Parquet files
     # are byte-identical, so the copied state is exactly write_band_index
-    # (existing, path_b)'s output.
+    # (existing, path_b)'s output.  LOCAL-FS ASSUMPTION (deliberate):
+    # shutil only walks a local directory tree, which both paths are —
+    # they derive from the local scratch root below; an index on HDFS/S3
+    # would use distcp/object copy instead, same never-rebuild shape.
     import shutil
 
     shutil.rmtree(path_b, ignore_errors=True)  # overwrite semantics: a
@@ -3557,7 +3561,7 @@ def q_multimodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once, reuse the (corpus × dim) vectors is exactly the production
     # shape at 100 TB; the checkpoint is the embeddings table, not a
     # cached query result.
-    embs = MM.embed_image_assets(assets).localCheckpoint(eager=True)
+    embs = MM.embed_image_assets(assets).transform(cut_lineage, eager=True)
     centroids = embs.filter(
         (F.col("asset_id") % 3 == 0) | (F.col("asset_id") >= 45)
     ).select(F.col("asset_id").alias("centroid_id"), "embedding")
@@ -3770,7 +3774,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         exact.orderBy(F.col("exact_cnt").desc(), "token")
         .limit(20)
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     est = cms_estimate(sk, top.select("token"), "token", d=4, w=1024)
     return (
