@@ -88,18 +88,29 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "sf": float(sf) if sf else None,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "errors": errors,
+            "sf": float(sf) if sf else None,
+        }
     )
+    print(line)
+    # Stall-proof record (r10 VERDICT #7): round 9's bench was lost to a
+    # truncated tty capture, so ALSO persist the identical JSON line to a
+    # file.  The printed contract above is unchanged.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_last.json"),
+    )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as e:
+        print(f"# bench record write failed: {e}", file=sys.stderr)
     spark.stop()
 
 

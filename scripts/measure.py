@@ -3,7 +3,8 @@
 
 Times selected queries (default: all) with the bench's exact timed action,
 optionally repeated (median + all runs reported), and optionally dumps
-``explain("formatted")`` to ``plans/r10/<name>_<tag>.txt``.
+``explain("formatted")`` to ``plans/$SPARK_GRAFT_PLAN_DIR/<name>_<tag>.txt``
+(default ``plans/r11``).
 
 Usage:
     python scripts/measure.py [--repeats N] [--plans TAG] [--sf DIR] [query ...]
@@ -54,9 +55,10 @@ def main() -> None:
     for name in names:
         fn = reg[name]
         if args.plans:
-            os.makedirs("plans/r10", exist_ok=True)
+            plandir = os.environ.get("SPARK_GRAFT_PLAN_DIR", "plans/r11")
+            os.makedirs(plandir, exist_ok=True)
             df = fn(spark, args.sf)
-            with open(f"plans/r10/{name}_{args.plans}.txt", "w") as fh:
+            with open(f"{plandir}/{name}_{args.plans}.txt", "w") as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
         runs = []
