@@ -539,6 +539,8 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    m: int | None = None,
+    sub: int | None = None,
 ) -> DataFrame:
     """Compress each vector to its PQ codes: per subspace, the id of the
     L2-nearest codebook centroid.  Returns ``(id_col, codes ARRAY<INT>)``
@@ -550,12 +552,18 @@ def pq_encode(
     ``min_by`` aggregate with map-side partials — two shuffles of
     ``m`` rows per vector, no all-pairs, no Python.
     """
-    sub_rows = codebooks.select(
-        F.max(F.col("sub_id")).alias("m"), F.min(F.size("embedding")).alias("s")
-    ).first()
-    if sub_rows is None or sub_rows["m"] is None:
-        raise ValueError("pq_encode: codebooks frame is empty")
-    m, sub = int(sub_rows["m"]) + 1, int(sub_rows["s"])
+    # the two model hyperparameters are a one-row scalar probe of the
+    # codebooks when unknown — but that probe is a full (small) Spark job,
+    # and callers that BUILT the codebooks know (m, sub) statically, so
+    # accepting them skips one sequential driver-blocking job per call
+    # (guide §1.2: don't compute what you already know)
+    if m is None or sub is None:
+        sub_rows = codebooks.select(
+            F.max(F.col("sub_id")).alias("m"), F.min(F.size("embedding")).alias("s")
+        ).first()
+        if sub_rows is None or sub_rows["m"] is None:
+            raise ValueError("pq_encode: codebooks frame is empty")
+        m, sub = int(sub_rows["m"]) + 1, int(sub_rows["s"])
     subs = embeddings.select(
         F.col(id_col),
         F.posexplode(
@@ -595,6 +603,7 @@ def pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sub: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k inner-product search over a
     PQ-compressed corpus: queries stay exact, corpus vectors are their
@@ -613,12 +622,13 @@ def pq_topk(
     multiplications, over an index 32-64x smaller; bucket with
     :func:`ivf_assign` for sublinear candidate sets (IVF-PQ).
     """
-    sub_rows = codebooks.select(
-        F.min(F.size("embedding")).alias("s")
-    ).first()
-    if sub_rows is None or sub_rows["s"] is None:
-        raise ValueError("pq_topk: codebooks frame is empty")
-    sub = int(sub_rows["s"])
+    if sub is None:
+        sub_rows = codebooks.select(
+            F.min(F.size("embedding")).alias("s")
+        ).first()
+        if sub_rows is None or sub_rows["s"] is None:
+            raise ValueError("pq_topk: codebooks frame is empty")
+        sub = int(sub_rows["s"])
     lut = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -679,6 +689,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     metric: str = "cosine",
+    sub: int | None = None,
 ) -> DataFrame:
     """IVF-PQ (the faiss ``IndexIVFPQ`` composition, re-expressed as
     joins): coarse-quantize with IVF so each query touches only its
@@ -700,10 +711,13 @@ def ivfpq_topk(
     ``(query_id, sub_id, code)`` with a map-side-combinable sum.  No
     stage ever materializes query × corpus.
     """
-    sub_first = codebooks.select(F.min(F.size("embedding")).alias("s")).first()
-    if sub_first is None or sub_first["s"] is None:
-        raise ValueError("ivfpq_topk: codebooks frame is empty")
-    sub = int(sub_first["s"])
+    if sub is None:
+        sub_first = codebooks.select(
+            F.min(F.size("embedding")).alias("s")
+        ).first()
+        if sub_first is None or sub_first["s"] is None:
+            raise ValueError("ivfpq_topk: codebooks frame is empty")
+        sub = int(sub_first["s"])
     c = centroids.select(
         F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
     )
@@ -856,6 +870,8 @@ def write_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "cosine",
+    m: int | None = None,
+    sub: int | None = None,
 ) -> None:
     """Materialize the IVF-PQ index as an on-disk artifact:
 
@@ -870,27 +886,64 @@ def write_ivfpq_index(
     ``nprobe/k_clusters`` of a 32-64x compressed code table and never the
     raw vectors.
     """
-    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col, m=m, sub=sub)
     assigned = ivf_assign(
         embeddings, centroids, id_col, vec_col, metric=metric
     ).select(id_col, "cluster_id")
-    (
+    joined = (
         codes.join(assigned, id_col)
-        # cluster the write so each cluster_id directory gets ONE file per
-        # holding task instead of (write tasks × clusters) shards: without
-        # this every shuffle partition that holds a few rows of a cluster
-        # opens its own tiny part-file (guide-of-record file sizing: aim
-        # for few, large files — a pruned search then opens nprobe files,
-        # not nprobe × shuffle_partitions)
-        .repartition("cluster_id")
-        .write.mode("overwrite")
-        .partitionBy("cluster_id")
-        .parquet(f"{path}/codes")
+        # cluster the write so each cluster_id directory gets few files
+        # instead of (write tasks × clusters) shards (guide-of-record file
+        # sizing: a pruned search then opens ~nprobe files, not nprobe ×
+        # shuffle_partitions).  The deterministic doc-hash SALT keeps the
+        # write parallel: bare repartition(cluster_id) funnels the whole
+        # corpus-scale code table into k_clusters tasks and a hot cluster
+        # into ONE (straggler/OOM risk at scale — same fix as the band
+        # index writes); AQE coalesces the mostly-empty (cluster, salt)
+        # groups away at small scale so file counts stay small.
+        .repartition(
+            F.col("cluster_id"),
+            F.pmod(
+                F.xxhash64(F.col(id_col)),
+                F.lit(
+                    int(
+                        embeddings.sparkSession.conf.get(
+                            "spark.sql.shuffle.partitions", "200"
+                        )
+                    )
+                ),
+            ),
+        )
     )
-    # model tables are centroid/codebook-sized — one file each, not one
-    # shard per shuffle partition
-    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    codebooks.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    # the three artifact tables are independent writes to disjoint
+    # directories; submitting them from a small thread pool lets the
+    # scheduler overlap their (small, driver-latency-bound) jobs instead
+    # of paying three sequential commits (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_codes() -> None:
+        joined.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            f"{path}/codes"
+        )
+
+    def _w_centroids() -> None:
+        # model tables are centroid/codebook-sized — one file each, not
+        # one shard per shuffle partition
+        centroids.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        )
+
+    def _w_codebooks() -> None:
+        codebooks.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/codebooks"
+        )
+
+    with ThreadPoolExecutor(3) as pool:
+        for fut in [
+            pool.submit(fn) for fn in (_w_codes, _w_centroids, _w_codebooks)
+        ]:
+            fut.result()
 
 
 def append_to_ivfpq_index(
@@ -924,8 +977,22 @@ def append_to_ivfpq_index(
     ).select(id_col, "cluster_id")
     (
         codes.join(assigned, id_col)
-        .repartition("cluster_id")  # one appended file per touched
-        # cluster directory, not one per (task, cluster) pair
+        # few appended files per touched cluster directory, not one per
+        # (task, cluster) pair — salted like write_ivfpq_index so a hot
+        # cluster's append stays parallel (AQE coalesces the empties)
+        .repartition(
+            F.col("cluster_id"),
+            F.pmod(
+                F.xxhash64(F.col(id_col)),
+                F.lit(
+                    int(
+                        embeddings.sparkSession.conf.get(
+                            "spark.sql.shuffle.partitions", "200"
+                        )
+                    )
+                ),
+            ),
+        )
         .write.mode("append")
         .partitionBy("cluster_id")
         .parquet(f"{path}/codes")
@@ -941,6 +1008,7 @@ def ivfpq_search_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "cosine",
+    sub: int | None = None,
 ) -> DataFrame:
     """Search a :func:`write_ivfpq_index` artifact: select each query's
     ``nprobe`` closest centroids, PRUNE the code table's partitions to the
@@ -999,4 +1067,5 @@ def ivfpq_search_index(
         id_col=id_col,
         vec_col=vec_col,
         metric=metric,
+        sub=sub,
     )

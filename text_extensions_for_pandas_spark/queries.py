@@ -3304,9 +3304,9 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end against DuckDB's closed-form recompute."""
     emb_d = _emb_double(spark, sf_dir)
     cb = _pq_model(emb_d)
-    codes = SIM.pq_encode(emb_d, cb)
+    codes = SIM.pq_encode(emb_d, cb, m=8, sub=8)
     queries_df = emb_d.filter(F.col("vec_id") < 5)
-    out = SIM.pq_topk(codes, queries_df, cb, k=10)
+    out = SIM.pq_topk(codes, queries_df, cb, k=10, sub=8)
     return out.select(
         "query_id",
         "neighbor_id",
@@ -3393,11 +3393,11 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = SIM.ivf_assign(emb_d, centroids)
     cb = _pq_model(emb_d)
-    codes = SIM.pq_encode(emb_d, cb)
+    codes = SIM.pq_encode(emb_d, cb, m=8, sub=8)
     queries_df = emb_d.filter(F.col("vec_id") < 5)
     out = SIM.ivfpq_topk(
         assigned, codes, centroids, cb, queries_df, k=10, nprobe=4,
-        metric="cosine",
+        metric="cosine", sub=8,
     )
     return out.select(
         "query_id",
@@ -4071,10 +4071,10 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = SIM.ivf_assign(emb_d, centroids)
     cb = _pq_model(emb_d)
-    codes = SIM.pq_encode(emb_d, cb)
+    codes = SIM.pq_encode(emb_d, cb, m=8, sub=8)
     approx = SIM.ivfpq_topk(
         assigned, codes, centroids, cb, queries_df, k=10, nprobe=4,
-        metric="cosine",
+        metric="cosine", sub=8,
     )
     return _recall_at_10(exact, approx)
 
@@ -4160,7 +4160,7 @@ def q_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session-scoped path, overwritten per run — a fresh mkdtemp per
     # invocation accreted orphan index copies across bench/oracle runs
     path = _session_tmp("ivfpq_index")
-    SIM.write_ivfpq_index(emb_d, centroids, cb, path)
+    SIM.write_ivfpq_index(emb_d, centroids, cb, path, m=8, sub=8)
     out = SIM.ivfpq_search_index(
         spark,
         path,
@@ -4168,6 +4168,7 @@ def q_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=4,
         metric="cosine",
+        sub=8,
     )
     return out.select(
         "query_id",
@@ -4192,7 +4193,8 @@ def q_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = _pq_model(emb_d)
     path = _session_tmp("ivfpq_index_grown")
     SIM.write_ivfpq_index(
-        emb_d.filter(F.col("vec_id") % 2 == 0), centroids, cb, path
+        emb_d.filter(F.col("vec_id") % 2 == 0), centroids, cb, path,
+        m=8, sub=8,
     )
     SIM.append_to_ivfpq_index(
         spark, emb_d.filter(F.col("vec_id") % 2 == 1), path
@@ -4204,6 +4206,7 @@ def q_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=4,
         metric="cosine",
+        sub=8,
     )
     return out.select(
         "query_id",
