@@ -156,3 +156,34 @@ def zorder_key(col_a, col_b) -> "F.Column":
         .bitwiseOR(_spread_bits_16(b).cast("bigint"))
         .cast("bigint")
     )
+
+
+def widen_narrow_input(df: DataFrame, by: list[str]) -> DataFrame:
+    """Spread a NARROW input over the session's shuffle parallelism before
+    CPU-dense per-row work (hash sketches, gram explosion, regex gates).
+
+    A single-file / single-row-group parquet scan is ONE task, so every
+    narrow projection before the first Exchange — exactly where this
+    engine puts its md5/xxhash sketch compute — serializes on one core
+    regardless of cluster size (guide §2.5 "input skew: one huge
+    unsplittable file … repartition immediately after the read").  At
+    corpus scale inputs split into many tasks and this is a NO-OP (the
+    guard below); it only fires when the scan's parallelism is below the
+    session's cores.
+
+    The repartition is hash-keyed on ``by`` (deterministic under task
+    retry — no round-robin) with an EXPLICIT partition count: a keyed
+    repartition without one is AQE-coalescible, and AQE's byte-based
+    advisory folds a small-byte/high-CPU stage right back into one task.
+    The count follows ``spark.sql.shuffle.partitions`` — the deployment's
+    scale knob, not a local constant.
+    """
+    sess = df.sparkSession
+    floor_p = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= floor_p:
+        return df
+    n = max(
+        int(sess.conf.get("spark.sql.shuffle.partitions", str(floor_p))),
+        floor_p,
+    )
+    return df.repartition(n, *[F.col(c) for c in by])

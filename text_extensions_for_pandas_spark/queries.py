@@ -1718,7 +1718,14 @@ FROM d GROUP BY pred_lang ORDER BY pred_lang
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extensions_for_pandas_spark.operators.scale import (
+        widen_narrow_input,
+    )
+
     docs = load(spark, sf_dir, "documents")
+    # the winnowing HOF (per-row md5 of every 8-gram + min-window fold)
+    # runs pre-exchange — spread a narrow scan first (no-op when parallel)
+    docs = widen_narrow_input(docs, by=["doc_id"])
     fps = (
         T.fingerprint_rows(docs, k=8, window=4)
         .groupBy("doc_id")
@@ -6534,6 +6541,15 @@ def q_multilingual_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 16 + 1).cast("int"),
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", text.alias("t"))
+    # the per-row work below (HOF token strip + 16-language regex gate) is
+    # the heaviest row-local expression in the registry and runs before any
+    # exchange — on a narrow single-task scan it serializes on one core;
+    # spread first (no-op when the scan already parallelizes)
+    from text_extensions_for_pandas_spark.operators.scale import (
+        widen_narrow_input,
+    )
+
+    docs = widen_narrow_input(docs, by=["doc_id"])
     docs = docs.withColumn("__toks", word_tokens(F.col("t")))
     # materialize the stripped tokens AND the prediction: HOF lambdas
     # don't CSE, so the 14 per-language stopword filters would each
