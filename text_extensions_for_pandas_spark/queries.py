@@ -75,6 +75,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_wide(
+    spark: SparkSession, sf_dir: str, name: str = "documents",
+    by: tuple = ("doc_id",),
+) -> DataFrame:
+    """``load()`` + :func:`~.operators.scale.widen_narrow_input` — for
+    queries whose per-row expression work (regex gates, HOF folds, sketch
+    hashing, result-hash evaluation) dominates: a narrow single-task scan
+    serializes all of it on one core, so spread it across the session's
+    shuffle parallelism first.  No-op whenever the scan already
+    parallelizes (i.e. at corpus scale); interleaved A/B at sf0.1 showed
+    the cheap-scan tail is a wash under an unconditional spread, so only
+    the measured per-row-heavy queries use this loader."""
+    from text_extensions_for_pandas_spark.operators.scale import (
+        widen_narrow_input,
+    )
+
+    return widen_narrow_input(load(spark, sf_dir, name), by=list(by))
+
+
 DEC = "decimal(18,2)"
 PCT = "decimal(4,2)"
 
@@ -1027,7 +1046,7 @@ def q_extract_dict_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_dict_rowwise,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     d = create_dict(spark, DICT_ENTRIES)
     out = extract_dict_rowwise(docs, d)
     return out.select(
@@ -1183,7 +1202,7 @@ def q_consolidate_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_dict_consolidated_rowwise,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     out = extract_dict_consolidated_rowwise(docs, OVERLAP_ENTRIES)
     return out.select(
         "doc_id",
@@ -1529,7 +1548,7 @@ FROM assigned WHERE rn = 1 GROUP BY centroid_id ORDER BY cluster_id
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").withColumn(
+    docs = load_wide(spark, sf_dir, "documents").withColumn(
         "__toks", T.word_tokens(F.col("text"))
     )
     q = T.quality_metrics(F.col("text"), toks=F.col("__toks"))
@@ -1634,7 +1653,7 @@ FROM binned GROUP BY shard, bin ORDER BY shard, bin
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     return (
         docs.withColumn("__toks", T.word_tokens(F.col("text")))
         .select(T.lang_id(F.col("text"), toks=F.col("__toks")).alias("pred_lang"))
@@ -1681,7 +1700,7 @@ def q_lang_id_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace tokens, so before the r9 script-ratio branches every
     CJK row came back 'und' — this query pins the fix.  All codegen
     regexp length arithmetic, one aggregate."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load_wide(spark, sf_dir, "documents").select("doc_id")
     i = F.col("doc_id")
     text = (
         F.when(i % 5 == 0, F.lit("今天天气很好。我们去公园散步吧。"))
@@ -3624,7 +3643,7 @@ def q_gopher_rules_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuned list both branches appear and ``passes`` varies by row)."""
     from text_extensions_for_pandas_spark.functions.text import gopher_rules
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     g = gopher_rules(
         "text",
         min_words=30,
@@ -4275,7 +4294,7 @@ FROM ranked WHERE rk <= 20 ORDER BY vec_id
 
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.repetition_metrics(load(spark, sf_dir, "documents"), n=2).orderBy(
+    return T.repetition_metrics(load_wide(spark, sf_dir, "documents"), n=2).orderBy(
         "doc_id"
     )
 
@@ -5506,7 +5525,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha-word / required-stopword rules and the combined pass flag."""
     from text_extensions_for_pandas_spark.functions.text import gopher_rules
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", gopher_rules("text").alias("g"))
         .select("doc_id", "g.*")
@@ -6177,7 +6196,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_log_weights,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     out = dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
     return out.select(
         "doc_id",
@@ -6378,7 +6397,7 @@ def q_cjk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(t) for t in classes]),
         (F.col("doc_id") % 5 + 1).cast("int"),
     )
-    docs = load(spark, sf_dir, "documents").select("doc_id", text.alias("t"))
+    docs = load_wide(spark, sf_dir, "documents").select("doc_id", text.alias("t"))
     r = cjk_quality_rules("t")
     g = quality_gate_by_script("t")
     return docs.select(
@@ -6615,7 +6634,7 @@ def q_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     terms = ["customer!", "spark", "batch batch."]
-    docs = load(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     hits = F.array_distinct(blocked_term_hits("text", terms))
     return docs.select(
         "doc_id",
@@ -8000,7 +8019,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas UDF projection: no shuffle, no collect."""
     from text_extensions_for_pandas_spark.operators.html import html_to_text
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load_wide(spark, sf_dir, "documents").select("doc_id")
     i = F.col("doc_id").cast("string")
     x = (F.col("doc_id") * F.col("doc_id") % 101).cast("string")
     html = F.concat(
