@@ -3176,6 +3176,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # NOT spread: an A/B measured the narrow-scan spread a LOSS here
+    # (-0.57s median, 0/4 pairs) — the 4-stage chained Python island pays
+    # per-task Arrow/pandas overhead per partition per stage, and one
+    # ~5000-row batch per stage is cheaper than 32x ~156-row tasks
     assets = docs.select("doc_id").mapInPandas(_gen, schema=MM.ASSETS_DDL)
     feats = MM.image_features(
         MM.resize_images(MM.decode_images(assets), 8, 8)
@@ -3265,6 +3269,10 @@ def q_multimodal_decode_means(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # NOT spread: an A/B measured the narrow-scan spread a LOSS here
+    # (-0.57s median, 0/4 pairs) — the 4-stage chained Python island pays
+    # per-task Arrow/pandas overhead per partition per stage, and one
+    # ~5000-row batch per stage is cheaper than 32x ~156-row tasks
     assets = docs.select("doc_id").mapInPandas(_gen, schema=MM.ASSETS_DDL)
     return (
         MM.image_features(MM.decode_images(assets))
@@ -3598,7 +3606,11 @@ def q_multimodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["asset_id", "kind", "content", "meta"]
             )
 
-    assets = spark.range(60).mapInPandas(_gen, schema=MM.ASSETS_DDL)
+    # 60 fixture rows on the session default (cores) partitioning ran the
+    # Python island as ~32 two-row tasks — per-task Arrow/pandas overhead
+    # dominated.  Size the island's tasks by DATA (>=16 rows each), not by
+    # core count (interleaved A/B: embed pass 0.75s -> 0.3s, 4/4 pairs).
+    assets = spark.range(0, 60, 1, 4).mapInPandas(_gen, schema=MM.ASSETS_DDL)
     # the FUSED decode+embed island (no decoded pixel buffers in the
     # plan — the 100 TB ingest shape); bit-identical to
     # decode_images -> embed_images, which the pytest suite pins.
