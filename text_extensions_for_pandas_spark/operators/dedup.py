@@ -1352,6 +1352,11 @@ def fingerprint_overlap_pairs(
         fingerprint_rows,
     )
 
+    # the winnowing pass (an md5 per character position) runs before the
+    # first Exchange — on a narrow single-task scan it serializes the whole
+    # corpus's hashing on one core; spread first (no-op when the scan
+    # already parallelizes, i.e. always at corpus scale)
+    documents = widen_narrow_input(documents, by=[doc_col])
     fps = fingerprint_rows(documents, k, window, text_col, doc_col)
     # stop-key filter via count-over-window on the fp shuffle: the former
     # groupBy + left-semi-join evaluated ``fps`` — an md5 per character
